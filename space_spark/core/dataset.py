@@ -1,0 +1,607 @@
+"""Dataset: the versioned table API (create/load, append/insert/upsert/
+delete, time-travel reads, tags/branches, change-data feed).
+
+Parity map (reference paths relative to /root/reference/python/src/space/):
+- create/load            -> core/datasets.py:43-60, core/storage.py:149-204
+- append                 -> core/runners.py:239-244, core/ops/append.py:69-298
+- insert/upsert          -> core/ops/insert.py:38-134
+- delete (copy-on-write) -> core/ops/delete.py:56-228
+- read w/ filter/fields/version/reference_read -> core/runners.py:207-227,
+                            core/ops/read.py:47-152
+- scan planning + manifest pruning -> core/storage.py:369-403
+- optimistic commit      -> core/storage.py:315-367,545-596
+- tags/branches          -> core/storage.py:238-313
+- versions()             -> core/storage.py:410-443
+- diff(v1,v2) change feed-> core/ops/change_data.py:59-161
+
+Spark-first design: mutations are distributed Parquet writes planned by
+Catalyst; only the commit protocol (JSON log) runs on the driver. Reads
+hand Catalyst a manifest-pruned file list, so predicate pushdown, column
+pruning, AQE and whole-stage codegen all apply unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Union
+from urllib.parse import urlparse
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from space_spark.core import manifests as mf
+from space_spark.core import metadata as md
+from space_spark.core import records as rec
+from space_spark.core import schema as sc
+from space_spark.core.expressions import Expr
+from space_spark.errors import (
+    PrimaryKeyExistError,
+    SpaceError,
+    UserInputError,
+)
+
+FilterType = Union[Expr, None]
+
+CHANGE_TYPE_COL = "_change_type"
+CHANGE_SNAPSHOT_COL = "_snapshot_id"
+CHANGE_ORDER_COL = "_change_order"
+CHANGE_ADD = "ADD"
+CHANGE_DELETE = "DELETE"
+
+
+class Dataset:
+    """A versioned space table bound to a SparkSession."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        log: md.MetadataLog,
+        metadata: md.StorageMetadata,
+        branch: str = md.MAIN_BRANCH,
+    ):
+        self.spark = spark
+        self.log = log
+        self.metadata = metadata
+        self.branch = branch
+        from space_spark.deploy import ensure_shipped
+
+        ensure_shipped(spark)
+
+    # ------------------------------------------------------------------ setup
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        location: str,
+        schema: T.StructType,
+        primary_keys: Sequence[str],
+        record_fields: Sequence[str] = (),
+    ) -> "Dataset":
+        sc.validate(schema, primary_keys, record_fields)
+        schema = sc.assign_field_ids(schema)
+        log = md.MetadataLog(location)
+        if log.exists():
+            raise SpaceError(f"Table already exists at {location}")
+        log.init_location()
+        meta = md.initial_metadata(
+            md.TYPE_DATASET,
+            schema,
+            list(primary_keys),
+            list(record_fields),
+            sc.field_id_map(schema),
+        )
+        log.write_metadata(meta)
+        return cls(spark, log, meta)
+
+    @classmethod
+    def load(cls, spark: SparkSession, location: str) -> "Dataset":
+        log = md.MetadataLog(location)
+        return cls(spark, log, log.read_metadata())
+
+    def reload(self) -> "Dataset":
+        """Refresh to the latest committed metadata (runners.py:123-132)."""
+        self.metadata = self.log.read_metadata()
+        return self
+
+    # ------------------------------------------------------------- properties
+    @property
+    def location(self) -> str:
+        return self.log.location
+
+    @property
+    def schema(self) -> T.StructType:
+        return self.metadata.schema
+
+    @property
+    def primary_keys(self) -> List[str]:
+        return self.metadata.primary_keys
+
+    @property
+    def record_fields(self) -> List[str]:
+        return self.metadata.record_fields
+
+    @property
+    def current_snapshot_id(self) -> int:
+        return self.metadata.branches[self.branch]
+
+    def _stats_fields(self):
+        return sc.stats_fields(self.schema, self.record_fields)
+
+    def _physical_schema(self) -> T.StructType:
+        return sc.physical_schema(self.schema, self.record_fields)
+
+    # ---------------------------------------------------------------- reading
+    def _manifest_abs_paths(self, snapshot: md.Snapshot) -> List[str]:
+        return [self.log.abs_path(p) for p in snapshot.manifest_files]
+
+    def data_files(
+        self, filter_: FilterType = None, version=None
+    ) -> List[str]:
+        """Manifest-pruned relative data-file list (storage.py:369-403)."""
+        snap_id = self.metadata.resolve_version(version, self.branch)
+        snapshot = self.metadata.snapshot(snap_id)
+        return mf.prune_files(
+            self.spark,
+            self._manifest_abs_paths(snapshot),
+            filter_,
+            self._stats_fields(),
+        )
+
+    def _read_files(
+        self, rel_files: List[str], schema: Optional[T.StructType] = None
+    ) -> DataFrame:
+        schema = schema or self._physical_schema()
+        if not rel_files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[self.log.abs_path(f) for f in rel_files]
+        )
+
+    def read(
+        self,
+        filter_: FilterType = None,
+        fields: Optional[Sequence[str]] = None,
+        version=None,
+        reference_read: bool = False,
+        branch: Optional[str] = None,
+    ) -> DataFrame:
+        """Snapshot read -> DataFrame (runners.py:207-227, read.py:47-152).
+
+        ``reference_read=True`` returns record-field ADDRESSES (struct
+        ``{_FILE,_ROW_ID}``) instead of blob values (options.py:40-41).
+        """
+        if branch is not None:
+            snap_id = self.metadata.resolve_version(version, branch)
+        else:
+            snap_id = self.metadata.resolve_version(version, self.branch)
+        snapshot = self.metadata.snapshot(snap_id)
+        files = mf.prune_files(
+            self.spark,
+            self._manifest_abs_paths(snapshot),
+            filter_,
+            self._stats_fields(),
+        )
+        df = self._read_files(files)
+        if filter_ is not None:
+            df = df.where(filter_.to_spark())
+        if fields is not None:
+            unknown = set(fields) - set(self.schema.fieldNames())
+            if unknown:
+                raise UserInputError(f"Unknown fields: {sorted(unknown)}")
+            df = df.select(*fields)
+        resolve = [
+            f
+            for f in (fields or self.schema.fieldNames())
+            if f in self.record_fields
+        ]
+        if resolve and not reference_read:
+            df = rec.resolve_record_fields(
+                df, self.location, resolve, self.schema
+            )
+        return df
+
+    def to_df(self, **kwargs) -> DataFrame:
+        return self.read(**kwargs)
+
+    # ---------------------------------------------------------------- writing
+    def _align(self, df: DataFrame) -> DataFrame:
+        expected = self.schema.fieldNames()
+        got = set(df.columns)
+        if got != set(expected):
+            raise UserInputError(
+                f"Input columns {sorted(got)} != table columns {sorted(expected)}"
+            )
+        return df.select(
+            *[F.col(n).cast(self.schema[n].dataType) for n in expected]
+        )
+
+    def _write_data_files(self, df: DataFrame, physical: bool = False):
+        """Write data files for one commit; returns (manifest_rel, files,
+        rows, bytes). Executors write shard files in parallel (the
+        reference's actor writers, ray/ops/append.py:32-120); the driver
+        only collects footer stats and writes the manifest.
+
+        ``physical=True`` means ``df`` already carries record-field ADDRESS
+        structs (the copy-on-write survivor rewrite) — blobs are NOT
+        rewritten, addresses carry over (reference ops/delete.py:42-45)."""
+        commit_reldir = self.log.new_commit_data_reldir()
+        absdir = self.log.abs_path(commit_reldir)
+        if self.record_fields and not physical:
+            df = rec.write_record_fields(df, self.location, self.record_fields)
+        df.write.parquet(absdir)
+        rel_files = sorted(
+            os.path.join(commit_reldir, name)
+            for name in os.listdir(absdir)
+            if name.endswith(".parquet")
+        )
+        stat_names = [n for n, _ in self._stats_fields()]
+        stats = mf.collect_file_stats(
+            self.spark,
+            [self.log.abs_path(f) for f in rel_files],
+            stat_names,
+        )
+        manifest_rel = self.log.new_manifest_relpath()
+        rows, nbytes = mf.write_manifest(
+            self.spark,
+            self.log.abs_path(manifest_rel),
+            rel_files,
+            stats,
+            self._stats_fields(),
+        )
+        return manifest_rel, rel_files, rows, nbytes
+
+    def append(self, df: DataFrame) -> "Dataset":
+        """Blind append — no PK check (runners.py:239-244)."""
+        df = self._align(df)
+        # Transactions pin the head AFTER a reload (reference reloads at txn
+        # start, core/storage.py:587-593) so stale handles re-pin instead of
+        # spuriously conflicting; true races still abort at commit.
+        self.reload()
+        pinned = self.current_snapshot_id
+        parent = self.metadata.snapshot(pinned)
+        manifest_rel, files, rows, nbytes = self._write_data_files(df)
+        if rows == 0:
+            return self  # empty append: skip commit (test_runners.py:83-92)
+        snap = md.Snapshot(
+            snapshot_id=-1,
+            parent_snapshot_id=pinned,
+            created_at="",
+            manifest_files=parent.manifest_files + [manifest_rel],
+            num_rows=parent.num_rows + rows,
+            data_bytes=parent.data_bytes + nbytes,
+            added_files=files,
+        )
+        self.metadata = self.log.commit_snapshot(pinned, self.branch, snap)
+        return self
+
+    def insert(self, df: DataFrame) -> "Dataset":
+        """Append that FAILS if any input primary key exists
+        (ops/insert.py:38-134). The existence probe is a broadcast-friendly
+        left-semi join instead of the reference's O(n) OR-of-AND filter."""
+        df = self._align(df)
+        self.reload()
+        pks = self.primary_keys
+        self._check_duplicate_pks(df)
+        existing = self.read(fields=pks)
+        clash = existing.join(
+            F.broadcast(df.select(*pks)), on=pks, how="left_semi"
+        )
+        n = clash.limit(1).count()
+        if n > 0:
+            raise PrimaryKeyExistError(
+                "insert: input primary keys already exist (use upsert)"
+            )
+        return self.append(df)
+
+    def upsert(self, df: DataFrame) -> "Dataset":
+        """Delete rows matching input PKs, then append input
+        (ops/insert.py:93-99: upsert = delete-then-append)."""
+        df = self._align(df)
+        self.reload()
+        self._check_duplicate_pks(df)
+        self._delete_matching(df.select(*self.primary_keys))
+        return self.append(df)
+
+    def _check_duplicate_pks(self, df: DataFrame) -> None:
+        pks = self.primary_keys
+        dup = (
+            df.groupBy(*pks).count().where(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise UserInputError("Input data has duplicate primary keys")
+
+    # ----------------------------------------------------------------- delete
+    def _abs_to_rel_file(self, uri: str) -> str:
+        return self.log.rel_path(urlparse(uri).path)
+
+    def delete(self, filter_: Expr) -> "Dataset":
+        """Copy-on-write delete (ops/delete.py:56-228): rewrite only the
+        files that contain matching rows; record files are never rewritten
+        (delete.py:42-45) because survivors keep their address structs."""
+        if filter_ is None:
+            raise UserInputError("delete requires a filter")
+        self.reload()
+        return self._delete_predicate(filter_.to_spark(), prune_expr=filter_)
+
+    def _delete_matching(self, keys_df: DataFrame) -> None:
+        """Delete rows whose PKs appear in keys_df (upsert's delete half)."""
+        pks = self.primary_keys
+        snap_id = self.current_snapshot_id
+        snapshot = self.metadata.snapshot(snap_id)
+        files = mf.prune_files(
+            self.spark,
+            self._manifest_abs_paths(snapshot),
+            None,
+            self._stats_fields(),
+        )
+        if not files:
+            return
+        phys = self._read_files(files).withColumn(
+            "__file", F.input_file_name()
+        )
+        keys = keys_df.hint("broadcast")
+        matches = phys.join(keys, on=pks, how="left_semi")
+        affected_uris = [
+            r[0] for r in matches.select("__file").distinct().collect()
+        ]
+        if not affected_uris:
+            return
+        affected = sorted(self._abs_to_rel_file(u) for u in affected_uris)
+        aff_df = self._read_files(affected)
+        survivors = aff_df.join(keys, on=pks, how="left_anti")
+        deleted = aff_df.join(keys, on=pks, how="left_semi").select(*pks)
+        self._commit_cow_delete(snap_id, affected, survivors, deleted)
+
+    def _delete_predicate(self, pred, prune_expr: FilterType) -> "Dataset":
+        snap_id = self.current_snapshot_id
+        snapshot = self.metadata.snapshot(snap_id)
+        candidates = mf.prune_files(
+            self.spark,
+            self._manifest_abs_paths(snapshot),
+            prune_expr,
+            self._stats_fields(),
+        )
+        if not candidates:
+            return self
+        phys = self._read_files(candidates).withColumn(
+            "__file", F.input_file_name()
+        )
+        affected_uris = [
+            r[0]
+            for r in phys.where(pred).select("__file").distinct().collect()
+        ]
+        if not affected_uris:
+            return self
+        affected = sorted(self._abs_to_rel_file(u) for u in affected_uris)
+        aff_df = self._read_files(affected)
+        survivors = aff_df.where(~pred)
+        deleted = aff_df.where(pred).select(*self.primary_keys)
+        self._commit_cow_delete(snap_id, affected, survivors, deleted)
+        return self
+
+    def _commit_cow_delete(
+        self,
+        pinned: int,
+        affected: List[str],
+        survivors: DataFrame,
+        deleted_pks: DataFrame,
+    ) -> None:
+        parent = self.metadata.snapshot(pinned)
+        # Rows removed from the table = affected rows - surviving rows.
+        old_manifests = self._manifest_abs_paths(parent)
+        man_tbl = pa.concat_tables(
+            [pq.read_table(p) for p in old_manifests]
+        )
+        aff_mask = pc.is_in(
+            man_tbl[mf.FILE_PATH_COL], value_set=pa.array(affected)
+        )
+        removed_rows = pc.sum(
+            pc.if_else(aff_mask, man_tbl[mf.NUM_ROWS_COL], pa.scalar(0, pa.int64()))
+        ).as_py() or 0
+        removed_bytes = pc.sum(
+            pc.if_else(aff_mask, man_tbl[mf.SIZE_BYTES_COL], pa.scalar(0, pa.int64()))
+        ).as_py() or 0
+        carry = man_tbl.filter(pc.invert(aff_mask))
+
+        # Write survivors as new data files (may be zero files/rows); they
+        # are already physical rows (addresses carried over, blobs intact).
+        manifest_rel, new_files, new_rows, new_bytes = self._write_data_files(
+            survivors, physical=True
+        )
+        # Record deleted PKs in the change log (PK-only delete stream,
+        # change_data.py:123-127).
+        deletes_rel = self.log.new_deletes_relpath().replace(".parquet", "")
+        deleted_pks.write.parquet(self.log.abs_path(deletes_rel))
+
+        carry_rel = self.log.new_manifest_relpath()
+        pq.write_table(carry, self.log.abs_path(carry_rel))
+        manifest_files = [carry_rel]
+        if new_rows > 0:
+            manifest_files.append(manifest_rel)
+        snap = md.Snapshot(
+            snapshot_id=-1,
+            parent_snapshot_id=pinned,
+            created_at="",
+            manifest_files=manifest_files,
+            num_rows=parent.num_rows - removed_rows + new_rows,
+            data_bytes=parent.data_bytes - removed_bytes + new_bytes,
+            # Survivor-rewrite files are physically new but LOGICALLY
+            # carried over: the change feed must emit only the deleted rows
+            # (reference delete changelog holds deleted bitmaps only,
+            # ops/delete.py:113-115,215-228).
+            added_files=[],
+            deleted_pks_file=deletes_rel,
+        )
+        self.metadata = self.log.commit_snapshot(pinned, self.branch, snap)
+
+    # ------------------------------------------------------- refs & versions
+    def add_tag(self, tag: str, version=None) -> "Dataset":
+        snap_id = self.metadata.resolve_version(version, self.branch)
+
+        def mutate(meta: md.StorageMetadata):
+            if tag in meta.tags or tag in meta.branches:
+                raise UserInputError(f"Ref {tag!r} already exists")
+            meta.tags[tag] = snap_id
+
+        self.metadata = self.log.update_refs(mutate)
+        return self
+
+    def remove_tag(self, tag: str) -> "Dataset":
+        def mutate(meta: md.StorageMetadata):
+            if tag not in meta.tags:
+                raise UserInputError(f"Tag {tag!r} not found")
+            del meta.tags[tag]
+
+        self.metadata = self.log.update_refs(mutate)
+        return self
+
+    def add_branch(self, branch: str) -> "Dataset":
+        snap_id = self.current_snapshot_id
+
+        def mutate(meta: md.StorageMetadata):
+            if branch in meta.tags or branch in meta.branches:
+                raise UserInputError(f"Ref {branch!r} already exists")
+            meta.branches[branch] = snap_id
+
+        self.metadata = self.log.update_refs(mutate)
+        return self
+
+    def remove_branch(self, branch: str) -> "Dataset":
+        if branch == md.MAIN_BRANCH:
+            raise UserInputError("Cannot remove the main branch")
+
+        def mutate(meta: md.StorageMetadata):
+            if branch not in meta.branches:
+                raise UserInputError(f"Branch {branch!r} not found")
+            del meta.branches[branch]
+
+        self.metadata = self.log.update_refs(mutate)
+        return self
+
+    def set_current_branch(self, branch: str) -> "Dataset":
+        """Commits/reads follow this branch; main never moves with it
+        (storage.py:328-339)."""
+        if branch not in self.metadata.branches:
+            raise UserInputError(f"Branch {branch!r} not found")
+        self.branch = branch
+        return self
+
+    def versions(self) -> DataFrame:
+        """(snapshot_id, create_time, tag_or_branch) — storage.py:410-443."""
+        refs = [
+            (sid, name)
+            for name, sid in list(self.metadata.tags.items())
+            + list(self.metadata.branches.items())
+        ]
+        snaps = [
+            (s.snapshot_id, s.created_at)
+            for s in self.metadata.snapshots.values()
+        ]
+        snap_df = self.spark.createDataFrame(
+            snaps, "snapshot_id long, create_time string"
+        ).withColumn("create_time", F.to_timestamp("create_time"))
+        if refs:
+            ref_df = self.spark.createDataFrame(
+                refs, "snapshot_id long, tag_or_branch string"
+            )
+        else:
+            ref_df = self.spark.createDataFrame(
+                [], "snapshot_id long, tag_or_branch string"
+            )
+        return (
+            snap_df.join(ref_df, "snapshot_id", "left_outer")
+            .orderBy(F.desc("create_time"), F.desc("snapshot_id"))
+        )
+
+    def index_manifest(self, version=None) -> DataFrame:
+        """Manifest files as a queryable DataFrame (storage.py:459-480)."""
+        snap_id = self.metadata.resolve_version(version, self.branch)
+        snapshot = self.metadata.snapshot(snap_id)
+        return mf.read_manifests(
+            self.spark, self._manifest_abs_paths(snapshot), self._stats_fields()
+        )
+
+    def index_files(self, version=None) -> List[str]:
+        """Absolute index-file paths for external engines (datasets.py:99-104)."""
+        return [self.log.abs_path(f) for f in self.data_files(None, version)]
+
+    # ------------------------------------------------------- change-data feed
+    def _ancestors(self, from_id: int, to_id: int) -> List[md.Snapshot]:
+        """Snapshots (from_id, to_id], oldest first; errors if not a lineage
+        (change_data.py:59-161)."""
+        chain: List[md.Snapshot] = []
+        cur: Optional[int] = to_id
+        while cur is not None and cur != from_id:
+            snap = self.metadata.snapshot(cur)
+            chain.append(snap)
+            cur = snap.parent_snapshot_id
+        if cur != from_id:
+            raise UserInputError(
+                f"Version {from_id} is not an ancestor of {to_id}"
+            )
+        return list(reversed(chain))
+
+    def diff(self, v1, v2) -> DataFrame:
+        """Change feed between two versions: one row per changed row, with
+        ``_change_type`` ADD/DELETE, ``_snapshot_id``, and ``_change_order``
+        (deletes sort before adds within a snapshot — the required replay
+        order, change_data.py:123-127). DELETE rows carry primary keys only;
+        other columns are NULL (change_data.py:42-44: UPDATE = DELETE+ADD)."""
+        start = self.metadata.resolve_version(v1, self.branch)
+        end = self.metadata.resolve_version(v2, self.branch)
+        parts: List[DataFrame] = []
+        for snap in self._ancestors(start, end):
+            if snap.deleted_pks_file:
+                d = self.spark.read.parquet(
+                    self.log.abs_path(snap.deleted_pks_file)
+                )
+                parts.append(
+                    d.withColumn(CHANGE_TYPE_COL, F.lit(CHANGE_DELETE))
+                    .withColumn(CHANGE_SNAPSHOT_COL, F.lit(snap.snapshot_id))
+                    .withColumn(CHANGE_ORDER_COL, F.lit(0))
+                )
+            if snap.added_files:
+                a = self._read_files(snap.added_files)
+                parts.append(
+                    a.withColumn(CHANGE_TYPE_COL, F.lit(CHANGE_ADD))
+                    .withColumn(CHANGE_SNAPSHOT_COL, F.lit(snap.snapshot_id))
+                    .withColumn(CHANGE_ORDER_COL, F.lit(1))
+                )
+        if not parts:
+            schema = self._physical_schema().add(
+                CHANGE_TYPE_COL, T.StringType()
+            ).add(CHANGE_SNAPSHOT_COL, T.LongType()).add(
+                CHANGE_ORDER_COL, T.IntegerType()
+            )
+            return self.spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    # ------------------------------------------------------------------ views
+    def map_batches(self, fn, output_schema, input_fields=None,
+                    output_record_fields=(), batch_size=None):
+        from space_spark.core.views import View
+
+        return View.source(self).map_batches(
+            fn, output_schema, input_fields, output_record_fields, batch_size
+        )
+
+    def filter_view(self, fn, input_fields=None):
+        from space_spark.core.views import View
+
+        return View.source(self).filter(fn, input_fields)
+
+    def join(self, right, keys, left_fields=None, right_fields=None,
+             left_reference_read=False, right_reference_read=False):
+        from space_spark.core.views import View
+
+        return View.join(
+            self, right, keys, left_fields, right_fields,
+            left_reference_read, right_reference_read,
+        )

@@ -1,0 +1,296 @@
+"""Predicate expression DSL with falsifiable-filter manifest pruning.
+
+The reference filters scans with ``pyarrow.compute.Expression`` and prunes
+data files by rewriting the predicate into a "falsifiable filter" over
+per-file min/max stats (reference:
+python/src/space/core/manifests/falsifiable_filters.py:39-308). We keep the
+same semantics but emit PySpark ``Column`` objects twice:
+
+- ``to_spark()``   -> the row-level predicate, handed to ``DataFrame.where``
+  (Catalyst pushes it into the Parquet scan natively).
+- ``falsifiable()``-> a predicate over manifest stats columns
+  ``_STATS_<field>._MIN/_MAX`` that is TRUE only when the file provably
+  contains no matching row. Unsupported constructs return ``None``
+  (= no pruning, never wrong pruning).
+
+Supported surface (parity with falsifiable_filters.py:221-289):
+comparisons ``== != < <= > >=`` over field-vs-literal, field-vs-field and
+literal-vs-literal, composed with ``& | ~``.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any, Optional, Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_LITERAL_TYPES = (bool, int, float, str, bytes, _dt.date, _dt.datetime)
+
+
+def field(name: str) -> "Field":
+    """Reference a column, e.g. ``field("l_quantity") > 30``."""
+    return Field(name)
+
+
+def lit(value: Any) -> "Literal":
+    return Literal(value)
+
+
+def _wrap(value: Union["Expr", Any]) -> "Expr":
+    if isinstance(value, Expr):
+        return value
+    if value is None or isinstance(value, _LITERAL_TYPES):
+        return Literal(value)
+    raise TypeError(f"Unsupported literal type for predicate: {type(value)}")
+
+
+def _stat(name: str, part: str) -> Column:
+    return F.col(f"_STATS_{name}.{part}")
+
+
+class Expr:
+    """Base predicate/value node."""
+
+    # -- comparison builders ------------------------------------------------
+    def __eq__(self, other):  # type: ignore[override]
+        return Comparison("==", self, _wrap(other))
+
+    def __ne__(self, other):  # type: ignore[override]
+        return Comparison("!=", self, _wrap(other))
+
+    def __lt__(self, other):
+        return Comparison("<", self, _wrap(other))
+
+    def __le__(self, other):
+        return Comparison("<=", self, _wrap(other))
+
+    def __gt__(self, other):
+        return Comparison(">", self, _wrap(other))
+
+    def __ge__(self, other):
+        return Comparison(">=", self, _wrap(other))
+
+    # -- boolean builders ---------------------------------------------------
+    def __and__(self, other: "Expr") -> "Expr":
+        return And(self, other)
+
+    def __or__(self, other: "Expr") -> "Expr":
+        return Or(self, other)
+
+    def __invert__(self) -> "Expr":
+        return Not(self)
+
+    def __hash__(self):
+        return hash(repr(self))
+
+    def __bool__(self):
+        raise TypeError(
+            "Cannot convert predicate Expr to bool; use & | ~ to compose."
+        )
+
+    # -- interface ------------------------------------------------------------
+    def to_spark(self) -> Column:
+        raise NotImplementedError
+
+    def negate(self) -> "Expr":
+        raise NotImplementedError
+
+    def falsifiable(self, stats_fields: set) -> Optional[Column]:
+        """Predicate over manifest stats proving 'no row in this file can
+        match'; None when not derivable (then the file is kept)."""
+        raise NotImplementedError
+
+    def fields(self) -> set:
+        raise NotImplementedError
+
+
+class Field(Expr):
+    def __init__(self, name: str):
+        self.name = name
+
+    def to_spark(self) -> Column:
+        return F.col(self.name)
+
+    def fields(self) -> set:
+        return {self.name}
+
+    def __repr__(self):
+        return f"field({self.name!r})"
+
+
+class Literal(Expr):
+    def __init__(self, value: Any):
+        self.value = value
+
+    def to_spark(self) -> Column:
+        return F.lit(self.value)
+
+    def fields(self) -> set:
+        return set()
+
+    def __repr__(self):
+        return f"lit({self.value!r})"
+
+
+_NEGATED_OP = {"==": "!=", "!=": "==", "<": ">=", "<=": ">", ">": "<=", ">=": "<"}
+_SWAPPED_OP = {"==": "==", "!=": "!=", "<": ">", "<=": ">=", ">": "<", ">=": "<="}
+
+
+class Comparison(Expr):
+    def __init__(self, op: str, left: Expr, right: Expr):
+        self.op = op
+        self.left = left
+        self.right = right
+
+    def to_spark(self) -> Column:
+        l, r = self.left.to_spark(), self.right.to_spark()
+        return {
+            "==": l == r,
+            "!=": l != r,
+            "<": l < r,
+            "<=": l <= r,
+            ">": l > r,
+            ">=": l >= r,
+        }[self.op]
+
+    def negate(self) -> "Expr":
+        return Comparison(_NEGATED_OP[self.op], self.left, self.right)
+
+    def fields(self) -> set:
+        return self.left.fields() | self.right.fields()
+
+    def falsifiable(self, stats_fields: set) -> Optional[Column]:
+        left, right, op = self.left, self.right, self.op
+        # Normalize literal-vs-field to field-vs-literal by swapping.
+        if isinstance(left, Literal) and isinstance(right, Field):
+            left, right, op = right, left, _SWAPPED_OP[op]
+
+        if isinstance(left, Literal) and isinstance(right, Literal):
+            try:
+                result = _PY_CMP[op](left.value, right.value)
+            except TypeError:
+                return None
+            # Constant-false predicate falsifies every file.
+            return F.lit(not bool(result))
+
+        if isinstance(left, Field) and isinstance(right, Literal):
+            if left.name not in stats_fields or right.value is None:
+                return None
+            mn, mx = _stat(left.name, "_MIN"), _stat(left.name, "_MAX")
+            v = F.lit(right.value)
+            # Rules mirror falsifiable_filters.py:221-289.
+            return {
+                "==": (mn > v) | (mx < v),
+                "!=": (mn == v) & (mx == v),
+                "<": mn >= v,
+                "<=": mn > v,
+                ">": mx <= v,
+                ">=": mx < v,
+            }[op]
+
+        if isinstance(left, Field) and isinstance(right, Field):
+            if left.name not in stats_fields or right.name not in stats_fields:
+                return None
+            lmn, lmx = _stat(left.name, "_MIN"), _stat(left.name, "_MAX")
+            rmn, rmx = _stat(right.name, "_MIN"), _stat(right.name, "_MAX")
+            return {
+                "==": (lmn > rmx) | (lmx < rmn),
+                "!=": (lmn == lmx) & (rmn == rmx) & (lmn == rmn),
+                "<": lmn >= rmx,
+                "<=": lmn > rmx,
+                ">": lmx <= rmn,
+                ">=": lmx < rmn,
+            }[op]
+
+        return None
+
+    def __repr__(self):
+        return f"({self.left!r} {self.op} {self.right!r})"
+
+
+_PY_CMP = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+class And(Expr):
+    def __init__(self, left: Expr, right: Expr):
+        self.left, self.right = left, right
+
+    def to_spark(self) -> Column:
+        return self.left.to_spark() & self.right.to_spark()
+
+    def negate(self) -> "Expr":
+        return Or(self.left.negate(), self.right.negate())
+
+    def fields(self) -> set:
+        return self.left.fields() | self.right.fields()
+
+    def falsifiable(self, stats_fields: set) -> Optional[Column]:
+        # A conjunction is refuted if EITHER conjunct is refuted; a
+        # non-falsifiable conjunct simply contributes nothing.
+        l = self.left.falsifiable(stats_fields)
+        r = self.right.falsifiable(stats_fields)
+        if l is not None and r is not None:
+            return l | r
+        return l if l is not None else r
+
+    def __repr__(self):
+        return f"({self.left!r} & {self.right!r})"
+
+
+class Or(Expr):
+    def __init__(self, left: Expr, right: Expr):
+        self.left, self.right = left, right
+
+    def to_spark(self) -> Column:
+        return self.left.to_spark() | self.right.to_spark()
+
+    def negate(self) -> "Expr":
+        return And(self.left.negate(), self.right.negate())
+
+    def fields(self) -> set:
+        return self.left.fields() | self.right.fields()
+
+    def falsifiable(self, stats_fields: set) -> Optional[Column]:
+        # A disjunction is refuted only if BOTH disjuncts are refuted.
+        l = self.left.falsifiable(stats_fields)
+        r = self.right.falsifiable(stats_fields)
+        if l is None or r is None:
+            return None
+        return l & r
+
+    def __repr__(self):
+        return f"({self.left!r} | {self.right!r})"
+
+
+class Not(Expr):
+    def __init__(self, child: Expr):
+        self.child = child
+
+    def to_spark(self) -> Column:
+        return ~self.child.to_spark()
+
+    def negate(self) -> "Expr":
+        return self.child
+
+    def fields(self) -> set:
+        return self.child.fields()
+
+    def falsifiable(self, stats_fields: set) -> Optional[Column]:
+        # Push NOT down to comparisons, then refute the rewritten tree.
+        try:
+            pushed = self.child.negate()
+        except NotImplementedError:
+            return None
+        return pushed.falsifiable(stats_fields)
+
+    def __repr__(self):
+        return f"~{self.child!r}"

@@ -1,0 +1,188 @@
+"""Index manifests: per-data-file row counts + min/max stats, and the
+falsifiable-filter file pruning that consumes them.
+
+Parity (reference paths relative to /root/reference/python/src/space/):
+- Index manifest rows carry _FILE_PATH/_NUM_ROWS/bytes + per-field
+  ``_STATS_*`` struct<_MIN,_MAX> (core/manifests/index.py:42-65); min/max
+  merged across Parquet row-group footers (core/manifests/index.py:145-179).
+- Scan planning prunes manifest rows with a falsifiable filter before any
+  data file is opened (core/storage.py:369-403). Catalyst skips row groups
+  *within* a file natively, but file-level skipping from OUR manifests is
+  custom: a cheap driver-side query over (small) manifest Parquet that
+  shrinks the file list handed to ``spark.read.parquet``.
+
+Scale notes: footer reads are distributed over executors when a commit adds
+many files (RDD of paths -> mapPartitions), so no O(files) driver loop; the
+manifest itself is Parquet, so pruning a million-file table is a columnar
+scan of a few MB, not a LIST of the object store.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from space_spark.core import schema as sc
+from space_spark.core.expressions import Expr
+
+FILE_PATH_COL = "_FILE_PATH"
+NUM_ROWS_COL = "_NUM_ROWS"
+SIZE_BYTES_COL = "_SIZE_BYTES"
+STATS_PREFIX = "_STATS_"
+MIN_COL = "_MIN"
+MAX_COL = "_MAX"
+
+# Above this many new files, footer stats collection runs as a Spark job.
+_DRIVER_STATS_MAX_FILES = 32
+
+
+def _to_arrow_schema(spark_schema: T.StructType) -> pa.Schema:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(spark_schema)
+
+
+def manifest_spark_schema(
+    stats_fields: Sequence[Tuple[str, T.DataType]]
+) -> T.StructType:
+    fields = [
+        T.StructField(FILE_PATH_COL, T.StringType(), False),
+        T.StructField(NUM_ROWS_COL, T.LongType(), False),
+        T.StructField(SIZE_BYTES_COL, T.LongType(), False),
+    ]
+    for name, dtype in stats_fields:
+        fields.append(
+            T.StructField(
+                STATS_PREFIX + name,
+                T.StructType(
+                    [
+                        T.StructField(MIN_COL, dtype, True),
+                        T.StructField(MAX_COL, dtype, True),
+                    ]
+                ),
+                True,
+            )
+        )
+    return T.StructType(fields)
+
+
+def _footer_stats(abs_path: str, stat_names: List[str]) -> dict:
+    """Merge row-group footer stats of one Parquet file (index.py:145-179)."""
+    meta = pq.ParquetFile(abs_path).metadata
+    name_to_idx: Dict[str, int] = {}
+    for i in range(meta.num_columns):
+        name_to_idx[meta.schema.column(i).path] = i
+    mins: Dict[str, object] = {}
+    maxs: Dict[str, object] = {}
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for name in stat_names:
+            idx = name_to_idx.get(name)
+            if idx is None:
+                continue
+            stats = group.column(idx).statistics
+            if stats is None or not stats.has_min_max:
+                continue
+            mn, mx = stats.min, stats.max
+            if name not in mins or mn < mins[name]:
+                mins[name] = mn
+            if name not in maxs or mx > maxs[name]:
+                maxs[name] = mx
+    return {
+        "num_rows": meta.num_rows,
+        "size_bytes": os.path.getsize(abs_path),
+        "mins": mins,
+        "maxs": maxs,
+    }
+
+
+def collect_file_stats(
+    spark: SparkSession,
+    abs_paths: List[str],
+    stat_names: List[str],
+) -> List[dict]:
+    """Footer stats for each file; distributed when the file list is large."""
+    if len(abs_paths) <= _DRIVER_STATS_MAX_FILES:
+        return [_footer_stats(p, stat_names) for p in abs_paths]
+    sc_ = spark.sparkContext
+    n_slices = max(1, len(abs_paths) // 16)
+    names = list(stat_names)
+    return (
+        sc_.parallelize(abs_paths, n_slices)
+        .map(lambda p: _footer_stats(p, names))
+        .collect()
+    )
+
+
+def write_manifest(
+    spark: SparkSession,
+    manifest_abs_path: str,
+    rel_paths: List[str],
+    stats: List[dict],
+    stats_fields: Sequence[Tuple[str, T.DataType]],
+) -> Tuple[int, int]:
+    """Write one manifest Parquet file; returns (total_rows, total_bytes).
+
+    Manifests are small (one row per data file) and immutable, so the driver
+    writes them directly with pyarrow — no Spark job, no temp-dir dance.
+    """
+    spark_schema = manifest_spark_schema(stats_fields)
+    arrow_schema = _to_arrow_schema(spark_schema)
+    columns: Dict[str, list] = {
+        FILE_PATH_COL: rel_paths,
+        NUM_ROWS_COL: [s["num_rows"] for s in stats],
+        SIZE_BYTES_COL: [s["size_bytes"] for s in stats],
+    }
+    for name, _ in stats_fields:
+        columns[STATS_PREFIX + name] = [
+            {MIN_COL: s["mins"].get(name), MAX_COL: s["maxs"].get(name)}
+            for s in stats
+        ]
+    table = pa.Table.from_pydict(columns, schema=arrow_schema)
+    os.makedirs(os.path.dirname(manifest_abs_path), exist_ok=True)
+    pq.write_table(table, manifest_abs_path)
+    return (
+        int(sum(s["num_rows"] for s in stats)),
+        int(sum(s["size_bytes"] for s in stats)),
+    )
+
+
+def read_manifests(
+    spark: SparkSession,
+    manifest_abs_paths: List[str],
+    stats_fields: Sequence[Tuple[str, T.DataType]],
+) -> DataFrame:
+    spark_schema = manifest_spark_schema(stats_fields)
+    if not manifest_abs_paths:
+        return spark.createDataFrame([], spark_schema)
+    return spark.read.schema(spark_schema).parquet(*manifest_abs_paths)
+
+
+def prune_files(
+    spark: SparkSession,
+    manifest_abs_paths: List[str],
+    filter_: Optional[Expr],
+    stats_fields: Sequence[Tuple[str, T.DataType]],
+    exclude_files: Optional[Sequence[str]] = None,
+) -> List[str]:
+    """Return relative data-file paths possibly containing matching rows.
+
+    A file is dropped only when the falsifiable filter PROVES it cannot
+    match (never-wrong pruning: unsupported predicates keep everything —
+    falsifiable_filters.py:62-90).
+    """
+    df = read_manifests(spark, manifest_abs_paths, stats_fields)
+    if exclude_files:
+        df = df.where(~F.col(FILE_PATH_COL).isin(list(exclude_files)))
+    if filter_ is not None:
+        stat_names = {name for name, _ in stats_fields}
+        fals = filter_.falsifiable(stat_names)
+        if fals is not None:
+            df = df.where(~F.coalesce(fals, F.lit(False)))
+    return [r[0] for r in df.select(FILE_PATH_COL).collect()]

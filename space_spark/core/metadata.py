@@ -1,0 +1,309 @@
+"""Transaction log: JSON metadata + entrypoint swap + optimistic commits.
+
+Shape mirrors the reference's metadata layer (all paths relative to
+/root/reference/python/src/space/):
+- EntryPoint file pointing at the current metadata file, swapped atomically
+  per mutation (core/proto/metadata.proto:30-33; write-temp-then-rename in
+  core/fs/arrow.py). Locally we use ``os.replace``; on an object store this
+  becomes a conditional PUT (compare-and-swap on the entrypoint ETag) — the
+  single piece that needs porting for S3/GCS.
+- StorageMetadata: type, schema, snapshots, refs (metadata.proto:39-71).
+- Snapshot: integer id, parent pointer, manifest-file list, stats, change
+  log (metadata.proto:90-112).
+- Tags and branches are named refs; ``main`` is the default branch and is
+  reserved (core/storage.py:52-56,238-313).
+
+All file paths stored in metadata are RELATIVE to the table location for
+portability (reference docs/design.md:24-26).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import fcntl
+import json
+import os
+import uuid
+from dataclasses import dataclass, field as dc_field
+from datetime import datetime, timezone
+from typing import Dict, Iterator, List, Optional
+
+from pyspark.sql import types as T
+
+from space_spark.errors import (
+    SpaceError,
+    TransactionConflictError,
+    UserInputError,
+    VersionNotFoundError,
+)
+
+MAIN_BRANCH = "main"
+TYPE_DATASET = "DATASET"
+TYPE_MATERIALIZED_VIEW = "MATERIALIZED_VIEW"
+
+
+def _now_iso() -> str:
+    return datetime.now(timezone.utc).isoformat()
+
+
+def new_uuid() -> str:
+    return uuid.uuid4().hex[:20]
+
+
+@dataclass
+class Snapshot:
+    """One immutable table version (metadata.proto:90-112)."""
+
+    snapshot_id: int
+    parent_snapshot_id: Optional[int]
+    created_at: str
+    manifest_files: List[str] = dc_field(default_factory=list)
+    num_rows: int = 0
+    data_bytes: int = 0
+    # Change log (metadata.proto:160-191 analog): files added by this commit
+    # and a Parquet file holding the primary keys of rows deleted by it.
+    added_files: List[str] = dc_field(default_factory=list)
+    deleted_pks_file: Optional[str] = None
+
+    def to_dict(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_snapshot_id": self.parent_snapshot_id,
+            "created_at": self.created_at,
+            "manifest_files": self.manifest_files,
+            "num_rows": self.num_rows,
+            "data_bytes": self.data_bytes,
+            "added_files": self.added_files,
+            "deleted_pks_file": self.deleted_pks_file,
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "Snapshot":
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            parent_snapshot_id=d.get("parent_snapshot_id"),
+            created_at=d["created_at"],
+            manifest_files=list(d.get("manifest_files", [])),
+            num_rows=d.get("num_rows", 0),
+            data_bytes=d.get("data_bytes", 0),
+            added_files=list(d.get("added_files", [])),
+            deleted_pks_file=d.get("deleted_pks_file"),
+        )
+
+
+@dataclass
+class StorageMetadata:
+    """Full table metadata — one immutable JSON file per committed version."""
+
+    table_type: str
+    schema: T.StructType
+    primary_keys: List[str]
+    record_fields: List[str]
+    field_ids: Dict[str, int]
+    snapshots: Dict[int, Snapshot]
+    branches: Dict[str, int]  # branch name -> head snapshot id ("main" incl.)
+    tags: Dict[str, int]  # tag name -> snapshot id (immutable)
+    next_snapshot_id: int
+    logical_plan: Optional[dict] = None  # set for MATERIALIZED_VIEW
+    udf_registry: Dict[str, str] = dc_field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "format_version": 1,
+                "type": self.table_type,
+                "schema": json.loads(self.schema.json()),
+                "primary_keys": self.primary_keys,
+                "record_fields": self.record_fields,
+                "field_ids": self.field_ids,
+                "snapshots": {
+                    str(k): v.to_dict() for k, v in self.snapshots.items()
+                },
+                "branches": self.branches,
+                "tags": self.tags,
+                "next_snapshot_id": self.next_snapshot_id,
+                "logical_plan": self.logical_plan,
+                "udf_registry": self.udf_registry,
+            },
+            indent=1,
+        )
+
+    @staticmethod
+    def from_json(text: str) -> "StorageMetadata":
+        d = json.loads(text)
+        return StorageMetadata(
+            table_type=d["type"],
+            schema=T.StructType.fromJson(d["schema"]),
+            primary_keys=d["primary_keys"],
+            record_fields=d["record_fields"],
+            field_ids={k: int(v) for k, v in d["field_ids"].items()},
+            snapshots={
+                int(k): Snapshot.from_dict(v) for k, v in d["snapshots"].items()
+            },
+            branches={k: int(v) for k, v in d["branches"].items()},
+            tags={k: int(v) for k, v in d["tags"].items()},
+            next_snapshot_id=d["next_snapshot_id"],
+            logical_plan=d.get("logical_plan"),
+            udf_registry=d.get("udf_registry", {}),
+        )
+
+    # -- version resolution (core/storage.py:224-236) -----------------------
+    def resolve_version(self, version, branch: str = MAIN_BRANCH) -> int:
+        if version is None:
+            if branch not in self.branches:
+                raise VersionNotFoundError(f"Branch {branch!r} not found")
+            return self.branches[branch]
+        if isinstance(version, int):
+            if version not in self.snapshots:
+                raise VersionNotFoundError(f"Snapshot {version} not found")
+            return version
+        if version in self.tags:
+            return self.tags[version]
+        if version in self.branches:
+            return self.branches[version]
+        raise VersionNotFoundError(f"Version {version!r} not found")
+
+    def snapshot(self, snapshot_id: int) -> Snapshot:
+        if snapshot_id not in self.snapshots:
+            raise VersionNotFoundError(f"Snapshot {snapshot_id} not found")
+        return self.snapshots[snapshot_id]
+
+
+class MetadataLog:
+    """Driver-side IO for the transaction log under ``<location>/_space/``."""
+
+    def __init__(self, location: str):
+        self.location = os.path.abspath(location)
+        self.log_dir = os.path.join(self.location, "_space")
+        self.entrypoint_path = os.path.join(self.log_dir, "entrypoint.json")
+
+    # -- path helpers --------------------------------------------------------
+    def abs_path(self, rel: str) -> str:
+        return os.path.join(self.location, rel)
+
+    def rel_path(self, abs_path: str) -> str:
+        return os.path.relpath(abs_path, self.location)
+
+    def new_metadata_relpath(self) -> str:
+        return os.path.join("_space", f"metadata_{new_uuid()}.json")
+
+    def new_manifest_relpath(self) -> str:
+        return os.path.join("_space", "manifests", f"manifest_{new_uuid()}.parquet")
+
+    def new_deletes_relpath(self) -> str:
+        return os.path.join("_space", "changes", f"deletes_{new_uuid()}.parquet")
+
+    def new_commit_data_reldir(self) -> str:
+        return os.path.join("data", f"commit_{new_uuid()}")
+
+    def exists(self) -> bool:
+        return os.path.exists(self.entrypoint_path)
+
+    # -- entrypoint protocol ---------------------------------------------------
+    def init_location(self) -> None:
+        for sub in ("", "manifests", "changes", "udfs"):
+            os.makedirs(os.path.join(self.log_dir, sub), exist_ok=True)
+        os.makedirs(os.path.join(self.location, "data"), exist_ok=True)
+
+    def read_metadata(self) -> StorageMetadata:
+        if not self.exists():
+            raise SpaceError(f"No space table at {self.location}")
+        with open(self.entrypoint_path, "r", encoding="utf-8") as f:
+            entry = json.load(f)
+        with open(self.abs_path(entry["metadata_file"]), "r", encoding="utf-8") as f:
+            return StorageMetadata.from_json(f.read())
+
+    def write_metadata(self, metadata: StorageMetadata) -> str:
+        """Write a new immutable metadata file + atomically swap entrypoint."""
+        rel = self.new_metadata_relpath()
+        with open(self.abs_path(rel), "w", encoding="utf-8") as f:
+            f.write(metadata.to_json())
+        tmp = self.entrypoint_path + f".tmp.{new_uuid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"metadata_file": rel}, f)
+        os.replace(tmp, self.entrypoint_path)  # atomic on POSIX
+        return rel
+
+    # -- optimistic concurrency ------------------------------------------------
+    @contextlib.contextmanager
+    def commit_lock(self) -> Iterator[None]:
+        """Serialize the validate+swap critical section for local FS writers.
+
+        Object-store port: replace with conditional-PUT on the entrypoint
+        (no lock file needed); the optimistic validate stays identical.
+        """
+        lock_path = os.path.join(self.log_dir, ".commit.lock")
+        with open(lock_path, "w", encoding="utf-8") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
+    def commit_snapshot(
+        self,
+        pinned_head: int,
+        branch: str,
+        new_snapshot: Snapshot,
+        mutate=None,
+    ) -> StorageMetadata:
+        """Optimistic commit (reference core/storage.py:315-367,545-596):
+        re-read the log under the lock, abort if the branch head moved from
+        ``pinned_head``, else append the snapshot and advance the branch.
+
+        ``mutate(metadata)`` optionally applies extra metadata edits (refs,
+        udf registry) atomically with the snapshot.
+        """
+        with self.commit_lock():
+            meta = self.read_metadata()
+            head = meta.branches.get(branch)
+            if head != pinned_head:
+                raise TransactionConflictError(
+                    f"Branch {branch!r} moved from snapshot {pinned_head} "
+                    f"to {head}; transaction aborted"
+                )
+            new_snapshot.snapshot_id = meta.next_snapshot_id
+            new_snapshot.parent_snapshot_id = pinned_head
+            new_snapshot.created_at = _now_iso()
+            meta.snapshots[new_snapshot.snapshot_id] = new_snapshot
+            meta.branches[branch] = new_snapshot.snapshot_id
+            meta.next_snapshot_id += 1
+            if mutate is not None:
+                mutate(meta)
+            self.write_metadata(meta)
+            return meta
+
+    def update_refs(self, mutate) -> StorageMetadata:
+        """Ref-only metadata update (add/remove tag or branch)."""
+        with self.commit_lock():
+            meta = self.read_metadata()
+            mutate(meta)
+            self.write_metadata(meta)
+            return meta
+
+
+def initial_metadata(
+    table_type: str,
+    schema: T.StructType,
+    primary_keys: List[str],
+    record_fields: List[str],
+    field_ids: Dict[str, int],
+    logical_plan: Optional[dict] = None,
+    udf_registry: Optional[Dict[str, str]] = None,
+) -> StorageMetadata:
+    snap = Snapshot(
+        snapshot_id=0, parent_snapshot_id=None, created_at=_now_iso()
+    )
+    return StorageMetadata(
+        table_type=table_type,
+        schema=schema,
+        primary_keys=list(primary_keys),
+        record_fields=list(record_fields),
+        field_ids=field_ids,
+        snapshots={0: snap},
+        branches={MAIN_BRANCH: 0},
+        tags={},
+        next_snapshot_id=1,
+        logical_plan=logical_plan,
+        udf_registry=dict(udf_registry or {}),
+    )

@@ -1,0 +1,144 @@
+"""Create/append/read lifecycle (mirrors reference tests/core/test_runners.py
+and tests/core/ops/test_append.py / test_read.py)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from space_spark import Dataset, field
+from space_spark.errors import SchemaError, SpaceError, UserInputError
+
+ALL_TYPES = T.StructType(
+    [
+        T.StructField("int64", T.LongType()),
+        T.StructField("float64", T.DoubleType()),
+        T.StructField("bool", T.BooleanType()),
+        T.StructField("string", T.StringType()),
+    ]
+)
+
+
+def make_all_types(spark):
+    # Canonical two-batch fixture (FIXTURES.md F2).
+    batch1 = [
+        Row(int64=1, float64=0.1, bool=True, string="a"),
+        Row(int64=2, float64=0.2, bool=False, string="b"),
+        Row(int64=3, float64=0.3, bool=False, string="c"),
+    ]
+    batch2 = [
+        Row(int64=0, float64=-0.1, bool=False, string="A"),
+        Row(int64=10, float64=100.0, bool=False, string="z"),
+    ]
+    return (
+        spark.createDataFrame(batch1, ALL_TYPES),
+        spark.createDataFrame(batch2, ALL_TYPES),
+    )
+
+
+def test_create_and_load(spark, tmp_location):
+    ds = Dataset.create(spark, tmp_location, ALL_TYPES, ["int64"])
+    assert ds.current_snapshot_id == 0
+    assert ds.read().count() == 0
+
+    ds2 = Dataset.load(spark, tmp_location)
+    assert ds2.schema.fieldNames() == ALL_TYPES.fieldNames()
+    assert ds2.primary_keys == ["int64"]
+    assert ds2.metadata.field_ids["int64"] == 1
+
+
+def test_create_validation(spark, tmp_location):
+    with pytest.raises(SchemaError):
+        Dataset.create(spark, tmp_location, ALL_TYPES, [])
+    with pytest.raises(SchemaError):
+        Dataset.create(spark, tmp_location, ALL_TYPES, ["missing"])
+    with pytest.raises(SchemaError):
+        Dataset.create(spark, tmp_location, ALL_TYPES, ["float64"])
+    with pytest.raises(SchemaError):
+        Dataset.create(
+            spark, tmp_location, ALL_TYPES, ["int64"], record_fields=["string"]
+        )
+
+
+def test_append_read_roundtrip(spark, tmp_location):
+    ds = Dataset.create(spark, tmp_location, ALL_TYPES, ["int64"])
+    b1, b2 = make_all_types(spark)
+    ds.append(b1)
+    assert ds.current_snapshot_id == 1
+    ds.append(b2)
+    assert ds.current_snapshot_id == 2
+
+    got = ds.read().orderBy("int64").collect()
+    assert [r.int64 for r in got] == [0, 1, 2, 3, 10]
+    assert [r.string for r in got] == ["A", "a", "b", "c", "z"]
+    assert ds.metadata.snapshot(2).num_rows == 5
+
+
+def test_read_filter_fields_and_pruning(spark, tmp_location):
+    ds = Dataset.create(spark, tmp_location, ALL_TYPES, ["int64"])
+    b1, b2 = make_all_types(spark)
+    ds.append(b1)
+    ds.append(b2)
+
+    # Manifest pruning: batch1 file has int64 in [1,3]; filter >= 10 must
+    # prune it out.
+    files = ds.data_files(field("int64") >= 10)
+    all_files = ds.data_files()
+    assert len(files) < len(all_files)
+
+    got = ds.read(filter_=field("int64") >= 10).collect()
+    assert len(got) == 1 and got[0].string == "z"
+
+    got = ds.read(
+        filter_=(field("string") == "b") | (field("float64") < 0.0),
+        fields=["int64", "string"],
+    ).orderBy("int64")
+    assert got.columns == ["int64", "string"]
+    assert [r.int64 for r in got.collect()] == [0, 2]
+
+
+def test_time_travel_and_refs(spark, tmp_location):
+    ds = Dataset.create(spark, tmp_location, ALL_TYPES, ["int64"])
+    b1, b2 = make_all_types(spark)
+    ds.append(b1)
+    ds.add_tag("after_b1")
+    ds.append(b2)
+
+    assert ds.read(version=1).count() == 3
+    assert ds.read(version="after_b1").count() == 3
+    assert ds.read().count() == 5
+
+    versions = ds.versions().collect()
+    tagged = [r for r in versions if r.tag_or_branch == "after_b1"]
+    assert len(tagged) == 1 and tagged[0].snapshot_id == 1
+
+    with pytest.raises(UserInputError):
+        ds.add_tag("after_b1")  # duplicate ref
+
+
+def test_branches(spark, tmp_location):
+    ds = Dataset.create(spark, tmp_location, ALL_TYPES, ["int64"])
+    b1, b2 = make_all_types(spark)
+    ds.append(b1)
+    ds.add_branch("dev")
+    ds.set_current_branch("dev")
+    ds.append(b2)
+
+    # Branch commit must not move main (storage.py:328-339).
+    assert ds.read(branch="dev").count() == 5
+    assert ds.read(branch="main").count() == 3
+    ds.set_current_branch("main")
+    assert ds.read().count() == 3
+
+
+def test_empty_append_skips_commit(spark, tmp_location):
+    ds = Dataset.create(spark, tmp_location, ALL_TYPES, ["int64"])
+    empty = spark.createDataFrame([], ALL_TYPES)
+    ds.append(empty)
+    assert ds.current_snapshot_id == 0
+
+
+def test_table_already_exists(spark, tmp_location):
+    Dataset.create(spark, tmp_location, ALL_TYPES, ["int64"])
+    with pytest.raises(SpaceError):
+        Dataset.create(spark, tmp_location, ALL_TYPES, ["int64"])

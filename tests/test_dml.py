@@ -1,0 +1,132 @@
+"""Delete / insert / upsert / diff / concurrency (mirrors reference
+tests/core/ops/test_delete.py, test_insert.py, test_change_data.py and the
+concurrent-commit test at tests/core/test_runners.py:94-126)."""
+
+import threading
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from space_spark import Dataset, PrimaryKeyExistError, field
+from space_spark.errors import TransactionConflictError, UserInputError
+
+SIMPLE = T.StructType(
+    [
+        T.StructField("int64", T.LongType()),
+        T.StructField("float64", T.DoubleType()),
+        T.StructField("string", T.StringType()),
+    ]
+)
+
+
+def simple_df(spark, ids):
+    return spark.createDataFrame(
+        [Row(int64=i, float64=i / 10.0, string=f"s{i}") for i in ids], SIMPLE
+    )
+
+
+@pytest.fixture()
+def ds(spark, tmp_location):
+    d = Dataset.create(spark, tmp_location, SIMPLE, ["int64"])
+    d.append(simple_df(spark, range(0, 50)))
+    d.append(simple_df(spark, range(50, 100)))
+    return d
+
+
+def test_delete_cow(spark, ds):
+    ds.delete(field("int64") < 10)
+    got = sorted(r.int64 for r in ds.read().collect())
+    assert got == list(range(10, 100))
+    assert ds.metadata.snapshot(ds.current_snapshot_id).num_rows == 90
+
+    # Second file (50..99) untouched by the filter -> carried over, and
+    # pruning means only the first file was rewritten.
+    ds.delete(field("int64") == 999)  # no match: no-op, no commit
+    assert ds.current_snapshot_id == 3
+
+
+def test_delete_requires_filter(spark, ds):
+    with pytest.raises(UserInputError):
+        ds.delete(None)
+
+
+def test_insert_conflict(spark, ds):
+    with pytest.raises(PrimaryKeyExistError):
+        ds.insert(simple_df(spark, [5, 200]))
+    # Nothing committed.
+    assert ds.read().count() == 100
+    ds.insert(simple_df(spark, [200, 201]))
+    assert ds.read().count() == 102
+
+
+def test_insert_duplicate_input(spark, ds):
+    with pytest.raises(UserInputError):
+        ds.insert(simple_df(spark, [300, 300]))
+
+
+def test_upsert(spark, ds):
+    ds.upsert(simple_df(spark, [98, 99, 100]))
+    got = ds.read(filter_=field("int64") >= 98).orderBy("int64").collect()
+    assert [r.int64 for r in got] == [98, 99, 100]
+    assert ds.read().count() == 101
+
+
+def test_diff_changes(spark, ds):
+    v_start = ds.current_snapshot_id
+    ds.append(simple_df(spark, [100, 101]))
+    ds.delete(field("int64") <= 1)
+
+    diff = ds.diff(v_start, ds.current_snapshot_id)
+    rows = diff.orderBy("_snapshot_id", "_change_order", "int64").collect()
+    adds = [r for r in rows if r._change_type == "ADD"]
+    dels = [r for r in rows if r._change_type == "DELETE"]
+    assert [r.int64 for r in adds] == [100, 101]
+    assert sorted(r.int64 for r in dels) == [0, 1]
+    # DELETE rows are PK-only.
+    assert all(r.float64 is None for r in dels)
+
+    with pytest.raises(UserInputError):
+        ds.diff(ds.current_snapshot_id, v_start)  # not an ancestor
+
+
+def test_upsert_produces_delete_then_add(spark, ds):
+    v = ds.current_snapshot_id
+    ds.upsert(simple_df(spark, [0]))
+    diff = ds.diff(v, ds.current_snapshot_id).collect()
+    types = sorted(set(r._change_type for r in diff))
+    assert types == ["ADD", "DELETE"]
+
+
+def test_concurrent_commit_conflict(spark, tmp_location):
+    """Two writers from the same pinned snapshot: one must abort
+    (tests/core/test_runners.py:94-126)."""
+    d1 = Dataset.create(spark, tmp_location, SIMPLE, ["int64"])
+    d1.append(simple_df(spark, range(10)))
+    d2 = Dataset.load(spark, tmp_location)
+
+    # d2 commits first; d1's next commit was planned against snapshot 1 but
+    # the head remains compatible (append pins at call time) — so emulate a
+    # true conflict by racing two slow appends from the same pinned head.
+    errors = []
+
+    def do_append(ds_handle):
+        try:
+            ds_handle.append(simple_df(spark, range(100, 110)))
+        except TransactionConflictError as e:  # pragma: no cover
+            errors.append(e)
+
+    # Sequential appends from stale handles both succeed because append()
+    # re-pins at call time; a genuine conflict needs the head to move
+    # between pinning and commit. Simulate by pinning manually:
+    pinned = d1.current_snapshot_id
+    d2.append(simple_df(spark, range(200, 210)))  # moves head
+
+    import space_spark.core.metadata as md
+
+    snap = md.Snapshot(
+        snapshot_id=-1, parent_snapshot_id=pinned, created_at="",
+        manifest_files=[], num_rows=0,
+    )
+    with pytest.raises(TransactionConflictError):
+        d1.log.commit_snapshot(pinned, "main", snap)
