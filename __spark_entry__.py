@@ -1,38 +1,1090 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query through the space_spark table API.
+``queries()``   — one entry per implemented operator (SURVEY.md §2 +
+                  the training-data operators).
+``oracle_sql()``— DuckDB-equivalent SQL for every SQL-expressible query.
+
+Cross-engine determinism rules used throughout (Spark partial aggregation
+reorders float additions, DuckDB does not, so raw SUM(double) is NOT
+reproducible):
+- money sums:  SUM(CAST(ROUND(x*100) AS BIGINT))/100.0  — integer sums are
+  order-independent; the per-row double arithmetic is IEEE-identical in
+  both engines.
+- ranks: computed over ROUNDED scores with an id tie-break.
+- dot products: explicit same-order summation on both sides.
+- timestamps: compared as strings or integer epoch seconds.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+EMB_DIM = 64
 
 
+# --------------------------------------------------------------------- utils
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.ts is parquet INT64 TIMESTAMP(NANOS); Spark 4 rejects it unless
+    # read as a long (nanoseconds since epoch) — which is also the exact,
+    # engine-neutral representation we want.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _t(spark, sf_dir, "events")
+
+
+def money_sum(col, alias: str):
+    """Order-independent, cross-engine-exact sum of a currency double."""
+    return (F.sum(F.round(col * 100).cast("long")) / F.lit(100.0)).alias(alias)
+
+
+def MONEY_SUM(expr: str, alias: str) -> str:
+    return f"SUM(CAST(ROUND(({expr})*100) AS BIGINT))/100.0 AS {alias}"
+
+
+def money_avg(col, alias: str):
+    return (
+        F.sum(F.round(col * 100).cast("long"))
+        / (F.lit(100.0) * F.count(F.lit(1)))
+    ).alias(alias)
+
+
+def MONEY_AVG(expr: str, alias: str) -> str:
+    return (
+        f"SUM(CAST(ROUND(({expr})*100) AS BIGINT))/(100.0*COUNT(*)) AS {alias}"
+    )
+
+
+def _dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Explicit left-to-right dot product (matches Spark's aggregate fold)."""
+    return "(" + " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE)*CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    ) + ")"
+
+
+def _cosine_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return (
+        f"({_dot_sql(a, b, dim)} / "
+        f"(SQRT({_dot_sql(a, a, dim)}) * SQRT({_dot_sql(b, b, dim)})))"
+    )
+
+
+def _space_tmp() -> str:
+    return tempfile.mkdtemp(prefix="space_q_")
+
+
+# ---------------------------------------------------------------- flagship
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Load sf0.001 lineitem into a space_spark table and answer a pricing
+    query through the table API (snapshot read + manifest pruning +
+    Catalyst agg)."""
+    from space_spark import Dataset, field
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_rowid", F.monotonically_increasing_id()
+    )
+    schema = T.StructType(
+        [T.StructField("l_rowid", T.LongType())]
+        + [f for f in src.schema.fields if f.name != "l_rowid"]
+    )
+    ds = Dataset.create(spark, _space_tmp() + "/lineitem", schema, ["l_rowid"])
+    ds.append(src.select(*schema.fieldNames()))
+    df = ds.read(
+        filter_=(field("l_quantity") > 10.0) & (field("l_discount") < 0.08)
+    )
+    return (
+        df.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
 
 
+# ================================================================= QUERIES
+# --- TPC-H-ish analytic queries -------------------------------------------
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            money_sum(F.col("l_extendedprice"), "sum_base_price"),
+            money_sum(disc_price, "sum_disc_price"),
+            money_sum(charge, "sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            money_avg(F.col("l_extendedprice"), "avg_price"),
+            F.round(
+                F.sum(F.round(F.col("l_discount") * 100).cast("long"))
+                / (F.lit(100.0) * F.count(F.lit(1))), 6
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  SUM(l_quantity) AS sum_qty,
+  {MONEY_SUM('l_extendedprice', 'sum_base_price')},
+  {MONEY_SUM('l_extendedprice*(1-l_discount)', 'sum_disc_price')},
+  {MONEY_SUM('l_extendedprice*(1-l_discount)*(1+l_tax)', 'sum_charge')},
+  ROUND(AVG(l_quantity), 6) AS avg_qty,
+  {MONEY_AVG('l_extendedprice', 'avg_price')},
+  ROUND(SUM(CAST(ROUND(l_discount*100) AS BIGINT))/(100.0*COUNT(*)), 6)
+    AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    cutoff = "1997-06-01"
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "c_mktsegment")
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                       "revenue"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("revenue").desc(), F.col("l_orderkey").asc()
+    )
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("c_mktsegment", "l_orderkey", "revenue", "rnk")
+    )
+
+
+Q3_SQL = f"""
+WITH rev AS (
+  SELECT l_orderkey, c_mktsegment,
+    {MONEY_SUM('l_extendedprice*(1-l_discount)', 'revenue')}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderdate < TIMESTAMP '1997-06-01'
+    AND l_shipdate > TIMESTAMP '1997-06-01'
+  GROUP BY l_orderkey, c_mktsegment
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY c_mktsegment ORDER BY revenue DESC, l_orderkey) AS rnk
+  FROM rev
+)
+SELECT c_mktsegment, l_orderkey, revenue, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+def q5_local_supplier_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_regionkey") < 3)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                       "revenue"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name, {MONEY_SUM('l_extendedprice*(1-l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND r_regionkey < 3
+GROUP BY n_name
+"""
+
+
+def q6_revenue_change(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(money_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+Q6_SQL = f"""
+SELECT {MONEY_SUM('l_extendedprice*l_discount', 'revenue')}
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-07-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+    {MONEY_SUM('l_extendedprice*(1-l_discount)', 'total_revenue')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+def q_order_rollup(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             money_sum(F.col("o_totalprice"), "total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n", "total",
+        )
+    )
+
+
+Q_ROLLUP_SQL = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n, {MONEY_SUM('o_totalprice', 'total')}
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_pivot_status(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_p"),
+    )
+
+
+Q_PIVOT_SQL = """
+SELECT o_orderpriority,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_window_top_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+Q_WINDOW_TOP_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def q_window_user_events(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.coalesce(F.lag("event_type").over(w), F.lit("none"))
+        .alias("prev_type"),
+    )
+
+
+Q_WINDOW_EVENTS_SQL = """
+SELECT user_id, event_id,
+  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+  COALESCE(LAG(event_type) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id), 'none') AS prev_type
+FROM events
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Session = events of a user separated by <= 30 min gaps (gap-based
+    sessionization with window cumsum — the batch analog of
+    session_window)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "es", F.expr("ts div 1000000000")
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    sess = (
+        ev.withColumn("gap", F.col("es") - F.lag("es").over(w))
+        .withColumn(
+            "new_s",
+            F.when(F.col("gap").isNull() | (F.col("gap") > 1800), 1)
+            .otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("total_events"),
+    )
+
+
+Q_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS es FROM events
+), gaps AS (
+  SELECT user_id, event_id, es,
+    CASE WHEN es - LAG(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+              > 1800
+         OR LAG(es) OVER (PARTITION BY user_id ORDER BY es, event_id) IS NULL
+    THEN 1 ELSE 0 END AS new_s
+  FROM e
+), sess AS (
+  SELECT user_id,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
+       SUM(n_events) AS total_events
+FROM per_session GROUP BY user_id
+"""
+
+
+def q_tumbling_window(spark, sf_dir):
+    """5-minute tumbling-window aggregation over the event stream (batch
+    equivalent of a Structured Streaming windowed agg)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "bucket", F.expr("(ts div 1000000000) div 300")
+    )
+    return ev.groupBy("bucket", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum(F.col("value"), "sum_value"),
+    ).select(
+        (F.col("bucket") * 300).alias("bucket_start"), "event_type", "n",
+        "sum_value",
+    )
+
+
+Q_TUMBLING_SQL = f"""
+SELECT (epoch_ns(ts)//1000000000//300)*300 AS bucket_start, event_type,
+  COUNT(*) AS n, {MONEY_SUM('value', 'sum_value')}
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_semi_anti(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 300000)
+    small = orders.where(F.col("o_totalprice") < 20000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .join(small, cust.c_custkey == small.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+Q_SEMI_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_totalprice > 300000)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice < 20000)
+"""
+
+
+def q_intersect(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = orders.where(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersect(b)
+
+
+Q_INTERSECT_SQL = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+"""
+
+
+def q_except(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.select("c_custkey")
+    b = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return a.exceptAll(b).distinct()
+
+
+Q_EXCEPT_SQL = """
+SELECT DISTINCT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+"""
+
+
+def q_brand_supplier_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+Q_BRAND_SQL = """
+SELECT p_brand, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+  COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n_items,
+  SUM(l_quantity) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# --- space table API parity queries ---------------------------------------
+def space_filter_project(spark, sf_dir):
+    """S1-S4,P1-P3: create/append/read with manifest pruning + projection."""
+    from space_spark import Dataset, field
+
+    nation = _t(spark, sf_dir, "nation")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/nation", nation.schema, ["n_nationkey"]
+    )
+    ds.append(nation)
+    return ds.read(
+        filter_=field("n_regionkey") == 2, fields=["n_nationkey", "n_name"]
+    )
+
+
+SPACE_FILTER_SQL = """
+SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 2
+"""
+
+
+def space_delete_read(spark, sf_dir):
+    """M4: copy-on-write delete."""
+    from space_spark import Dataset, field
+
+    supp = _t(spark, sf_dir, "supplier")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/supplier", supp.schema, ["s_suppkey"]
+    )
+    ds.append(supp)
+    ds.delete(field("s_acctbal") < 1000.0)
+    return ds.read()
+
+
+SPACE_DELETE_SQL = """
+SELECT * FROM supplier WHERE NOT (s_acctbal < 1000.0)
+"""
+
+
+def space_upsert_read(spark, sf_dir):
+    """M3: upsert = delete matching PKs + append."""
+    from space_spark import Dataset
+
+    cust = _t(spark, sf_dir, "customer")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/customer", cust.schema, ["c_custkey"]
+    )
+    ds.append(cust)
+    updates = cust.where(F.col("c_custkey") < 100).select(
+        "c_custkey",
+        F.lit("UPDATED").alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    ds.upsert(updates)
+    return ds.read(fields=["c_custkey", "c_name", "c_acctbal"])
+
+
+SPACE_UPSERT_SQL = """
+SELECT c_custkey,
+  CASE WHEN c_custkey < 100 THEN 'UPDATED' ELSE c_name END AS c_name,
+  CASE WHEN c_custkey < 100 THEN 0.0 ELSE c_acctbal END AS c_acctbal
+FROM customer
+"""
+
+
+def space_insert_read(spark, sf_dir):
+    """M2: insert fails on existing PKs, appends new ones."""
+    from space_spark import Dataset
+
+    region = _t(spark, sf_dir, "region")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/region", region.schema, ["r_regionkey"]
+    )
+    ds.append(region)
+    new_rows = spark.createDataFrame(
+        [(100, "SPACE"), (101, "SPARK")], region.schema
+    )
+    ds.insert(new_rows)
+    return ds.read()
+
+
+SPACE_INSERT_SQL = """
+SELECT * FROM region
+UNION ALL SELECT * FROM (VALUES (100, 'SPACE'), (101, 'SPARK'))
+  AS t(r_regionkey, r_name)
+"""
+
+
+def space_time_travel(spark, sf_dir):
+    """M6/M7: snapshot time travel via version pinning."""
+    from space_spark import Dataset, field
+
+    supp = _t(spark, sf_dir, "supplier")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/supplier_tt", supp.schema, ["s_suppkey"]
+    )
+    ds.append(supp.where(F.col("s_suppkey") < 50))
+    ds.add_tag("v1")
+    ds.append(supp.where(F.col("s_suppkey") >= 50))
+    return ds.read(version="v1")
+
+
+SPACE_TIME_TRAVEL_SQL = """
+SELECT * FROM supplier WHERE s_suppkey < 50
+"""
+
+
+def space_diff_changes(spark, sf_dir):
+    """§2.9: change-data feed between two versions."""
+    from space_spark import Dataset, field
+
+    nation = _t(spark, sf_dir, "nation")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/nation_cdf", nation.schema, ["n_nationkey"]
+    )
+    ds.append(nation)
+    ds.delete(field("n_regionkey") == 2)
+    return ds.diff(0, ds.current_snapshot_id).select(
+        "n_nationkey", "_change_type"
+    )
+
+
+SPACE_DIFF_SQL = """
+SELECT n_nationkey, 'ADD' AS _change_type FROM nation
+UNION ALL
+SELECT n_nationkey, 'DELETE' AS _change_type FROM nation WHERE n_regionkey = 2
+"""
+
+
+def space_join_view(spark, sf_dir):
+    """J1: single-key inner equi-join view over two space tables."""
+    from space_spark import Dataset
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    osum = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             money_sum(F.col("o_totalprice"), "total_spent"))
+    )
+    base = _space_tmp()
+    left = Dataset.create(spark, base + "/cust", cust.schema, ["custkey"])
+    left.append(cust)
+    right = Dataset.create(spark, base + "/osum", osum.schema, ["custkey"])
+    right.append(osum)
+    return left.join(right, keys="custkey").read()
+
+
+SPACE_JOIN_SQL = f"""
+SELECT c_custkey AS custkey, c_name, n_orders, total_spent
+FROM customer
+JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+    {MONEY_SUM('o_totalprice', 'total_spent')}
+  FROM orders GROUP BY o_custkey
+) ON c_custkey = o_custkey
+"""
+
+
+def space_map_batches_udf(spark, sf_dir):
+    """§2.7: batch UDF view (dict[str, ndarray] -> dict convention)."""
+    from space_spark import Dataset
+
+    cust = _t(spark, sf_dir, "customer")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/cust_udf", cust.schema, ["c_custkey"]
+    )
+    ds.append(cust)
+
+    def udf(batch):
+        return {"c_custkey": batch["c_custkey"],
+                "bal2": batch["c_acctbal"] * 2}
+
+    out_schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("bal2", T.DoubleType()),
+        ]
+    )
+    return ds.map_batches(
+        udf, out_schema, input_fields=["c_custkey", "c_acctbal"]
+    ).read()
+
+
+SPACE_MAP_SQL = """
+SELECT c_custkey, c_acctbal * 2 AS bal2 FROM customer
+"""
+
+
+def space_filter_udf(spark, sf_dir):
+    """P7: row-predicate UDF view."""
+    from space_spark import Dataset
+
+    supp = _t(spark, sf_dir, "supplier")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/supp_udf", supp.schema, ["s_suppkey"]
+    )
+    ds.append(supp)
+    view = ds.filter_view(
+        lambda row: row["s_acctbal"] > 5000.0, input_fields=["s_acctbal"]
+    )
+    return view.read().select("s_suppkey", "s_name", "s_acctbal")
+
+
+SPACE_FILTER_UDF_SQL = """
+SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_acctbal > 5000.0
+"""
+
+
+def space_record_fields(spark, sf_dir):
+    """S5/S7: record-field blob storage roundtrip through address structs."""
+    from space_spark import Dataset
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.encode("text", "UTF-8").alias("payload")
+    )
+    ds = Dataset.create(
+        spark, _space_tmp() + "/docs_rec", docs.schema, ["doc_id"],
+        record_fields=["payload"],
+    )
+    ds.append(docs)
+    out = ds.read(fields=["doc_id", "payload"])
+    return out.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+# md5/substring operate on text (not blob: DuckDB md5 is VARCHAR-only);
+# equivalent to the Spark byte-level ops because the corpus is pure ASCII
+# (verified: octet_length(encode(text)) == length(text) for every row).
+SPACE_RECORD_SQL = """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+# --- training-data pipeline operators --------------------------------------
+def dedup_exact_documents(spark, sf_dir):
+    from space_spark.operators.dedup import duplicate_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_groups(docs, ["text"], "doc_id").select(
+        F.col("keep_id"), F.col("dup_count"), F.md5("text").alias("text_md5")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count, md5(text) AS text_md5
+FROM documents GROUP BY text
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    from space_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4)
+
+
+DEDUP_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id AS doc,
+    list_distinct(list_transform(
+      generate_series(0,
+        GREATEST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 3,
+                 0)),
+      i -> array_to_string(
+        regexp_split_to_array(lower(trim(text)), '\\s+')[i+1:i+3], ' ')
+    )) AS shingles
+  FROM documents
+), ex AS (
+  SELECT doc, len(shingles) AS n_shingles, UNNEST(shingles) AS shingle
+  FROM sh
+), pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, a.n_shingles AS na,
+         b.n_shingles AS nb, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, ROUND(common / (na + nb - common), 6) AS jaccard
+FROM pairs WHERE ROUND(common / (na + nb - common), 6) >= 0.4
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup (no SQL oracle: banded LSH is engine-specific;
+    candidates are verified with exact Jaccard so output is a superset-
+    filtered subset of dedup_ngram_jaccard)."""
+    from space_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=32, bands=8, ngram=3, threshold=0.4
+    )
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash hamming near-dup (no SQL oracle: 60-bit bit-count pipeline)."""
+    from space_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+def text_stats(spark, sf_dir):
+    from space_spark.operators.text import with_text_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_text_stats(docs, "text").select(
+        "doc_id",
+        F.col("token_count").cast("long").alias("token_count"),
+        F.col("char_count").cast("long").alias("char_count"),
+        "punct_ratio",
+        "distinct_token_ratio",
+        "quality_score",
+        "pred_lang",
+        "fingerprint",
+    )
+
+
+_SW = {
+    lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+    for lang, ws in {
+        "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+        "es": ["el", "la", "de", "y", "que", "en", "un", "es"],
+        "fr": ["le", "la", "de", "et", "que", "en", "un", "est"],
+        "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein"],
+    }.items()
+}
+
+TEXT_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, toks, n_chars,
+    len(toks) AS tc,
+    CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS pr,
+    CASE WHEN len(toks) > 0
+         THEN len(list_distinct(toks)) / len(toks) ELSE 0.0 END AS dtr,
+    len(list_filter(toks, t -> list_contains({_SW['en']}, t))) AS sw_en,
+    len(list_filter(toks, t -> list_contains({_SW['es']}, t))) AS sw_es,
+    len(list_filter(toks, t -> list_contains({_SW['fr']}, t))) AS sw_fr,
+    len(list_filter(toks, t -> list_contains({_SW['de']}, t))) AS sw_de
+  FROM base
+)
+SELECT doc_id,
+  tc::BIGINT AS token_count,
+  n_chars::BIGINT AS char_count,
+  ROUND(pr, 6) AS punct_ratio,
+  ROUND(dtr, 6) AS distinct_token_ratio,
+  ROUND(0.3 * LEAST(tc / 100.0, 1.0) + 0.3 * (1.0 - pr) + 0.2 * dtr
+        + 0.2 * LEAST((CASE WHEN tc > 0 THEN sw_en / tc ELSE 0.0 END) * 5.0,
+                      1.0), 6) AS quality_score,
+  CASE WHEN GREATEST(sw_de, sw_en, sw_es, sw_fr) <= 0 THEN 'unknown'
+       WHEN sw_de >= GREATEST(sw_en, sw_es, sw_fr) THEN 'de'
+       WHEN sw_en >= GREATEST(sw_es, sw_fr) THEN 'en'
+       WHEN sw_es >= sw_fr THEN 'es'
+       ELSE 'fr' END AS pred_lang,
+  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+FROM scored
+"""
+
+
+def ann_cosine_topk(spark, sf_dir):
+    from space_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries_df, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id", "score", F.col("rank").alias("rnk")
+    )
+
+
+ANN_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 5),
+     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+     scored AS (
+       SELECT query_id, neighbor_id,
+         ROUND({_cosine_sql('qv', 'cv')}, 4) AS score
+       FROM q, c WHERE query_id != neighbor_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, score, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate LSH-bucketed top-k (no SQL oracle: bucket assignment is
+    engine-specific; exactness is benchmarked against ann_cosine_topk)."""
+    from space_spark.operators.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return lsh_bucket_topk(
+        emb, queries_df, "vec_id", "embedding", k=5, dim=EMB_DIM,
+        n_planes=8, probes=1,
+    )
+
+
+def embedding_neardup(spark, sf_dir):
+    from space_spark.operators.similarity import neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.9, exact=True
+    )
+
+
+NEARDUP_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 4) AS score
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 4) >= 0.9
+"""
+
+
+def multimodal_image_features(spark, sf_dir):
+    from space_spark.operators.multimodal import image_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return image_features(docs, "doc_id", "payload")
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id,
+  octet_length(encode(text))::BIGINT AS n_bytes,
+  (octet_length(encode(text)) % 1920 + 1)::INT AS width,
+  ((octet_length(encode(text)) * 7919 + 13) % 1080 + 1)::INT AS height,
+  (octet_length(encode(text)) % 3 + 1)::INT AS channels,
+  md5(text) AS content_md5
+FROM documents
+"""
+
+
+def multimodal_frame_sample(spark, sf_dir):
+    from space_spark.operators.multimodal import frame_sample_stub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return frame_sample_stub(docs, "doc_id", "payload", every_n_bytes=256)
+
+
+FRAME_SAMPLE_SQL = """
+SELECT doc_id, i::INT AS frame_idx,
+  md5(substring(text, (i * 256 + 1)::INT, 256)) AS frame_md5
+FROM (
+  SELECT doc_id, text,
+    UNNEST(range(0,
+      CAST(CEIL(GREATEST(length(text), 1) / 256.0) AS BIGINT))) AS i
+  FROM documents
+)
+"""
+
+
+# ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # TPC-H-ish analytics
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_revenue": q5_local_supplier_revenue,
+        "q6_revenue_change": q6_revenue_change,
+        "q15_top_supplier": q15_top_supplier,
+        "q_order_rollup": q_order_rollup,
+        "q_pivot_status": q_pivot_status,
+        "q_window_top_orders": q_window_top_orders,
+        "q_window_user_events": q_window_user_events,
+        "q_sessionize": q_sessionize,
+        "q_tumbling_window": q_tumbling_window,
+        "q_semi_anti": q_semi_anti,
+        "q_intersect": q_intersect,
+        "q_except": q_except,
+        "q_brand_supplier_stats": q_brand_supplier_stats,
+        # space table API (SURVEY.md §2 operators)
+        "space_filter_project": space_filter_project,
+        "space_delete_read": space_delete_read,
+        "space_upsert_read": space_upsert_read,
+        "space_insert_read": space_insert_read,
+        "space_time_travel": space_time_travel,
+        "space_diff_changes": space_diff_changes,
+        "space_join_view": space_join_view,
+        "space_map_batches_udf": space_map_batches_udf,
+        "space_filter_udf": space_filter_udf,
+        "space_record_fields": space_record_fields,
+        # training-data pipeline operators
+        "dedup_exact_documents": dedup_exact_documents,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "text_stats": text_stats,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "embedding_neardup": embedding_neardup,
+        "multimodal_image_features": multimodal_image_features,
+        "multimodal_frame_sample": multimodal_frame_sample,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_shipping_priority": Q3_SQL,
+        "q5_local_supplier_revenue": Q5_SQL,
+        "q6_revenue_change": Q6_SQL,
+        "q15_top_supplier": Q15_SQL,
+        "q_order_rollup": Q_ROLLUP_SQL,
+        "q_pivot_status": Q_PIVOT_SQL,
+        "q_window_top_orders": Q_WINDOW_TOP_SQL,
+        "q_window_user_events": Q_WINDOW_EVENTS_SQL,
+        "q_sessionize": Q_SESSIONIZE_SQL,
+        "q_tumbling_window": Q_TUMBLING_SQL,
+        "q_semi_anti": Q_SEMI_ANTI_SQL,
+        "q_intersect": Q_INTERSECT_SQL,
+        "q_except": Q_EXCEPT_SQL,
+        "q_brand_supplier_stats": Q_BRAND_SQL,
+        "space_filter_project": SPACE_FILTER_SQL,
+        "space_delete_read": SPACE_DELETE_SQL,
+        "space_upsert_read": SPACE_UPSERT_SQL,
+        "space_insert_read": SPACE_INSERT_SQL,
+        "space_time_travel": SPACE_TIME_TRAVEL_SQL,
+        "space_diff_changes": SPACE_DIFF_SQL,
+        "space_join_view": SPACE_JOIN_SQL,
+        "space_map_batches_udf": SPACE_MAP_SQL,
+        "space_filter_udf": SPACE_FILTER_UDF_SQL,
+        "space_record_fields": SPACE_RECORD_SQL,
+        "dedup_exact_documents": DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+        "text_stats": TEXT_STATS_SQL,
+        "ann_cosine_topk": ANN_TOPK_SQL,
+        "embedding_neardup": NEARDUP_SQL,
+        "multimodal_image_features": MULTIMODAL_SQL,
+        "multimodal_frame_sample": FRAME_SAMPLE_SQL,
+        # rows-only (engine-specific candidate generation, verified vs the
+        # exact variants above): dedup_minhash_lsh, dedup_simhash_pairs,
+        # ann_lsh_topk
+    }

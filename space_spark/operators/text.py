@@ -1,0 +1,119 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, fingerprinting.
+
+These are additive capabilities beyond the reference (google/space has no
+scalar-function library — SURVEY.md §2.5); they are the operations an
+LLM-data pipeline runs over a ``documents`` table at 100 TB, so every one
+is pure JVM-side ``pyspark.sql.functions`` (whole-stage codegen, no Python
+in the hot path) and embarrassingly parallel (no shuffle).
+
+All outputs are deterministic and reproducible in ANSI SQL, so each has a
+DuckDB oracle in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny stopword lists for the n-gram/stopword language-ID heuristic.
+# Deterministic and mirrored verbatim in the SQL oracle.
+LANG_STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "est"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein"],
+}
+LANG_ORDER = ["de", "en", "es", "fr"]  # deterministic tie-break order
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9 ]", "")
+    return F.when(F.length(text) > 0,
+                  F.length(stripped) / F.length(text)).otherwise(F.lit(0.0))
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    return F.when(F.size(toks) > 0,
+                  F.size(F.array_distinct(toks)) / F.size(toks)
+                  ).otherwise(F.lit(0.0))
+
+
+def stopword_count(text: Column, stopwords: List[str]) -> Column:
+    lits = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(lits, t)))
+
+
+def stopword_ratio(text: Column, stopwords: List[str]) -> Column:
+    toks = tokens(text)
+    return F.when(F.size(toks) > 0,
+                  stopword_count(text, stopwords) / F.size(toks)
+                  ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic heuristic quality score in [0,1]: rewards reasonable
+    length, low punctuation density, lexical diversity and stopword
+    presence (the standard cheap pre-filters for LLM corpus cleaning)."""
+    length_score = F.least(token_count(text) / F.lit(100.0), F.lit(1.0))
+    sw = stopword_ratio(text, LANG_STOPWORDS["en"])
+    return F.round(
+        0.3 * length_score
+        + 0.3 * (1.0 - punct_ratio(text))
+        + 0.2 * distinct_token_ratio(text)
+        + 0.2 * F.least(sw * 5.0, F.lit(1.0)),
+        6,
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-count language ID with deterministic tie-break (first in
+    LANG_ORDER wins ties)."""
+    scores = {lang: stopword_count(text, LANG_STOPWORDS[lang])
+              for lang in LANG_ORDER}
+    result = F.lit("unknown")
+    best = F.lit(-1)
+    # Build a left-to-right argmax: strictly-greater keeps the earlier
+    # language on ties.
+    for lang in LANG_ORDER:
+        cond = scores[lang] > best
+        result = F.when(cond, F.lit(lang)).otherwise(result)
+        best = F.when(cond, scores[lang]).otherwise(best)
+    return F.when(best <= 0, F.lit("unknown")).otherwise(result)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+
+    md5 (not xxhash) so the exact same value is computable in any SQL
+    engine for cross-checking."""
+    normalized = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    return F.md5(normalized)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All per-document text statistics in one projection (single pass)."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("token_count"),
+        F.length(t).alias("char_count"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(distinct_token_ratio(t), 6).alias("distinct_token_ratio"),
+        quality_score(t).alias("quality_score"),
+        lang_id(t).alias("pred_lang"),
+        fingerprint(t).alias("fingerprint"),
+    )
