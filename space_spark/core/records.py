@@ -88,6 +88,19 @@ class _BlobWriter:
             self.writer = None
 
 
+def read_blob_column(location: str, rel_path: str) -> pa.Array:
+    """All record values of one blob file, indexable by _ROW_ID.
+
+    Two layouts: our own record files are single-column Parquet; zero-copy
+    external files (sources/loaders.py append_binary_files) are raw bytes —
+    the whole file is the one record at row id 0."""
+    abs_path = os.path.join(location, rel_path)
+    if rel_path.endswith(".parquet"):
+        return pq.read_table(abs_path).column(VALUE_COL).combine_chunks()
+    with open(abs_path, "rb") as f:
+        return pa.array([f.read()], pa.binary())
+
+
 def write_record_fields(
     df: DataFrame, location: str, record_fields: Sequence[str]
 ) -> DataFrame:
@@ -150,9 +163,7 @@ def resolve_record_fields(
             if rel_path not in cache:
                 if len(cache) >= 2:
                     cache.clear()
-                cache[rel_path] = pq.read_table(
-                    os.path.join(loc, rel_path)
-                ).column(VALUE_COL).combine_chunks()
+                cache[rel_path] = read_blob_column(loc, rel_path)
             return cache[rel_path]
 
         for batch in batches:

@@ -1,0 +1,167 @@
+"""Zero-copy ingestion: register external files into a space table without
+rewriting them.
+
+Parity (reference paths relative to /root/reference/python/src/space/):
+- ``append_parquet``: register foreign Parquet files by writing manifest
+  rows only — data files are referenced in place
+  (core/loaders/parquet.py:30-74). The schema must match the table's index
+  schema; stats come from the files' own footers.
+- ``append_binary_files``: analog of the reference's external ArrayRecord
+  load (core/loaders/array_record.py:36-109): for each external blob file,
+  run a user ``index_fn`` over the payload to derive index columns; only
+  the index Parquet (+ addresses pointing at the ORIGINAL files) is
+  written — blobs are never copied. Here a "blob file" is any file whose
+  bytes are one record (the common image/audio layout).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Callable, Dict, List
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from space_spark.core import manifests as mf
+from space_spark.core import metadata as md
+from space_spark.core.schema import ADDRESS_STRUCT, FILE_COL, ROW_ID_COL
+from space_spark.errors import SpaceError, UserInputError
+
+
+def append_parquet(dataset, pattern: str) -> None:
+    """Zero-copy append: add external Parquet files matching ``pattern`` to
+    the table via manifest entries only."""
+    if dataset.record_fields:
+        raise UserInputError(
+            "Zero-copy Parquet load requires a table without record fields"
+        )
+    paths = sorted(glob.glob(pattern))
+    if not paths:
+        raise UserInputError(f"No files match {pattern!r}")
+    dataset.reload()
+    pinned = dataset.current_snapshot_id
+    parent = dataset.metadata.snapshot(pinned)
+
+    # Validate schema compatibility cheaply (names + types via one footer).
+    got = dataset.spark.read.parquet(paths[0]).schema
+    want = dataset._physical_schema()
+    if {f.name for f in got.fields} != {f.name for f in want.fields}:
+        raise UserInputError(
+            f"External schema {got.fieldNames()} != table "
+            f"{want.fieldNames()}"
+        )
+
+    rel_paths = [os.path.relpath(p, dataset.location) for p in paths]
+    stat_names = [n for n, _ in dataset._stats_fields()]
+    stats = mf.collect_file_stats(dataset.spark, paths, stat_names)
+    manifest_rel = dataset.log.new_manifest_relpath()
+    rows, nbytes = mf.write_manifest(
+        dataset.spark, dataset.log.abs_path(manifest_rel), rel_paths, stats,
+        dataset._stats_fields(),
+    )
+    snap = md.Snapshot(
+        snapshot_id=-1,
+        parent_snapshot_id=pinned,
+        created_at="",
+        manifest_files=parent.manifest_files + [manifest_rel],
+        num_rows=parent.num_rows + rows,
+        data_bytes=parent.data_bytes + nbytes,
+        added_files=rel_paths,
+    )
+    dataset.metadata = dataset.log.commit_snapshot(pinned, dataset.branch,
+                                                   snap)
+
+
+def append_binary_files(
+    dataset,
+    pattern: str,
+    index_fn: Callable[[bytes, str], Dict],
+    record_field: str,
+) -> None:
+    """Zero-copy blob ingestion: each matching file becomes one row whose
+    ``record_field`` address points at the ORIGINAL file (row_id 0); index
+    columns come from ``index_fn(payload, path)``.
+
+    The scan + index_fn run distributed over Spark's binaryFile source, so
+    a 100 TB blob corpus indexes in parallel without copying a byte."""
+    if record_field not in dataset.record_fields:
+        raise UserInputError(f"{record_field!r} is not a record field")
+    spark = dataset.spark
+
+    bin_df = spark.read.format("binaryFile").load(pattern)
+    index_schema = T.StructType(
+        [
+            f for f in dataset.schema.fields
+            if f.name != record_field
+        ]
+    )
+    location = dataset.location
+    fn = index_fn
+
+    out_schema = T.StructType(
+        list(index_schema.fields)
+        + [T.StructField(record_field, ADDRESS_STRUCT, True)]
+    )
+
+    def task(iterator):
+        import pyarrow as pa_
+
+        for batch in iterator:
+            paths = batch.column(batch.schema.names.index("path")).to_pylist()
+            contents = batch.column(
+                batch.schema.names.index("content")
+            ).to_pylist()
+            cols: Dict[str, list] = {f.name: [] for f in index_schema.fields}
+            files, row_ids = [], []
+            for path, payload in zip(paths, contents):
+                from urllib.parse import urlparse
+
+                local = urlparse(path).path if "://" in path or \
+                    path.startswith("file:") else path
+                row = fn(payload, local)
+                for f in index_schema.fields:
+                    cols[f.name].append(row[f.name])
+                files.append(os.path.relpath(local, location))
+                row_ids.append(0)
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            arrow_out = to_arrow_schema(out_schema)
+            arrays = []
+            for f in arrow_out:
+                if f.name == record_field:
+                    arrays.append(
+                        pa_.StructArray.from_arrays(
+                            [pa_.array(files, pa_.string()),
+                             pa_.array(row_ids, pa_.int32())],
+                            names=[FILE_COL, ROW_ID_COL],
+                        )
+                    )
+                else:
+                    arrays.append(pa_.array(cols[f.name], type=f.type))
+            yield pa_.RecordBatch.from_arrays(arrays, schema=arrow_out)
+
+    physical_rows = bin_df.select("path", "content").mapInArrow(
+        task, out_schema
+    )
+    # The index rows (with addresses) are written as normal data files;
+    # blobs stay where they are.
+    dataset.reload()
+    pinned = dataset.current_snapshot_id
+    parent = dataset.metadata.snapshot(pinned)
+    manifest_rel, files, rows, nbytes = dataset._write_data_files(
+        physical_rows, physical=True
+    )
+    if rows == 0:
+        raise UserInputError(f"No files match {pattern!r}")
+    snap = md.Snapshot(
+        snapshot_id=-1,
+        parent_snapshot_id=pinned,
+        created_at="",
+        manifest_files=parent.manifest_files + [manifest_rel],
+        num_rows=parent.num_rows + rows,
+        data_bytes=parent.data_bytes + nbytes,
+        added_files=files,
+    )
+    dataset.metadata = dataset.log.commit_snapshot(pinned, dataset.branch,
+                                                   snap)

