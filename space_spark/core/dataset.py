@@ -285,13 +285,25 @@ class Dataset:
         df = self._align(df)
         self.reload()
         pks = self.primary_keys
-        self._check_duplicate_pks(df)
-        existing = self.read(fields=pks)
-        clash = existing.join(
-            F.broadcast(df.select(*pks)), on=pks, how="left_semi"
+        # One job validates both invariants (duplicate keys within the
+        # input, and input keys already present): union-tag + aggregate,
+        # instead of two separate probe jobs.
+        new_keys = df.select(*pks).withColumn("__new", F.lit(1))
+        old_keys = self.read(fields=pks).withColumn("__new", F.lit(0))
+        bad = (
+            new_keys.unionByName(old_keys)
+            .groupBy(*pks)
+            .agg(F.sum("__new").alias("n_new"), F.count(F.lit(1)).alias("n"))
+            .where(
+                (F.col("n_new") > 1)
+                | ((F.col("n_new") >= 1) & (F.col("n") > F.col("n_new")))
+            )
+            .limit(1)
+            .collect()
         )
-        n = clash.limit(1).count()
-        if n > 0:
+        if bad:
+            if bad[0]["n_new"] > 1:
+                raise UserInputError("Input data has duplicate primary keys")
             raise PrimaryKeyExistError(
                 "insert: input primary keys already exist (use upsert)"
             )

@@ -46,6 +46,39 @@ def _wrap(value: Union["Expr", Any]) -> "Expr":
     raise TypeError(f"Unsupported literal type for predicate: {type(value)}")
 
 
+class _SparkBackend:
+    """Emit the falsifiable predicate as a Spark Column (used when manifests
+    are read as a DataFrame)."""
+
+    @staticmethod
+    def stat(name: str, part: str):
+        return F.col(f"_STATS_{name}.{part}")
+
+    @staticmethod
+    def lit(value):
+        return F.lit(value)
+
+
+class _ArrowBackend:
+    """Emit the falsifiable predicate as a pyarrow.compute Expression (used
+    for driver-side manifest pruning without launching a Spark job)."""
+
+    @staticmethod
+    def stat(name: str, part: str):
+        import pyarrow.compute as pc
+
+        return pc.field(f"_STATS_{name}", part)
+
+    @staticmethod
+    def lit(value):
+        import pyarrow.compute as pc
+
+        return pc.scalar(value)
+
+
+BACKENDS = {"spark": _SparkBackend, "arrow": _ArrowBackend}
+
+
 def _stat(name: str, part: str) -> Column:
     return F.col(f"_STATS_{name}.{part}")
 
@@ -97,9 +130,13 @@ class Expr:
     def negate(self) -> "Expr":
         raise NotImplementedError
 
-    def falsifiable(self, stats_fields: set) -> Optional[Column]:
+    def falsifiable(self, stats_fields: set, backend: str = "spark"):
         """Predicate over manifest stats proving 'no row in this file can
-        match'; None when not derivable (then the file is kept)."""
+        match'; None when not derivable (then the file is kept).
+
+        ``backend="spark"`` emits a Column over a manifest DataFrame;
+        ``backend="arrow"`` emits a pyarrow.compute Expression for
+        driver-side pruning with no Spark job."""
         raise NotImplementedError
 
     def fields(self) -> set:
@@ -161,7 +198,8 @@ class Comparison(Expr):
     def fields(self) -> set:
         return self.left.fields() | self.right.fields()
 
-    def falsifiable(self, stats_fields: set) -> Optional[Column]:
+    def falsifiable(self, stats_fields: set, backend: str = "spark"):
+        B = BACKENDS[backend]
         left, right, op = self.left, self.right, self.op
         # Normalize literal-vs-field to field-vs-literal by swapping.
         if isinstance(left, Literal) and isinstance(right, Field):
@@ -173,13 +211,13 @@ class Comparison(Expr):
             except TypeError:
                 return None
             # Constant-false predicate falsifies every file.
-            return F.lit(not bool(result))
+            return B.lit(not bool(result))
 
         if isinstance(left, Field) and isinstance(right, Literal):
             if left.name not in stats_fields or right.value is None:
                 return None
-            mn, mx = _stat(left.name, "_MIN"), _stat(left.name, "_MAX")
-            v = F.lit(right.value)
+            mn, mx = B.stat(left.name, "_MIN"), B.stat(left.name, "_MAX")
+            v = B.lit(right.value)
             # Rules mirror falsifiable_filters.py:221-289.
             return {
                 "==": (mn > v) | (mx < v),
@@ -193,8 +231,8 @@ class Comparison(Expr):
         if isinstance(left, Field) and isinstance(right, Field):
             if left.name not in stats_fields or right.name not in stats_fields:
                 return None
-            lmn, lmx = _stat(left.name, "_MIN"), _stat(left.name, "_MAX")
-            rmn, rmx = _stat(right.name, "_MIN"), _stat(right.name, "_MAX")
+            lmn, lmx = B.stat(left.name, "_MIN"), B.stat(left.name, "_MAX")
+            rmn, rmx = B.stat(right.name, "_MIN"), B.stat(right.name, "_MAX")
             return {
                 "==": (lmn > rmx) | (lmx < rmn),
                 "!=": (lmn == lmx) & (rmn == rmx) & (lmn == rmn),
@@ -233,11 +271,11 @@ class And(Expr):
     def fields(self) -> set:
         return self.left.fields() | self.right.fields()
 
-    def falsifiable(self, stats_fields: set) -> Optional[Column]:
+    def falsifiable(self, stats_fields: set, backend: str = "spark"):
         # A conjunction is refuted if EITHER conjunct is refuted; a
         # non-falsifiable conjunct simply contributes nothing.
-        l = self.left.falsifiable(stats_fields)
-        r = self.right.falsifiable(stats_fields)
+        l = self.left.falsifiable(stats_fields, backend)
+        r = self.right.falsifiable(stats_fields, backend)
         if l is not None and r is not None:
             return l | r
         return l if l is not None else r
@@ -259,10 +297,10 @@ class Or(Expr):
     def fields(self) -> set:
         return self.left.fields() | self.right.fields()
 
-    def falsifiable(self, stats_fields: set) -> Optional[Column]:
+    def falsifiable(self, stats_fields: set, backend: str = "spark"):
         # A disjunction is refuted only if BOTH disjuncts are refuted.
-        l = self.left.falsifiable(stats_fields)
-        r = self.right.falsifiable(stats_fields)
+        l = self.left.falsifiable(stats_fields, backend)
+        r = self.right.falsifiable(stats_fields, backend)
         if l is None or r is None:
             return None
         return l & r
@@ -284,13 +322,13 @@ class Not(Expr):
     def fields(self) -> set:
         return self.child.fields()
 
-    def falsifiable(self, stats_fields: set) -> Optional[Column]:
+    def falsifiable(self, stats_fields: set, backend: str = "spark"):
         # Push NOT down to comparisons, then refute the rewritten tree.
         try:
             pushed = self.child.negate()
         except NotImplementedError:
             return None
-        return pushed.falsifiable(stats_fields)
+        return pushed.falsifiable(stats_fields, backend)
 
     def __repr__(self):
         return f"~{self.child!r}"

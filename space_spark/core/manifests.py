@@ -164,6 +164,12 @@ def read_manifests(
     return spark.read.schema(spark_schema).parquet(*manifest_abs_paths)
 
 
+# Manifests up to this total size are pruned on the driver with pyarrow —
+# no Spark job. A 32 MB manifest covers O(100k) data files; beyond that the
+# (distributed) DataFrame path takes over.
+_DRIVER_PRUNE_MAX_BYTES = 32 * 1024 * 1024
+
+
 def prune_files(
     spark: SparkSession,
     manifest_abs_paths: List[str],
@@ -176,13 +182,53 @@ def prune_files(
     A file is dropped only when the falsifiable filter PROVES it cannot
     match (never-wrong pruning: unsupported predicates keep everything —
     falsifiable_filters.py:62-90).
+
+    Planning cost matters for interactive reads: small manifests are pruned
+    driver-side with pyarrow (zero Spark jobs); huge manifest sets fall
+    back to a distributed manifest scan.
     """
+    stat_names = {name for name, _ in stats_fields}
+    if not manifest_abs_paths:
+        return []
+    total_bytes = sum(os.path.getsize(p) for p in manifest_abs_paths)
+    if total_bytes <= _DRIVER_PRUNE_MAX_BYTES:
+        try:
+            return _prune_files_arrow(
+                manifest_abs_paths, filter_, stat_names, exclude_files
+            )
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, TypeError):
+            pass  # e.g. string-vs-timestamp literal: let Spark coerce.
+
     df = read_manifests(spark, manifest_abs_paths, stats_fields)
     if exclude_files:
         df = df.where(~F.col(FILE_PATH_COL).isin(list(exclude_files)))
     if filter_ is not None:
-        stat_names = {name for name, _ in stats_fields}
         fals = filter_.falsifiable(stat_names)
         if fals is not None:
             df = df.where(~F.coalesce(fals, F.lit(False)))
     return [r[0] for r in df.select(FILE_PATH_COL).collect()]
+
+
+def _prune_files_arrow(
+    manifest_abs_paths: List[str],
+    filter_: Optional[Expr],
+    stat_names: set,
+    exclude_files: Optional[Sequence[str]] = None,
+) -> List[str]:
+    import pyarrow.compute as pc
+
+    tbl = pa.concat_tables(
+        [pq.read_table(p) for p in manifest_abs_paths], promote_options="none"
+    )
+    if exclude_files:
+        tbl = tbl.filter(
+            pc.invert(pc.is_in(tbl[FILE_PATH_COL],
+                               value_set=pa.array(list(exclude_files))))
+        )
+    if filter_ is not None and len(tbl) > 0:
+        fals = filter_.falsifiable(stat_names, backend="arrow")
+        if fals is not None:
+            # Keep when the falsifiable predicate is NULL (missing stats)
+            # or FALSE — only a provable TRUE prunes.
+            tbl = tbl.filter(fals.is_null() | ~fals)
+    return tbl[FILE_PATH_COL].to_pylist()
