@@ -534,6 +534,65 @@ GROUP BY p_brand
 """
 
 
+def q_asof_signup(spark, sf_dir):
+    """As-of join (absent in the reference, SURVEY.md §2.3): for each
+    event, the user's most recent signup-event time at or before it."""
+    from space_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir).withColumn(
+        "es", F.expr("ts div 1000000000")
+    )
+    left = ev.select("user_id", "event_id", "es")
+    right = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("es")
+    ).distinct().withColumn("signup_es", F.col("es"))
+    out = asof_join(left, right, on="es", by="user_id",
+                    value_cols=["signup_es"])
+    return out.select("user_id", "event_id", "es",
+                      F.col("signup_es_asof").alias("last_signup_es"))
+
+
+Q_ASOF_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS es FROM events
+), s AS (
+  SELECT DISTINCT user_id, epoch_ns(ts)//1000000000 AS signup_es
+  FROM events WHERE event_type = 'signup'
+)
+SELECT e.user_id, e.event_id, e.es, s.signup_es AS last_signup_es
+FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.es >= s.signup_es
+"""
+
+
+def q_range_band(spark, sf_dir):
+    """Range (interval-containment) join: lineitem quantities into static
+    quantity bands — bucketized equi-join, not a nested loop."""
+    from space_spark.operators.joins import range_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber",
+                                              "l_quantity")
+    bands = spark.createDataFrame(
+        [("q00", 0.0, 9.99), ("q10", 10.0, 19.99), ("q20", 20.0, 29.99),
+         ("q30", 30.0, 39.99), ("q40", 40.0, 50.0)],
+        "band string, lo double, hi double",
+    )
+    out = range_join(li, bands, "l_quantity", "lo", "hi", bucket_size=10.0)
+    return out.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+Q_RANGE_SQL = """
+SELECT band, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+FROM lineitem
+JOIN (VALUES ('q00', 0.0, 9.99), ('q10', 10.0, 19.99), ('q20', 20.0, 29.99),
+             ('q30', 30.0, 39.99), ('q40', 40.0, 50.0)) AS b(band, lo, hi)
+  ON l_quantity >= lo AND l_quantity <= hi
+GROUP BY band
+"""
+
+
 # --- space table API parity queries ---------------------------------------
 def space_filter_project(spark, sf_dir):
     """S1-S4,P1-P3: create/append/read with manifest pruning + projection."""
@@ -743,6 +802,25 @@ def space_filter_udf(spark, sf_dir):
 
 SPACE_FILTER_UDF_SQL = """
 SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_acctbal > 5000.0
+"""
+
+
+def space_read_by_keys(spark, sf_dir):
+    """P6: primary-key point lookups (range-pruned broadcast semi-join)."""
+    from space_spark import Dataset
+
+    cust = _t(spark, sf_dir, "customer")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/cust_keys", cust.schema, ["c_custkey"]
+    )
+    ds.append(cust)
+    return ds.read_by_keys([1, 5, 9, 999999],
+                           fields=["c_custkey", "c_name", "c_acctbal"])
+
+
+SPACE_READ_BY_KEYS_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey IN (1, 5, 9, 999999)
 """
 
 
@@ -1025,6 +1103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_intersect": q_intersect,
         "q_except": q_except,
         "q_brand_supplier_stats": q_brand_supplier_stats,
+        "q_asof_signup": q_asof_signup,
+        "q_range_band": q_range_band,
         # space table API (SURVEY.md §2 operators)
         "space_filter_project": space_filter_project,
         "space_delete_read": space_delete_read,
@@ -1036,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "space_map_batches_udf": space_map_batches_udf,
         "space_filter_udf": space_filter_udf,
         "space_record_fields": space_record_fields,
+        "space_read_by_keys": space_read_by_keys,
         # training-data pipeline operators
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1067,6 +1148,8 @@ def oracle_sql() -> dict[str, str]:
         "q_intersect": Q_INTERSECT_SQL,
         "q_except": Q_EXCEPT_SQL,
         "q_brand_supplier_stats": Q_BRAND_SQL,
+        "q_asof_signup": Q_ASOF_SQL,
+        "q_range_band": Q_RANGE_SQL,
         "space_filter_project": SPACE_FILTER_SQL,
         "space_delete_read": SPACE_DELETE_SQL,
         "space_upsert_read": SPACE_UPSERT_SQL,
@@ -1077,6 +1160,7 @@ def oracle_sql() -> dict[str, str]:
         "space_map_batches_udf": SPACE_MAP_SQL,
         "space_filter_udf": SPACE_FILTER_UDF_SQL,
         "space_record_fields": SPACE_RECORD_SQL,
+        "space_read_by_keys": SPACE_READ_BY_KEYS_SQL,
         "dedup_exact_documents": DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
         "text_stats": TEXT_STATS_SQL,

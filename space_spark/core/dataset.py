@@ -37,7 +37,7 @@ from space_spark.core import manifests as mf
 from space_spark.core import metadata as md
 from space_spark.core import records as rec
 from space_spark.core import schema as sc
-from space_spark.core.expressions import Expr
+from space_spark.core.expressions import Expr, Field
 from space_spark.errors import (
     PrimaryKeyExistError,
     SpaceError,
@@ -540,6 +540,140 @@ class Dataset:
     def index_files(self, version=None) -> List[str]:
         """Absolute index-file paths for external engines (datasets.py:99-104)."""
         return [self.log.abs_path(f) for f in self.data_files(None, version)]
+
+    def read_by_keys(
+        self, keys, fields: Optional[Sequence[str]] = None, version=None
+    ) -> DataFrame:
+        """Point-lookup read: rows whose primary keys appear in ``keys``
+        (a DataFrame with the PK columns, or a list of values for a
+        single-PK table).
+
+        Replaces the reference's O(n) OR-of-AND expression build
+        (primary_key_filter, core/ops/utils.py:56-91) with: key min/max ->
+        manifest range pruning, then a broadcast semi-join. Scales with
+        matched files, not table size."""
+        pks = self.primary_keys
+        if not isinstance(keys, DataFrame):
+            if len(pks) != 1:
+                raise UserInputError(
+                    "List-form keys require a single-PK table"
+                )
+            keys = self.spark.createDataFrame(
+                [(k,) for k in keys],
+                T.StructType([self.schema[pks[0]]]),
+            )
+        if set(keys.columns) != set(pks):
+            raise UserInputError(
+                f"Keys columns {keys.columns} != primary keys {pks}"
+            )
+        # Range-prune files from the keys' bounds (cheap driver agg on the
+        # small key set), then semi-join exactly.
+        bounds = keys.agg(
+            *[F.min(k).alias(f"mn_{k}") for k in pks],
+            *[F.max(k).alias(f"mx_{k}") for k in pks],
+        ).collect()[0]
+        prune = None
+        for k in pks:
+            mn, mx = bounds[f"mn_{k}"], bounds[f"mx_{k}"]
+            if mn is None:
+                continue
+            rng = (Field(k) >= mn) & (Field(k) <= mx)
+            prune = rng if prune is None else (prune & rng)
+        df = self.read(filter_=prune, fields=fields, version=version,
+                       reference_read=True)
+        out = df.join(F.broadcast(keys), on=pks, how="left_semi")
+        resolve = [
+            f for f in (fields or self.schema.fieldNames())
+            if f in self.record_fields
+        ]
+        if resolve:
+            out = rec.resolve_record_fields(
+                out, self.location, resolve, self.schema
+            )
+        return out
+
+    # ---------------------------------------------------- retention / vacuum
+    def expire_snapshots(self, keep_last: int = 10) -> List[int]:
+        """Drop old snapshots from the log (metadata-only; data files are
+        reclaimed by ``vacuum``). Keeps: the most recent ``keep_last``
+        ancestors of every branch head, plus every tagged snapshot and
+        snapshot 0. Returns the expired ids."""
+        if keep_last < 1:
+            raise UserInputError("keep_last must be >= 1")
+
+        expired: List[int] = []
+
+        def mutate(meta: md.StorageMetadata):
+            keep = {0} | set(meta.tags.values())
+            for head in meta.branches.values():
+                cur, n = head, 0
+                while cur is not None and n < keep_last:
+                    keep.add(cur)
+                    cur = meta.snapshots[cur].parent_snapshot_id
+                    n += 1
+            for sid in list(meta.snapshots):
+                if sid not in keep:
+                    expired.append(sid)
+                    del meta.snapshots[sid]
+            # Break dangling parent pointers of survivors.
+            for snap in meta.snapshots.values():
+                if (snap.parent_snapshot_id is not None
+                        and snap.parent_snapshot_id not in meta.snapshots):
+                    snap.parent_snapshot_id = None
+
+        self.metadata = self.log.update_refs(mutate)
+        return sorted(expired)
+
+    def vacuum(self, dry_run: bool = False) -> List[str]:
+        """Delete files under the table location referenced by NO live
+        snapshot: orphaned data files, manifests, change logs and record
+        files (e.g. rewritten away by copy-on-write deletes after their
+        snapshots expired). External (zero-copy) files outside the table
+        location are never touched. Returns the removed relative paths."""
+        live: set = set()
+        for snap in self.metadata.snapshots.values():
+            live.update(snap.manifest_files)
+            if snap.deleted_pks_file:
+                live.add(snap.deleted_pks_file)
+            live.update(
+                mf.read_manifest_paths(
+                    [self.log.abs_path(p) for p in snap.manifest_files]
+                )
+            )
+        # Record files referenced by live data-file address columns.
+        if self.record_fields:
+            live_data = [
+                p for p in live
+                if p.startswith("data") and p.endswith(".parquet")
+            ]
+            if live_data:
+                phys = self._read_files(sorted(live_data))
+                refs = None
+                for f in self.record_fields:
+                    part = phys.select(
+                        F.col(f)[sc.FILE_COL].alias("rf")
+                    ).where(F.col("rf").isNotNull()).distinct()
+                    refs = part if refs is None else refs.union(part)
+                live.update(r[0] for r in refs.distinct().collect())
+
+        removed: List[str] = []
+        for sub in ("data", "records", os.path.join("_space", "manifests"),
+                    os.path.join("_space", "changes")):
+            base = os.path.join(self.location, sub)
+            if not os.path.isdir(base):
+                continue
+            for root, _dirs, files in os.walk(base):
+                for name in files:
+                    abs_f = os.path.join(root, name)
+                    rel = self.log.rel_path(abs_f)
+                    # Delete-changelogs are directories of parquet parts;
+                    # treat membership by directory prefix too.
+                    if rel in live or os.path.dirname(rel) in live:
+                        continue
+                    removed.append(rel)
+                    if not dry_run:
+                        os.remove(abs_f)
+        return sorted(removed)
 
     # ------------------------------------------------------- change-data feed
     def _ancestors(self, from_id: int, to_id: int) -> List[md.Snapshot]:

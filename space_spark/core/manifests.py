@@ -153,6 +153,17 @@ def write_manifest(
     )
 
 
+def read_manifest_paths(manifest_abs_paths: List[str]) -> List[str]:
+    """Just the data-file paths of some manifests (driver-side, cheap)."""
+    out: List[str] = []
+    for p in manifest_abs_paths:
+        out.extend(
+            pq.read_table(p, columns=[FILE_PATH_COL])[FILE_PATH_COL]
+            .to_pylist()
+        )
+    return out
+
+
 def read_manifests(
     spark: SparkSession,
     manifest_abs_paths: List[str],

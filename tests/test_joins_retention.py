@@ -1,0 +1,127 @@
+"""As-of/range joins, point lookups, snapshot expiry + vacuum."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from space_spark import Dataset, field
+from space_spark.errors import UserInputError
+from space_spark.operators.joins import asof_join, range_join
+
+SIMPLE = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("val", T.DoubleType()),
+    ]
+)
+
+
+def test_asof_join_backward(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, 1), ("A", 20, 2), ("A", 5, 3), ("B", 7, 4)],
+        "sym string, t long, trade_id long",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 5, 100.0), ("A", 10, 101.0), ("A", 15, 102.0),
+         ("B", 99, 500.0)],
+        "sym string, t long, px double",
+    )
+    got = asof_join(trades, quotes, on="t", by="sym").orderBy(
+        "sym", "t"
+    ).collect()
+    # A@5 ties quote@5; A@10 ties quote@10; A@20 -> quote@15; B@7 -> none.
+    assert [(r.sym, r.t, r.px_asof) for r in got] == [
+        ("A", 5, 100.0), ("A", 10, 101.0), ("A", 20, 102.0), ("B", 7, None),
+    ]
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 12, "next"), (1, 8, "prev")], "k long, t long, tag string"
+    )
+    got = asof_join(left, right, on="t", by="k", direction="forward").collect()
+    assert got[0].tag_asof == "next"
+
+
+def test_range_join(spark):
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 95.0)], "pid long, x double"
+    )
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 50.0)],
+        "band string, lo double, hi double",
+    )
+    got = range_join(points, bands, "x", "lo", "hi", bucket_size=10.0)
+    rows = {(r.pid, r.band) for r in got.collect()}
+    assert rows == {(1, "low"), (2, "mid")}
+
+
+def test_read_by_keys(spark, tmp_location):
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["id"])
+    ds.append(
+        spark.createDataFrame(
+            [Row(id=i, val=float(i)) for i in range(100)], SIMPLE
+        )
+    )
+    got = ds.read_by_keys([3, 97, 500]).orderBy("id").collect()
+    assert [r.id for r in got] == [3, 97]
+
+    keys_df = spark.createDataFrame([(5,), (6,)], "id long")
+    assert ds.read_by_keys(keys_df).count() == 2
+
+    with pytest.raises(UserInputError):
+        ds.read_by_keys(spark.createDataFrame([(1,)], "wrong long"))
+
+
+def test_expire_and_vacuum(spark, tmp_location):
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["id"])
+    for i in range(4):
+        ds.append(
+            spark.createDataFrame(
+                [Row(id=10 * i + j, val=float(j)) for j in range(5)], SIMPLE
+            )
+        )
+    ds.delete(field("id") < 3)  # snapshot 5 rewrites snapshot 1's file
+    assert ds.current_snapshot_id == 5
+
+    expired = ds.expire_snapshots(keep_last=2)
+    assert expired == [1, 2, 3]  # head 5 + parent 4 kept, plus snapshot 0
+
+    removed = ds.vacuum()
+    # The pre-delete file of commit 1 is no longer referenced by any live
+    # snapshot -> reclaimed; current data still reads fine.
+    assert any(r.startswith("data/") for r in removed)
+    assert sorted(r.id for r in ds.read().collect()) == sorted(
+        set(range(0, 5)) - {0, 1, 2} | set(range(10, 15))
+        | set(range(20, 25)) | set(range(30, 35))
+    )
+    # vacuum is idempotent.
+    assert ds.vacuum() == []
+
+
+def test_vacuum_keeps_record_files(spark, tmp_location):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+    ds = Dataset.create(
+        spark, tmp_location, schema, ["id"], record_fields=["blob"]
+    )
+    ds.append(
+        spark.createDataFrame(
+            [Row(id=i, blob=f"b{i}".encode()) for i in range(10)], schema
+        ).coalesce(1)
+    )
+    ds.delete(field("id") < 5)
+    ds.expire_snapshots(keep_last=1)
+    removed = ds.vacuum()
+    # Record file still referenced by surviving rows' addresses: kept.
+    assert not any(r.startswith("records/") for r in removed)
+    got = ds.read().orderBy("id").collect()
+    assert [r.blob for r in got] == [f"b{i}".encode() for i in range(5, 10)]
