@@ -534,6 +534,117 @@ GROUP BY p_brand
 """
 
 
+def q2_min_bal_supplier(spark, sf_dir):
+    """Q2 shape: per part, the lowest-balance supplier that shipped it
+    (min-per-group + join-back, ties broken by supplier key)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey") \
+        .distinct()
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    j = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .select("p_partkey", "p_brand", "s_suppkey", "s_acctbal")
+    )
+    mins = j.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    winners = (
+        j.join(mins, (j.p_partkey == mins.mk)
+               & (j.s_acctbal == mins.min_bal))
+        .groupBy("p_partkey", "p_brand", "min_bal")
+        .agg(F.min("s_suppkey").alias("s_suppkey"))
+    )
+    return winners.select("p_partkey", "p_brand", "s_suppkey", "min_bal")
+
+
+Q2_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), j AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_acctbal
+  FROM pairs
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN part ON l_partkey = p_partkey
+), mins AS (
+  SELECT p_partkey AS mk, MIN(s_acctbal) AS min_bal FROM j GROUP BY 1
+)
+SELECT j.p_partkey, j.p_brand, MIN(j.s_suppkey) AS s_suppkey, mins.min_bal
+FROM j JOIN mins ON j.p_partkey = mins.mk AND j.s_acctbal = mins.min_bal
+GROUP BY j.p_partkey, j.p_brand, mins.min_bal
+"""
+
+
+def q7_nation_volume(spark, sf_dir):
+    """Q7 shape: shipping volume between distinct nation pairs per year."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, supp.s_nationkey == n1.sk)
+        .join(n2, cust.c_nationkey == n2.ck)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                       "volume"))
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
+  {MONEY_SUM('l_extendedprice*(1-l_discount)', 'volume')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name != n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """Q17 shape: revenue from lineitems below 50%% of their part's average
+    quantity (correlated-aggregate decorrelated into a join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # Quantities are integral doubles, so AVG is order-independent exact.
+    avgs = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(avgs, li.l_partkey == avgs.ak)
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            money_sum(F.col("l_extendedprice"), "total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q17_SQL = f"""
+WITH avgs AS (
+  SELECT l_partkey AS ak, AVG(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT {MONEY_SUM('l_extendedprice', 'total_price')}, COUNT(*) AS n_items
+FROM lineitem JOIN avgs ON l_partkey = ak
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
 def q_asof_signup(spark, sf_dir):
     """As-of join (absent in the reference, SURVEY.md §2.3): for each
     event, the user's most recent signup-event time at or before it."""
@@ -1103,6 +1214,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_intersect": q_intersect,
         "q_except": q_except,
         "q_brand_supplier_stats": q_brand_supplier_stats,
+        "q2_min_bal_supplier": q2_min_bal_supplier,
+        "q7_nation_volume": q7_nation_volume,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q_asof_signup": q_asof_signup,
         "q_range_band": q_range_band,
         # space table API (SURVEY.md §2 operators)
@@ -1148,6 +1262,9 @@ def oracle_sql() -> dict[str, str]:
         "q_intersect": Q_INTERSECT_SQL,
         "q_except": Q_EXCEPT_SQL,
         "q_brand_supplier_stats": Q_BRAND_SQL,
+        "q2_min_bal_supplier": Q2_SQL,
+        "q7_nation_volume": Q7_SQL,
+        "q17_small_quantity_revenue": Q17_SQL,
         "q_asof_signup": Q_ASOF_SQL,
         "q_range_band": Q_RANGE_SQL,
         "space_filter_project": SPACE_FILTER_SQL,

@@ -80,22 +80,57 @@ class Dataset:
         schema: T.StructType,
         primary_keys: Sequence[str],
         record_fields: Sequence[str] = (),
+        serializers=None,
     ) -> "Dataset":
+        """``serializers``: optional {record_field: FieldSerializer} —
+        persisted (cloudpickled) with the table and applied by
+        RandomAccessDataSource(deserialize=True) / deserialize_udf
+        (TfFeatures-analog, reference tf_features.py:29-64)."""
         sc.validate(schema, primary_keys, record_fields)
         schema = sc.assign_field_ids(schema)
         log = md.MetadataLog(location)
         if log.exists():
             raise SpaceError(f"Table already exists at {location}")
         log.init_location()
+        ser_registry = {}
+        if serializers:
+            try:
+                from pyspark import cloudpickle
+            except ImportError:  # pragma: no cover
+                import pickle as cloudpickle
+            for fname, ser in serializers.items():
+                if fname not in record_fields:
+                    raise UserInputError(
+                        f"Serializer target {fname!r} is not a record field"
+                    )
+                rel = os.path.join("_space", "udfs",
+                                   f"serializer_{fname}.pkl")
+                with open(log.abs_path(rel), "wb") as f:
+                    cloudpickle.dump(ser, f)
+                ser_registry[fname] = rel
         meta = md.initial_metadata(
             md.TYPE_DATASET,
             schema,
             list(primary_keys),
             list(record_fields),
             sc.field_id_map(schema),
+            serializers=ser_registry,
         )
         log.write_metadata(meta)
         return cls(spark, log, meta)
+
+    def serializer(self, field_name: str):
+        """Load the persisted FieldSerializer for a record field (None if
+        the field has no serializer)."""
+        rel = self.metadata.serializers.get(field_name)
+        if rel is None:
+            return None
+        try:
+            from pyspark import cloudpickle
+        except ImportError:  # pragma: no cover
+            import pickle as cloudpickle
+        with open(self.log.abs_path(rel), "rb") as f:
+            return cloudpickle.load(f)
 
     @classmethod
     def load(cls, spark: SparkSession, location: str) -> "Dataset":

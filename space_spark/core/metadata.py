@@ -106,6 +106,9 @@ class StorageMetadata:
     next_snapshot_id: int
     logical_plan: Optional[dict] = None  # set for MATERIALIZED_VIEW
     udf_registry: Dict[str, str] = dc_field(default_factory=dict)
+    # record field name -> relpath of a cloudpickled FieldSerializer
+    # (TfFeatures-analog; reference metadata.proto:195-202 registry shape).
+    serializers: Dict[str, str] = dc_field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -124,6 +127,7 @@ class StorageMetadata:
                 "next_snapshot_id": self.next_snapshot_id,
                 "logical_plan": self.logical_plan,
                 "udf_registry": self.udf_registry,
+                "serializers": self.serializers,
             },
             indent=1,
         )
@@ -145,6 +149,7 @@ class StorageMetadata:
             next_snapshot_id=d["next_snapshot_id"],
             logical_plan=d.get("logical_plan"),
             udf_registry=d.get("udf_registry", {}),
+            serializers=d.get("serializers", {}),
         )
 
     # -- version resolution (core/storage.py:224-236) -----------------------
@@ -290,6 +295,7 @@ def initial_metadata(
     field_ids: Dict[str, int],
     logical_plan: Optional[dict] = None,
     udf_registry: Optional[Dict[str, str]] = None,
+    serializers: Optional[Dict[str, str]] = None,
 ) -> StorageMetadata:
     snap = Snapshot(
         snapshot_id=0, parent_snapshot_id=None, created_at=_now_iso()
@@ -306,4 +312,5 @@ def initial_metadata(
         next_snapshot_id=1,
         logical_plan=logical_plan,
         udf_registry=dict(udf_registry or {}),
+        serializers=dict(serializers or {}),
     )

@@ -50,7 +50,21 @@ class RandomAccessDataSource:
             )
         if not self.feature_fields:
             raise UserInputError("Dataset has no record fields")
-        self.deserialize = deserialize
+        # deserialize: a callable applied to every field's bytes, or True
+        # to use the table's persisted per-field serializers
+        # (TfFeatures-analog; reference random_access.py deserialize flag).
+        if deserialize is True:
+            self._deserializers = {
+                f: (dataset.serializer(f).deserialize
+                    if dataset.serializer(f) else None)
+                for f in self.feature_fields
+            }
+        elif callable(deserialize):
+            self._deserializers = {
+                f: deserialize for f in self.feature_fields
+            }
+        else:
+            self._deserializers = {f: None for f in self.feature_fields}
         self._cache: OrderedDict = OrderedDict()
         self._cache_size = file_cache_size
         # One reference read fetches all addresses (index data only — no
@@ -100,6 +114,7 @@ class RandomAccessDataSource:
             if addr is None:
                 continue
             by_file.setdefault(addr[0], []).append(pos)
+        deser = self._deserializers.get(field)
         for rel_path, positions in by_file.items():
             col = self._file_column(rel_path)
             row_ids = pa.array(
@@ -108,7 +123,7 @@ class RandomAccessDataSource:
             values = col.take(row_ids)
             for j, p in enumerate(positions):
                 v = values[j].as_py()
-                out[p] = self.deserialize(v) if self.deserialize else v
+                out[p] = deser(v) if deser else v
         return out
 
     def __getitems__(self, indices: Sequence[int]) -> List[Any]:

@@ -1,0 +1,109 @@
+"""Field serializers + extension types (File, TfFeatures-analog).
+
+Parity (reference paths relative to /root/reference/python/src/space/):
+- Serializer protocol (core/serializers/base.py:30-50): per-field
+  serialize/deserialize between Python values and the stored bytes of a
+  record field. The reference's concrete impl wraps TFDS ``FeaturesDict``
+  (core/schema/types/tf_features.py:29-64); TFDS isn't in this
+  environment, so ``TfFeaturesSerializer`` gates the real dependency
+  behind an import-try and ``PickleSerializer`` is the deterministic
+  stand-in with the same protocol.
+- File extension type (core/schema/types/files.py:29-64, proto
+  metadata.proto:206-210): a string path column + a directory prefix
+  carried as metadata; readers resolve relative paths against the prefix.
+  Spark-side this is a plain StringType with ``StructField.metadata`` keys
+  — no custom type plumbing needed.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Dict, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FILE_TYPE_KEY = "space.type"
+FILE_DIRECTORY_KEY = "space.file.directory"
+
+
+class FieldSerializer:
+    """Protocol: value <-> bytes for one record field."""
+
+    def serialize(self, value: Any) -> bytes:
+        raise NotImplementedError
+
+    def deserialize(self, value_bytes: bytes) -> Any:
+        raise NotImplementedError
+
+
+class PickleSerializer(FieldSerializer):
+    """Deterministic default serializer (protocol-pinned pickle)."""
+
+    def serialize(self, value: Any) -> bytes:
+        return pickle.dumps(value, protocol=4)
+
+    def deserialize(self, value_bytes: bytes) -> Any:
+        return pickle.loads(value_bytes)
+
+
+class TfFeaturesSerializer(FieldSerializer):
+    """TFDS FeaturesDict serializer — the reference's TfFeatures type.
+
+    Requires tensorflow_datasets (not in this container); constructing it
+    without the dependency raises NotImplementedError, keeping the type
+    pluggable exactly like the reference keeps it optional."""
+
+    def __init__(self, features_dict=None):
+        try:
+            import tensorflow_datasets as tfds  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "TfFeaturesSerializer requires tensorflow_datasets; use "
+                "PickleSerializer or a custom FieldSerializer instead."
+            ) from e
+        self.features = features_dict
+
+    def serialize(self, value: Any) -> bytes:  # pragma: no cover
+        return self.features.serialize_example(value)
+
+    def deserialize(self, value_bytes: bytes) -> Any:  # pragma: no cover
+        return self.features.deserialize_example(value_bytes)
+
+
+# ------------------------------------------------------------ File type ----
+def file_field(name: str, directory: str = "",
+               nullable: bool = True) -> T.StructField:
+    """Declare a File-typed column: a relative path string whose full path
+    is ``directory/<value>`` (files.py:29-64)."""
+    return T.StructField(
+        name, T.StringType(), nullable,
+        {FILE_TYPE_KEY: "file", FILE_DIRECTORY_KEY: directory},
+    )
+
+
+def is_file_field(field: T.StructField) -> bool:
+    return bool(field.metadata) and field.metadata.get(FILE_TYPE_KEY) == "file"
+
+
+def file_directory(field: T.StructField) -> str:
+    return (field.metadata or {}).get(FILE_DIRECTORY_KEY, "")
+
+
+def resolve_file_paths(
+    df: DataFrame, schema: T.StructType,
+    suffix: str = "_fullpath",
+) -> DataFrame:
+    """Add ``<col>_fullpath`` columns for every File-typed column present
+    in ``df`` (the read-side resolution the reference does on access)."""
+    out = df
+    for f in schema.fields:
+        if is_file_field(f) and f.name in df.columns:
+            prefix = file_directory(f)
+            full: Column = (
+                F.concat(F.lit(prefix.rstrip("/") + "/"), F.col(f.name))
+                if prefix else F.col(f.name)
+            )
+            out = out.withColumn(f.name + suffix, full)
+    return out

@@ -159,6 +159,48 @@ def _signature_from_hashes(hashes: Column, num_perm: int, seed: int
     return F.array(*parts)
 
 
+def _with_numpy_signatures(hashed: DataFrame, num_perm: int, seed: int
+                           ) -> DataFrame:
+    """Append ``sig`` (array<long>) + ``n_shingles`` to a (doc, shingles)
+    DataFrame via an Arrow-batched numpy kernel."""
+    import numpy as np
+    import pyarrow as pa_
+
+    perms = _perm_constants(num_perm, seed)
+    A = np.array([a for a, _ in perms], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in perms], dtype=np.int64)[:, None]
+    out_schema = (
+        "doc long, shingles array<long>, sig array<long>, n_shingles int"
+    )
+
+    def task(batches):
+        for batch in batches:
+            docs = batch.column(0)
+            shingles = batch.column(1)
+            sigs, counts = [], []
+            for row in shingles.to_pylist():
+                h = np.asarray(row, dtype=np.int64)
+                if h.size == 0:
+                    sigs.append([MERSENNE_P] * num_perm)
+                    counts.append(0)
+                    continue
+                # (num_perm x n) broadcast; products < 2^62, no overflow.
+                sigs.append(((A * h[None, :] + B) % MERSENNE_P)
+                            .min(axis=1).tolist())
+                counts.append(int(h.size))
+            yield pa_.RecordBatch.from_arrays(
+                [
+                    docs,
+                    shingles,
+                    pa_.array(sigs, pa_.list_(pa_.int64())),
+                    pa_.array(counts, pa_.int32()),
+                ],
+                names=["doc", "shingles", "sig", "n_shingles"],
+            )
+
+    return hashed.mapInArrow(task, out_schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -178,11 +220,12 @@ def minhash_lsh_pairs(
     3. Exact n-gram Jaccard verification of candidates only.
     """
     rows_per_band = num_perm // bands
-    # Hash shingles ONCE into a materialized column: higher-order functions
-    # are interpreted (not codegen), so re-deriving hashes inside each of
-    # the num_perm array_min(transform(...)) calls would recompute the
-    # string hashing num_perm times.
-    sig_df = (
+    # Shingle hashing runs JVM-side; the num_perm affine permutations +
+    # mins run as ONE vectorized numpy kernel in mapInArrow. (Catalyst
+    # higher-order functions are interpreted, so num_perm chained
+    # array_min(transform(...)) calls cost ~10x more than the same math
+    # as a batched (perms x shingles) numpy broadcast.)
+    hashed = (
         df.select(
             F.col(id_col).alias("doc"),
             _token_ngrams(F.col(text_col), ngram).alias("sh_str"),
@@ -194,10 +237,8 @@ def minhash_lsh_pairs(
             ),
         )
         .drop("sh_str")
-        .withColumn("sig",
-                    _signature_from_hashes(F.col("shingles"), num_perm, seed))
-        .withColumn("n_shingles", F.size("shingles"))
     )
+    sig_df = _with_numpy_signatures(hashed, num_perm, seed)
 
     band_cols = [
         F.struct(

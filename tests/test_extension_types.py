@@ -1,0 +1,102 @@
+"""Extension types: File columns + field serializers (mirrors reference
+tests/core/test_runners.py:278 File type and tf_features round trips)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from space_spark import Dataset
+from space_spark.core.random_access import RandomAccessDataSource
+from space_spark.core.serializers import (
+    FieldSerializer,
+    PickleSerializer,
+    TfFeaturesSerializer,
+    file_field,
+    is_file_field,
+    resolve_file_paths,
+)
+from space_spark.errors import UserInputError
+
+
+def test_file_type_roundtrip(spark, tmp_location):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            file_field("image_path", directory="/data/images"),
+        ]
+    )
+    ds = Dataset.create(spark, tmp_location, schema, ["id"])
+    ds.append(
+        spark.createDataFrame(
+            [Row(id=1, image_path="a/1.jpg"), Row(id=2, image_path="b/2.jpg")],
+            schema,
+        )
+    )
+    loaded = Dataset.load(spark, tmp_location)
+    f = loaded.schema["image_path"]
+    assert is_file_field(f)  # metadata survives the log round trip
+
+    resolved = resolve_file_paths(loaded.read(), loaded.schema)
+    got = {r.id: r.image_path_fullpath for r in resolved.collect()}
+    assert got == {1: "/data/images/a/1.jpg", 2: "/data/images/b/2.jpg"}
+
+
+class UpperSerializer(FieldSerializer):
+    def serialize(self, value):
+        return value.upper().encode()
+
+    def deserialize(self, value_bytes):
+        return value_bytes.decode().lower()
+
+
+def test_field_serializer_persisted(spark, tmp_location):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    ser = UpperSerializer()
+    ds = Dataset.create(
+        spark, tmp_location, schema, ["id"], record_fields=["payload"],
+        serializers={"payload": ser},
+    )
+    ds.append(
+        spark.createDataFrame(
+            [Row(id=i, payload=ser.serialize(f"value{i}")) for i in range(5)],
+            schema,
+        )
+    )
+    # Serializer survives reload and drives deserialize=True.
+    loaded = Dataset.load(spark, tmp_location)
+    assert loaded.serializer("payload").deserialize(b"ABC") == "abc"
+    src = RandomAccessDataSource(loaded, ["payload"], deserialize=True)
+    assert src[3] == "value3"
+    # Raw bytes without deserialize.
+    raw = RandomAccessDataSource(loaded, ["payload"])
+    assert raw[3] == b"VALUE3"
+
+
+def test_pickle_serializer_roundtrip():
+    s = PickleSerializer()
+    value = {"a": [1, 2, 3], "b": "x"}
+    assert s.deserialize(s.serialize(value)) == value
+
+
+def test_tf_features_serializer_gated():
+    with pytest.raises(NotImplementedError):
+        TfFeaturesSerializer({"image": "bytes"})
+
+
+def test_serializer_requires_record_field(spark, tmp_location):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    with pytest.raises(UserInputError):
+        Dataset.create(
+            spark, tmp_location, schema, ["id"], record_fields=["payload"],
+            serializers={"id": PickleSerializer()},
+        )
