@@ -1136,6 +1136,17 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN (no SQL oracle: inverted-list assignment is
+    engine-specific; recall benchmarked against ann_cosine_topk)."""
+    from space_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries_df, "vec_id", "embedding", k=5,
+                    n_centroids=16, n_probe=8)
+
+
 def embedding_neardup(spark, sf_dir):
     from space_spark.operators.similarity import neardup_pairs
 
@@ -1239,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "embedding_neardup": embedding_neardup,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_frame_sample": multimodal_frame_sample,

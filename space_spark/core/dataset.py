@@ -301,6 +301,10 @@ class Dataset:
         manifest_rel, files, rows, nbytes = self._write_data_files(df)
         if rows == 0:
             return self  # empty append: skip commit (test_runners.py:83-92)
+        rec_manifests = list(parent.record_manifest_files)
+        rec_rel = self._write_record_manifest_for(files)
+        if rec_rel:
+            rec_manifests.append(rec_rel)
         snap = md.Snapshot(
             snapshot_id=-1,
             parent_snapshot_id=pinned,
@@ -309,9 +313,54 @@ class Dataset:
             num_rows=parent.num_rows + rows,
             data_bytes=parent.data_bytes + nbytes,
             added_files=files,
+            record_manifest_files=rec_manifests,
         )
         self.metadata = self.log.commit_snapshot(pinned, self.branch, snap)
         return self
+
+    def _write_record_manifest_for(self, new_files: List[str]):
+        """Record manifest for blob files referenced by freshly appended
+        data files: one columnar scan of just the address columns (each
+        blob file is written whole by one task, so per-file row counts are
+        exact at append time)."""
+        if not self.record_fields or not new_files:
+            return None
+        phys = self._read_files(new_files)
+        per_field = []
+        for f in self.record_fields:
+            per_field.append(
+                phys.select(
+                    F.col(f)[sc.FILE_COL].alias("rf"), F.lit(f).alias("fld")
+                ).where(F.col("rf").isNotNull())
+            )
+        allrefs = per_field[0]
+        for p in per_field[1:]:
+            allrefs = allrefs.union(p)
+        counts = allrefs.groupBy("rf", "fld").count().collect()
+        if not counts:
+            return None
+        rec_rel = self.log.new_manifest_relpath().replace(
+            "manifest_", "record_manifest_"
+        )
+        mf.write_record_manifest(
+            self.location,
+            self.log.abs_path(rec_rel),
+            [(r["rf"], r["fld"], r["count"]) for r in counts],
+        )
+        return rec_rel
+
+    def record_manifest(self, version=None) -> DataFrame:
+        """Record-file manifest as a queryable DataFrame: one row per
+        (blob file, field) with rows/bytes (reference storage.py:459-480).
+        Counts reflect append time; copy-on-write deletes do not rewrite
+        blobs, so counts are an upper bound on live references."""
+        snap_id = self.metadata.resolve_version(version, self.branch)
+        snapshot = self.metadata.snapshot(snap_id)
+        return mf.read_record_manifests(
+            self.spark,
+            [self.log.abs_path(p)
+             for p in snapshot.record_manifest_files],
+        )
 
     def insert(self, df: DataFrame) -> "Dataset":
         """Append that FAILS if any input primary key exists
@@ -482,6 +531,9 @@ class Dataset:
             # ops/delete.py:113-115,215-228).
             added_files=[],
             deleted_pks_file=deletes_rel,
+            # Blob files are untouched by CoW deletes; their manifests
+            # carry over (counts become an upper bound on live refs).
+            record_manifest_files=list(parent.record_manifest_files),
         )
         self.metadata = self.log.commit_snapshot(pinned, self.branch, snap)
 

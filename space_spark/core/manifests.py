@@ -153,6 +153,56 @@ def write_manifest(
     )
 
 
+RECORD_FIELD_COL = "_FIELD"
+
+RECORD_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField(FILE_PATH_COL, T.StringType(), False),
+        T.StructField(RECORD_FIELD_COL, T.StringType(), False),
+        T.StructField(NUM_ROWS_COL, T.LongType(), False),
+        T.StructField(SIZE_BYTES_COL, T.LongType(), False),
+    ]
+)
+
+
+def write_record_manifest(
+    location: str,
+    manifest_abs_path: str,
+    rows: List[Tuple[str, str, int]],
+) -> None:
+    """Record manifest: one row per (blob file, field) with row count and
+    on-disk bytes (reference manifests/record.py:27-32). ``rows`` are
+    (rel_path, field, num_rows); sizes come from the filesystem."""
+    table = pa.Table.from_pydict(
+        {
+            FILE_PATH_COL: [r[0] for r in rows],
+            RECORD_FIELD_COL: [r[1] for r in rows],
+            NUM_ROWS_COL: pa.array([r[2] for r in rows], pa.int64()),
+            SIZE_BYTES_COL: pa.array(
+                [
+                    os.path.getsize(os.path.join(location, r[0]))
+                    if os.path.exists(os.path.join(location, r[0])) else 0
+                    for r in rows
+                ],
+                pa.int64(),
+            ),
+        },
+        schema=_to_arrow_schema(RECORD_MANIFEST_SCHEMA),
+    )
+    os.makedirs(os.path.dirname(manifest_abs_path), exist_ok=True)
+    pq.write_table(table, manifest_abs_path)
+
+
+def read_record_manifests(
+    spark: SparkSession, manifest_abs_paths: List[str]
+) -> DataFrame:
+    if not manifest_abs_paths:
+        return spark.createDataFrame([], RECORD_MANIFEST_SCHEMA)
+    return spark.read.schema(RECORD_MANIFEST_SCHEMA).parquet(
+        *manifest_abs_paths
+    )
+
+
 def read_manifest_paths(manifest_abs_paths: List[str]) -> List[str]:
     """Just the data-file paths of some manifests (driver-side, cheap)."""
     out: List[str] = []

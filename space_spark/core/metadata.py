@@ -64,6 +64,9 @@ class Snapshot:
     # and a Parquet file holding the primary keys of rows deleted by it.
     added_files: List[str] = dc_field(default_factory=list)
     deleted_pks_file: Optional[str] = None
+    # Record-file manifests (reference record_manifest, manifests/record.py:
+    # 27-32): one row per blob file added by this commit's appends.
+    record_manifest_files: List[str] = dc_field(default_factory=list)
 
     def to_dict(self) -> dict:
         return {
@@ -75,6 +78,7 @@ class Snapshot:
             "data_bytes": self.data_bytes,
             "added_files": self.added_files,
             "deleted_pks_file": self.deleted_pks_file,
+            "record_manifest_files": self.record_manifest_files,
         }
 
     @staticmethod
@@ -88,6 +92,7 @@ class Snapshot:
             data_bytes=d.get("data_bytes", 0),
             added_files=list(d.get("added_files", [])),
             deleted_pks_file=d.get("deleted_pks_file"),
+            record_manifest_files=list(d.get("record_manifest_files", [])),
         )
 
 

@@ -149,6 +149,102 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus partitioned into inverted lists
+    by nearest centroid; each query scans only its ``n_probe`` closest
+    lists.
+
+    Centroids are a deterministic seeded sample of corpus vectors (one
+    k-means sweep would refine them; sampling keeps the operator fully
+    deterministic and dependency-free). Assignment runs as a blocked
+    numpy GEMM against the broadcast centroid matrix; the probe join is a
+    hash shuffle on centroid id — at scale each task touches one inverted
+    list, never the whole corpus."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # Deterministic centroid sample: order by a seeded hash of the id.
+    cent_rows = (
+        v.orderBy(F.xxhash64(F.col("id"), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    )
+    cmat = np.stack(
+        [np.asarray(r["v"], dtype=np.float64) for r in cent_rows]
+    )
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    b_cmat = spark.sparkContext.broadcast(cmat)
+
+    def assign(df: DataFrame, col_alias: str, top_n: int) -> DataFrame:
+        out_schema = T.StructType(
+            df.schema.fields
+            + [T.StructField(col_alias, T.IntegerType())]
+        )
+
+        def task(batches):
+            cm = b_cmat.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+                )
+                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                sims = mat @ cm.T
+                if top_n == 1:
+                    assignments = sims.argmax(axis=1)[:, None]
+                else:
+                    assignments = np.argsort(-sims, axis=1)[:, :top_n]
+                rows = pdf.loc[pdf.index.repeat(assignments.shape[1])]
+                rows = rows.assign(**{col_alias: assignments.ravel()})
+                yield rows
+
+        return df.mapInPandas(task, out_schema)
+
+    c_assigned = (
+        assign(v, "list_id", 1)
+        .withColumnRenamed("id", "neighbor_id")
+        .withColumnRenamed("v", "cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    q_assigned = (
+        assign(q, "list_id", n_probe)
+        .withColumnRenamed("id", "query_id")
+        .withColumnRenamed("v", "qv")
+    )
+
+    scored = (
+        c_assigned.join(q_assigned, on="list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")),
+                                     round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

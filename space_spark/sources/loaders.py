@@ -154,6 +154,10 @@ def append_binary_files(
     )
     if rows == 0:
         raise UserInputError(f"No files match {pattern!r}")
+    rec_manifests = list(parent.record_manifest_files)
+    rec_rel = dataset._write_record_manifest_for(files)
+    if rec_rel:
+        rec_manifests.append(rec_rel)
     snap = md.Snapshot(
         snapshot_id=-1,
         parent_snapshot_id=pinned,
@@ -162,6 +166,7 @@ def append_binary_files(
         num_rows=parent.num_rows + rows,
         data_bytes=parent.data_bytes + nbytes,
         added_files=files,
+        record_manifest_files=rec_manifests,
     )
     dataset.metadata = dataset.log.commit_snapshot(pinned, dataset.branch,
                                                    snap)

@@ -76,7 +76,8 @@ def test_rows_only_queries_run(spark):
         set(entry_mod.queries()) - set(entry_mod.oracle_sql())
     )
     assert rows_only == [
-        "ann_lsh_topk", "dedup_minhash_lsh", "dedup_simhash_pairs"
+        "ann_ivf_topk", "ann_lsh_topk", "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
     ]
     for name in rows_only:
         df = entry_mod.queries()[name](spark, SF_DIR)
