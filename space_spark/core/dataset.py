@@ -679,6 +679,59 @@ class Dataset:
             )
         return out
 
+    # -------------------------------------------------------- schema evolution
+    def add_column(self, name: str, dtype: T.DataType) -> "Dataset":
+        """Add a nullable index column (metadata-only; existing data files
+        simply read NULL for it — Spark schema-on-read fills missing
+        Parquet columns, and absent manifest stats never prune).
+
+        The field-ID machinery the reference stores 'to enable evolution
+        later' (core/schema/arrow.py:28-31) is what makes this safe: the
+        new column gets a fresh ID, never a recycled one."""
+        if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType)):
+            # Nested adds work for reads but complicate stats; keep scalar.
+            raise UserInputError("add_column supports scalar types only")
+
+        def mutate(meta: md.StorageMetadata):
+            if name in meta.schema.fieldNames():
+                raise UserInputError(f"Column {name!r} already exists")
+            if name in meta.retired_columns:
+                raise UserInputError(
+                    f"Column {name!r} was previously dropped; reusing the "
+                    "name would collide with old data files"
+                )
+            next_id = max(meta.field_ids.values(), default=0) + 1
+            meta.schema = T.StructType(
+                meta.schema.fields
+                + [T.StructField(name, dtype, True,
+                                 {sc.FIELD_ID_KEY: next_id})]
+            )
+            meta.field_ids[name] = next_id
+
+        self.metadata = self.log.update_refs(mutate)
+        return self
+
+    def drop_column(self, name: str) -> "Dataset":
+        """Drop a non-PK column (metadata-only: old files keep the bytes,
+        reads project them away; the name is retired so it cannot be
+        re-added against incompatible old files)."""
+
+        def mutate(meta: md.StorageMetadata):
+            if name not in meta.schema.fieldNames():
+                raise UserInputError(f"Column {name!r} not found")
+            if name in meta.primary_keys:
+                raise UserInputError("Cannot drop a primary key column")
+            meta.schema = T.StructType(
+                [f for f in meta.schema.fields if f.name != name]
+            )
+            if name in meta.record_fields:
+                meta.record_fields.remove(name)
+            meta.field_ids.pop(name, None)
+            meta.retired_columns.append(name)
+
+        self.metadata = self.log.update_refs(mutate)
+        return self
+
     # ---------------------------------------------------- retention / vacuum
     def expire_snapshots(self, keep_last: int = 10) -> List[int]:
         """Drop old snapshots from the log (metadata-only; data files are

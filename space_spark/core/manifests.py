@@ -278,8 +278,12 @@ def _prune_files_arrow(
 ) -> List[str]:
     import pyarrow.compute as pc
 
+    # "permissive": manifests written before a schema-evolution add_column
+    # lack the new _STATS_ column; concat unifies them with nulls (null
+    # stats never prune — safe).
     tbl = pa.concat_tables(
-        [pq.read_table(p) for p in manifest_abs_paths], promote_options="none"
+        [pq.read_table(p) for p in manifest_abs_paths],
+        promote_options="permissive",
     )
     if exclude_files:
         tbl = tbl.filter(

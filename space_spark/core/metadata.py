@@ -114,6 +114,9 @@ class StorageMetadata:
     # record field name -> relpath of a cloudpickled FieldSerializer
     # (TfFeatures-analog; reference metadata.proto:195-202 registry shape).
     serializers: Dict[str, str] = dc_field(default_factory=dict)
+    # Names dropped by schema evolution; never reusable (old data files
+    # still carry their bytes under the old type).
+    retired_columns: List[str] = dc_field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -133,6 +136,7 @@ class StorageMetadata:
                 "logical_plan": self.logical_plan,
                 "udf_registry": self.udf_registry,
                 "serializers": self.serializers,
+                "retired_columns": self.retired_columns,
             },
             indent=1,
         )
@@ -155,6 +159,7 @@ class StorageMetadata:
             logical_plan=d.get("logical_plan"),
             udf_registry=d.get("udf_registry", {}),
             serializers=d.get("serializers", {}),
+            retired_columns=list(d.get("retired_columns", [])),
         )
 
     # -- version resolution (core/storage.py:224-236) -----------------------
