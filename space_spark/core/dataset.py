@@ -41,6 +41,7 @@ from space_spark.core.expressions import Expr, Field
 from space_spark.errors import (
     PrimaryKeyExistError,
     SpaceError,
+    TransactionConflictError,
     UserInputError,
 )
 
@@ -289,34 +290,55 @@ class Dataset:
         )
         return manifest_rel, rel_files, rows, nbytes
 
+    # Concurrent appends retry the (cheap, metadata-only) commit this many
+    # times before surfacing the conflict.
+    APPEND_COMMIT_RETRIES = 5
+
     def append(self, df: DataFrame) -> "Dataset":
-        """Blind append — no PK check (runners.py:239-244)."""
+        """Blind append — no PK check (runners.py:239-244).
+
+        Appends commute: if another writer advanced the head between our
+        pin and commit, the already-written data files are still valid —
+        only the snapshot record needs rebuilding against the new parent.
+        So a conflicting append retries the METADATA commit (no data
+        rewrite) instead of aborting; true aborts remain for operations
+        whose reads the new head invalidates (delete/insert/upsert)."""
         df = self._align(df)
         # Transactions pin the head AFTER a reload (reference reloads at txn
         # start, core/storage.py:587-593) so stale handles re-pin instead of
-        # spuriously conflicting; true races still abort at commit.
+        # spuriously conflicting.
         self.reload()
-        pinned = self.current_snapshot_id
-        parent = self.metadata.snapshot(pinned)
         manifest_rel, files, rows, nbytes = self._write_data_files(df)
         if rows == 0:
             return self  # empty append: skip commit (test_runners.py:83-92)
-        rec_manifests = list(parent.record_manifest_files)
         rec_rel = self._write_record_manifest_for(files)
-        if rec_rel:
-            rec_manifests.append(rec_rel)
-        snap = md.Snapshot(
-            snapshot_id=-1,
-            parent_snapshot_id=pinned,
-            created_at="",
-            manifest_files=parent.manifest_files + [manifest_rel],
-            num_rows=parent.num_rows + rows,
-            data_bytes=parent.data_bytes + nbytes,
-            added_files=files,
-            record_manifest_files=rec_manifests,
-        )
-        self.metadata = self.log.commit_snapshot(pinned, self.branch, snap)
-        return self
+
+        last_err = None
+        for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
+            pinned = self.current_snapshot_id
+            parent = self.metadata.snapshot(pinned)
+            rec_manifests = list(parent.record_manifest_files)
+            if rec_rel:
+                rec_manifests.append(rec_rel)
+            snap = md.Snapshot(
+                snapshot_id=-1,
+                parent_snapshot_id=pinned,
+                created_at="",
+                manifest_files=parent.manifest_files + [manifest_rel],
+                num_rows=parent.num_rows + rows,
+                data_bytes=parent.data_bytes + nbytes,
+                added_files=files,
+                record_manifest_files=rec_manifests,
+            )
+            try:
+                self.metadata = self.log.commit_snapshot(
+                    pinned, self.branch, snap
+                )
+                return self
+            except TransactionConflictError as e:
+                last_err = e
+                self.reload()
+        raise last_err
 
     def _write_record_manifest_for(self, new_files: List[str]):
         """Record manifest for blob files referenced by freshly appended

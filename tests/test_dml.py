@@ -130,3 +130,34 @@ def test_concurrent_commit_conflict(spark, tmp_location):
     )
     with pytest.raises(TransactionConflictError):
         d1.log.commit_snapshot(pinned, "main", snap)
+
+
+def test_truly_concurrent_appends_both_commit(spark, tmp_location):
+    """Two writers appending at the same time: appends commute, so both
+    must land (the loser's commit retries against the new head)."""
+    import threading
+
+    d0 = Dataset.create(spark, tmp_location, SIMPLE, ["int64"])
+    handles = [Dataset.load(spark, tmp_location) for _ in range(3)]
+    barrier = threading.Barrier(3)
+    errors = []
+
+    def run(i, h):
+        try:
+            barrier.wait(timeout=60)
+            h.append(simple_df(spark, range(i * 1000, i * 1000 + 20)))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=run, args=(i, h))
+        for i, h in enumerate(handles)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert errors == []
+    d0.reload()
+    assert d0.read().count() == 60
+    assert d0.current_snapshot_id == 3  # three serialized commits
