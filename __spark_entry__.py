@@ -176,7 +176,7 @@ def q3_shipping_priority(spark, sf_dir):
         F.col("revenue").desc(), F.col("l_orderkey").asc()
     )
     return (
-        rev.withColumn("rnk", F.row_number().over(w))
+        rev.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 5)
         .select("c_mktsegment", "l_orderkey", "revenue", "rnk")
     )
@@ -344,7 +344,7 @@ def q_window_top_orders(spark, sf_dir):
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        orders.withColumn("rnk", F.row_number().over(w))
+        orders.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
     )
@@ -367,7 +367,7 @@ def q_window_user_events(spark, sf_dir):
     return ev.select(
         "user_id",
         "event_id",
-        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w).cast("long").alias("rn"),
         F.coalesce(F.lag("event_type").over(w), F.lit("none"))
         .alias("prev_type"),
     )
@@ -430,7 +430,7 @@ WITH e AS (
   FROM sess GROUP BY user_id, session_id
 )
 SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
-       SUM(n_events) AS total_events
+       SUM(n_events)::BIGINT AS total_events
 FROM per_session GROUP BY user_id
 """
 
@@ -595,7 +595,7 @@ def q7_nation_volume(spark, sf_dir):
         .join(n2, cust.c_nationkey == n2.ck)
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation",
-                 F.year("l_shipdate").alias("l_year"))
+                 F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
                        "volume"))
     )
@@ -1102,7 +1102,8 @@ def ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
     return cosine_topk(emb, queries_df, "vec_id", "embedding", k=5).select(
-        "query_id", "neighbor_id", "score", F.col("rank").alias("rnk")
+        "query_id", "neighbor_id", "score",
+        F.col("rank").cast("long").alias("rnk"),
     )
 
 

@@ -32,6 +32,10 @@ def run_duck(sql: str) -> pd.DataFrame:
     return con.execute(sql).df()
 
 
+def dtype_kinds(df: pd.DataFrame) -> dict:
+    return {c: df[c].dtype.kind for c in df.columns}
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -57,8 +61,21 @@ ORACLED = sorted(entry_mod.oracle_sql().keys())
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, name):
     q = entry_mod.queries()[name]
-    spark_pdf = normalize(q(spark, SF_DIR).toPandas())
-    duck_pdf = normalize(run_duck(entry_mod.oracle_sql()[name]))
+    spark_raw = q(spark, SF_DIR).toPandas()
+    duck_raw = run_duck(entry_mod.oracle_sql()[name])
+    # Strict dtype-family agreement: an int column on one side must not be
+    # a float on the other (e.g. DuckDB HUGEINT -> float64), or the
+    # driver's value hash can differ even when values are numerically
+    # equal. 'O' (object/str) vs int is also a mismatch.
+    sk, dk = dtype_kinds(spark_raw), dtype_kinds(duck_raw)
+    mismatched = {
+        c: (sk.get(c), dk.get(c))
+        for c in set(sk) | set(dk)
+        if sk.get(c) != dk.get(c)
+    }
+    assert not mismatched, f"{name}: dtype-kind mismatch {mismatched}"
+    spark_pdf = normalize(spark_raw)
+    duck_pdf = normalize(duck_raw)
     assert list(spark_pdf.columns) == list(duck_pdf.columns), (
         f"{name}: column mismatch {spark_pdf.columns} vs {duck_pdf.columns}"
     )
