@@ -935,6 +935,38 @@ WHERE c_custkey IN (1, 5, 9, 999999)
 """
 
 
+def space_lineitem_clustered(spark, sf_dir):
+    """Full-scale lifecycle: the largest table through the storage engine
+    with clustered (range-partitioned) files, so the range predicate
+    prunes most files via manifest stats before Catalyst ever plans."""
+    from space_spark import Dataset, field
+
+    li = _t(spark, sf_dir, "lineitem")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/lineitem_big", li.schema,
+        ["l_orderkey", "l_linenumber"],
+    )
+    ds.append(li, cluster_by=["l_orderkey"], target_files=16)
+    pruned = ds.read(
+        filter_=(field("l_orderkey") >= 1000) & (field("l_orderkey") < 2000)
+    )
+    return pruned.groupBy("l_returnflag").agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SPACE_LINEITEM_SQL = f"""
+SELECT l_returnflag,
+  {MONEY_SUM('l_extendedprice*(1-l_discount)', 'revenue')},
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_orderkey >= 1000 AND l_orderkey < 2000
+GROUP BY l_returnflag
+"""
+
+
 def space_record_fields(spark, sf_dir):
     """S5/S7: record-field blob storage roundtrip through address structs."""
     from space_spark import Dataset
@@ -1243,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "space_filter_udf": space_filter_udf,
         "space_record_fields": space_record_fields,
         "space_read_by_keys": space_read_by_keys,
+        "space_lineitem_clustered": space_lineitem_clustered,
         # training-data pipeline operators
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1291,6 +1324,7 @@ def oracle_sql() -> dict[str, str]:
         "space_filter_udf": SPACE_FILTER_UDF_SQL,
         "space_record_fields": SPACE_RECORD_SQL,
         "space_read_by_keys": SPACE_READ_BY_KEYS_SQL,
+        "space_lineitem_clustered": SPACE_LINEITEM_SQL,
         "dedup_exact_documents": DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
         "text_stats": TEXT_STATS_SQL,

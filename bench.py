@@ -34,6 +34,11 @@ def build_session(cpus: int) -> SparkSession:
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # Long driver sessions accumulate shuffle/broadcast state that the
+        # ContextCleaner only releases on JVM GC; with a large heap full
+        # GCs are rare and later queries degrade 3-5x. Default interval is
+        # 30min — far longer than this benchmark.
+        .config("spark.cleaner.periodicGC.interval", "30s")
         .getOrCreate()
     )
 
@@ -50,7 +55,10 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
+    for i, (name, fn) in enumerate(entry_mod.queries().items()):
+        if i % 8 == 7:
+            # Deterministic cleanup point (see periodicGC note above).
+            spark._jvm.System.gc()
         start = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()

@@ -294,8 +294,20 @@ class Dataset:
     # times before surfacing the conflict.
     APPEND_COMMIT_RETRIES = 5
 
-    def append(self, df: DataFrame) -> "Dataset":
+    def append(
+        self,
+        df: DataFrame,
+        cluster_by: Optional[Sequence[str]] = None,
+        target_files: Optional[int] = None,
+    ) -> "Dataset":
         """Blind append — no PK check (runners.py:239-244).
+
+        ``cluster_by``: range-partition + sort the input on these columns
+        before writing, so each data file covers a DISJOINT value range and
+        manifest min/max pruning selects ~one file per point lookup instead
+        of all of them. This is the write-side layout lever for 100 TB
+        tables (the reference's storage has no clustering; Spark gives it
+        to us as a repartitionByRange).
 
         Appends commute: if another writer advanced the head between our
         pin and commit, the already-written data files are still valid —
@@ -304,6 +316,16 @@ class Dataset:
         rewrite) instead of aborting; true aborts remain for operations
         whose reads the new head invalidates (delete/insert/upsert)."""
         df = self._align(df)
+        if cluster_by:
+            unknown = set(cluster_by) - set(self.schema.fieldNames())
+            if unknown:
+                raise UserInputError(f"Unknown cluster columns: {unknown}")
+            n = target_files or self.spark.sparkContext.defaultParallelism
+            df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        elif target_files:
+            df = df.repartition(target_files)
         # Transactions pin the head AFTER a reload (reference reloads at txn
         # start, core/storage.py:587-593) so stale handles re-pin instead of
         # spuriously conflicting.

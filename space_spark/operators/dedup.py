@@ -101,7 +101,11 @@ def ngram_jaccard_pairs(
         "doc", "n_shingles",
         F.explode(F.transform("shingles", _hash64)).alias("shingle"),
     )
-    a = exploded.alias("a")
+    # Hash-shuffle the self-join on the shingle key: AQE would happily
+    # broadcast the exploded side at small scale, which is both flaky under
+    # memory pressure and impossible at corpus scale — pin the plan that
+    # survives 100x growth.
+    a = exploded.alias("a").hint("shuffle_hash")
     b = exploded.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

@@ -142,3 +142,25 @@ def test_table_already_exists(spark, tmp_location):
     Dataset.create(spark, tmp_location, ALL_TYPES, ["int64"])
     with pytest.raises(SpaceError):
         Dataset.create(spark, tmp_location, ALL_TYPES, ["int64"])
+
+
+def test_clustered_append_prunes_to_one_file(spark, tmp_location):
+    """cluster_by gives files disjoint key ranges: a point predicate must
+    prune to a single file."""
+    from pyspark.sql import Row
+
+    ds = Dataset.create(spark, tmp_location, ALL_TYPES, ["int64"])
+    rows = [
+        Row(int64=i, float64=i / 10.0, bool=False, string=f"s{i}")
+        for i in range(1000)
+    ]
+    ds.append(
+        spark.createDataFrame(rows, ALL_TYPES),
+        cluster_by=["int64"], target_files=8,
+    )
+    all_files = ds.data_files()
+    assert len(all_files) == 8
+    hit = ds.data_files(field("int64") == 500)
+    assert len(hit) == 1  # disjoint ranges -> exactly one file can match
+    got = ds.read(filter_=field("int64") == 500).collect()
+    assert len(got) == 1 and got[0].string == "s500"

@@ -127,3 +127,31 @@ def test_join_view_cannot_materialize(spark, tmp_location):
     view = left.join(right, keys="int64")
     with pytest.raises(SpaceError):
         view.materialize(spark, tmp_location + "_mv2")
+
+
+def test_chained_transforms_materialize_and_refresh(spark, tmp_location):
+    """map -> filter chained plan must persist, reload, and refresh."""
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["int64"])
+
+    def mk_map():
+        def m(batch):
+            return {"int64": batch["int64"], "double": batch["float64"] * 2}
+        return m
+
+    view = (
+        ds.map_batches(mk_map(), DOUBLE_SCHEMA)
+        .filter(lambda row: row["double"] >= 1.0, input_fields=["double"])
+    )
+    mv = view.materialize(spark, tmp_location + "_chain_mv")
+    ds.append(simple_df(spark, range(10)))
+    mv.refresh()
+    got = mv.read().orderBy("int64").collect()
+    # double = i/5; kept where >= 1.0 -> i >= 5
+    assert [r.int64 for r in got] == [5, 6, 7, 8, 9]
+
+    # Reload from disk: chained plan reconstructs and keeps refreshing.
+    mv2 = MaterializedView.load(spark, tmp_location + "_chain_mv")
+    ds.append(simple_df(spark, [20, 1]))
+    mv2.refresh()
+    got = mv2.read().orderBy("int64").collect()
+    assert [r.int64 for r in got] == [5, 6, 7, 8, 9, 20]
