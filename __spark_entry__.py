@@ -34,6 +34,10 @@ EMB_DIM = 64
 
 # --------------------------------------------------------------------- utils
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Timestamp literals in filters are interpreted in the SESSION timezone
+    # while DuckDB is timezone-naive — pin UTC regardless of how the
+    # harness built the session (dynamic SQL conf, safe to set per query).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -83,7 +87,14 @@ def _cosine_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
 
 
 def _space_tmp() -> str:
-    return tempfile.mkdtemp(prefix="space_q_")
+    """Temp table location, removed at interpreter exit (a bench run
+    builds ~10 throwaway space tables; don't leak them into /tmp)."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix="space_q_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 # ---------------------------------------------------------------- flagship
