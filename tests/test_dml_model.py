@@ -1,0 +1,130 @@
+"""Model-based DML check: a random sequence of append/insert/upsert/delete
+against a space table must agree with a plain in-memory dict model, at
+every step and for every historical snapshot (time travel).
+
+This is the storage-engine analog of the oracle queries: the model is the
+spec, hypothesis drives the op sequences.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from space_spark import Dataset, PrimaryKeyExistError, field
+from space_spark.errors import UserInputError
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("pk", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+# Ops: (kind, ids) — values derive deterministically from a step counter
+# so upserts actually change rows.
+OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "insert", "upsert", "delete_lt",
+                         "delete_between"]),
+        st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+                 max_size=5, unique=True),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=OPS)
+def test_dml_sequence_matches_model(spark, ops):
+    location = tempfile.mkdtemp(prefix="space_model_") + "/t"
+    try:
+        ds = Dataset.create(spark, location, SCHEMA, ["pk"])
+        model = {}  # pk -> v
+        history = [dict(model)]  # model state per snapshot id
+
+        def df_for(ids, step):
+            return spark.createDataFrame(
+                [Row(pk=i, v=i * 1000 + step) for i in ids], SCHEMA
+            )
+
+        for step, (kind, ids) in enumerate(ops):
+            before = ds.current_snapshot_id
+            if kind == "append":
+                # Blind append doesn't enforce PKs; appending an existing
+                # pk would fork the dict model into a multiset, so only
+                # append fresh ids (un-enforced-PK duplication is covered
+                # separately below).
+                ids = [i for i in ids if i not in model]
+                if not ids:
+                    continue
+                ds.append(df_for(ids, step))
+                for i in ids:
+                    model[i] = i * 1000 + step
+            elif kind == "insert":
+                try:
+                    ds.insert(df_for(ids, step))
+                    for i in ids:
+                        assert i not in model
+                        model[i] = i * 1000 + step
+                except PrimaryKeyExistError:
+                    assert any(i in model for i in ids)
+            elif kind == "upsert":
+                ds.upsert(df_for(ids, step))
+                for i in ids:
+                    model[i] = i * 1000 + step
+            elif kind == "delete_lt":
+                bound = ids[0]
+                ds.delete(field("pk") < bound)
+                model = {k: v for k, v in model.items() if not k < bound}
+            elif kind == "delete_between":
+                lo, hi = min(ids), max(ids)
+                ds.delete((field("pk") >= lo) & (field("pk") <= hi))
+                model = {k: v for k, v in model.items()
+                         if not (lo <= k <= hi)}
+            # Record model state for every snapshot committed by this op
+            # (upsert commits up to twice: delete then append).
+            after = ds.current_snapshot_id
+            while len(history) <= after:
+                history.append(None)
+            history[after] = dict(model)
+
+            got = {
+                r.pk: r.v
+                for r in ds.read().collect()
+            }
+            # Blind appends of existing pks create duplicates the dict
+            # model can't hold; restrict comparison to count parity first.
+            assert got == model, f"step {step} {kind} {ids}"
+
+        # Time travel: every recorded snapshot state must replay.
+        for sid, state in enumerate(history):
+            if state is None:
+                continue
+            got = {r.pk: r.v for r in ds.read(version=sid).collect()}
+            assert got == state, f"snapshot {sid}"
+    finally:
+        shutil.rmtree(location, ignore_errors=True)
+
+
+def test_blind_append_allows_duplicate_pks(spark):
+    """PKs are declared but UN-enforced for append (reference
+    metadata.proto:80, datasets.py:51): blind-appending the same pk twice
+    yields two rows."""
+    location = tempfile.mkdtemp(prefix="space_dup_") + "/t"
+    try:
+        ds = Dataset.create(spark, location, SCHEMA, ["pk"])
+        ds.append(spark.createDataFrame([Row(pk=1, v=10)], SCHEMA))
+        ds.append(spark.createDataFrame([Row(pk=1, v=20)], SCHEMA))
+        rows = sorted(r.v for r in ds.read().collect())
+        assert rows == [10, 20]
+    finally:
+        shutil.rmtree(location, ignore_errors=True)

@@ -155,3 +155,39 @@ def test_chained_transforms_materialize_and_refresh(spark, tmp_location):
     mv2.refresh()
     got = mv2.read().orderBy("int64").collect()
     assert [r.int64 for r in got] == [5, 6, 7, 8, 9, 20]
+
+
+def test_reference_read_join(spark, tmp_location):
+    """J3: joining on record ADDRESSES instead of blob values (reference
+    views.py:183-224) — builds joined training indexes without copying
+    blobs; Spark joins struct columns natively (no flatten/refold hack,
+    cf. transform/join.py:119-135)."""
+    left_schema = T.StructType(
+        [
+            T.StructField("int64", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+    left = Dataset.create(
+        spark, tmp_location + "_refl", left_schema, ["int64"],
+        record_fields=["blob"],
+    )
+    left.append(
+        spark.createDataFrame(
+            [(i, f"payload{i}".encode()) for i in range(10)], left_schema
+        )
+    )
+    right = Dataset.create(spark, tmp_location + "_refr", RIGHT, ["int64"])
+    right.append(right_df(spark, range(5, 15)))
+
+    view = left.join(right, keys="int64", left_reference_read=True)
+    got = view.read().orderBy("int64").collect()
+    assert [r.int64 for r in got] == list(range(5, 10))
+    # blob column holds ADDRESSES, not bytes.
+    assert got[0].blob._FILE.startswith("records/blob_")
+    assert isinstance(got[0].blob._ROW_ID, int)
+    assert got[0].string == "s5"
+
+    # Without the flag the same join resolves blob values.
+    resolved = left.join(right, keys="int64").read().orderBy("int64").collect()
+    assert resolved[0].blob == b"payload5"
