@@ -656,6 +656,96 @@ WHERE l_quantity < 0.5 * avg_qty
 """
 
 
+def q12_late_shipments(spark, sf_dir):
+    """Q12 shape: per order priority, how many lineitems shipped more than
+    90 days after the order date (epoch-second arithmetic keeps the
+    comparison engine-exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late = (
+        F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate")
+        > 90 * 86400
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+Q12_SQL = """
+SELECT o_orderpriority,
+  SUM(CASE WHEN epoch(l_shipdate) - epoch(o_orderdate) > 90*86400
+      THEN 1 ELSE 0 END)::BIGINT AS n_late,
+  COUNT(*) AS n_total
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q14_promo_revenue_share(spark, sf_dir):
+    """Q14 shape: share of revenue from PROMO-type parts (ratio of two
+    exact integer-domain sums -> engine-exact double)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev_cents)
+                    .otherwise(F.lit(0).cast("long")))
+            / F.sum(rev_cents),
+            6,
+        ).alias("promo_share_pct")
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(
+  100.0 * SUM(CASE WHEN p_type = 'PROMO'
+              THEN CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+              ELSE 0 END)
+        / SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)),
+  6) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q19_bracketed_revenue(spark, sf_dir):
+    """Q19 shape: OR-of-AND brackets over brand/size/quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity") >= 1)
+         & (F.col("l_quantity") <= 11) & (F.col("p_size") <= 5))
+        | ((F.col("p_brand") == "Brand#12") & (F.col("l_quantity") >= 10)
+           & (F.col("l_quantity") <= 20) & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "Brand#15") & (F.col("l_quantity") >= 20)
+           & (F.col("l_quantity") <= 30) & (F.col("p_size") <= 15))
+    )
+    return j.where(cond).agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q19_SQL = f"""
+SELECT {MONEY_SUM('l_extendedprice*(1-l_discount)', 'revenue')},
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+   OR (p_brand = 'Brand#12' AND l_quantity BETWEEN 10 AND 20
+       AND p_size <= 10)
+   OR (p_brand = 'Brand#15' AND l_quantity BETWEEN 20 AND 30
+       AND p_size <= 15)
+"""
+
+
 def q_asof_signup(spark, sf_dir):
     """As-of join (absent in the reference, SURVEY.md §2.3): for each
     event, the user's most recent signup-event time at or before it."""
@@ -1272,6 +1362,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_bal_supplier": q2_min_bal_supplier,
         "q7_nation_volume": q7_nation_volume,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q12_late_shipments": q12_late_shipments,
+        "q14_promo_revenue_share": q14_promo_revenue_share,
+        "q19_bracketed_revenue": q19_bracketed_revenue,
         "q_asof_signup": q_asof_signup,
         "q_range_band": q_range_band,
         # space table API (SURVEY.md §2 operators)
@@ -1322,6 +1415,9 @@ def oracle_sql() -> dict[str, str]:
         "q2_min_bal_supplier": Q2_SQL,
         "q7_nation_volume": Q7_SQL,
         "q17_small_quantity_revenue": Q17_SQL,
+        "q12_late_shipments": Q12_SQL,
+        "q14_promo_revenue_share": Q14_SQL,
+        "q19_bracketed_revenue": Q19_SQL,
         "q_asof_signup": Q_ASOF_SQL,
         "q_range_band": Q_RANGE_SQL,
         "space_filter_project": SPACE_FILTER_SQL,

@@ -191,3 +191,24 @@ def test_reference_read_join(spark, tmp_location):
     # Without the flag the same join resolves blob values.
     resolved = left.join(right, keys="int64").read().orderBy("int64").collect()
     assert resolved[0].blob == b"payload5"
+
+
+def test_filter_view_mv_refresh_delete_semantics(spark, tmp_location):
+    """Filter-view MVs: CDF deletes are PK-only and bypass the UDF, so the
+    delete applies to the MV even for rows the filter never admitted
+    (documented over-delete is a no-op there) — reference views.py:166-169,
+    runners.py:79-96."""
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["int64"])
+    view = ds.filter_view(lambda row: row["int64"] % 2 == 0)
+    mv = view.materialize(spark, tmp_location + "_fmv")
+
+    ds.append(simple_df(spark, range(10)))
+    mv.refresh()
+    assert [r.int64 for r in mv.read().orderBy("int64").collect()] == \
+        [0, 2, 4, 6, 8]
+
+    # Source deletes 3 (odd: never in MV) and 4 (even: in MV).
+    ds.delete((field("int64") == 3) | (field("int64") == 4))
+    mv.refresh()
+    assert [r.int64 for r in mv.read().orderBy("int64").collect()] == \
+        [0, 2, 6, 8]
