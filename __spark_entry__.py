@@ -805,6 +805,77 @@ GROUP BY band
 """
 
 
+def q_grouping_sets(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(f"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n,
+               -- 100.0D: Spark SQL parses a bare 100.0 literal as DECIMAL
+               -- (unlike F.lit), which would decimal-type the division.
+               SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0D AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+    """)
+
+
+Q_GROUPING_SETS_SQL = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n, {MONEY_SUM('o_totalprice', 'total')}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+"""
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (identical linear-interpolation
+    semantics in Spark percentile() and DuckDB quantile_cont)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90"),
+        F.round(F.min("c_acctbal"), 4).alias("lo"),
+        F.round(F.max("c_acctbal"), 4).alias("hi"),
+    )
+
+
+Q_PERCENTILES_SQL = """
+SELECT c_mktsegment,
+  ROUND(quantile_cont(c_acctbal, 0.5)::DOUBLE, 4) AS p50,
+  ROUND(quantile_cont(c_acctbal, 0.9)::DOUBLE, 4) AS p90,
+  ROUND(MIN(c_acctbal), 4) AS lo,
+  ROUND(MAX(c_acctbal), 4) AS hi
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_string_functions(spark, sf_dir):
+    """Scalar string-function surface over part names."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("upper_name"),
+        F.substring("p_name", 1, 5).alias("prefix5"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+    )
+
+
+Q_STRING_SQL = """
+SELECT p_partkey, UPPER(p_name) AS upper_name,
+  substring(p_name, 1, 5) AS prefix5,
+  length(p_name)::BIGINT AS name_len,
+  concat_ws('|', p_brand, p_type) AS brand_type,
+  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+FROM part
+"""
+
+
 # --- space table API parity queries ---------------------------------------
 def space_filter_project(spark, sf_dir):
     """S1-S4,P1-P3: create/append/read with manifest pruning + projection."""
@@ -1359,6 +1430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_intersect": q_intersect,
         "q_except": q_except,
         "q_brand_supplier_stats": q_brand_supplier_stats,
+        "q_grouping_sets": q_grouping_sets,
+        "q_percentiles": q_percentiles,
+        "q_string_functions": q_string_functions,
         "q2_min_bal_supplier": q2_min_bal_supplier,
         "q7_nation_volume": q7_nation_volume,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -1412,6 +1486,9 @@ def oracle_sql() -> dict[str, str]:
         "q_intersect": Q_INTERSECT_SQL,
         "q_except": Q_EXCEPT_SQL,
         "q_brand_supplier_stats": Q_BRAND_SQL,
+        "q_grouping_sets": Q_GROUPING_SETS_SQL,
+        "q_percentiles": Q_PERCENTILES_SQL,
+        "q_string_functions": Q_STRING_SQL,
         "q2_min_bal_supplier": Q2_SQL,
         "q7_nation_volume": Q7_SQL,
         "q17_small_quantity_revenue": Q17_SQL,
