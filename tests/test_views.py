@@ -212,3 +212,28 @@ def test_filter_view_mv_refresh_delete_semantics(spark, tmp_location):
     mv.refresh()
     assert [r.int64 for r in mv.read().orderBy("int64").collect()] == \
         [0, 2, 6, 8]
+
+
+def test_join_field_selection(spark, tmp_location):
+    """Field-selection variants of the join view (reference parametrizes
+    these, tests/ray/test_runners.py:356-460)."""
+    left = Dataset.create(spark, tmp_location + "_fsl", SIMPLE, ["int64"])
+    right = Dataset.create(spark, tmp_location + "_fsr", RIGHT, ["int64"])
+    left.append(simple_df(spark, range(10)))
+    right.append(right_df(spark, range(5, 15)))
+
+    # Left side restricted to the key only; right keeps its value column.
+    v1 = left.join(right, keys="int64", left_fields=["int64"])
+    assert v1.read().columns == ["int64", "string"]
+
+    # Explicit both-side selection; key auto-included.
+    v2 = left.join(right, keys="int64", left_fields=["float64"],
+                   right_fields=["string"])
+    got = v2.read().orderBy("int64").collect()
+    assert v2.read().columns == ["int64", "float64", "string"]
+    assert got[0].float64 == 0.5 and got[0].string == "s5"
+
+    # Swapped sides produce the mirrored schema.
+    v3 = right.join(left, keys="int64")
+    assert v3.read().columns[0] == "int64"
+    assert set(v3.read().columns) == {"int64", "string", "float64"}
