@@ -914,6 +914,17 @@ class Dataset:
         return out
 
     # ------------------------------------------------------------------ views
+    # ------------------------------------------------------------ runners
+    def local(self):
+        """Reference-compat runner (ds.local().read_all() etc.); Spark is
+        the single engine so local() and ray() are the same adapter
+        (core/runners.py:203-287)."""
+        from space_spark.core.runners import SparkRunner
+
+        return SparkRunner(self)
+
+    ray = local  # one engine: the distributed runner IS the local one
+
     def map_batches(self, fn, output_schema, input_fields=None,
                     output_record_fields=(), batch_size=None):
         from space_spark.core.views import View

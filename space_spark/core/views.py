@@ -465,6 +465,14 @@ class MaterializedView:
     def spark(self):
         return self.dataset.spark
 
+    def local(self):
+        """Reference-compat runner (mv.ray().refresh() etc.)."""
+        from space_spark.core.runners import SparkRunner
+
+        return SparkRunner(self)
+
+    ray = local
+
     def read(self, **kwargs) -> DataFrame:
         """Fast path: read materialized storage (ray/runners.py:147-172)."""
         return self.dataset.read(**kwargs)
