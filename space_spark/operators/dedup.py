@@ -33,6 +33,19 @@ from pyspark.sql import functions as F
 MERSENNE_P = (1 << 31) - 1
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """CPU-heavy per-row work (shingling/hashing) parallelizes only as far
+    as the input partitioning — and a small parquet file arrives as ONE
+    partition, serializing everything onto one core. Repartition up to the
+    cluster's parallelism when the input is under-split (cheap: it only
+    shuffles raw text)."""
+    sc_ = df.sparkSession.sparkContext
+    target = sc_.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def _norm_tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
@@ -91,6 +104,7 @@ def ngram_jaccard_pairs(
     per pair, then Jaccard = common / (|A| + |B| - common). Scales as the
     number of SHARED shingles, not n^2. Jaccard is a ratio of exact ints —
     bit-identical in any engine."""
+    df = _fan_out(df)
     shingled = df.select(
         F.col(id_col).alias("doc"),
         _token_ngrams(F.col(text_col), n).alias("shingles"),
@@ -223,6 +237,7 @@ def minhash_lsh_pairs(
        standard sub-quadratic path; bucket skew is bounded by band width.
     3. Exact n-gram Jaccard verification of candidates only.
     """
+    df = _fan_out(df)
     rows_per_band = num_perm // bands
     # Shingle hashing runs JVM-side; the num_perm affine permutations +
     # mins run as ONE vectorized numpy kernel in mapInArrow. (Catalyst

@@ -105,7 +105,14 @@ def fingerprint(text: Column) -> Column:
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """All per-document text statistics in one projection (single pass)."""
+    """All per-document text statistics in one projection (single pass).
+
+    Input is repartitioned up to cluster parallelism when under-split — a
+    single-file corpus otherwise runs every (interpreted) string kernel on
+    one core."""
+    sc_ = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < max(2, sc_.defaultParallelism // 2):
+        df = df.repartition(sc_.defaultParallelism)
     t = F.col(text_col)
     return df.select(
         "*",
