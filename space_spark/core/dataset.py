@@ -299,6 +299,7 @@ class Dataset:
         df: DataFrame,
         cluster_by: Optional[Sequence[str]] = None,
         target_files: Optional[int] = None,
+        commit_mutate=None,
     ) -> "Dataset":
         """Blind append — no PK check (runners.py:239-244).
 
@@ -331,8 +332,11 @@ class Dataset:
         # spuriously conflicting.
         self.reload()
         manifest_rel, files, rows, nbytes = self._write_data_files(df)
-        if rows == 0:
+        if rows == 0 and commit_mutate is None:
             return self  # empty append: skip commit (test_runners.py:83-92)
+        # With commit_mutate set, even an empty append commits (a metadata-
+        # only snapshot) so the caller's progress marker lands atomically
+        # (MV refresh of a filtered-to-zero source snapshot).
         rec_rel = self._write_record_manifest_for(files)
 
         last_err = None
@@ -346,15 +350,16 @@ class Dataset:
                 snapshot_id=-1,
                 parent_snapshot_id=pinned,
                 created_at="",
-                manifest_files=parent.manifest_files + [manifest_rel],
+                manifest_files=(parent.manifest_files + [manifest_rel]
+                                if rows > 0 else list(parent.manifest_files)),
                 num_rows=parent.num_rows + rows,
                 data_bytes=parent.data_bytes + nbytes,
-                added_files=files,
+                added_files=files if rows > 0 else [],
                 record_manifest_files=rec_manifests,
             )
             try:
                 self.metadata = self.log.commit_snapshot(
-                    pinned, self.branch, snap
+                    pinned, self.branch, snap, mutate=commit_mutate
                 )
                 return self
             except TransactionConflictError as e:
@@ -438,21 +443,44 @@ class Dataset:
         return self.append(df)
 
     def upsert(self, df: DataFrame) -> "Dataset":
-        """Delete rows matching input PKs, then append input
-        (ops/insert.py:93-99: upsert = delete-then-append)."""
+        """Replace rows matching input PKs and append the input, as ONE
+        snapshot commit (reference merges both patches into one commit,
+        ops/insert.py:93-99 + merge_patches) — a reader never observes the
+        intermediate deleted state, and a crash cannot durably lose the
+        new rows after dropping the old ones."""
         df = self._align(df)
         self.reload()
-        self._check_duplicate_pks(df)
-        self._delete_matching(df.select(*self.primary_keys))
-        return self.append(df)
-
-    def _check_duplicate_pks(self, df: DataFrame) -> None:
-        pks = self.primary_keys
-        dup = (
-            df.groupBy(*pks).count().where(F.col("count") > 1).limit(1).count()
+        n_keys = self._check_duplicate_pks(df)
+        if n_keys == 0:
+            return self
+        pinned = self.current_snapshot_id
+        affected, survivors, deleted = self._matching_delete_parts(
+            df.select(*self.primary_keys), n_keys=n_keys
         )
-        if dup:
+        manifest_rel, files, rows, nbytes = self._write_data_files(df)
+        rec_rel = self._write_record_manifest_for(files)
+        self._commit_rewrite(
+            pinned, affected, survivors, deleted,
+            append_manifest=manifest_rel, append_files=files,
+            append_rows=rows, append_bytes=nbytes,
+            append_record_manifest=rec_rel,
+        )
+        return self
+
+    def _check_duplicate_pks(self, df: DataFrame) -> int:
+        """Validate input PK uniqueness; returns the distinct key count
+        (one aggregate job yields both — the count feeds the broadcast-vs-
+        shuffle join choice in the delete half)."""
+        pks = self.primary_keys
+        row = (
+            df.groupBy(*pks)
+            .count()
+            .agg(F.count(F.lit(1)).alias("n"), F.max("count").alias("mx"))
+            .collect()[0]
+        )
+        if row["mx"] is not None and row["mx"] > 1:
             raise UserInputError("Input data has duplicate primary keys")
+        return int(row["n"] or 0)
 
     # ----------------------------------------------------------------- delete
     def _abs_to_rel_file(self, uri: str) -> str:
@@ -467,11 +495,24 @@ class Dataset:
         self.reload()
         return self._delete_predicate(filter_.to_spark(), prune_expr=filter_)
 
-    def _delete_matching(self, keys_df: DataFrame) -> None:
-        """Delete rows whose PKs appear in keys_df (upsert's delete half)."""
+    # A key set under this many rows is broadcast to the probe side; above
+    # it, a shuffle-hash join (a bulk upsert's key set can exceed executor
+    # memory — an unconditional broadcast would OOM at scale).
+    BROADCAST_KEYS_MAX = 500_000
+
+    def _keys_join_side(self, keys_df: DataFrame, n_keys=None) -> DataFrame:
+        if n_keys is None:
+            n_keys = keys_df.count()
+        if n_keys <= self.BROADCAST_KEYS_MAX:
+            return keys_df.hint("broadcast")
+        return keys_df.hint("shuffle_hash")
+
+    def _matching_delete_parts(self, keys_df: DataFrame, n_keys=None):
+        """CoW-delete inputs for rows whose PKs appear in ``keys_df``:
+        (affected rel files, survivors df, deleted-PKs df) — ([], None,
+        None) when nothing matches. Computes, never commits."""
         pks = self.primary_keys
-        snap_id = self.current_snapshot_id
-        snapshot = self.metadata.snapshot(snap_id)
+        snapshot = self.metadata.snapshot(self.current_snapshot_id)
         files = mf.prune_files(
             self.spark,
             self._manifest_abs_paths(snapshot),
@@ -479,22 +520,33 @@ class Dataset:
             self._stats_fields(),
         )
         if not files:
-            return
+            return [], None, None
         phys = self._read_files(files).withColumn(
             "__file", F.input_file_name()
         )
-        keys = keys_df.hint("broadcast")
+        keys = self._keys_join_side(keys_df, n_keys)
         matches = phys.join(keys, on=pks, how="left_semi")
         affected_uris = [
             r[0] for r in matches.select("__file").distinct().collect()
         ]
         if not affected_uris:
-            return
+            return [], None, None
         affected = sorted(self._abs_to_rel_file(u) for u in affected_uris)
         aff_df = self._read_files(affected)
         survivors = aff_df.join(keys, on=pks, how="left_anti")
         deleted = aff_df.join(keys, on=pks, how="left_semi").select(*pks)
-        self._commit_cow_delete(snap_id, affected, survivors, deleted)
+        return affected, survivors, deleted
+
+    def _delete_matching(self, keys_df: DataFrame, commit_mutate=None) -> bool:
+        """Delete rows whose PKs appear in keys_df (MV refresh's delete
+        half). Returns whether a snapshot was committed."""
+        snap_id = self.current_snapshot_id
+        affected, survivors, deleted = self._matching_delete_parts(keys_df)
+        if not affected:
+            return False
+        self._commit_rewrite(snap_id, affected, survivors, deleted,
+                             mutate=commit_mutate)
+        return True
 
     def _delete_predicate(self, pred, prune_expr: FilterType) -> "Dataset":
         snap_id = self.current_snapshot_id
@@ -518,68 +570,105 @@ class Dataset:
             return self
         affected = sorted(self._abs_to_rel_file(u) for u in affected_uris)
         aff_df = self._read_files(affected)
-        survivors = aff_df.where(~pred)
-        deleted = aff_df.where(pred).select(*self.primary_keys)
-        self._commit_cow_delete(snap_id, affected, survivors, deleted)
+        # SQL DELETE semantics: only rows where the predicate is TRUE are
+        # deleted — NULL-predicate rows survive AND stay out of the change
+        # log, keeping survivors/deleted exactly complementary.
+        pred_true = F.coalesce(pred, F.lit(False))
+        survivors = aff_df.where(~pred_true)
+        deleted = aff_df.where(pred_true).select(*self.primary_keys)
+        self._commit_rewrite(snap_id, affected, survivors, deleted)
         return self
 
-    def _commit_cow_delete(
+    def _commit_rewrite(
         self,
         pinned: int,
         affected: List[str],
-        survivors: DataFrame,
-        deleted_pks: DataFrame,
+        survivors: Optional[DataFrame],
+        deleted_pks: Optional[DataFrame],
+        append_manifest: Optional[str] = None,
+        append_files: Optional[List[str]] = None,
+        append_rows: int = 0,
+        append_bytes: int = 0,
+        append_record_manifest: Optional[str] = None,
+        mutate=None,
     ) -> None:
+        """One snapshot combining a CoW rewrite of ``affected`` files (with
+        ``survivors`` re-written and ``deleted_pks`` logged) and an optional
+        already-written append — upsert's delete+add lands as a single
+        commit (reference merge_patches, ops/insert.py:93-99)."""
         parent = self.metadata.snapshot(pinned)
-        # Rows removed from the table = affected rows - surviving rows.
-        old_manifests = self._manifest_abs_paths(parent)
-        man_tbl = pa.concat_tables(
-            [pq.read_table(p) for p in old_manifests]
-        )
-        aff_mask = pc.is_in(
-            man_tbl[mf.FILE_PATH_COL], value_set=pa.array(affected)
-        )
-        removed_rows = pc.sum(
-            pc.if_else(aff_mask, man_tbl[mf.NUM_ROWS_COL], pa.scalar(0, pa.int64()))
-        ).as_py() or 0
-        removed_bytes = pc.sum(
-            pc.if_else(aff_mask, man_tbl[mf.SIZE_BYTES_COL], pa.scalar(0, pa.int64()))
-        ).as_py() or 0
-        carry = man_tbl.filter(pc.invert(aff_mask))
+        removed_rows = removed_bytes = surv_rows = surv_bytes = 0
+        deletes_rel = None
+        if affected:
+            # Rows removed from the table = affected rows - surviving rows.
+            old_manifests = self._manifest_abs_paths(parent)
+            # permissive: schema evolution (add_column) leaves parent
+            # manifests with heterogeneous stats columns.
+            man_tbl = pa.concat_tables(
+                [pq.read_table(p) for p in old_manifests],
+                promote_options="permissive",
+            )
+            aff_mask = pc.is_in(
+                man_tbl[mf.FILE_PATH_COL], value_set=pa.array(affected)
+            )
+            removed_rows = pc.sum(
+                pc.if_else(aff_mask, man_tbl[mf.NUM_ROWS_COL],
+                           pa.scalar(0, pa.int64()))
+            ).as_py() or 0
+            removed_bytes = pc.sum(
+                pc.if_else(aff_mask, man_tbl[mf.SIZE_BYTES_COL],
+                           pa.scalar(0, pa.int64()))
+            ).as_py() or 0
+            carry = man_tbl.filter(pc.invert(aff_mask))
 
-        # Write survivors as new data files (may be zero files/rows); they
-        # are already physical rows (addresses carried over, blobs intact).
-        manifest_rel, new_files, new_rows, new_bytes = self._write_data_files(
-            survivors, physical=True
-        )
-        # Record deleted PKs in the change log (PK-only delete stream,
-        # change_data.py:123-127).
-        deletes_rel = self.log.new_deletes_relpath().replace(".parquet", "")
-        deleted_pks.write.parquet(self.log.abs_path(deletes_rel))
+            # Write survivors as new data files (may be zero files/rows);
+            # they are already physical rows (addresses carried over, blobs
+            # intact).
+            surv_rel, _, surv_rows, surv_bytes = self._write_data_files(
+                survivors, physical=True
+            )
+            # Record deleted PKs in the change log (PK-only delete stream,
+            # change_data.py:123-127).
+            deletes_rel = self.log.new_deletes_relpath().replace(
+                ".parquet", ""
+            )
+            deleted_pks.write.parquet(self.log.abs_path(deletes_rel))
 
-        carry_rel = self.log.new_manifest_relpath()
-        pq.write_table(carry, self.log.abs_path(carry_rel))
-        manifest_files = [carry_rel]
-        if new_rows > 0:
-            manifest_files.append(manifest_rel)
+            carry_rel = self.log.new_manifest_relpath()
+            pq.write_table(carry, self.log.abs_path(carry_rel))
+            manifest_files = [carry_rel]
+            if surv_rows > 0:
+                manifest_files.append(surv_rel)
+        else:
+            manifest_files = list(parent.manifest_files)
+        if append_manifest and append_rows > 0:
+            manifest_files.append(append_manifest)
+        else:
+            append_files, append_rows, append_bytes = [], 0, 0
+        rec_manifests = list(parent.record_manifest_files)
+        if append_record_manifest:
+            rec_manifests.append(append_record_manifest)
         snap = md.Snapshot(
             snapshot_id=-1,
             parent_snapshot_id=pinned,
             created_at="",
             manifest_files=manifest_files,
-            num_rows=parent.num_rows - removed_rows + new_rows,
-            data_bytes=parent.data_bytes - removed_bytes + new_bytes,
+            num_rows=parent.num_rows - removed_rows + surv_rows + append_rows,
+            data_bytes=(parent.data_bytes - removed_bytes + surv_bytes
+                        + append_bytes),
             # Survivor-rewrite files are physically new but LOGICALLY
             # carried over: the change feed must emit only the deleted rows
-            # (reference delete changelog holds deleted bitmaps only,
-            # ops/delete.py:113-115,215-228).
-            added_files=[],
+            # plus genuinely appended files (reference delete changelog
+            # holds deleted bitmaps only, ops/delete.py:113-115,215-228).
+            added_files=list(append_files or []),
             deleted_pks_file=deletes_rel,
             # Blob files are untouched by CoW deletes; their manifests
             # carry over (counts become an upper bound on live refs).
-            record_manifest_files=list(parent.record_manifest_files),
+            record_manifest_files=rec_manifests,
         )
-        self.metadata = self.log.commit_snapshot(pinned, self.branch, snap)
+        self.metadata = self.log.commit_snapshot(
+            pinned, self.branch, snap, mutate=mutate
+        )
 
     # ------------------------------------------------------- refs & versions
     def add_tag(self, tag: str, version=None) -> "Dataset":

@@ -489,6 +489,16 @@ class MaterializedView:
         end = source.metadata.resolve_version(target_version)
         applied: List[int] = []
         for snap in source._ancestors(start, end):
+            # The synced marker must land ATOMICALLY with the final MV
+            # commit for this source snapshot — a crash between an append
+            # commit and a separate marker update would blind-re-append the
+            # same source snapshot on restart, duplicating PK rows.
+            # Replaying the steps BEFORE the marked commit is safe: a
+            # re-run delete matches nothing new.
+            def sync_mut(meta, _sid=snap.snapshot_id):
+                meta.logical_plan["source_snapshot_synced"] = _sid
+
+            marked = False
             # Deletes first, then adds (change_data.py:123-127).
             if snap.deleted_pks_file:
                 pks_df = self.spark.read.parquet(
@@ -496,7 +506,10 @@ class MaterializedView:
                 )
                 # PK-only stream: applied directly to MV storage, skipping
                 # UDFs (runners.py:79-96).
-                self.dataset._delete_matching(pks_df)
+                delete_mut = None if snap.added_files else sync_mut
+                marked = self.dataset._delete_matching(
+                    pks_df, commit_mutate=delete_mut
+                ) and delete_mut is not None
             if snap.added_files:
                 add_df = source._read_files(snap.added_files)
                 if source.record_fields:
@@ -507,8 +520,12 @@ class MaterializedView:
                         source.schema,
                     )
                 out = self.view.process_source(add_df)
-                self.dataset.append(out)
-            self._set_synced(snap.snapshot_id)
+                self.dataset.append(out, commit_mutate=sync_mut)
+                marked = True
+            if not marked:
+                # Nothing committed (no-op snapshot): marker-only update is
+                # safe — replaying a no-op is a no-op.
+                self._set_synced(snap.snapshot_id)
             applied.append(snap.snapshot_id)
         return applied
 

@@ -51,6 +51,13 @@ def append_parquet(dataset, pattern: str) -> None:
             f"External schema {got.fieldNames()} != table "
             f"{want.fieldNames()}"
         )
+    for f in want.fields:
+        if got[f.name].dataType != f.dataType:
+            raise UserInputError(
+                f"External column {f.name!r} has type "
+                f"{got[f.name].dataType.simpleString()}, table expects "
+                f"{f.dataType.simpleString()}"
+            )
 
     rel_paths = [os.path.relpath(p, dataset.location) for p in paths]
     stat_names = [n for n, _ in dataset._stats_fields()]
