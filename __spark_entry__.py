@@ -86,6 +86,83 @@ def _cosine_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
     )
 
 
+def _planes():
+    """The LSH hyperplane constants shared by the Spark operators AND the
+    SQL oracles — plain Python floats, inlined as literals on both sides,
+    so bucket bits are computed from bit-identical doubles everywhere."""
+    from space_spark.operators.similarity import _hyperplanes
+
+    return _hyperplanes(EMB_DIM, 8, seed=42)
+
+
+def _bucket_sql(col: str) -> str:
+    """Sign-bit LSH bucket in SQL: same plane order, same left-to-right
+    double fold as space_spark.operators.similarity.lsh_bucket."""
+    bits = []
+    for i, plane in enumerate(_planes()):
+        dot = " + ".join(
+            f"CAST({col}[{j + 1}] AS DOUBLE)*({w!r})"
+            for j, w in enumerate(plane)
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _hash60_sql(col: str) -> str:
+    """DuckDB mirror of operators.dedup._hash60_cross_engine (first 15 md5
+    hex digits as a 60-bit integer)."""
+    return f"('0x' || substring(md5({col}), 1, 15))::BIGINT"
+
+
+def _simhash_sql() -> str:
+    """Per-document 60-bit SimHash from md5 token hashes — identical bit
+    votes to operators.dedup.simhash's numpy kernel."""
+    terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(60)
+    )
+    return f"""
+  toks AS (
+    SELECT doc_id AS doc,
+           UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+  ), th AS (
+    SELECT doc, {_hash60_sql('tok')} AS h FROM toks
+  ), sig AS (
+    SELECT doc, {terms} AS simhash FROM th GROUP BY doc
+  )"""
+
+
+def _jaccard_sql(threshold: float) -> str:
+    """All-pairs exact token-3-gram Jaccard >= threshold (the shared
+    oracle for the exact inverted-index operator and — by recall-sufficient
+    construction — the MinHash-LSH operator)."""
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS doc,
+    list_distinct(list_transform(
+      generate_series(0,
+        GREATEST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 3,
+                 0)),
+      i -> array_to_string(
+        regexp_split_to_array(lower(trim(text)), '\\s+')[i+1:i+3], ' ')
+    )) AS shingles
+  FROM documents
+), ex AS (
+  SELECT doc, len(shingles) AS n_shingles, UNNEST(shingles) AS shingle
+  FROM sh
+), pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, a.n_shingles AS na,
+         b.n_shingles AS nb, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, ROUND(common / (na + nb - common), 6) AS jaccard
+FROM pairs WHERE ROUND(common / (na + nb - common), 6) >= {threshold}
+"""
+
+
 def _space_tmp() -> str:
     """Temp table location, removed at interpreter exit (a bench run
     builds ~10 throwaway space tables; don't leak them into /tmp)."""
@@ -1192,49 +1269,45 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4)
 
 
-DEDUP_JACCARD_SQL = """
-WITH sh AS (
-  SELECT doc_id AS doc,
-    list_distinct(list_transform(
-      generate_series(0,
-        GREATEST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 3,
-                 0)),
-      i -> array_to_string(
-        regexp_split_to_array(lower(trim(text)), '\\s+')[i+1:i+3], ' ')
-    )) AS shingles
-  FROM documents
-), ex AS (
-  SELECT doc, len(shingles) AS n_shingles, UNNEST(shingles) AS shingle
-  FROM sh
-), pairs AS (
-  SELECT a.doc AS doc_a, b.doc AS doc_b, a.n_shingles AS na,
-         b.n_shingles AS nb, COUNT(*) AS common
-  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc < b.doc
-  GROUP BY 1, 2, 3, 4
-)
-SELECT doc_a, doc_b, ROUND(common / (na + nb - common), 6) AS jaccard
-FROM pairs WHERE ROUND(common / (na + nb - common), 6) >= 0.4
-"""
+DEDUP_JACCARD_SQL = _jaccard_sql(0.4)
 
 
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup (no SQL oracle: banded LSH is engine-specific;
-    candidates are verified with exact Jaccard so output is a superset-
-    filtered subset of dedup_ngram_jaccard)."""
+    """MinHash+LSH near-dup, exact-verified: banded LSH (64 bands x 2
+    rows, recall >= 0.99998 at the 0.5 threshold) generates candidates,
+    exact Jaccard verifies them — so the emitted set equals the all-pairs
+    exact-threshold set, which IS the SQL oracle. Equality is additionally
+    asserted against the inverted-index exact operator in
+    tests/test_dedup_equivalence.py."""
     from space_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, "doc_id", "text", num_perm=32, bands=8, ngram=3, threshold=0.4
+        docs, "doc_id", "text", num_perm=128, bands=64, ngram=3,
+        threshold=0.5,
     )
 
 
+MINHASH_LSH_SQL = _jaccard_sql(0.5)
+
+
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash hamming near-dup (no SQL oracle: 60-bit bit-count pipeline)."""
+    """SimHash hamming near-dup — EXACT by pigeonhole (4 bit-chunks cover
+    hamming<=3) and cross-engine reproducible (md5-derived token hashes),
+    so all-pairs bit_count SQL is a true oracle."""
     from space_spark.operators.dedup import simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH {_simhash_sql()}
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def text_stats(spark, sf_dir):
@@ -1329,8 +1402,10 @@ SELECT query_id, neighbor_id, score, rnk FROM ranked WHERE rnk <= 5
 
 
 def ann_lsh_topk(spark, sf_dir):
-    """Approximate LSH-bucketed top-k (no SQL oracle: bucket assignment is
-    engine-specific; exactness is benchmarked against ann_cosine_topk)."""
+    """Approximate LSH-bucketed top-k. The hyperplanes are fixed constants
+    and the bucket bits come from the same left-to-right double fold in
+    both engines, so the candidate set — and therefore the whole result —
+    is deterministic and SQL-oracled."""
     from space_spark.operators.similarity import lsh_bucket_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1338,35 +1413,118 @@ def ann_lsh_topk(spark, sf_dir):
     return lsh_bucket_topk(
         emb, queries_df, "vec_id", "embedding", k=5, dim=EMB_DIM,
         n_planes=8, probes=1,
+    ).select(
+        "query_id", "neighbor_id", "score",
+        F.col("rank").cast("long").alias("rnk"),
     )
 
 
+def _ann_lsh_sql() -> str:
+    probe_list = ", ".join(
+        ["b0"] + [f"xor(b0, {1 << i})" for i in range(8)]
+    )
+    return f"""
+WITH q0 AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         {_bucket_sql('embedding')} AS b0
+  FROM embeddings WHERE vec_id < 5
+), q AS (
+  SELECT query_id, qv, UNNEST([{probe_list}]) AS bucket FROM q0
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv,
+         {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND({_cosine_sql('qv', 'cv')}, 4) AS score
+  FROM q JOIN c USING (bucket)
+  WHERE query_id != neighbor_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, score, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
 def ann_ivf_topk(spark, sf_dir):
-    """IVF-style ANN (no SQL oracle: inverted-list assignment is
-    engine-specific; recall benchmarked against ann_cosine_topk)."""
+    """IVF-style ANN. Centroids are the 16 corpus vectors with the
+    smallest Knuth-hashed ids; list assignment rounds the same
+    deterministic cosine fold before argmax with centroid-id tie-breaks —
+    every step is reproducible in SQL, so the query is fully oracled."""
     from space_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
     return ivf_topk(emb, queries_df, "vec_id", "embedding", k=5,
-                    n_centroids=16, n_probe=8)
+                    n_centroids=16, n_probe=8).select(
+        "query_id", "neighbor_id", "score",
+        F.col("rank").cast("long").alias("rnk"),
+    )
+
+
+def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 8) -> str:
+    from space_spark.operators.similarity import KNUTH_MOD, KNUTH_MULT
+
+    csim = f"ROUND({_cosine_sql('s.v', 'c.cent_v')}, 6)"
+    return f"""
+WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+cents AS (
+  SELECT ROW_NUMBER() OVER (
+           ORDER BY (id * {KNUTH_MULT}) % {KNUTH_MOD}, id) AS cent_id,
+         v AS cent_v
+  FROM v
+  ORDER BY (id * {KNUTH_MULT}) % {KNUTH_MOD}, id LIMIT {n_centroids}
+), c_assign AS (
+  SELECT id, v, list_id FROM (
+    SELECT s.id, s.v, c.cent_id AS list_id, ROW_NUMBER() OVER (
+      PARTITION BY s.id ORDER BY {csim} DESC, c.cent_id) AS r
+    FROM v s, cents c) WHERE r <= 1
+), q_assign AS (
+  SELECT id, v, list_id FROM (
+    SELECT s.id, s.v, c.cent_id AS list_id, ROW_NUMBER() OVER (
+      PARTITION BY s.id ORDER BY {csim} DESC, c.cent_id) AS r
+    FROM (SELECT * FROM v WHERE id < 5) s, cents c) WHERE r <= {n_probe}
+), scored AS (
+  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id,
+         ROUND({_cosine_sql('q.v', 'c.v')}, 4) AS score
+  FROM q_assign q JOIN c_assign c USING (list_id)
+  WHERE q.id != c.id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, score, rnk FROM ranked WHERE rnk <= 5
+"""
 
 
 def embedding_neardup(spark, sf_dir):
+    """Embedding near-dup pairs via sign-bit LSH buckets (the registered
+    plan is fully distributed — no driver-side matrix; the blocked-GEMM
+    exact variant remains available as neardup_pairs(exact=True) and is
+    what tests compare against). Bucket bits use fixed plane constants +
+    the deterministic fold, so the bucket restriction is mirrored exactly
+    in the SQL oracle."""
     from space_spark.operators.similarity import neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
     return neardup_pairs(
-        emb, "vec_id", "embedding", threshold=0.9, exact=True
+        emb, "vec_id", "embedding", threshold=0.9, dim=EMB_DIM,
+        n_planes=8, exact=False,
     )
 
 
 NEARDUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 4) AS score
-FROM embeddings a, embeddings b
-WHERE a.vec_id < b.vec_id
-  AND ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 4) >= 0.9
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 4) >= 0.9
 """
 
 
@@ -1408,6 +1566,32 @@ FROM (
       CAST(CEIL(GREATEST(length(text), 1) / 256.0) AS BIGINT))) AS i
   FROM documents
 )
+"""
+
+
+def multimodal_audio_features(spark, sf_dir):
+    from space_spark.operators.multimodal import audio_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return audio_features(docs, "doc_id", "payload")
+
+
+AUDIO_FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n, md5(text) AS digest
+  FROM documents
+)
+SELECT doc_id,
+  n::BIGINT AS n_bytes,
+  (8000 * (n % 3 + 1))::INT AS sample_rate,
+  (n * 256 + (n * 31) % 997)::BIGINT AS n_samples,
+  (n * 256 + (n * 31) % 997) / (8000.0 * (n % 3 + 1)) AS duration_sec,
+  (('0x' || substring(digest, 1, 8))::BIGINT % 1000) / 1000.0
+    AS mean_amplitude,
+  digest AS content_md5
+FROM b
 """
 
 
@@ -1466,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": embedding_neardup,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_frame_sample": multimodal_frame_sample,
+        "multimodal_audio_features": multimodal_audio_features,
     }
 
 
@@ -1511,12 +1696,14 @@ def oracle_sql() -> dict[str, str]:
         "space_lineitem_clustered": SPACE_LINEITEM_SQL,
         "dedup_exact_documents": DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+        "dedup_minhash_lsh": MINHASH_LSH_SQL,
+        "dedup_simhash_pairs": SIMHASH_PAIRS_SQL,
         "text_stats": TEXT_STATS_SQL,
         "ann_cosine_topk": ANN_TOPK_SQL,
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "embedding_neardup": NEARDUP_SQL,
         "multimodal_image_features": MULTIMODAL_SQL,
         "multimodal_frame_sample": FRAME_SAMPLE_SQL,
-        # rows-only (engine-specific candidate generation, verified vs the
-        # exact variants above): dedup_minhash_lsh, dedup_simhash_pairs,
-        # ann_lsh_topk
+        "multimodal_audio_features": AUDIO_FEATURES_SQL,
     }

@@ -204,11 +204,18 @@ class Dataset:
         version=None,
         reference_read: bool = False,
         branch: Optional[str] = None,
+        deserialize: bool = False,
     ) -> DataFrame:
         """Snapshot read -> DataFrame (runners.py:207-227, read.py:47-152).
 
         ``reference_read=True`` returns record-field ADDRESSES (struct
         ``{_FILE,_ROW_ID}``) instead of blob values (options.py:40-41).
+
+        ``deserialize=True`` applies each record field's persisted
+        FieldSerializer to the blob bytes (Arrow-batched), surfacing the
+        field as the serializer's declared Spark type — the DataFrame-read
+        analog of the reference's TfFeatures deserialize-on-access
+        (tf_features.py:54-64, random_access.py deserialize flag).
         """
         if branch is not None:
             snap_id = self.metadata.resolve_version(version, branch)
@@ -221,7 +228,25 @@ class Dataset:
             filter_,
             self._stats_fields(),
         )
-        df = self._read_files(files)
+        return self.read_files(
+            files, filter_=filter_, fields=fields,
+            reference_read=reference_read, deserialize=deserialize,
+        )
+
+    def read_files(
+        self,
+        rel_files: List[str],
+        filter_: FilterType = None,
+        fields: Optional[Sequence[str]] = None,
+        reference_read: bool = False,
+        deserialize: bool = False,
+    ) -> DataFrame:
+        """Read a SPECIFIC data-file set with filter/field application —
+        the file-set (block) read primitive underneath ``read`` and the
+        runner shim's streaming block iterator (reference FileSet read,
+        core/ops/read.py:47-152; ray/data_sources.py:105-126 hands these
+        per-file sets to workers)."""
+        df = self._read_files(rel_files)
         if filter_ is not None:
             df = df.where(filter_.to_spark())
         if fields is not None:
@@ -238,6 +263,15 @@ class Dataset:
             df = rec.resolve_record_fields(
                 df, self.location, resolve, self.schema
             )
+            if deserialize:
+                from space_spark.core.serializers import deserialize_udf
+
+                for fname in resolve:
+                    ser = self.serializer(fname)
+                    if ser is not None:
+                        df = df.withColumn(
+                            fname, deserialize_udf(ser)(F.col(fname))
+                        )
         return df
 
     def to_df(self, **kwargs) -> DataFrame:

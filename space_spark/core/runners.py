@@ -11,9 +11,15 @@ DataFrame itself for further Spark-side composition.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+import os
+from typing import Iterator, List, Optional
 
 import pyarrow as pa
+
+# Default per-block ceiling for streaming reads: a block is a group of
+# data files whose on-disk size sums to at most this many bytes, so the
+# driver never holds more than ~one block of decoded rows at a time.
+DEFAULT_BLOCK_BYTES = 128 << 20
 
 
 class SparkRunner:
@@ -27,11 +33,64 @@ class SparkRunner:
              reference_read: bool = False,
              batch_size: Optional[int] = None) -> Iterator[pa.RecordBatch]:
         """Iterator of Arrow record batches (the reference's read shape).
-        ``batch_size`` re-slices batches; None keeps Spark's batching."""
+        ``batch_size`` re-slices batches; None keeps Spark's batching.
+
+        Datasets stream block-by-block (see ``read_blocks``) so the whole
+        result is never materialized at once; Views (UDF pipelines) fall
+        back to a single-result reader."""
+        from space_spark.core.views import View
+
+        if not isinstance(self._t, View):
+            return self.read_blocks(
+                filter_=filter_, fields=fields, version=version,
+                reference_read=reference_read, batch_size=batch_size,
+            )
         df = self._df(filter_, fields, version, reference_read)
         reader = df.toArrow().to_reader() if batch_size is None else \
             df.toArrow().to_reader(max_chunksize=batch_size)
         return iter(reader)
+
+    def read_blocks(self, filter_=None, fields=None, version=None,
+                    reference_read: bool = False,
+                    batch_size: Optional[int] = None,
+                    max_block_bytes: int = DEFAULT_BLOCK_BYTES,
+                    ) -> Iterator[pa.RecordBatch]:
+        """Block-level streaming read (reference hands Ray per-file /
+        per-row-range read tasks, ray/data_sources.py:105-126): the pruned
+        file list is split into groups of at most ``max_block_bytes``
+        on-disk bytes, and each group is read (filter + field selection +
+        record resolution all apply) and yielded as Arrow batches before
+        the next group starts. Driver memory is bounded by one block
+        regardless of table size; planning is manifest-metadata only."""
+        ds = self._t
+        snap_id = ds.metadata.resolve_version(version, ds.branch)
+        files = ds.data_files(filter_=filter_, version=snap_id)
+        for block in self._split_blocks(ds, files, max_block_bytes):
+            df = ds.read_files(
+                block, filter_=filter_, fields=fields,
+                reference_read=reference_read,
+            )
+            tbl = df.toArrow()
+            reader = (tbl.to_reader() if batch_size is None
+                      else tbl.to_reader(max_chunksize=batch_size))
+            yield from reader
+
+    @staticmethod
+    def _split_blocks(ds, rel_files: List[str], max_block_bytes: int
+                      ) -> Iterator[List[str]]:
+        group, group_bytes = [], 0
+        for f in rel_files:
+            try:
+                size = os.path.getsize(ds.log.abs_path(f))
+            except OSError:
+                size = max_block_bytes  # unknown: isolate the file
+            if group and group_bytes + size > max_block_bytes:
+                yield group
+                group, group_bytes = [], 0
+            group.append(f)
+            group_bytes += size
+        if group:
+            yield group
 
     def read_all(self, filter_=None, fields=None, version=None,
                  reference_read: bool = False) -> pa.Table:

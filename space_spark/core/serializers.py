@@ -20,6 +20,8 @@ from __future__ import annotations
 import pickle
 from typing import Any, Dict, Optional
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -29,13 +31,38 @@ FILE_DIRECTORY_KEY = "space.file.directory"
 
 
 class FieldSerializer:
-    """Protocol: value <-> bytes for one record field."""
+    """Protocol: value <-> bytes for one record field.
+
+    ``spark_type`` optionally declares the Spark type ``deserialize``
+    produces, letting the DataFrame read path surface deserialized values
+    as a typed column (reference applies its TfFeatures deserializer on
+    read, tf_features.py:54-64); None means bytes-in/bytes-out."""
+
+    spark_type: Optional[T.DataType] = None
 
     def serialize(self, value: Any) -> bytes:
         raise NotImplementedError
 
     def deserialize(self, value_bytes: bytes) -> Any:
         raise NotImplementedError
+
+
+def deserialize_udf(ser: FieldSerializer,
+                    out_type: Optional[T.DataType] = None):
+    """Arrow-batched column transform applying ``ser.deserialize`` to a
+    binary column — the DataFrame-read-path analog of the reference's
+    deserialize-on-access (random_access + tf_features). The serializer
+    instance rides the closure (cloudpickled to executors)."""
+    from pyspark.sql.functions import pandas_udf
+
+    out_type = out_type or ser.spark_type or T.BinaryType()
+
+    def _de(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda b: None if b is None else ser.deserialize(bytes(b))
+        )
+
+    return pandas_udf(out_type)(_de)
 
 
 class PickleSerializer(FieldSerializer):

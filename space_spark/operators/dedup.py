@@ -38,10 +38,18 @@ def _fan_out(df: DataFrame) -> DataFrame:
     as the input partitioning — and a small parquet file arrives as ONE
     partition, serializing everything onto one core. Repartition up to the
     cluster's parallelism when the input is under-split (cheap: it only
-    shuffles raw text)."""
+    shuffles raw text).
+
+    The under-split probe uses ``inputFiles()`` (pure metadata) rather than
+    ``df.rdd.getNumPartitions()``, which would force an RDD conversion plan
+    per query."""
     sc_ = df.sparkSession.sparkContext
     target = sc_.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-based plans: leave partitioning alone
+        return df
+    if n_files and n_files < max(2, target // 2):
         return df.repartition(target)
     return df
 
@@ -58,6 +66,30 @@ def _token_ngrams(text: Column, n: int) -> Column:
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
     return F.array_distinct(grams)
+
+
+def _shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int
+                    ) -> DataFrame:
+    """(doc, shingles: distinct hashed n-gram array, n_shingles).
+
+    Tokens are materialized as a NAMED column before the shingling lambda:
+    Catalyst higher-order functions are interpreted, and an inline
+    ``split()`` referenced from inside the lambda re-evaluates per
+    element — O(tokens^2) per document. Hashing is fused into the same
+    transform so no intermediate string-array ever materializes."""
+    toks_df = df.select(
+        F.col(id_col).alias("doc"),
+        _norm_tokens(F.col(text_col)).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: _hash64(F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        % MERSENNE_P,
+    )
+    return toks_df.select(
+        "doc", F.array_distinct(grams).alias("shingles")
+    ).withColumn("n_shingles", F.size("shingles"))
 
 
 def _hash64(col: Column) -> Column:
@@ -104,16 +136,11 @@ def ngram_jaccard_pairs(
     per pair, then Jaccard = common / (|A| + |B| - common). Scales as the
     number of SHARED shingles, not n^2. Jaccard is a ratio of exact ints —
     bit-identical in any engine."""
-    df = _fan_out(df)
-    shingled = df.select(
-        F.col(id_col).alias("doc"),
-        _token_ngrams(F.col(text_col), n).alias("shingles"),
-    ).withColumn("n_shingles", F.size("shingles"))
-    # Join on a 63-bit hash of the shingle, not the string: same counts
-    # (collision odds ~2^-63 per shared pair) and a far smaller shuffle.
+    # Shingles are joined by a ~61-bit hash, not the string: same counts
+    # (collision odds ~2^-61 per shared pair) and a far smaller shuffle.
+    shingled = _shingle_hashes(_fan_out(df), id_col, text_col, n)
     exploded = shingled.select(
-        "doc", "n_shingles",
-        F.explode(F.transform("shingles", _hash64)).alias("shingle"),
+        "doc", "n_shingles", F.explode("shingles").alias("shingle")
     )
     # Hash-shuffle the self-join on the shingle key: AQE would happily
     # broadcast the exploded side at small scale, which is both flaky under
@@ -177,10 +204,27 @@ def _signature_from_hashes(hashes: Column, num_perm: int, seed: int
     return F.array(*parts)
 
 
-def _with_numpy_signatures(hashed: DataFrame, num_perm: int, seed: int
-                           ) -> DataFrame:
-    """Append ``sig`` (array<long>) + ``n_shingles`` to a (doc, shingles)
-    DataFrame via an Arrow-batched numpy kernel."""
+# Odd 64-bit mixing constant for the rolling polynomial gram hash (numpy
+# int64 arithmetic wraps mod 2^64 — deterministic on every platform).
+_GRAM_MIX = 0x9E3779B97F4A7C15
+
+
+def _with_gram_signatures(tok_hashed: DataFrame, ngram: int, num_perm: int,
+                          seed: int) -> DataFrame:
+    """(doc, th: token-hash array) -> (doc, shingles, sig, n_shingles).
+
+    Gram (shingle) hashes AND MinHash signatures are computed in one
+    Arrow-batched numpy kernel from per-TOKEN hashes: a document has ~5x
+    fewer tokens than gram strings, so the JVM side only hashes tokens and
+    never materializes n-gram strings (the round-1 plan built every gram
+    with interpreted concat_ws+slice HOFs — the dominant cost). A gram's
+    hash is a polynomial mix of its token hashes: distinct gram hashes
+    correspond to distinct token tuples == distinct gram strings (tokens
+    cannot contain the separator), so Jaccard counts match the string
+    definition the SQL oracle uses (collision odds ~2^-61).
+
+    Gram edge semantics mirror ``_token_ngrams``/the oracle: documents
+    with fewer than ``ngram`` tokens yield ONE truncated gram."""
     import numpy as np
     import pyarrow as pa_
 
@@ -192,72 +236,96 @@ def _with_numpy_signatures(hashed: DataFrame, num_perm: int, seed: int
     )
 
     def task(batches):
+        mix = np.int64(np.uint64(_GRAM_MIX).astype(np.int64))
         for batch in batches:
             docs = batch.column(0)
-            shingles = batch.column(1)
-            sigs, counts = [], []
-            for row in shingles.to_pylist():
-                h = np.asarray(row, dtype=np.int64)
-                if h.size == 0:
-                    sigs.append([MERSENNE_P] * num_perm)
-                    counts.append(0)
-                    continue
-                # (num_perm x n) broadcast; products < 2^62, no overflow.
-                sigs.append(((A * h[None, :] + B) % MERSENNE_P)
-                            .min(axis=1).tolist())
-                counts.append(int(h.size))
+            shingle_rows, sigs, counts = [], [], []
+            with np.errstate(over="ignore"):
+                for row in batch.column(1).to_pylist():
+                    t = np.asarray(row, dtype=np.int64)
+                    if t.size == 0:
+                        shingle_rows.append([])
+                        sigs.append([MERSENNE_P] * num_perm)
+                        counts.append(0)
+                        continue
+                    n_tok = t.size
+                    if n_tok >= ngram:
+                        g = t[: n_tok - ngram + 1].copy()
+                        for j in range(1, ngram):
+                            g = g * mix + t[j: n_tok - ngram + 1 + j]
+                    else:  # single truncated gram
+                        g = t[:1].copy()
+                        for j in range(1, n_tok):
+                            g = g * mix + t[j: j + 1]
+                    # numpy % follows the divisor's sign: nonnegative here
+                    # even for wrapped-negative gram hashes.
+                    h = np.unique(g % MERSENNE_P)
+                    shingle_rows.append(h.tolist())
+                    counts.append(int(h.size))
+                    # (num_perm x n) broadcast; h < P keeps products
+                    # < 2^62 — no int64 overflow.
+                    sigs.append(((A * h[None, :] + B) % MERSENNE_P)
+                                .min(axis=1).tolist())
             yield pa_.RecordBatch.from_arrays(
                 [
                     docs,
-                    shingles,
+                    pa_.array(shingle_rows, pa_.list_(pa_.int64())),
                     pa_.array(sigs, pa_.list_(pa_.int64())),
                     pa_.array(counts, pa_.int32()),
                 ],
                 names=["doc", "shingles", "sig", "n_shingles"],
             )
 
-    return hashed.mapInArrow(task, out_schema)
+    return tok_hashed.mapInArrow(task, out_schema)
 
 
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_perm: int = 32,
-    bands: int = 8,
+    num_perm: int = 128,
+    bands: int = 64,
     ngram: int = 3,
-    threshold: float = 0.4,
+    threshold: float = 0.5,
     seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact verification.
 
     1. Signature per doc (no shuffle — a projection).
-    2. Band hashes; explode to (band_idx, band_hash) buckets; self-join on
-       the bucket (hash shuffle) -> candidate pairs. At 100 TB this is THE
-       standard sub-quadratic path; bucket skew is bounded by band width.
-    3. Exact n-gram Jaccard verification of candidates only.
-    """
-    df = _fan_out(df)
+    2. Band hashes; explode to NARROW (doc, band, bucket) rows; self-join
+       on the bucket (hash shuffle) -> bare (doc_a, doc_b) candidates. At
+       100 TB this is THE standard sub-quadratic path; bucket skew is
+       bounded by band width, and no shingle payload rides the join — the
+       shingle sets are joined back exactly once per side AFTER candidate
+       dedup (the round-1 plan duplicated both full shingle arrays into
+       every bucket-collision row, multiplying the shuffle by candidate
+       fan-out).
+    3. Exact n-gram Jaccard verification of candidates only, so every
+       emitted pair carries its TRUE Jaccard.
+
+    The default band geometry (64 bands of 2 rows) is chosen so recall at
+    ``threshold`` is ~1 - (1-t^2)^64 (>= 0.99998 at t=0.5, converging to 1
+    above it): the emitted set equals the exact-threshold set with
+    overwhelming probability, which is what makes the operator
+    oracle-checkable against the all-pairs exact-Jaccard SQL (and is
+    asserted exactly in tests at sf0.001/sf0.01)."""
     rows_per_band = num_perm // bands
-    # Shingle hashing runs JVM-side; the num_perm affine permutations +
-    # mins run as ONE vectorized numpy kernel in mapInArrow. (Catalyst
-    # higher-order functions are interpreted, so num_perm chained
-    # array_min(transform(...)) calls cost ~10x more than the same math
-    # as a batched (perms x shingles) numpy broadcast.)
-    hashed = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            _token_ngrams(F.col(text_col), ngram).alias("sh_str"),
-        )
-        .withColumn(
-            "shingles",
-            F.array_distinct(
-                F.transform("sh_str", lambda s: _hash64(s) % MERSENNE_P)
-            ),
-        )
-        .drop("sh_str")
+    # Token hashing runs JVM-side (one xxhash64 per token); gram hashes +
+    # the num_perm affine permutations + mins run as ONE vectorized numpy
+    # kernel in mapInArrow. (Catalyst higher-order functions are
+    # interpreted — building gram STRINGS with concat_ws/slice HOFs was
+    # the round-1 bottleneck.)
+    tok_hashed = _fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.transform(_norm_tokens(F.col(text_col)), _hash64).alias("th"),
     )
-    sig_df = _with_numpy_signatures(hashed, num_perm, seed)
+    # Three consumers read this table (bucket explode + both verify
+    # joins); without a persist each one re-runs the shingling+signature
+    # projection — the most expensive stage in the pipeline. Spark's own
+    # MinHashLSH does the same. MEMORY_AND_DISK: spills, never recomputes.
+    sig_df = _with_gram_signatures(tok_hashed, ngram, num_perm, seed
+                                   ).persist()
+    shingle_sets = sig_df.select("doc", "shingles", "n_shingles")
 
     band_cols = [
         F.struct(
@@ -268,14 +336,14 @@ def minhash_lsh_pairs(
         for i in range(bands)
     ]
     buckets = sig_df.select(
-        "doc", "shingles", "n_shingles",
-        F.explode(F.array(*band_cols)).alias("bb"),
-    ).select("doc", "shingles", "n_shingles", "bb.band", "bb.bucket")
+        "doc", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc", "bb.band", "bb.bucket")
 
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
-        a.join(
+        a.hint("shuffle_hash")
+        .join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
@@ -284,19 +352,26 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("a.n_shingles").alias("na"),
-            F.col("b.shingles").alias("sh_b"),
-            F.col("b.n_shingles").alias("nb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    verified = cand.withColumn(
-        "common", F.size(F.array_intersect("sh_a", "sh_b"))
-    ).withColumn(
-        "jaccard",
-        F.round(F.col("common")
-                / (F.col("na") + F.col("nb") - F.col("common")), 6),
+    sh_a = shingle_sets.select(
+        F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("na"),
+    )
+    sh_b = shingle_sets.select(
+        F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("nb"),
+    )
+    verified = (
+        cand.join(sh_a, on="doc_a")
+        .join(sh_b, on="doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common")
+                    / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
     )
     return verified.where(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "jaccard"
@@ -304,58 +379,94 @@ def minhash_lsh_pairs(
 
 
 # ------------------------------------------------------------------- SimHash
+SIMHASH_BITS = 60
+
+
+def _hash60_cross_engine(col: Column) -> Column:
+    """60-bit token hash computable identically in any SQL engine: the
+    first 15 hex digits of md5, parsed as an integer. (DuckDB mirror:
+    ``('0x' || substring(md5(tok),1,15))::BIGINT``.) Used where the
+    RESULT must be cross-engine reproducible; xxhash64 stays the default
+    where only run-to-run determinism is needed."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document: sign of per-bit weighted sums of token
-    hashes. Explode + single aggregation (one shuffle); bits extracted with
-    shiftright/bitwise-and, no Python."""
-    toks = df.select(
+    """60-bit SimHash per document: sign of per-bit sums of ±1 votes from
+    every token occurrence's 60-bit hash.
+
+    Token hashing runs JVM-side (md5 — cross-engine reproducible); the
+    60-bit vote tally + sign runs as ONE Arrow-batched numpy popcount
+    kernel per document. No explode, no shuffle: the round-1 plan exploded
+    tokens and ran a 60-column SUM aggregate (9 s at sf0.1); this is a
+    pure projection."""
+    import numpy as np
+    import pyarrow as pa_
+
+    hashed = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(_norm_tokens(F.col(text_col))).alias("tok"),
-    ).withColumn("h", _hash64(F.col("tok")))
-    sums = toks.groupBy("doc").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1,
-                       1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(60)
-        ]
+        F.transform(
+            _norm_tokens(F.col(text_col)), _hash60_cross_engine
+        ).alias("h"),
     )
-    bit_terms = [
-        F.when(F.col(f"b{i}") > 0,
-               F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        for i in range(60)
-    ]
-    total = bit_terms[0]
-    for t in bit_terms[1:]:
-        total = total + t
-    return sums.select("doc", total.alias("simhash"))
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    def task(batches):
+        for batch in batches:
+            docs = batch.column(0)
+            sigs = []
+            for row in batch.column(1).to_pylist():
+                h = np.asarray(row, dtype=np.int64)
+                if h.size == 0:
+                    sigs.append(0)
+                    continue
+                # (n_tok x 60) bit matrix; votes = sum(2*bit - 1); a bit
+                # is set iff its vote is strictly positive (ties -> 0,
+                # mirroring SUM(...) > 0 in SQL).
+                bits = (h[:, None] >> shifts[None, :]) & 1
+                votes = (2 * bits - 1).sum(axis=0)
+                sigs.append(int(((votes > 0).astype(np.int64)
+                                 << shifts).sum()))
+            yield pa_.RecordBatch.from_arrays(
+                [docs, pa_.array(sigs, pa_.int64())],
+                names=["doc", "simhash"],
+            )
+
+    return hashed.mapInArrow(task, "doc long, simhash long")
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
-                  max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, candidate-generated by
-    16-bit chunk equality (a hamming<=3 pair must share one of 4 chunks —
-    pigeonhole), then verified with bit_count."""
-    sh = simhash(df, id_col, text_col)
+                  max_hamming: int = 3) -> DataFrame:
+    """ALL pairs (a<b) within ``max_hamming`` SimHash bits — exact, not
+    approximate: candidates come from chunk equality over max_hamming+1
+    bit-chunks (pigeonhole: a pair differing in <= k bits must agree on at
+    least one of k+1 chunks), then are verified with bit_count. The chunk
+    join is a hash shuffle on narrow (doc, chunk, val) rows; no task ever
+    sees the whole corpus. Deterministic AND cross-engine reproducible
+    (md5-based token hashes), so the output oracles against all-pairs
+    bit_count SQL."""
+    n_chunks = max_hamming + 1
+    width = (SIMHASH_BITS + n_chunks - 1) // n_chunks
+    sh = simhash(_fan_out(df), id_col, text_col)
     chunks = sh.select(
         "doc", "simhash",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("chunk"),
-                    F.shiftright("simhash", i * 15)
-                    .bitwiseAND((1 << 15) - 1).alias("val"),
+                    F.shiftright("simhash", i * width)
+                    .bitwiseAND((1 << width) - 1).alias("val"),
                 )
-                for i in range(4)
+                for i in range(n_chunks)
             ])
         ).alias("c"),
     ).select("doc", "simhash", "c.chunk", "c.val")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
-        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
-               & (F.col("a.val") == F.col("b.val"))
-               & (F.col("a.doc") < F.col("b.doc")))
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.chunk") == F.col("b.chunk"))
+              & (F.col("a.val") == F.col("b.val"))
+              & (F.col("a.doc") < F.col("b.doc")))
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
                 F.col("a.simhash").alias("sh_a"),
                 F.col("b.simhash").alias("sh_b"))
@@ -364,7 +475,8 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     return (
         cand.withColumn(
             "hamming",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("long"),
         )
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

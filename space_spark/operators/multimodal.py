@@ -77,6 +77,65 @@ def image_features(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("mean_amplitude", T.DoubleType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def _pseudo_audio(payload: bytes) -> tuple:
+    """Deterministic fake audio decode (no libsndfile in this container):
+    sample_rate/n_samples derive from the byte length, mean_amplitude from
+    the md5 digest — every value is reproducible in the SQL oracle
+    (sample_rate = 8000*(n%3+1), n_samples = n*256 + n*31%997,
+    mean_amplitude = first-8-md5-hex-digits % 1000 / 1000)."""
+    n = len(payload)
+    digest = hashlib.md5(payload).hexdigest()
+    sample_rate = 8000 * (n % 3 + 1)
+    n_samples = n * 256 + (n * 31) % 997
+    # No rounding: one IEEE division of exact integers is bit-identical in
+    # every engine, while round() halfway behavior differs (banker's vs
+    # half-away-from-zero).
+    duration = n_samples / sample_rate
+    amplitude = int(digest[:8], 16) % 1000 / 1000.0
+    return n, sample_rate, n_samples, duration, amplitude, digest
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id",
+                   blob_col: str = "payload") -> DataFrame:
+    """Per-clip audio metadata over binary blobs — the audio analog of
+    ``image_features`` (same bounded-batch mapInPandas shape a real
+    libsndfile/torchaudio decode would use; swap ``_pseudo_audio`` for the
+    real decoder when the codec is available)."""
+
+    def task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_pseudo_audio(p if p is not None else b"")
+                     for p in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [f[0] for f in feats],
+                    "sample_rate": [f[1] for f in feats],
+                    "n_samples": [f[2] for f in feats],
+                    "duration_sec": [f[3] for f in feats],
+                    "mean_amplitude": [f[4] for f in feats],
+                    "content_md5": [f[5] for f in feats],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        task, AUDIO_FEATURES_SCHEMA
+    )
+
+
 def decode_image_real(payload: bytes):
     """Real image decode — requires an imaging library not present in this
     environment; plumbing above is identical once available."""

@@ -149,6 +149,33 @@ def lsh_bucket_topk(
     )
 
 
+# Knuth's multiplicative hash constant: (id * KNUTH) % 2^32 scatters ids
+# pseudo-randomly with EXACT int64 arithmetic (no overflow for id < 2^31),
+# reproducible in any SQL engine — the centroid choice stays deterministic
+# without an engine-specific RNG.
+KNUTH_MULT = 2654435761
+KNUTH_MOD = 1 << 32
+
+
+def ivf_centroids(
+    corpus_v: DataFrame, n_centroids: int
+) -> DataFrame:
+    """Deterministic centroid sample: the ``n_centroids`` corpus vectors
+    with the smallest Knuth-hashed ids. ``orderBy().limit()`` plans as a
+    distributed TakeOrdered (no global sort); the rank window then runs on
+    the n_centroids surviving rows only."""
+    key = (F.col("id") * F.lit(KNUTH_MULT)) % F.lit(KNUTH_MOD)
+    chosen = corpus_v.orderBy(key.asc(), F.col("id").asc()).limit(n_centroids)
+    w = Window.orderBy(
+        ((F.col("id") * F.lit(KNUTH_MULT)) % F.lit(KNUTH_MOD)).asc(),
+        F.col("id").asc(),
+    )
+    return chosen.select(
+        F.row_number().over(w).alias("cent_id"),
+        F.col("v").alias("cent_v"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -157,75 +184,49 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
-    seed: int = 42,
     round_digits: int = 4,
+    gemm: bool = False,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus partitioned into inverted lists
     by nearest centroid; each query scans only its ``n_probe`` closest
     lists.
 
-    Centroids are a deterministic seeded sample of corpus vectors (one
+    Centroids are a deterministic Knuth-hash sample of corpus vectors (one
     k-means sweep would refine them; sampling keeps the operator fully
-    deterministic and dependency-free). Assignment runs as a blocked
-    numpy GEMM against the broadcast centroid matrix; the probe join is a
-    hash shuffle on centroid id — at scale each task touches one inverted
-    list, never the whole corpus."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    spark = corpus.sparkSession
+    deterministic and dependency-free). Default assignment is a broadcast
+    join against the centroid set with the same left-to-right cosine fold
+    used everywhere (round-before-argmax, centroid-id tie-break) — every
+    step is reproducible bit-for-bit in any engine that folds doubles in
+    list order, so the whole query oracles against plain SQL. The probe
+    join is a hash shuffle on centroid id — at scale each task touches one
+    inverted list, never the whole corpus. ``gemm=True`` swaps assignment
+    for a blocked numpy GEMM against the broadcast centroid matrix (BLAS
+    throughput for wide corpora; same lists except float-boundary ties)."""
     v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # Deterministic centroid sample: order by a seeded hash of the id.
-    cent_rows = (
-        v.orderBy(F.xxhash64(F.col("id"), F.lit(seed)))
-        .limit(n_centroids)
-        .collect()
-    )
-    cmat = np.stack(
-        [np.asarray(r["v"], dtype=np.float64) for r in cent_rows]
-    )
-    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
-    b_cmat = spark.sparkContext.broadcast(cmat)
+    q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = ivf_centroids(v, n_centroids)
 
-    def assign(df: DataFrame, col_alias: str, top_n: int) -> DataFrame:
-        out_schema = T.StructType(
-            df.schema.fields
-            + [T.StructField(col_alias, T.IntegerType())]
-        )
+    if gemm:
+        assign = _ivf_assign_gemm(cents)
+    else:
+        def assign(side: DataFrame, top_n: int) -> DataFrame:
+            scored_c = side.crossJoin(F.broadcast(cents)).withColumn(
+                "csim", F.round(cosine(F.col("v"), F.col("cent_v")), 6)
+            )
+            w = Window.partitionBy("id").orderBy(
+                F.col("csim").desc(), F.col("cent_id").asc()
+            )
+            return (
+                scored_c.withColumn("__r", F.row_number().over(w))
+                .where(F.col("__r") <= top_n)
+                .select("id", "v", F.col("cent_id").alias("list_id"))
+            )
 
-        def task(batches):
-            cm = b_cmat.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                mat = np.stack(
-                    [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
-                )
-                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-                sims = mat @ cm.T
-                if top_n == 1:
-                    assignments = sims.argmax(axis=1)[:, None]
-                else:
-                    assignments = np.argsort(-sims, axis=1)[:, :top_n]
-                rows = pdf.loc[pdf.index.repeat(assignments.shape[1])]
-                rows = rows.assign(**{col_alias: assignments.ravel()})
-                yield rows
-
-        return df.mapInPandas(task, out_schema)
-
-    c_assigned = (
-        assign(v, "list_id", 1)
-        .withColumnRenamed("id", "neighbor_id")
-        .withColumnRenamed("v", "cv")
+    c_assigned = assign(v, 1).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "list_id"
     )
-    q = queries.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    )
-    q_assigned = (
-        assign(q, "list_id", n_probe)
-        .withColumnRenamed("id", "query_id")
-        .withColumnRenamed("v", "qv")
+    q_assigned = assign(q, n_probe).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "list_id"
     )
 
     scored = (
@@ -243,6 +244,49 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def _ivf_assign_gemm(cents: DataFrame):
+    """GEMM-based list assignment (the wide-corpus fast path): centroids
+    are collected once (n_centroids rows — bounded), broadcast as a
+    normalized float64 matrix, and each Arrow batch multiplies against it
+    with BLAS."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    spark = cents.sparkSession
+    cent_rows = cents.orderBy("cent_id").collect()
+    cmat = np.stack(
+        [np.asarray(r["cent_v"], dtype=np.float64) for r in cent_rows]
+    )
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    cent_ids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
+    b_cmat = spark.sparkContext.broadcast(cmat)
+    b_ids = spark.sparkContext.broadcast(cent_ids)
+
+    def assign(side: DataFrame, top_n: int) -> DataFrame:
+        out_schema = T.StructType(
+            side.schema.fields + [T.StructField("list_id", T.IntegerType())]
+        )
+
+        def task(batches):
+            cm, ids = b_cmat.value, b_ids.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+                )
+                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                sims = mat @ cm.T
+                picks = np.argsort(-sims, axis=1)[:, :top_n]
+                rows = pdf.loc[pdf.index.repeat(picks.shape[1])]
+                rows = rows.assign(list_id=ids[picks.ravel()])
+                yield rows
+
+        return side.mapInPandas(task, out_schema)
+
+    return assign
 
 
 def neardup_pairs(

@@ -110,9 +110,9 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     Input is repartitioned up to cluster parallelism when under-split — a
     single-file corpus otherwise runs every (interpreted) string kernel on
     one core."""
-    sc_ = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < max(2, sc_.defaultParallelism // 2):
-        df = df.repartition(sc_.defaultParallelism)
+    from space_spark.operators.dedup import _fan_out
+
+    df = _fan_out(df)
     t = F.col(text_col)
     return df.select(
         "*",

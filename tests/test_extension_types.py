@@ -77,6 +77,55 @@ def test_field_serializer_persisted(spark, tmp_location):
     assert raw[3] == b"VALUE3"
 
 
+def test_read_path_deserialize(spark, tmp_location):
+    """read(deserialize=True) surfaces record blobs through the persisted
+    serializer as a typed column — mirror of the reference's TfFeatures
+    deserialize-on-read (tf_features.py:54-64)."""
+    import json
+
+    from pyspark.sql import types as T2
+
+    # Defined inside the test so cloudpickle ships it by VALUE — a
+    # module-level class would be pickled by reference and fail to import
+    # on executors.
+    class JsonSerializer(FieldSerializer):
+        spark_type = T2.MapType(T2.StringType(), T2.LongType())
+
+        def serialize(self, value):
+            return json.dumps(value, sort_keys=True).encode()
+
+        def deserialize(self, value_bytes):
+            return json.loads(value_bytes)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("features", T.BinaryType()),
+        ]
+    )
+    ser = JsonSerializer()
+    ds = Dataset.create(
+        spark, tmp_location, schema, ["id"], record_fields=["features"],
+        serializers={"features": ser},
+    )
+    ds.append(
+        spark.createDataFrame(
+            [Row(id=i, features=ser.serialize({"len": i, "sq": i * i}))
+             for i in range(4)],
+            schema,
+        )
+    )
+    loaded = Dataset.load(spark, tmp_location)
+    df = loaded.read(deserialize=True)
+    assert dict(df.schema["features"].dataType.__dict__) != {}  # typed col
+    assert df.schema["features"].dataType == ser.spark_type
+    got = {r.id: dict(r.features) for r in df.collect()}
+    assert got == {i: {"len": i, "sq": i * i} for i in range(4)}
+    # Raw bytes remain the default read.
+    raw = loaded.read().collect()
+    assert isinstance(raw[0].features, (bytes, bytearray))
+
+
 def test_pickle_serializer_roundtrip():
     s = PickleSerializer()
     value = {"a": [1, 2, 3], "b": "x"}

@@ -88,17 +88,13 @@ def test_query_matches_oracle(spark, name):
     )
 
 
-def test_rows_only_queries_run(spark):
+def test_every_query_is_oracled():
+    # Round 2: no rows-only queries remain — every registered query has a
+    # full SQL oracle.
     rows_only = sorted(
         set(entry_mod.queries()) - set(entry_mod.oracle_sql())
     )
-    assert rows_only == [
-        "ann_ivf_topk", "ann_lsh_topk", "dedup_minhash_lsh",
-        "dedup_simhash_pairs",
-    ]
-    for name in rows_only:
-        df = entry_mod.queries()[name](spark, SF_DIR)
-        assert df.count() >= 0
+    assert rows_only == []
 
 
 def test_entry_smoke(spark):

@@ -56,3 +56,48 @@ def test_mv_runner_refresh(spark, tmp_location):
     tbl = mv.local().read_all()
     assert dict(zip(tbl["id"].to_pylist(), tbl["v2"].to_pylist())) == \
         {1: 2.0, 2: 4.0}
+
+
+def test_block_level_streaming_read(spark, tmp_location):
+    """Multi-file table iterated in bounded blocks: each block is read via
+    its own read_files() call (no whole-table materialization), blocks
+    respect the byte ceiling, and the concatenation equals the table."""
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["id"])
+    for start in range(0, 40, 10):  # 4 appends -> >= 4 data files
+        ds.append(
+            spark.createDataFrame(
+                [Row(id=i, val=i / 10.0) for i in range(start, start + 10)],
+                SIMPLE,
+            ).coalesce(1)
+        )
+    runner = ds.local()
+    calls = []
+    orig = ds.read_files
+
+    def spy(rel_files, **kw):
+        calls.append(list(rel_files))
+        return orig(rel_files, **kw)
+
+    ds.read_files = spy
+    # 1-byte ceiling forces one block per file.
+    batches = list(runner.read_blocks(max_block_bytes=1, batch_size=16))
+    ds.read_files = orig
+    assert len(calls) >= 4 and all(len(c) == 1 for c in calls)
+    assert sum(b.num_rows for b in batches) == 40
+    assert max(b.num_rows for b in batches) <= 16
+    ids = sorted(i for b in batches for i in b.column("id").to_pylist())
+    assert ids == list(range(40))
+
+    # Filters prune whole blocks before any read happens.
+    calls.clear()
+    ds.read_files = spy
+    got = list(runner.read_blocks(filter_=field("id") >= 30,
+                                  max_block_bytes=1))
+    ds.read_files = orig
+    assert len(calls) == 1  # manifest pruning dropped 3 of 4 files
+    assert sorted(i for b in got for i in b.column("id").to_pylist()) == list(
+        range(30, 40)
+    )
+
+    # Default ceiling groups all tiny files into one block.
+    assert len(list(runner._split_blocks(ds, ds.data_files(), 1 << 30))) == 1

@@ -1,0 +1,78 @@
+"""Planning cost at large file counts: manifest pruning over a 10k-file
+table must stay sub-second and driver-light (the SCALE.md contract).
+
+The manifest is synthesized directly (pruning never opens data files, so
+none need to exist) — this is exactly the planning input a 10k-file table
+produces."""
+
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import types as T
+
+from space_spark import field
+from space_spark.core import manifests as mf
+
+N_FILES = 10_000
+ROWS_PER_FILE = 100_000
+
+
+@pytest.fixture(scope="module")
+def big_manifest(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("manifests") / "manifest-big.parquet")
+    lo = [i * ROWS_PER_FILE for i in range(N_FILES)]
+    hi = [(i + 1) * ROWS_PER_FILE - 1 for i in range(N_FILES)]
+    tbl = pa.table(
+        {
+            mf.FILE_PATH_COL: [f"data/part-{i:05d}.parquet"
+                               for i in range(N_FILES)],
+            mf.NUM_ROWS_COL: pa.array([ROWS_PER_FILE] * N_FILES, pa.int64()),
+            mf.SIZE_BYTES_COL: pa.array([64 << 20] * N_FILES, pa.int64()),
+            mf.STATS_PREFIX + "id": pa.StructArray.from_arrays(
+                [pa.array(lo, pa.int64()), pa.array(hi, pa.int64())],
+                names=[mf.MIN_COL, mf.MAX_COL],
+            ),
+        }
+    )
+    pq.write_table(tbl, path)
+    return path
+
+
+STATS_FIELDS = [("id", T.LongType())]
+
+
+def test_10k_file_pruning_subsecond(spark, big_manifest):
+    # Warm-up excluded from timing (module imports, first parquet read).
+    mf.prune_files(spark, [big_manifest], None, STATS_FIELDS)
+
+    start = time.perf_counter()
+    pruned = mf.prune_files(
+        spark, [big_manifest],
+        field("id") >= (N_FILES - 3) * ROWS_PER_FILE,
+        STATS_FIELDS,
+    )
+    elapsed = time.perf_counter() - start
+    assert sorted(pruned) == [
+        f"data/part-{i:05d}.parquet" for i in range(N_FILES - 3, N_FILES)
+    ]
+    assert elapsed < 1.0, f"planning took {elapsed:.3f}s for 10k files"
+
+
+def test_10k_file_point_lookup_planning(spark, big_manifest):
+    start = time.perf_counter()
+    pruned = mf.prune_files(
+        spark, [big_manifest], field("id") == 123_456_789, STATS_FIELDS
+    )
+    elapsed = time.perf_counter() - start
+    assert pruned == ["data/part-01234.parquet"]
+    assert elapsed < 1.0
+
+
+def test_10k_file_no_filter_lists_all(spark, big_manifest):
+    start = time.perf_counter()
+    pruned = mf.prune_files(spark, [big_manifest], None, STATS_FIELDS)
+    elapsed = time.perf_counter() - start
+    assert len(pruned) == N_FILES
+    assert elapsed < 1.0
