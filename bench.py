@@ -50,9 +50,13 @@ def main() -> None:
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/Python-worker pools so per-query numbers measure the
-    # queries, not executor startup.
+    # Warm the JVM and the Python worker pool so per-query numbers measure
+    # the queries, not executor/worker startup (the first mapInArrow/
+    # mapInPandas query otherwise pays ~32 worker spawns).
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(cpus * 2, numPartitions=cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for i, (name, fn) in enumerate(entry_mod.queries().items()):

@@ -68,30 +68,6 @@ def _token_ngrams(text: Column, n: int) -> Column:
     return F.array_distinct(grams)
 
 
-def _shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int
-                    ) -> DataFrame:
-    """(doc, shingles: distinct hashed n-gram array, n_shingles).
-
-    Tokens are materialized as a NAMED column before the shingling lambda:
-    Catalyst higher-order functions are interpreted, and an inline
-    ``split()`` referenced from inside the lambda re-evaluates per
-    element — O(tokens^2) per document. Hashing is fused into the same
-    transform so no intermediate string-array ever materializes."""
-    toks_df = df.select(
-        F.col(id_col).alias("doc"),
-        _norm_tokens(F.col(text_col)).alias("__toks"),
-    )
-    toks = F.col("__toks")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: _hash64(F.concat_ws(" ", F.slice(toks, i + 1, n)))
-        % MERSENNE_P,
-    )
-    return toks_df.select(
-        "doc", F.array_distinct(grams).alias("shingles")
-    ).withColumn("n_shingles", F.size("shingles"))
-
-
 def _hash64(col: Column) -> Column:
     """Deterministic non-negative 63-bit hash (JVM xxhash64, seed 42 —
     codegen-fast; dedup ops need determinism, not cross-engine SQL
@@ -138,7 +114,14 @@ def ngram_jaccard_pairs(
     bit-identical in any engine."""
     # Shingles are joined by a ~61-bit hash, not the string: same counts
     # (collision odds ~2^-61 per shared pair) and a far smaller shuffle.
-    shingled = _shingle_hashes(_fan_out(df), id_col, text_col, n)
+    # Tokens are hashed JVM-side; grams are mixed in the numpy kernel (the
+    # same one MinHash uses, signatures skipped) — interpreted per-gram
+    # string building was the round-1 cost.
+    tok_hashed = _fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.transform(_norm_tokens(F.col(text_col)), _hash64).alias("th"),
+    )
+    shingled = _with_gram_signatures(tok_hashed, n, None, 0)
     exploded = shingled.select(
         "doc", "n_shingles", F.explode("shingles").alias("shingle")
     )
@@ -209,9 +192,11 @@ def _signature_from_hashes(hashes: Column, num_perm: int, seed: int
 _GRAM_MIX = 0x9E3779B97F4A7C15
 
 
-def _with_gram_signatures(tok_hashed: DataFrame, ngram: int, num_perm: int,
-                          seed: int) -> DataFrame:
-    """(doc, th: token-hash array) -> (doc, shingles, sig, n_shingles).
+def _with_gram_signatures(tok_hashed: DataFrame, ngram: int,
+                          num_perm: Optional[int], seed: int) -> DataFrame:
+    """(doc, th: token-hash array) -> (doc, shingles, sig, n_shingles);
+    ``num_perm=None`` skips the MinHash signature (gram hashing only, for
+    the exact-Jaccard inverted index).
 
     Gram (shingle) hashes AND MinHash signatures are computed in one
     Arrow-batched numpy kernel from per-TOKEN hashes: a document has ~5x
@@ -228,12 +213,16 @@ def _with_gram_signatures(tok_hashed: DataFrame, ngram: int, num_perm: int,
     import numpy as np
     import pyarrow as pa_
 
-    perms = _perm_constants(num_perm, seed)
-    A = np.array([a for a, _ in perms], dtype=np.int64)[:, None]
-    B = np.array([b for _, b in perms], dtype=np.int64)[:, None]
-    out_schema = (
-        "doc long, shingles array<long>, sig array<long>, n_shingles int"
-    )
+    if num_perm is not None:
+        perms = _perm_constants(num_perm, seed)
+        A = np.array([a for a, _ in perms], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in perms], dtype=np.int64)[:, None]
+        out_schema = (
+            "doc long, shingles array<long>, sig array<long>, "
+            "n_shingles int"
+        )
+    else:
+        out_schema = "doc long, shingles array<long>, n_shingles int"
 
     def task(batches):
         mix = np.int64(np.uint64(_GRAM_MIX).astype(np.int64))
@@ -245,7 +234,8 @@ def _with_gram_signatures(tok_hashed: DataFrame, ngram: int, num_perm: int,
                     t = np.asarray(row, dtype=np.int64)
                     if t.size == 0:
                         shingle_rows.append([])
-                        sigs.append([MERSENNE_P] * num_perm)
+                        if num_perm is not None:
+                            sigs.append([MERSENNE_P] * num_perm)
                         counts.append(0)
                         continue
                     n_tok = t.size
@@ -262,19 +252,19 @@ def _with_gram_signatures(tok_hashed: DataFrame, ngram: int, num_perm: int,
                     h = np.unique(g % MERSENNE_P)
                     shingle_rows.append(h.tolist())
                     counts.append(int(h.size))
-                    # (num_perm x n) broadcast; h < P keeps products
-                    # < 2^62 — no int64 overflow.
-                    sigs.append(((A * h[None, :] + B) % MERSENNE_P)
-                                .min(axis=1).tolist())
-            yield pa_.RecordBatch.from_arrays(
-                [
-                    docs,
-                    pa_.array(shingle_rows, pa_.list_(pa_.int64())),
-                    pa_.array(sigs, pa_.list_(pa_.int64())),
-                    pa_.array(counts, pa_.int32()),
-                ],
-                names=["doc", "shingles", "sig", "n_shingles"],
-            )
+                    if num_perm is not None:
+                        # (num_perm x n) broadcast; h < P keeps products
+                        # < 2^62 — no int64 overflow.
+                        sigs.append(((A * h[None, :] + B) % MERSENNE_P)
+                                    .min(axis=1).tolist())
+            cols = [docs, pa_.array(shingle_rows, pa_.list_(pa_.int64()))]
+            names = ["doc", "shingles"]
+            if num_perm is not None:
+                cols.append(pa_.array(sigs, pa_.list_(pa_.int64())))
+                names.append("sig")
+            cols.append(pa_.array(counts, pa_.int32()))
+            names.append("n_shingles")
+            yield pa_.RecordBatch.from_arrays(cols, names=names)
 
     return tok_hashed.mapInArrow(task, out_schema)
 
