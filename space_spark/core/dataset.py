@@ -348,8 +348,9 @@ class Dataset:
         pin and commit, the already-written data files are still valid —
         only the snapshot record needs rebuilding against the new parent.
         So a conflicting append retries the METADATA commit (no data
-        rewrite) instead of aborting; true aborts remain for operations
-        whose reads the new head invalidates (delete/insert/upsert)."""
+        rewrite) instead of aborting; delete/upsert instead re-derive
+        their affected-file probe against the new head before retrying,
+        since the new head may invalidate their reads."""
         df = self._align(df)
         if cluster_by:
             unknown = set(cluster_by) - set(self.schema.fieldNames())
@@ -484,37 +485,69 @@ class Dataset:
         new rows after dropping the old ones."""
         df = self._align(df)
         self.reload()
-        n_keys = self._check_duplicate_pks(df)
+        n_keys, bounds = self._check_duplicate_pks(df)
         if n_keys == 0:
             return self
-        pinned = self.current_snapshot_id
-        affected, survivors, deleted = self._matching_delete_parts(
-            df.select(*self.primary_keys), n_keys=n_keys
-        )
+        # The append half is head-independent: its data files stay valid
+        # across a conflict, so they are written once outside the retry
+        # loop. Only the delete half (which reads the pinned head) is
+        # re-derived against the new head on conflict — same bounded
+        # retry discipline as append.
         manifest_rel, files, rows, nbytes = self._write_data_files(df)
         rec_rel = self._write_record_manifest_for(files)
-        self._commit_rewrite(
-            pinned, affected, survivors, deleted,
-            append_manifest=manifest_rel, append_files=files,
-            append_rows=rows, append_bytes=nbytes,
-            append_record_manifest=rec_rel,
-        )
-        return self
+        last_err = None
+        for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
+            pinned = self.current_snapshot_id
+            affected, survivors, deleted = self._matching_delete_parts(
+                df.select(*self.primary_keys), n_keys=n_keys, bounds=bounds
+            )
+            try:
+                self._commit_rewrite(
+                    pinned, affected, survivors, deleted,
+                    append_manifest=manifest_rel, append_files=files,
+                    append_rows=rows, append_bytes=nbytes,
+                    append_record_manifest=rec_rel,
+                )
+                return self
+            except TransactionConflictError as e:
+                last_err = e
+                self.reload()
+        raise last_err
 
-    def _check_duplicate_pks(self, df: DataFrame) -> int:
-        """Validate input PK uniqueness; returns the distinct key count
-        (one aggregate job yields both — the count feeds the broadcast-vs-
-        shuffle join choice in the delete half)."""
+    def _check_duplicate_pks(self, df: DataFrame):
+        """Validate input PK uniqueness; returns (distinct key count,
+        per-PK min/max bounds Row). One aggregate job yields all three —
+        the count feeds the broadcast-vs-shuffle join choice and the
+        bounds feed manifest range pruning in the delete half."""
         pks = self.primary_keys
         row = (
             df.groupBy(*pks)
             .count()
-            .agg(F.count(F.lit(1)).alias("n"), F.max("count").alias("mx"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("count").alias("mx"),
+                *[F.min(k).alias(f"mn_{k}") for k in pks],
+                *[F.max(k).alias(f"mx_{k}") for k in pks],
+            )
             .collect()[0]
         )
         if row["mx"] is not None and row["mx"] > 1:
             raise UserInputError("Input data has duplicate primary keys")
-        return int(row["n"] or 0)
+        return int(row["n"] or 0), row
+
+    def _keys_range_expr(self, bounds) -> FilterType:
+        """Falsifiable manifest-prune expression from a key set's min/max
+        bounds (conjunction of per-PK ranges). Shared by ``read_by_keys``
+        and the upsert/delete probe so a small key set prunes to the few
+        files whose stats overlap it instead of scanning the table."""
+        prune = None
+        for k in self.primary_keys:
+            mn, mx = bounds[f"mn_{k}"], bounds[f"mx_{k}"]
+            if mn is None:
+                continue
+            rng = (Field(k) >= mn) & (Field(k) <= mx)
+            prune = rng if prune is None else (prune & rng)
+        return prune
 
     # ----------------------------------------------------------------- delete
     def _abs_to_rel_file(self, uri: str) -> str:
@@ -541,16 +574,33 @@ class Dataset:
             return keys_df.hint("broadcast")
         return keys_df.hint("shuffle_hash")
 
-    def _matching_delete_parts(self, keys_df: DataFrame, n_keys=None):
+    def _matching_delete_parts(self, keys_df: DataFrame, n_keys=None,
+                               bounds=None):
         """CoW-delete inputs for rows whose PKs appear in ``keys_df``:
         (affected rel files, survivors df, deleted-PKs df) — ([], None,
-        None) when nothing matches. Computes, never commits."""
+        None) when nothing matches. Computes, never commits.
+
+        The probe is manifest-pruned by the keys' min/max range (same
+        derivation as ``read_by_keys``) — a 10-row upsert into a huge
+        clustered table touches the few overlapping files, never the
+        whole table."""
         pks = self.primary_keys
+        if bounds is None or n_keys is None:
+            row = keys_df.agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[F.min(k).alias(f"mn_{k}") for k in pks],
+                *[F.max(k).alias(f"mx_{k}") for k in pks],
+            ).collect()[0]
+            bounds = row
+            if n_keys is None:
+                n_keys = int(row["__n"] or 0)
+        if n_keys == 0:
+            return [], None, None
         snapshot = self.metadata.snapshot(self.current_snapshot_id)
         files = mf.prune_files(
             self.spark,
             self._manifest_abs_paths(snapshot),
-            None,
+            self._keys_range_expr(bounds),
             self._stats_fields(),
         )
         if not files:
@@ -574,44 +624,58 @@ class Dataset:
     def _delete_matching(self, keys_df: DataFrame, commit_mutate=None) -> bool:
         """Delete rows whose PKs appear in keys_df (MV refresh's delete
         half). Returns whether a snapshot was committed."""
-        snap_id = self.current_snapshot_id
-        affected, survivors, deleted = self._matching_delete_parts(keys_df)
-        if not affected:
-            return False
-        self._commit_rewrite(snap_id, affected, survivors, deleted,
-                             mutate=commit_mutate)
-        return True
+        last_err = None
+        for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
+            snap_id = self.current_snapshot_id
+            affected, survivors, deleted = self._matching_delete_parts(keys_df)
+            if not affected:
+                return False
+            try:
+                self._commit_rewrite(snap_id, affected, survivors, deleted,
+                                     mutate=commit_mutate)
+                return True
+            except TransactionConflictError as e:
+                last_err = e
+                self.reload()
+        raise last_err
 
     def _delete_predicate(self, pred, prune_expr: FilterType) -> "Dataset":
-        snap_id = self.current_snapshot_id
-        snapshot = self.metadata.snapshot(snap_id)
-        candidates = mf.prune_files(
-            self.spark,
-            self._manifest_abs_paths(snapshot),
-            prune_expr,
-            self._stats_fields(),
-        )
-        if not candidates:
-            return self
-        phys = self._read_files(candidates).withColumn(
-            "__file", F.input_file_name()
-        )
-        affected_uris = [
-            r[0]
-            for r in phys.where(pred).select("__file").distinct().collect()
-        ]
-        if not affected_uris:
-            return self
-        affected = sorted(self._abs_to_rel_file(u) for u in affected_uris)
-        aff_df = self._read_files(affected)
-        # SQL DELETE semantics: only rows where the predicate is TRUE are
-        # deleted — NULL-predicate rows survive AND stay out of the change
-        # log, keeping survivors/deleted exactly complementary.
-        pred_true = F.coalesce(pred, F.lit(False))
-        survivors = aff_df.where(~pred_true)
-        deleted = aff_df.where(pred_true).select(*self.primary_keys)
-        self._commit_rewrite(snap_id, affected, survivors, deleted)
-        return self
+        last_err = None
+        for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
+            snap_id = self.current_snapshot_id
+            snapshot = self.metadata.snapshot(snap_id)
+            candidates = mf.prune_files(
+                self.spark,
+                self._manifest_abs_paths(snapshot),
+                prune_expr,
+                self._stats_fields(),
+            )
+            if not candidates:
+                return self
+            phys = self._read_files(candidates).withColumn(
+                "__file", F.input_file_name()
+            )
+            affected_uris = [
+                r[0]
+                for r in phys.where(pred).select("__file").distinct().collect()
+            ]
+            if not affected_uris:
+                return self
+            affected = sorted(self._abs_to_rel_file(u) for u in affected_uris)
+            aff_df = self._read_files(affected)
+            # SQL DELETE semantics: only rows where the predicate is TRUE
+            # are deleted — NULL-predicate rows survive AND stay out of the
+            # change log, keeping survivors/deleted exactly complementary.
+            pred_true = F.coalesce(pred, F.lit(False))
+            survivors = aff_df.where(~pred_true)
+            deleted = aff_df.where(pred_true).select(*self.primary_keys)
+            try:
+                self._commit_rewrite(snap_id, affected, survivors, deleted)
+                return self
+            except TransactionConflictError as e:
+                last_err = e
+                self.reload()
+        raise last_err
 
     def _commit_rewrite(
         self,
@@ -826,13 +890,7 @@ class Dataset:
             *[F.min(k).alias(f"mn_{k}") for k in pks],
             *[F.max(k).alias(f"mx_{k}") for k in pks],
         ).collect()[0]
-        prune = None
-        for k in pks:
-            mn, mx = bounds[f"mn_{k}"], bounds[f"mx_{k}"]
-            if mn is None:
-                continue
-            rng = (Field(k) >= mn) & (Field(k) <= mx)
-            prune = rng if prune is None else (prune & rng)
+        prune = self._keys_range_expr(bounds)
         df = self.read(filter_=prune, fields=fields, version=version,
                        reference_read=True)
         out = df.join(F.broadcast(keys), on=pks, how="left_semi")

@@ -22,6 +22,7 @@ integers and therefore cross-engine reproducible.
 
 from __future__ import annotations
 
+import os
 import random
 from typing import List, Optional, Sequence
 
@@ -33,12 +34,19 @@ from pyspark.sql import functions as F
 MERSENNE_P = (1 << 31) - 1
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
+def _fan_out(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     """CPU-heavy per-row work (shingling/hashing) parallelizes only as far
     as the input partitioning — and a small parquet file arrives as ONE
     partition, serializing everything onto one core. Repartition up to the
     cluster's parallelism when the input is under-split (cheap: it only
     shuffles raw text).
+
+    ``min_bytes`` gates the repartition on measured input size: kernels
+    that are cheap per row (plain projections) only pay the shuffle when
+    the single-partition input is genuinely large; CPU-heavy kernels
+    (MinHash signatures) pass 0 — they win from fan-out at any size.
+    Inputs whose size cannot be measured (non-local URIs) are assumed
+    large.
 
     The under-split probe uses ``inputFiles()`` (pure metadata) rather than
     ``df.rdd.getNumPartitions()``, which would force an RDD conversion plan
@@ -46,12 +54,24 @@ def _fan_out(df: DataFrame) -> DataFrame:
     sc_ = df.sparkSession.sparkContext
     target = sc_.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:  # non-file-based plans: leave partitioning alone
         return df
-    if n_files and n_files < max(2, target // 2):
-        return df.repartition(target)
-    return df
+    if not files or len(files) >= max(2, target // 2):
+        return df
+    if min_bytes > 0:
+        from urllib.parse import urlparse
+
+        total = 0
+        for uri in files:
+            try:
+                total += os.path.getsize(urlparse(uri).path)
+            except OSError:
+                total = None  # unmeasurable (remote FS): assume large
+                break
+        if total is not None and total < min_bytes:
+            return df
+    return df.repartition(target)
 
 
 def _norm_tokens(text: Column) -> Column:
@@ -112,8 +132,8 @@ def ngram_jaccard_pairs(
     per pair, then Jaccard = common / (|A| + |B| - common). Scales as the
     number of SHARED shingles, not n^2. Jaccard is a ratio of exact ints —
     bit-identical in any engine."""
-    # Shingles are joined by a ~61-bit hash, not the string: same counts
-    # (collision odds ~2^-61 per shared pair) and a far smaller shuffle.
+    # Shingles are joined by their full 64-bit hash, not the string: same
+    # counts (collision odds ~2^-64 per pair) and a far smaller shuffle.
     # Tokens are hashed JVM-side; grams are mixed in the numpy kernel (the
     # same one MinHash uses, signatures skipped) — interpreted per-gram
     # string building was the round-1 cost.
@@ -203,10 +223,12 @@ def _with_gram_signatures(tok_hashed: DataFrame, ngram: int,
     fewer tokens than gram strings, so the JVM side only hashes tokens and
     never materializes n-gram strings (the round-1 plan built every gram
     with interpreted concat_ws+slice HOFs — the dominant cost). A gram's
-    hash is a polynomial mix of its token hashes: distinct gram hashes
-    correspond to distinct token tuples == distinct gram strings (tokens
-    cannot contain the separator), so Jaccard counts match the string
-    definition the SQL oracle uses (collision odds ~2^-61).
+    hash is a polynomial mix of its token hashes over the full int64
+    domain: distinct gram hashes correspond to distinct token tuples ==
+    distinct gram strings (tokens cannot contain the separator), so
+    Jaccard counts match the string definition the SQL oracle uses
+    (collision odds ~2^-64 per pair; the mod-P reduction happens only
+    inside the MinHash permutations, where overflow-safety requires it).
 
     Gram edge semantics mirror ``_token_ngrams``/the oracle: documents
     with fewer than ``ngram`` tokens yield ONE truncated gram."""
@@ -247,15 +269,23 @@ def _with_gram_signatures(tok_hashed: DataFrame, ngram: int,
                         g = t[:1].copy()
                         for j in range(1, n_tok):
                             g = g * mix + t[j: j + 1]
-                    # numpy % follows the divisor's sign: nonnegative here
-                    # even for wrapped-negative gram hashes.
-                    h = np.unique(g % MERSENNE_P)
+                    # Shingle identity stays FULL 64-bit: distinct token
+                    # tuples keep distinct gram hashes (collision odds
+                    # ~2^-64 per pair) so exact-Jaccard counts are exact
+                    # at corpus scale. A mod-P reduction here would give
+                    # only 31-bit identities — ~65k distinct grams already
+                    # reach 50% collision odds by the birthday bound.
+                    h = np.unique(g)
                     shingle_rows.append(h.tolist())
                     counts.append(int(h.size))
                     if num_perm is not None:
-                        # (num_perm x n) broadcast; h < P keeps products
-                        # < 2^62 — no int64 overflow.
-                        sigs.append(((A * h[None, :] + B) % MERSENNE_P)
+                        # Reduce mod P ONLY for the affine permutations
+                        # (hp < P keeps a*hp+b < 2^62 — no int64
+                        # overflow); duplicate hp values cannot change a
+                        # min. numpy % follows the divisor's sign:
+                        # nonnegative even for wrapped-negative hashes.
+                        hp = h % MERSENNE_P
+                        sigs.append(((A * hp[None, :] + B) % MERSENNE_P)
                                     .min(axis=1).tolist())
             cols = [docs, pa_.array(shingle_rows, pa_.list_(pa_.int64()))]
             names = ["doc", "shingles"]
@@ -269,6 +299,13 @@ def _with_gram_signatures(tok_hashed: DataFrame, ngram: int,
     return tok_hashed.mapInArrow(task, out_schema)
 
 
+def release(df: DataFrame) -> None:
+    """Unpersist cached intermediates attached to an operator's result
+    (the ``materialize=False`` escape hatch of ``minhash_lsh_pairs``)."""
+    for cached in getattr(df, "_space_cached", []):
+        cached.unpersist()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -278,6 +315,7 @@ def minhash_lsh_pairs(
     ngram: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact verification.
 
@@ -298,7 +336,12 @@ def minhash_lsh_pairs(
     above it): the emitted set equals the exact-threshold set with
     overwhelming probability, which is what makes the operator
     oracle-checkable against the all-pairs exact-Jaccard SQL (and is
-    asserted exactly in tests at sf0.001/sf0.01)."""
+    asserted exactly in tests at sf0.001/sf0.01).
+
+    ``materialize=True`` (default) collects the bounded pair set through
+    Arrow and unpersists the cached signatures before returning;
+    ``materialize=False`` returns the lazy plan for write-out-at-scale
+    callers, who must call ``release(result)`` when done."""
     rows_per_band = num_perm // bands
     # Token hashing runs JVM-side (one xxhash64 per token); gram hashes +
     # the num_perm affine permutations + mins run as ONE vectorized numpy
@@ -363,9 +406,23 @@ def minhash_lsh_pairs(
                     / (F.col("na") + F.col("nb") - F.col("common")), 6),
         )
     )
-    return verified.where(F.col("jaccard") >= threshold).select(
+    out = verified.where(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "jaccard"
     )
+    if not materialize:
+        # Lazy scale path (a 100 TB run writes the pair set out rather
+        # than collecting it): the cached signatures stay alive for the
+        # caller's actions — caller MUST call release(result) after.
+        out._space_cached = [sig_df]
+        return out
+    # Default: the post-threshold pair set is small relative to the
+    # corpus — pull it once through Arrow, drop the cached signature
+    # blocks, and hand back a local-backed DataFrame. No persisted
+    # blocks outlive the call (round-2 leak: every invocation left
+    # MEMORY_AND_DISK signature blocks on executors forever).
+    tbl = out.toArrow()
+    sig_df.unpersist()
+    return df.sparkSession.createDataFrame(tbl)
 
 
 # ------------------------------------------------------------------- SimHash

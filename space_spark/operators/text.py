@@ -105,22 +105,78 @@ def fingerprint(text: Column) -> Column:
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """All per-document text statistics in one projection (single pass).
+    """All per-document text statistics in one pass.
 
-    Input is repartitioned up to cluster parallelism when under-split — a
-    single-file corpus otherwise runs every (interpreted) string kernel on
-    one core."""
+    Every expensive subexpression (the token split, per-language stopword
+    counts, punctuation/diversity ratios) is materialized ONCE as a named
+    intermediate column and every output reads the column: Catalyst
+    higher-order functions are interpreted, and the naive composition
+    re-split the text ~12 times per row (token_count + quality_score +
+    4x lang_id + distinct ratio) — the round-2 regression. CollapseProject
+    keeps named non-cheap exprs shared, so this is a single projection
+    pipeline with each kernel evaluated once per row.
+
+    Fan-out is byte-gated: these kernels are cheap per row, so the
+    repartition shuffle only pays for itself on a genuinely large
+    under-split input (e.g. one multi-GB file)."""
     from space_spark.operators.dedup import _fan_out
 
-    df = _fan_out(df)
+    df = _fan_out(df, min_bytes=32 << 20)
+    orig_cols = df.columns
     t = F.col(text_col)
-    return df.select(
-        "*",
-        token_count(t).alias("token_count"),
+    toks = F.col("__toks")
+    ntok = F.col("__ntok")
+    base = df.withColumn("__toks", tokens(t)).withColumn(
+        "__ntok", F.size(toks)
+    )
+    for lang in LANG_ORDER:
+        lits = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        base = base.withColumn(
+            f"__sw_{lang}",
+            F.size(F.filter(toks, lambda x: F.array_contains(lits, x))),
+        )
+    base = (
+        base.withColumn(
+            "__punct",
+            F.when(
+                F.length(t) > 0,
+                F.length(F.regexp_replace(t, r"[A-Za-z0-9 ]", ""))
+                / F.length(t),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "__dtr",
+            F.when(
+                ntok > 0, F.size(F.array_distinct(toks)) / ntok
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "__swr_en",
+            F.when(ntok > 0, F.col("__sw_en") / ntok).otherwise(F.lit(0.0)),
+        )
+    )
+    # Left-to-right argmax over the materialized counts: strictly-greater
+    # keeps the earlier language on ties (same semantics as lang_id()).
+    lang_expr = F.lit("unknown")
+    best = F.lit(-1)
+    for lang in LANG_ORDER:
+        cond = F.col(f"__sw_{lang}") > best
+        lang_expr = F.when(cond, F.lit(lang)).otherwise(lang_expr)
+        best = F.when(cond, F.col(f"__sw_{lang}")).otherwise(best)
+    lang_expr = F.when(best <= 0, F.lit("unknown")).otherwise(lang_expr)
+    return base.select(
+        *orig_cols,
+        ntok.alias("token_count"),
         F.length(t).alias("char_count"),
-        F.round(punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(distinct_token_ratio(t), 6).alias("distinct_token_ratio"),
-        quality_score(t).alias("quality_score"),
-        lang_id(t).alias("pred_lang"),
+        F.round(F.col("__punct"), 6).alias("punct_ratio"),
+        F.round(F.col("__dtr"), 6).alias("distinct_token_ratio"),
+        F.round(
+            0.3 * F.least(ntok / F.lit(100.0), F.lit(1.0))
+            + 0.3 * (1.0 - F.col("__punct"))
+            + 0.2 * F.col("__dtr")
+            + 0.2 * F.least(F.col("__swr_en") * 5.0, F.lit(1.0)),
+            6,
+        ).alias("quality_score"),
+        lang_expr.alias("pred_lang"),
         fingerprint(t).alias("fingerprint"),
     )

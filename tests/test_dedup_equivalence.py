@@ -147,3 +147,26 @@ def test_ivf_gemm_matches_declarative_lists(spark):
     b = similarity.ivf_topk(emb, queries, "vec_id", "embedding", k=5,
                             gemm=True)
     assert _pairs(a) == _pairs(b)
+
+
+def test_minhash_lsh_no_persist_leak(spark, docs):
+    """materialize=True (the default) must leave ZERO cached blocks behind
+    (round-2 leak: signature blocks accumulated per invocation for the
+    session's lifetime)."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = dedup.minhash_lsh_pairs(docs, "doc_id", "text")
+    out.count()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before, f"{after - before} cached RDDs leaked"
+
+
+def test_minhash_lsh_lazy_path_release(spark, docs):
+    """materialize=False hands lifecycle to the caller via release()."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = dedup.minhash_lsh_pairs(docs, "doc_id", "text", materialize=False)
+    n_lazy = out.count()
+    n_eager = dedup.minhash_lsh_pairs(docs, "doc_id", "text").count()
+    assert n_lazy == n_eager
+    dedup.release(out)
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before
