@@ -498,12 +498,12 @@ class Dataset:
         last_err = None
         for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
             pinned = self.current_snapshot_id
-            affected, survivors, deleted = self._matching_delete_parts(
+            affected, survivors, deletes_rel = self._matching_delete_parts(
                 df.select(*self.primary_keys), n_keys=n_keys, bounds=bounds
             )
             try:
                 self._commit_rewrite(
-                    pinned, affected, survivors, deleted,
+                    pinned, affected, survivors, deletes_rel,
                     append_manifest=manifest_rel, append_files=files,
                     append_rows=rows, append_bytes=nbytes,
                     append_record_manifest=rec_rel,
@@ -577,8 +577,9 @@ class Dataset:
     def _matching_delete_parts(self, keys_df: DataFrame, n_keys=None,
                                bounds=None):
         """CoW-delete inputs for rows whose PKs appear in ``keys_df``:
-        (affected rel files, survivors df, deleted-PKs df) — ([], None,
-        None) when nothing matches. Computes, never commits.
+        (affected rel files, survivors df, written deletes relpath) —
+        ([], None, None) when nothing matches. Computes and writes the
+        deletes file, never commits.
 
         The probe is manifest-pruned by the keys' min/max range (same
         derivation as ``read_by_keys``) — a 10-row upsert into a huge
@@ -610,16 +611,42 @@ class Dataset:
         )
         keys = self._keys_join_side(keys_df, n_keys)
         matches = phys.join(keys, on=pks, how="left_semi")
-        affected_uris = [
-            r[0] for r in matches.select("__file").distinct().collect()
-        ]
-        if not affected_uris:
+        deletes_rel, affected = self._write_probe_deletes(matches)
+        if not affected:
             return [], None, None
-        affected = sorted(self._abs_to_rel_file(u) for u in affected_uris)
-        aff_df = self._read_files(affected)
-        survivors = aff_df.join(keys, on=pks, how="left_anti")
-        deleted = aff_df.join(keys, on=pks, how="left_semi").select(*pks)
-        return affected, survivors, deleted
+        survivors = self._read_files(affected).join(
+            keys, on=pks, how="left_anti"
+        )
+        return affected, survivors, deletes_rel
+
+    def _write_probe_deletes(self, matches: DataFrame):
+        """ONE distributed job materializes the probe: matched rows'
+        (PKs, source file) land directly as the change-log deletes file;
+        the affected-file list is then a driver-side column read of that
+        (small) output. Replaces the round-2 shape of a collect job for
+        the file list PLUS a second full probe job to write the deletes.
+        Readers of the deletes file select the PK columns, so the extra
+        ``__file`` column rides along for free."""
+        pks = self.primary_keys
+        deletes_rel = self.log.new_deletes_relpath().replace(".parquet", "")
+        abs_del = self.log.abs_path(deletes_rel)
+        matches.select(*pks, "__file").write.parquet(abs_del)
+        try:
+            tbl = pq.read_table(abs_del, columns=["__file"])
+        except Exception:
+            tbl = None  # zero-partition write: no part files at all
+        if tbl is None or tbl.num_rows == 0:
+            import shutil
+
+            shutil.rmtree(abs_del, ignore_errors=True)
+            return None, []
+        affected = sorted(
+            {
+                self._abs_to_rel_file(u)
+                for u in pc.unique(tbl["__file"].combine_chunks()).to_pylist()
+            }
+        )
+        return deletes_rel, affected
 
     def _delete_matching(self, keys_df: DataFrame, commit_mutate=None) -> bool:
         """Delete rows whose PKs appear in keys_df (MV refresh's delete
@@ -627,12 +654,14 @@ class Dataset:
         last_err = None
         for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
             snap_id = self.current_snapshot_id
-            affected, survivors, deleted = self._matching_delete_parts(keys_df)
+            affected, survivors, deletes_rel = self._matching_delete_parts(
+                keys_df
+            )
             if not affected:
                 return False
             try:
-                self._commit_rewrite(snap_id, affected, survivors, deleted,
-                                     mutate=commit_mutate)
+                self._commit_rewrite(snap_id, affected, survivors,
+                                     deletes_rel, mutate=commit_mutate)
                 return True
             except TransactionConflictError as e:
                 last_err = e
@@ -655,22 +684,19 @@ class Dataset:
             phys = self._read_files(candidates).withColumn(
                 "__file", F.input_file_name()
             )
-            affected_uris = [
-                r[0]
-                for r in phys.where(pred).select("__file").distinct().collect()
-            ]
-            if not affected_uris:
-                return self
-            affected = sorted(self._abs_to_rel_file(u) for u in affected_uris)
-            aff_df = self._read_files(affected)
             # SQL DELETE semantics: only rows where the predicate is TRUE
             # are deleted — NULL-predicate rows survive AND stay out of the
             # change log, keeping survivors/deleted exactly complementary.
             pred_true = F.coalesce(pred, F.lit(False))
-            survivors = aff_df.where(~pred_true)
-            deleted = aff_df.where(pred_true).select(*self.primary_keys)
+            deletes_rel, affected = self._write_probe_deletes(
+                phys.where(pred_true)
+            )
+            if not affected:
+                return self
+            survivors = self._read_files(affected).where(~pred_true)
             try:
-                self._commit_rewrite(snap_id, affected, survivors, deleted)
+                self._commit_rewrite(snap_id, affected, survivors,
+                                     deletes_rel)
                 return self
             except TransactionConflictError as e:
                 last_err = e
@@ -682,7 +708,7 @@ class Dataset:
         pinned: int,
         affected: List[str],
         survivors: Optional[DataFrame],
-        deleted_pks: Optional[DataFrame],
+        deletes_rel: Optional[str],
         append_manifest: Optional[str] = None,
         append_files: Optional[List[str]] = None,
         append_rows: int = 0,
@@ -691,12 +717,12 @@ class Dataset:
         mutate=None,
     ) -> None:
         """One snapshot combining a CoW rewrite of ``affected`` files (with
-        ``survivors`` re-written and ``deleted_pks`` logged) and an optional
-        already-written append — upsert's delete+add lands as a single
-        commit (reference merge_patches, ops/insert.py:93-99)."""
+        ``survivors`` re-written and the pre-written ``deletes_rel`` PK log
+        attached) and an optional already-written append — upsert's
+        delete+add lands as a single commit (reference merge_patches,
+        ops/insert.py:93-99)."""
         parent = self.metadata.snapshot(pinned)
         removed_rows = removed_bytes = surv_rows = surv_bytes = 0
-        deletes_rel = None
         if affected:
             # Rows removed from the table = affected rows - surviving rows.
             old_manifests = self._manifest_abs_paths(parent)
@@ -725,13 +751,6 @@ class Dataset:
             surv_rel, _, surv_rows, surv_bytes = self._write_data_files(
                 survivors, physical=True
             )
-            # Record deleted PKs in the change log (PK-only delete stream,
-            # change_data.py:123-127).
-            deletes_rel = self.log.new_deletes_relpath().replace(
-                ".parquet", ""
-            )
-            deleted_pks.write.parquet(self.log.abs_path(deletes_rel))
-
             carry_rel = self.log.new_manifest_relpath()
             pq.write_table(carry, self.log.abs_path(carry_rel))
             manifest_files = [carry_rel]
@@ -759,7 +778,7 @@ class Dataset:
             # plus genuinely appended files (reference delete changelog
             # holds deleted bitmaps only, ops/delete.py:113-115,215-228).
             added_files=list(append_files or []),
-            deleted_pks_file=deletes_rel,
+            deleted_pks_file=deletes_rel if affected else None,
             # Blob files are untouched by CoW deletes; their manifests
             # carry over (counts become an upper bound on live refs).
             record_manifest_files=rec_manifests,
@@ -1056,6 +1075,15 @@ class Dataset:
             )
         return list(reversed(chain))
 
+    def read_deleted_pks(self, snap) -> DataFrame:
+        """A snapshot's delete stream as PK-only rows. The stored file may
+        carry a probe-provenance ``__file`` column (written by the fused
+        delete probe); parquet is columnar, so selecting the PKs never
+        reads it."""
+        return self.spark.read.parquet(
+            self.log.abs_path(snap.deleted_pks_file)
+        ).select(*self.primary_keys)
+
     def diff(self, v1, v2) -> DataFrame:
         """Change feed between two versions: one row per changed row, with
         ``_change_type`` ADD/DELETE, ``_snapshot_id``, and ``_change_order``
@@ -1067,9 +1095,7 @@ class Dataset:
         parts: List[DataFrame] = []
         for snap in self._ancestors(start, end):
             if snap.deleted_pks_file:
-                d = self.spark.read.parquet(
-                    self.log.abs_path(snap.deleted_pks_file)
-                )
+                d = self.read_deleted_pks(snap)
                 parts.append(
                     d.withColumn(CHANGE_TYPE_COL, F.lit(CHANGE_DELETE))
                     .withColumn(CHANGE_SNAPSHOT_COL, F.lit(snap.snapshot_id))

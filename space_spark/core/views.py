@@ -501,9 +501,7 @@ class MaterializedView:
             marked = False
             # Deletes first, then adds (change_data.py:123-127).
             if snap.deleted_pks_file:
-                pks_df = self.spark.read.parquet(
-                    source.log.abs_path(snap.deleted_pks_file)
-                )
+                pks_df = source.read_deleted_pks(snap)
                 # PK-only stream: applied directly to MV storage, skipping
                 # UDFs (runners.py:79-96).
                 delete_mut = None if snap.added_files else sync_mut

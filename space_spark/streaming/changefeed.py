@@ -65,9 +65,7 @@ class ChangeFeedProcessor:
         for snap in ds._ancestors(start, end):
             if snap.deleted_pks_file:
                 fn(
-                    ds.spark.read.parquet(
-                        ds.log.abs_path(snap.deleted_pks_file)
-                    ),
+                    ds.read_deleted_pks(snap),
                     snap.snapshot_id,
                     CHANGE_DELETE,
                 )
