@@ -117,6 +117,11 @@ class StorageMetadata:
     # Names dropped by schema evolution; never reusable (old data files
     # still carry their bytes under the old type).
     retired_columns: List[str] = dc_field(default_factory=list)
+    # Streaming-sink exactly-once bookkeeping: sink id -> last committed
+    # micro-batch id. Updated atomically with the batch's snapshot, so a
+    # replayed micro-batch (restart between sink commit and checkpoint
+    # advance) is detected and skipped.
+    stream_progress: Dict[str, int] = dc_field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -137,6 +142,7 @@ class StorageMetadata:
                 "udf_registry": self.udf_registry,
                 "serializers": self.serializers,
                 "retired_columns": self.retired_columns,
+                "stream_progress": self.stream_progress,
             },
             indent=1,
         )
@@ -160,6 +166,10 @@ class StorageMetadata:
             udf_registry=d.get("udf_registry", {}),
             serializers=d.get("serializers", {}),
             retired_columns=list(d.get("retired_columns", [])),
+            stream_progress={
+                k: int(v)
+                for k, v in d.get("stream_progress", {}).items()
+            },
         )
 
     # -- version resolution (core/storage.py:224-236) -----------------------

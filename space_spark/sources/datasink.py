@@ -1,0 +1,257 @@
+"""Write side of the ``space`` Spark data source: ``df.write.format("space")``
+(batch append) and ``df.writeStream.format("space")`` (streaming append).
+
+Storage is exposed to Spark symmetrically with the read side (reference
+parity: ray/data_sources.py:38-151 + RayAppendOp, ray/ops/append.py:32-120
+give Ray the same write shape) — a Spark user can land a changefeed with
+``.writeStream`` instead of dropping to the ``Dataset`` API.
+
+Spark's two-phase commit maps 1:1 onto the table's optimistic commit
+protocol:
+
+- ``write`` (executors): each task streams its Arrow batches into ONE
+  parquet data file — the same distributed shard write ``Dataset.append``
+  plans, without a driver round-trip.
+- ``commit`` (driver): footer stats -> one manifest -> one snapshot
+  commit, retried on conflict exactly like ``Dataset.append`` (appends
+  commute; only the metadata commit re-runs).
+- ``abort``: written shards are dropped; the table never referenced them.
+
+Instance lifecycle (dictated by Spark's Python data source workers): the
+BATCH writer object created at planning is pickled through to both the
+executors and the commit worker, so it can carry a per-job commit
+directory. The STREAMING commit worker constructs a FRESH writer per
+micro-batch commit, so the streaming path is message-driven: tasks write
+uniquely-named files and every path travels via commit messages.
+
+Streaming exactly-once: the snapshot commit atomically records
+``(sink_id -> batchId)`` in table metadata, so a micro-batch replayed
+after a crash between sink-commit and checkpoint-advance is recognized
+and its re-written shards are discarded (Spark's own file sink plays the
+same trick with its log).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Iterator, List, Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+from space_spark.core import manifests as mf
+from space_spark.core import metadata as md
+from space_spark.core import schema as sc
+from space_spark.errors import TransactionConflictError, UserInputError
+
+COMMIT_RETRIES = 5
+
+
+@dataclass
+class FilesCommitMessage(WriterCommitMessage):
+    rel_files: List[str]
+
+
+def _arrow_schema(spark_schema: T.StructType) -> pa.Schema:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(spark_schema)
+
+
+def _validated_table_arrow(location: str, input_schema: T.StructType
+                           ) -> pa.Schema:
+    """Validate the incoming DataFrame's columns against the table and
+    return the table's Arrow schema (the write layout)."""
+    meta = md.MetadataLog(location).read_metadata()
+    if meta.record_fields:
+        raise UserInputError(
+            "format('space') writes do not support record (blob) fields "
+            "yet — use Dataset.append for this table"
+        )
+    table_schema = sc.physical_schema(meta.schema, meta.record_fields)
+    missing = set(table_schema.fieldNames()) - set(input_schema.fieldNames())
+    extra = set(input_schema.fieldNames()) - set(table_schema.fieldNames())
+    if missing or extra:
+        raise UserInputError(
+            f"Input schema mismatch: missing={sorted(missing)} "
+            f"extra={sorted(extra)}; table has {table_schema.fieldNames()}"
+        )
+    return _arrow_schema(table_schema)
+
+
+def _write_shard(location: str, rel: str, table_arrow: pa.Schema,
+                 iterator: Iterator[pa.RecordBatch]) -> FilesCommitMessage:
+    """Executor side: stream this task's batches into one parquet file,
+    aligned to the table's column order/types. Returns no file for an
+    empty task (no zero-row shards in the manifest)."""
+    abs_path = os.path.join(location, rel)
+    writer: Optional[pq.ParquetWriter] = None
+    try:
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            cols = [
+                batch.column(batch.schema.get_field_index(f.name)).cast(
+                    f.type
+                )
+                for f in table_arrow
+            ]
+            aligned = pa.RecordBatch.from_arrays(cols, schema=table_arrow)
+            if writer is None:
+                os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+                writer = pq.ParquetWriter(abs_path, table_arrow)
+            writer.write_batch(aligned)
+    finally:
+        if writer is not None:
+            writer.close()
+    return FilesCommitMessage(rel_files=[rel] if writer else [])
+
+
+def _files_from(messages) -> List[str]:
+    return sorted(
+        rel for m in messages if m is not None for rel in m.rel_files
+    )
+
+
+def _commit_append(location: str, branch: str, rel_files: List[str],
+                   mutate=None) -> None:
+    """Driver side: manifest from shard footers, then one optimistic
+    snapshot commit with append's retry discipline (shard files stay
+    valid across a conflict; only the metadata commit re-runs)."""
+    log = md.MetadataLog(location)
+    meta = log.read_metadata()
+    stat_fields = sc.stats_fields(meta.schema, meta.record_fields)
+    stat_names = [n for n, _ in stat_fields]
+    stats = [
+        mf._footer_stats(log.abs_path(f), stat_names) for f in rel_files
+    ]
+    rows = sum(s["num_rows"] for s in stats)
+    manifest_rel = None
+    if rows > 0:
+        manifest_rel = log.new_manifest_relpath()
+        rows, nbytes = mf.write_manifest(
+            None, log.abs_path(manifest_rel), rel_files, stats, stat_fields
+        )
+    else:
+        if mutate is None:
+            return  # empty batch write: nothing to commit
+        nbytes = 0
+    last_err = None
+    for _ in range(COMMIT_RETRIES + 1):
+        pinned = meta.resolve_version(None, branch)
+        parent = meta.snapshot(pinned)
+        snap = md.Snapshot(
+            snapshot_id=-1,
+            parent_snapshot_id=pinned,
+            created_at="",
+            manifest_files=(parent.manifest_files + [manifest_rel]
+                            if manifest_rel
+                            else list(parent.manifest_files)),
+            num_rows=parent.num_rows + rows,
+            data_bytes=parent.data_bytes + nbytes,
+            added_files=rel_files if rows > 0 else [],
+            record_manifest_files=list(parent.record_manifest_files),
+        )
+        try:
+            log.commit_snapshot(pinned, branch, snap, mutate=mutate)
+            return
+        except TransactionConflictError as e:
+            last_err = e
+            meta = log.read_metadata()
+    raise last_err
+
+
+def _drop_files(location: str, rel_files: List[str]) -> None:
+    for rel in rel_files:
+        try:
+            os.remove(os.path.join(location, rel))
+        except OSError:
+            pass
+
+
+# ------------------------------------------------------------------- batch --
+class SpaceBatchWriter(DataSourceArrowWriter):
+    """One write job -> one snapshot. The instance is pickled from
+    planning to executors AND to the commit worker, so the per-job commit
+    directory is shared state; abort can rmtree it (covering partial
+    files from failed tasks, which never appear in commit messages)."""
+
+    def __init__(self, location: str, options, input_schema: T.StructType,
+                 overwrite: bool):
+        if overwrite:
+            raise UserInputError(
+                "format('space') supports mode('append') only: overwrite "
+                "would need a whole-table DELETE change-log entry; use "
+                "Dataset.delete + append for replace semantics"
+            )
+        self.location = location
+        self.branch = options.get("branch", md.MAIN_BRANCH)
+        self.table_arrow = _validated_table_arrow(location, input_schema)
+        self.commit_reldir = md.MetadataLog(location).new_commit_data_reldir()
+
+    def write(self, iterator: Iterator[pa.RecordBatch]
+              ) -> FilesCommitMessage:
+        rel = os.path.join(self.commit_reldir,
+                           f"part-{uuid.uuid4().hex[:16]}.parquet")
+        return _write_shard(self.location, rel, self.table_arrow, iterator)
+
+    def commit(self, messages) -> None:
+        _commit_append(self.location, self.branch, _files_from(messages))
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(os.path.join(self.location, self.commit_reldir),
+                      ignore_errors=True)
+
+
+# --------------------------------------------------------------- streaming --
+class SpaceStreamWriter(DataSourceStreamArrowWriter):
+    """Micro-batch appends; one snapshot per non-empty micro-batch.
+
+    ``option("sink_id", ...)`` names the progress slot for exactly-once
+    dedup — two different streaming queries appending to one table should
+    use distinct ids (default: "default").
+
+    Spark constructs a fresh instance of this class for every micro-batch
+    COMMIT while executors keep the planning-time instance for writes, so
+    no per-batch state lives on ``self`` — shard paths travel exclusively
+    in commit messages."""
+
+    def __init__(self, location: str, options, input_schema: T.StructType):
+        self.location = location
+        self.branch = options.get("branch", md.MAIN_BRANCH)
+        self.sink_id = options.get("sink_id", "default")
+        self.table_arrow = _validated_table_arrow(location, input_schema)
+
+    def write(self, iterator: Iterator[pa.RecordBatch]
+              ) -> FilesCommitMessage:
+        rel = os.path.join(
+            "data", f"stream-{uuid.uuid4().hex[:16]}.parquet"
+        )
+        return _write_shard(self.location, rel, self.table_arrow, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        rel_files = _files_from(messages)
+        meta = md.MetadataLog(self.location).read_metadata()
+        if meta.stream_progress.get(self.sink_id, -1) >= batchId:
+            # Replayed micro-batch (crash between sink commit and
+            # checkpoint advance): the data is already in the table —
+            # discard the re-written shards.
+            _drop_files(self.location, rel_files)
+            return
+
+        def mark(m, _sid=self.sink_id, _bid=batchId):
+            m.stream_progress[_sid] = _bid
+
+        _commit_append(self.location, self.branch, rel_files, mutate=mark)
+
+    def abort(self, messages, batchId: int) -> None:
+        _drop_files(self.location, _files_from(messages))

@@ -18,9 +18,12 @@ Reference parity: ray/data_sources.py:38-151 exposes the same shape to Ray
 (block-level read tasks from the storage layer); here the blocks are Spark
 ``InputPartition``s and Catalyst drives the scan.
 
-Filters are reported back as unsupported even when used for pruning:
-manifest pruning is FILE-level, so Spark must still re-apply the row-level
-predicate — pruning is an optimization, never a correctness dependency.
+Filters are reported back as unsupported even though they drive BOTH
+file-level manifest pruning and executor-scan row-group filtering: Spark
+re-applies every predicate row-level, so both uses stay optimizations,
+never correctness dependencies. Column pruning comes from the read schema
+(``.schema(...)`` or ``option("fields", ...)``) — Spark's Python data
+source API has no required-columns pushdown to forward automatically.
 """
 
 from __future__ import annotations
@@ -122,14 +125,88 @@ def _group_files(abs_paths: List[str], max_bytes: int
         yield group
 
 
-def _read_aligned(abs_paths: List[str], schema: pa.Schema
-                  ) -> Iterator[pa.RecordBatch]:
-    """Read files and align to the table's physical schema (files written
-    before a schema-evolution add_column lack the new columns — fill with
-    nulls, exactly like the Spark read path's fixed physical schema)."""
+# Spark types whose comparison semantics match pyarrow's exactly — safe to
+# evaluate executor-side. Floats are EXCLUDED (Spark orders NaN above all
+# values; arrow comparisons return null), as are timestamps (session-TZ
+# coupling) and decimals.
+_ARROW_SAFE_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.StringType, T.BooleanType, T.DateType,
+)
+
+
+def _filters_to_arrow(filters: List[Filter], table_schema: T.StructType):
+    """(pyarrow dataset filter expression, referenced column names) from
+    the pushed Spark filters — conjunction of the recognizable comparisons
+    over arrow-safe column types; (None, set()) when nothing qualifies.
+
+    Purely an optimization: Spark re-applies every filter row-level (we
+    report them all back as unsupported), so a skipped term can never
+    change results — only an over-eager one could, hence the strict type
+    gate."""
+    import pyarrow.dataset as pads
+
+    safe_cols = {
+        f.name for f in table_schema
+        if isinstance(f.dataType, _ARROW_SAFE_TYPES)
+    }
+    ops = {
+        EqualTo: lambda f, v: f == v,
+        GreaterThan: lambda f, v: f > v,
+        GreaterThanOrEqual: lambda f, v: f >= v,
+        LessThan: lambda f, v: f < v,
+        LessThanOrEqual: lambda f, v: f <= v,
+    }
+    expr, names = None, set()
+    for flt in filters:
+        build = ops.get(type(flt))
+        attr = getattr(flt, "attribute", None)
+        if build is None or attr is None or len(attr) != 1:
+            continue
+        name = attr[0]
+        if name not in safe_cols:
+            continue
+        import datetime
+
+        if not isinstance(flt.value, (bool, int, str, datetime.date)):
+            continue  # floats and exotic literals: let Spark handle them
+        term = build(pads.field(name), flt.value)
+        expr = term if expr is None else (expr & term)
+        names.add(name)
+    return expr, names
+
+
+def _read_aligned(
+    abs_paths: List[str],
+    schema: pa.Schema,
+    arrow_filter=None,
+    filter_names: frozenset = frozenset(),
+) -> Iterator[pa.RecordBatch]:
+    """Read files and align to ``schema`` (the read schema: the table's
+    physical schema, or the user's narrower one).
+
+    - Column pruning: only ``schema``'s columns are read from each file
+      (parquet is columnar — unselected columns cost zero IO).
+    - Filter pushdown: ``arrow_filter`` runs in the scan (row-group stats
+      skip + row filtering), applied per file only when every referenced
+      column exists there; Spark re-applies all filters afterwards, so
+      skipping is always safe.
+    - Files written before a schema-evolution add_column lack the new
+      columns — fill with nulls, exactly like the Spark read path's fixed
+      physical schema."""
+    import pyarrow.dataset as pads
+
     for path in abs_paths:
-        tbl = pq.read_table(path)
-        cols = []
+        dset = pads.dataset(path, format="parquet")
+        avail = set(dset.schema.names)
+        cols = [f.name for f in schema if f.name in avail]
+        filt = (
+            arrow_filter
+            if arrow_filter is not None and filter_names <= avail
+            else None
+        )
+        tbl = dset.to_table(columns=cols, filter=filt)
+        out = []
         for f in schema:
             if f.name in tbl.column_names:
                 col = tbl.column(f.name)
@@ -137,23 +214,31 @@ def _read_aligned(abs_paths: List[str], schema: pa.Schema
                     col = col.cast(f.type)
             else:
                 col = pa.nulls(len(tbl), f.type)
-            cols.append(col)
-        yield from pa.table(dict(zip(schema.names, cols)),
+            out.append(col)
+        yield from pa.table(dict(zip(schema.names, out)),
                             schema=schema).to_batches()
 
 
 # ------------------------------------------------------------------ batch --
 class SpaceBatchReader(DataSourceReader):
-    def __init__(self, location: str, options):
+    def __init__(self, location: str, options, read_schema: T.StructType):
         self.location = location
         self.version = options.get("version")
         self.max_bytes = int(options.get("partition_bytes",
                                          DEFAULT_PARTITION_BYTES))
+        # The read schema (user-specified via .schema()/option("fields")
+        # or the full physical schema) is resolved ONCE on the driver and
+        # shipped in the pickled reader — executors never re-read
+        # metadata, and only these columns are scanned.
+        self.read_schema = read_schema
         self._expr: Optional[Expr] = None
+        self._arrow_filter_src: List[Filter] = []
 
     def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
         self._expr = _filters_to_expr(filters)
-        # File-level pruning only — every filter must still run row-level.
+        self._arrow_filter_src = list(filters)
+        # File-level pruning + executor-scan filtering only — every filter
+        # must still run row-level in Spark.
         return iter(filters)
 
     def partitions(self) -> List[InputPartition]:
@@ -166,20 +251,26 @@ class SpaceBatchReader(DataSourceReader):
         return [InputPartition(g) for g in groups] or [InputPartition([])]
 
     def read(self, partition: InputPartition) -> Iterator[pa.RecordBatch]:
-        _, meta = _load(self.location)
-        yield from _read_aligned(partition.value,
-                                 _arrow_schema(_physical(meta)))
+        filt, names = _filters_to_arrow(self._arrow_filter_src,
+                                        self.read_schema)
+        yield from _read_aligned(
+            partition.value,
+            _arrow_schema(self.read_schema),
+            arrow_filter=filt,
+            filter_names=names,
+        )
 
 
 # -------------------------------------------------------------- streaming --
 class SpaceStreamReader(DataSourceStreamReader):
     """Snapshot-id offsets; micro-batches read added files only."""
 
-    def __init__(self, location: str, options):
+    def __init__(self, location: str, options, read_schema: T.StructType):
         self.location = location
         self.start_version = int(options.get("startingversion", 0))
         self.max_bytes = int(options.get("partition_bytes",
                                          DEFAULT_PARTITION_BYTES))
+        self.read_schema = read_schema
 
     def initialOffset(self) -> dict:
         return {"snapshot_id": self.start_version}
@@ -207,9 +298,8 @@ class SpaceStreamReader(DataSourceStreamReader):
         return [InputPartition(g) for g in groups] or [InputPartition([])]
 
     def read(self, partition: InputPartition) -> Iterator[pa.RecordBatch]:
-        _, meta = _load(self.location)
         yield from _read_aligned(partition.value,
-                                 _arrow_schema(_physical(meta)))
+                                 _arrow_schema(self.read_schema))
 
     def commit(self, end: dict) -> None:
         pass  # progress is tracked by the stream's own checkpoint
@@ -221,7 +311,11 @@ class SpaceDataSource(DataSource):
 
     Options: ``version`` (batch time travel), ``startingVersion``
     (streaming replay start, default 0 = full history),
-    ``partition_bytes`` (per-InputPartition ceiling)."""
+    ``partition_bytes`` (per-InputPartition ceiling), ``fields``
+    (comma-separated column projection — Spark's Python data source API
+    has no required-columns pushdown, so narrow reads are declared
+    up-front here or via ``.schema(...)``; either way executors scan only
+    the named columns)."""
 
     @classmethod
     def name(cls) -> str:
@@ -236,13 +330,33 @@ class SpaceDataSource(DataSource):
 
     def schema(self) -> T.StructType:
         _, meta = _load(self._location())
-        return _physical(meta)
+        phys = _physical(meta)
+        fields_opt = self.options.get("fields")
+        if not fields_opt:
+            return phys
+        names = [n.strip() for n in fields_opt.split(",") if n.strip()]
+        missing = [n for n in names if n not in phys.fieldNames()]
+        if missing:
+            raise ValueError(f"Unknown fields {missing}; "
+                             f"table has {phys.fieldNames()}")
+        return T.StructType([phys[n] for n in names])
 
     def reader(self, schema: T.StructType) -> SpaceBatchReader:
-        return SpaceBatchReader(self._location(), self.options)
+        return SpaceBatchReader(self._location(), self.options, schema)
 
     def streamReader(self, schema: T.StructType) -> SpaceStreamReader:
-        return SpaceStreamReader(self._location(), self.options)
+        return SpaceStreamReader(self._location(), self.options, schema)
+
+    def writer(self, schema: T.StructType, overwrite: bool):
+        from space_spark.sources.datasink import SpaceBatchWriter
+
+        return SpaceBatchWriter(self._location(), self.options, schema,
+                                overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        from space_spark.sources.datasink import SpaceStreamWriter
+
+        return SpaceStreamWriter(self._location(), self.options, schema)
 
 
 def register_space_source(spark) -> None:

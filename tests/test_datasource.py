@@ -52,7 +52,7 @@ def test_batch_filter_prunes_files_and_rows(spark, table):
     )
     assert sorted(r.id for r in df.collect()) == list(range(25, 30))
     # File-level: the reader's planner skips 2 of 3 files for this filter.
-    reader = SpaceBatchReader(table.location, {})
+    reader = SpaceBatchReader(table.location, {}, SIMPLE)
     reader._expr = field("id") >= 25
     parts = reader.partitions()
     files = [p for part in parts for p in part.value]
@@ -117,3 +117,63 @@ def test_stream_reads_appends_only(spark, table, tmp_path):
     stream.awaitTermination(120)
     ids = [r.id for r in spark.read.parquet(out_dir).collect()]
     assert sorted(ids) == list(range(30)) + [50]  # no survivor re-emit
+
+
+def test_fields_option_projects_columns(spark, table):
+    df = (
+        spark.read.format("space").option("fields", "id")
+        .load(table.location)
+    )
+    assert df.columns == ["id"]
+    assert sorted(r.id for r in df.collect()) == list(range(30))
+
+
+def test_user_schema_projects_columns(spark, table):
+    df = (
+        spark.read.format("space").schema("val double")
+        .load(table.location)
+    )
+    assert df.columns == ["val"]
+    assert len(df.collect()) == 30
+
+
+def test_read_aligned_prunes_columns_and_filters(table):
+    """Executor-side read: only the requested columns leave the scan, and
+    the arrow filter drops rows before Spark sees them."""
+    import pyarrow as pa
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from space_spark.sources.datasource import (
+        _filters_to_arrow,
+        _read_aligned,
+    )
+
+    files = [
+        os.path.join(table.location, p) for p in table.data_files()
+    ]
+    filt, names = _filters_to_arrow(
+        [GreaterThanOrEqual(("id",), 25)], SIMPLE
+    )
+    assert filt is not None and names == {"id"}
+    batches = list(
+        _read_aligned(
+            files,
+            pa.schema([pa.field("id", pa.int64())]),
+            arrow_filter=filt,
+            filter_names=names,
+        )
+    )
+    got = pa.Table.from_batches(batches)
+    assert got.column_names == ["id"]
+    assert sorted(got["id"].to_pylist()) == list(range(25, 30))
+
+
+def test_float_filters_not_pushed_to_arrow(table):
+    """Spark orders NaN above every double; arrow comparisons return null.
+    Double-typed comparisons must stay in Spark."""
+    from pyspark.sql.datasource import GreaterThan
+
+    from space_spark.sources.datasource import _filters_to_arrow
+
+    filt, names = _filters_to_arrow([GreaterThan(("val",), 5.0)], SIMPLE)
+    assert filt is None and names == set()
