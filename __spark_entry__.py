@@ -1465,17 +1465,21 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 8) -> str:
-    from space_spark.operators.similarity import KNUTH_MOD, KNUTH_MULT
+    from space_spark.operators.similarity import (
+        KNUTH_ID_MOD,
+        KNUTH_MOD,
+        KNUTH_MULT,
+    )
 
     csim = f"ROUND({_cosine_sql('s.v', 'c.cent_v')}, 6)"
     return f"""
 WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
 cents AS (
   SELECT ROW_NUMBER() OVER (
-           ORDER BY (id * {KNUTH_MULT}) % {KNUTH_MOD}, id) AS cent_id,
+           ORDER BY ((id % {KNUTH_ID_MOD}) * {KNUTH_MULT}) % {KNUTH_MOD}, id) AS cent_id,
          v AS cent_v
   FROM v
-  ORDER BY (id * {KNUTH_MULT}) % {KNUTH_MOD}, id LIMIT {n_centroids}
+  ORDER BY ((id % {KNUTH_ID_MOD}) * {KNUTH_MULT}) % {KNUTH_MOD}, id LIMIT {n_centroids}
 ), c_assign AS (
   SELECT id, v, list_id FROM (
     SELECT s.id, s.v, c.cent_id AS list_id, ROW_NUMBER() OVER (

@@ -52,10 +52,25 @@ def deserialize_udf(ser: FieldSerializer,
     """Arrow-batched column transform applying ``ser.deserialize`` to a
     binary column — the DataFrame-read-path analog of the reference's
     deserialize-on-access (random_access + tf_features). The serializer
-    instance rides the closure (cloudpickled to executors)."""
+    instance rides the closure (cloudpickled to executors).
+
+    The serializer MUST declare ``spark_type`` (or the caller must pass
+    ``out_type``): ``deserialize`` returns arbitrary Python values, and
+    guessing BinaryType would surface as an opaque Arrow conversion error
+    mid-query instead of an actionable message here."""
     from pyspark.sql.functions import pandas_udf
 
-    out_type = out_type or ser.spark_type or T.BinaryType()
+    out_type = out_type or ser.spark_type
+    if out_type is None:
+        from space_spark.errors import UserInputError
+
+        raise UserInputError(
+            f"deserialize=True needs a declared Spark output type, but "
+            f"{type(ser).__name__} has spark_type=None. Set spark_type on "
+            f"the serializer (e.g. BinaryType for bytes-in/bytes-out), or "
+            f"read without deserialize and use RandomAccessDataSource for "
+            f"driver-side Python values."
+        )
 
     def _de(col: pd.Series) -> pd.Series:
         return col.map(

@@ -149,12 +149,21 @@ def lsh_bucket_topk(
     )
 
 
-# Knuth's multiplicative hash constant: (id * KNUTH) % 2^32 scatters ids
-# pseudo-randomly with EXACT int64 arithmetic (no overflow for id < 2^31),
-# reproducible in any SQL engine — the centroid choice stays deterministic
-# without an engine-specific RNG.
+# Knuth's multiplicative hash constant: ((id % 2^31) * KNUTH) % 2^32
+# scatters ids pseudo-randomly with EXACT int64 arithmetic — the id is
+# reduced mod 2^31 FIRST so the product stays < 2^31 * KNUTH < 2^63 for
+# any int64 id (no ANSI-mode overflow, no silent wrap, and the same value
+# in any SQL engine). Precondition: ids are non-negative (both engines'
+# ``%`` follows the dividend's sign).
 KNUTH_MULT = 2654435761
 KNUTH_MOD = 1 << 32
+KNUTH_ID_MOD = 1 << 31
+
+
+def _knuth_key(id_col: Column) -> Column:
+    return ((id_col % F.lit(KNUTH_ID_MOD)) * F.lit(KNUTH_MULT)) % F.lit(
+        KNUTH_MOD
+    )
 
 
 def ivf_centroids(
@@ -164,12 +173,9 @@ def ivf_centroids(
     with the smallest Knuth-hashed ids. ``orderBy().limit()`` plans as a
     distributed TakeOrdered (no global sort); the rank window then runs on
     the n_centroids surviving rows only."""
-    key = (F.col("id") * F.lit(KNUTH_MULT)) % F.lit(KNUTH_MOD)
+    key = _knuth_key(F.col("id"))
     chosen = corpus_v.orderBy(key.asc(), F.col("id").asc()).limit(n_centroids)
-    w = Window.orderBy(
-        ((F.col("id") * F.lit(KNUTH_MULT)) % F.lit(KNUTH_MOD)).asc(),
-        F.col("id").asc(),
-    )
+    w = Window.orderBy(_knuth_key(F.col("id")).asc(), F.col("id").asc())
     return chosen.select(
         F.row_number().over(w).alias("cent_id"),
         F.col("v").alias("cent_v"),

@@ -170,3 +170,35 @@ def test_minhash_lsh_lazy_path_release(spark, docs):
     dedup.release(out)
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after == before
+
+
+def test_ivf_centroid_key_safe_for_huge_ids(spark):
+    """The centroid sample key must not overflow int64 for ids >= 2^32
+    (ANSI mode would throw; non-ANSI would silently wrap while a SQL
+    oracle errors — either way cross-engine determinism dies). The id is
+    reduced mod 2^31 first, bounding the product under 2^63."""
+    from space_spark.operators.similarity import (
+        KNUTH_ID_MOD,
+        KNUTH_MOD,
+        KNUTH_MULT,
+        ivf_centroids,
+    )
+
+    huge = [(1 << 40) + i for i in range(6)] + [7, 9]
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0]) for i in huge],
+        "id long, v array<double>",
+    )
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        cents = similarity.ivf_centroids(emb, 4).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    assert ivf_centroids is similarity.ivf_centroids
+    assert [r.cent_id for r in cents] == [1, 2, 3, 4]
+    # Matches the documented arithmetic computed in plain Python.
+    want = sorted(huge, key=lambda i: (((i % KNUTH_ID_MOD) * KNUTH_MULT)
+                                       % KNUTH_MOD, i))[:4]
+    got_first = {tuple(r.cent_v) for r in cents}
+    exp_first = {(float(i % 5), 1.0) for i in want}
+    assert got_first == exp_first

@@ -149,3 +149,15 @@ def test_serializer_requires_record_field(spark, tmp_location):
             spark, tmp_location, schema, ["id"], record_fields=["payload"],
             serializers={"id": PickleSerializer()},
         )
+
+
+def test_deserialize_udf_requires_spark_type():
+    """deserialize=True without a declared spark_type must fail with an
+    actionable message, not a downstream Arrow conversion error."""
+    from space_spark.core.serializers import (
+        PickleSerializer,
+        deserialize_udf,
+    )
+
+    with pytest.raises(UserInputError, match="spark_type"):
+        deserialize_udf(PickleSerializer())
