@@ -1042,6 +1042,30 @@ UNION ALL SELECT * FROM (VALUES (100, 'SPACE'), (101, 'SPARK'))
 """
 
 
+def space_compact_read(spark, sf_dir):
+    """Maintenance: 6 trickle appends fragment the table, compact() heals
+    it back to ~one file as a NO-CHANGE snapshot (empty changelog), and
+    the read is byte-identical to the pre-compaction rows."""
+    from space_spark import Dataset, field
+
+    cust = _t(spark, sf_dir, "customer")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/cust_compact", cust.schema, ["c_custkey"]
+    )
+    for i in range(6):
+        ds.append(cust.where(F.col("c_custkey") % 6 == i))
+    v_before = ds.current_snapshot_id
+    ds.compact(target_bytes=64 * 1024 * 1024, cluster_by=["c_custkey"])
+    assert len(ds.data_files()) == 1, "compaction did not merge files"
+    assert ds.diff(v_before, None).count() == 0, "compaction not no-change"
+    return ds.read(filter_=field("c_acctbal") > 9000.0)
+
+
+SPACE_COMPACT_SQL = """
+SELECT * FROM customer WHERE c_acctbal > 9000.0
+"""
+
+
 def space_time_travel(spark, sf_dir):
     """M6/M7: snapshot time travel via version pinning."""
     from space_spark import Dataset, field
@@ -1634,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "space_delete_read": space_delete_read,
         "space_upsert_read": space_upsert_read,
         "space_insert_read": space_insert_read,
+        "space_compact_read": space_compact_read,
         "space_time_travel": space_time_travel,
         "space_diff_changes": space_diff_changes,
         "space_join_view": space_join_view,
@@ -1690,6 +1715,7 @@ def oracle_sql() -> dict[str, str]:
         "space_delete_read": SPACE_DELETE_SQL,
         "space_upsert_read": SPACE_UPSERT_SQL,
         "space_insert_read": SPACE_INSERT_SQL,
+        "space_compact_read": SPACE_COMPACT_SQL,
         "space_time_travel": SPACE_TIME_TRAVEL_SQL,
         "space_diff_changes": SPACE_DIFF_SQL,
         "space_join_view": SPACE_JOIN_SQL,

@@ -787,6 +787,86 @@ class Dataset:
             pinned, self.branch, snap, mutate=mutate
         )
 
+    # ------------------------------------------------------- maintenance
+    # Files at least this fraction of target_bytes are already "healthy"
+    # and never rewritten by compact() — re-binning them would churn bytes
+    # for no pruning or open-cost benefit.
+    COMPACT_HEALTHY_RATIO = 0.5
+
+    def compact(
+        self,
+        target_bytes: int = 128 * 1024 * 1024,
+        cluster_by: Optional[Sequence[str]] = None,
+    ) -> "Dataset":
+        """Rewrite under-sized data files into ~``target_bytes`` files as a
+        NO-CHANGE snapshot: readers see identical rows, ``diff()`` across
+        the compaction is empty (no changelog entries), and blob files are
+        untouched (survual rewrite carries record-field addresses, like
+        CoW delete survivors).
+
+        Accumulated small commits (streaming sinks, trickle appends) are
+        the classic small-files failure at 100 TB — SCALE.md's pruning and
+        open-cost math assumes files in the 64-512 MB sweet spot, and this
+        is the operator that heals a table back into it. Only files under
+        ``COMPACT_HEALTHY_RATIO * target_bytes`` are rewritten; the rest
+        of the table's bytes are never touched, so a compact after N small
+        appends costs O(small bytes), not O(table).
+
+        ``cluster_by``: range-repartition + sort the rewritten rows (same
+        layout lever as ``append(cluster_by=...)``) so compaction restores
+        manifest-pruning locality instead of interleaving key ranges.
+        Without it the rewrite coalesces (no shuffle — pure concatenation).
+
+        The reference has no equivalent (its tables only grow
+        finer-grained); modeled on Iceberg/Delta OPTIMIZE semantics.
+        """
+        if target_bytes <= 0:
+            raise UserInputError("target_bytes must be positive")
+        if cluster_by:
+            unknown = set(cluster_by) - set(self.schema.fieldNames())
+            if unknown:
+                raise UserInputError(f"Unknown cluster columns: {unknown}")
+        self.reload()
+        threshold = int(target_bytes * self.COMPACT_HEALTHY_RATIO)
+        last_err = None
+        for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
+            snap_id = self.current_snapshot_id
+            snapshot = self.metadata.snapshot(snap_id)
+            man_paths = self._manifest_abs_paths(snapshot)
+            if not man_paths:
+                return self
+            man_tbl = pa.concat_tables(
+                [pq.read_table(p, columns=[mf.FILE_PATH_COL,
+                                           mf.SIZE_BYTES_COL])
+                 for p in man_paths],
+                promote_options="permissive",
+            )
+            small_mask = pc.less(man_tbl[mf.SIZE_BYTES_COL],
+                                 pa.scalar(threshold, pa.int64()))
+            small = man_tbl.filter(small_mask)
+            affected = sorted(small[mf.FILE_PATH_COL].to_pylist())
+            cand_bytes = pc.sum(small[mf.SIZE_BYTES_COL]).as_py() or 0
+            n_out = max(1, -(-cand_bytes // target_bytes))
+            if len(affected) <= n_out:
+                return self  # already at (or below) the healed file count
+            rewritten = self._read_files(affected)
+            if cluster_by:
+                rewritten = rewritten.repartitionByRange(
+                    int(n_out), *cluster_by
+                ).sortWithinPartitions(*cluster_by)
+            else:
+                rewritten = rewritten.coalesce(int(n_out))
+            try:
+                # deletes_rel=None + no append: the snapshot carries ZERO
+                # changelog entries — diff() across it is empty by
+                # construction.
+                self._commit_rewrite(snap_id, affected, rewritten, None)
+                return self
+            except TransactionConflictError as e:
+                last_err = e
+                self.reload()
+        raise last_err
+
     # ------------------------------------------------------- refs & versions
     def add_tag(self, tag: str, version=None) -> "Dataset":
         snap_id = self.metadata.resolve_version(version, self.branch)

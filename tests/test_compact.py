@@ -1,0 +1,160 @@
+"""compact(): the small-files maintenance operator. Rewrites under-sized
+data files into ~target-sized ones as a NO-CHANGE snapshot — rows
+identical, diff() across the compaction empty, blobs untouched."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from space_spark import Dataset, field
+
+SIMPLE = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("val", T.DoubleType()),
+    ]
+)
+
+
+def _rows(spark, ids):
+    return spark.createDataFrame(
+        [Row(id=i, val=i / 2.0) for i in ids], SIMPLE
+    ).coalesce(1)
+
+
+@pytest.fixture()
+def fragmented(spark, tmp_location):
+    """8 trickle appends -> 8 tiny data files."""
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["id"])
+    for i in range(8):
+        ds.append(_rows(spark, range(i * 10, (i + 1) * 10)))
+    return ds
+
+
+def test_compact_merges_small_files(spark, fragmented):
+    ds = fragmented
+    assert len(ds.data_files()) == 8
+    before = sorted((r.id, r.val) for r in ds.read().collect())
+    v_before = ds.current_snapshot_id
+
+    ds.compact(target_bytes=64 * 1024 * 1024)
+
+    files = ds.data_files()
+    assert len(files) == 1  # ceil(tiny bytes / 64MB) == 1
+    after = sorted((r.id, r.val) for r in ds.read().collect())
+    assert after == before
+    # Row/byte accounting stays consistent.
+    snap = ds.metadata.snapshot(ds.current_snapshot_id)
+    assert snap.num_rows == 80
+    # The compaction snapshot carries NO changelog: diff across it is
+    # empty, so MVs/changefeeds replay nothing.
+    assert ds.diff(v_before, None).count() == 0
+    # ...but history is preserved: time travel still sees the old layout.
+    assert ds.read(version=v_before).count() == 80
+
+
+def test_compact_noop_when_healthy(spark, fragmented):
+    ds = fragmented
+    v = ds.current_snapshot_id
+    # Tiny target: every existing file is already >= 50% of target, so
+    # nothing qualifies and no snapshot is committed.
+    ds.compact(target_bytes=2)
+    assert ds.current_snapshot_id == v
+    assert len(ds.data_files()) == 8
+
+
+def test_compact_skips_healthy_keeps_pruning(spark, tmp_location):
+    """Only the under-sized files are rewritten; a healthy file's bytes
+    are never touched (its path survives compaction verbatim)."""
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["id"])
+    big = spark.createDataFrame(
+        [Row(id=i, val=float(i)) for i in range(20000)], SIMPLE
+    ).coalesce(1)
+    ds.append(big)
+    healthy = set(ds.data_files())
+    for i in range(4):
+        ds.append(_rows(spark, range(30000 + i * 5, 30005 + i * 5)))
+    assert len(ds.data_files()) == 5
+
+    # Threshold (=target/2) sits between the tiny files (~1 KB) and the
+    # big one (hundreds of KB): only the tiny files qualify.
+    ds.compact(target_bytes=100 * 1024)
+
+    files = set(ds.data_files())
+    assert healthy <= files, "healthy file was rewritten"
+    assert len(files) == 2  # big file + one merged small file
+    assert ds.read().count() == 20020
+
+
+def test_compact_clustered_restores_pruning(spark, tmp_location):
+    """cluster_by re-sorts the merged rows so manifest min/max pruning
+    selects ~one file per point lookup again."""
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["id"])
+    # Interleaved appends destroy range locality: every file spans the
+    # whole id domain.
+    for i in range(6):
+        ds.append(_rows(spark, range(i, 600, 6)))
+    assert len(ds.data_files(filter_=(field("id") == 17))) == 6
+
+    ds.compact(target_bytes=1024 * 1024, cluster_by=["id"])
+    nf = len(ds.data_files())
+    assert nf == 1
+    assert ds.read().count() == 600
+    assert sorted(r.id for r in ds.read().collect()) == list(range(0, 600))
+
+
+def test_compact_record_fields_blobs_untouched(spark, tmp_location):
+    """Compaction is index-file-only: record blobs keep their addresses
+    and files, like CoW delete survivors."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    ds = Dataset.create(
+        spark, tmp_location, schema, ["id"], record_fields=["payload"]
+    )
+    for i in range(4):
+        ds.append(
+            spark.createDataFrame(
+                [Row(id=j, payload=f"p{j}".encode())
+                 for j in range(i * 5, (i + 1) * 5)],
+                schema,
+            ).coalesce(1)
+        )
+    blob_files = sorted(
+        glob.glob(os.path.join(ds.location, "records", "*"))
+    )
+    assert len(ds.data_files()) == 4
+
+    ds.compact(target_bytes=64 * 1024 * 1024)
+
+    assert len(ds.data_files()) == 1
+    assert sorted(
+        glob.glob(os.path.join(ds.location, "records", "*"))
+    ) == blob_files
+    got = ds.read().orderBy("id").collect()
+    assert [r.payload for r in got] == [
+        f"p{j}".encode() for j in range(20)
+    ]
+    # Addresses still resolve post-compaction (random access path).
+    refs = ds.read(reference_read=True).orderBy("id").collect()
+    assert all(r.payload._FILE.startswith("records/") for r in refs)
+
+
+def test_compact_then_delete_and_diff(spark, fragmented):
+    """The table stays fully functional after compaction: CoW delete and
+    the change feed operate on the compacted layout."""
+    ds = fragmented
+    ds.compact(target_bytes=64 * 1024 * 1024)
+    v = ds.current_snapshot_id
+    ds.delete(field("id") < 10)
+    assert ds.read().count() == 70
+    d = ds.diff(v, None)
+    assert d.filter("_change_type = 'DELETE'").count() == 10
+    assert d.filter("_change_type = 'ADD'").count() == 0
