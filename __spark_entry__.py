@@ -42,11 +42,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.ts is parquet INT64 TIMESTAMP(NANOS); Spark 4 rejects it unless
-    # read as a long (nanoseconds since epoch) — which is also the exact,
-    # engine-neutral representation we want.
+    # The generator has written events.ts either as INT64 TIMESTAMP(NANOS)
+    # (Spark 4 rejects it unless read as a long) or as timestamp[us].
+    # Queries are written against the engine-neutral epoch-nanos long, so
+    # normalize the timestamp variant to that exact representation (session
+    # tz is pinned UTC by _t, matching DuckDB's timezone-naive epoch_ns).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events")
+    if not isinstance(ev.schema["ts"].dataType, T.LongType):
+        ev = ev.withColumn(
+            "ts",
+            (F.unix_micros(F.col("ts").cast("timestamp_ltz")) * 1000)
+            .cast("long"),
+        )
+    return ev
 
 
 def money_sum(col, alias: str):
