@@ -553,6 +553,63 @@ class Dataset:
     def _abs_to_rel_file(self, uri: str) -> str:
         return self.log.rel_path(urlparse(uri).path)
 
+    def _write_delete_bitmaps(self, deletes_rel: str, aff_manifest: pa.Table
+                              ) -> Optional[str]:
+        """Row-level delete bitmap sidecar (metadata.proto:160-191 RowBitmap
+        analog): one row per affected file with the deleted row POSITIONS
+        compactly encoded (core/bitmaps.py) — O(deleted) bytes, vs the PK
+        parquet's O(deleted * pk_width). The driver-side group-by is
+        bounded by the same deletes file it already reads for the
+        affected-file list; positions come from the probe's
+        ``_metadata.row_index`` column."""
+        import numpy as np
+
+        from space_spark.core import bitmaps as bm
+
+        try:
+            tbl = pq.read_table(
+                self.log.abs_path(deletes_rel), columns=["__file", "__pos"]
+            )
+        except Exception:
+            return None  # pre-bitmap deletes log: no __pos column
+        if tbl.num_rows == 0:
+            return None
+        rows_by_file = dict(
+            zip(
+                aff_manifest[mf.FILE_PATH_COL].to_pylist(),
+                aff_manifest[mf.NUM_ROWS_COL].to_pylist(),
+            )
+        )
+        fcol = tbl.column("__file").combine_chunks().dictionary_encode()
+        codes = fcol.indices.to_numpy(zero_copy_only=False)
+        pos = tbl.column("__pos").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        files, nrows, blobs = [], [], []
+        for code, uri in enumerate(fcol.dictionary.to_pylist()):
+            rel = self._abs_to_rel_file(uri)
+            nr = rows_by_file.get(rel)
+            if nr is None:  # file missing from manifest stats: skip safely
+                continue
+            p = np.unique(pos[codes == code])
+            files.append(rel)
+            nrows.append(int(nr))
+            blobs.append(bm.encode_positions(p, int(nr)))
+        if not files:
+            return None
+        bitmap_rel = self.log.new_bitmap_relpath()
+        pq.write_table(
+            pa.table(
+                {
+                    "file": pa.array(files, pa.string()),
+                    "num_rows": pa.array(nrows, pa.int64()),
+                    "bitmap": pa.array(blobs, pa.binary()),
+                }
+            ),
+            self.log.abs_path(bitmap_rel),
+        )
+        return bitmap_rel
+
     def delete(self, filter_: Expr) -> "Dataset":
         """Copy-on-write delete (ops/delete.py:56-228): rewrite only the
         files that contain matching rows; record files are never rewritten
@@ -608,7 +665,7 @@ class Dataset:
             return [], None, None
         phys = self._read_files(files).withColumn(
             "__file", F.input_file_name()
-        )
+        ).withColumn("__pos", F.col("_metadata.row_index"))
         keys = self._keys_join_side(keys_df, n_keys)
         matches = phys.join(keys, on=pks, how="left_semi")
         deletes_rel, affected = self._write_probe_deletes(matches)
@@ -621,16 +678,18 @@ class Dataset:
 
     def _write_probe_deletes(self, matches: DataFrame):
         """ONE distributed job materializes the probe: matched rows'
-        (PKs, source file) land directly as the change-log deletes file;
-        the affected-file list is then a driver-side column read of that
-        (small) output. Replaces the round-2 shape of a collect job for
-        the file list PLUS a second full probe job to write the deletes.
-        Readers of the deletes file select the PK columns, so the extra
-        ``__file`` column rides along for free."""
+        (PKs, source file, row position) land directly as the change-log
+        deletes file; the affected-file list is then a driver-side column
+        read of that (small) output. Replaces the round-2 shape of a
+        collect job for the file list PLUS a second full probe job to
+        write the deletes. Readers of the deletes file select the PK
+        columns, so the extra ``__file``/``__pos`` provenance columns ride
+        along for free; ``__pos`` (``_metadata.row_index``) additionally
+        feeds the per-file delete BITMAP sidecar built at commit time."""
         pks = self.primary_keys
         deletes_rel = self.log.new_deletes_relpath().replace(".parquet", "")
         abs_del = self.log.abs_path(deletes_rel)
-        matches.select(*pks, "__file").write.parquet(abs_del)
+        matches.select(*pks, "__file", "__pos").write.parquet(abs_del)
         try:
             tbl = pq.read_table(abs_del, columns=["__file"])
         except Exception:
@@ -683,7 +742,7 @@ class Dataset:
                 return self
             phys = self._read_files(candidates).withColumn(
                 "__file", F.input_file_name()
-            )
+            ).withColumn("__pos", F.col("_metadata.row_index"))
             # SQL DELETE semantics: only rows where the predicate is TRUE
             # are deleted — NULL-predicate rows survive AND stay out of the
             # change log, keeping survivors/deleted exactly complementary.
@@ -723,6 +782,7 @@ class Dataset:
         ops/insert.py:93-99)."""
         parent = self.metadata.snapshot(pinned)
         removed_rows = removed_bytes = surv_rows = surv_bytes = 0
+        bitmap_rel = None
         if affected:
             # Rows removed from the table = affected rows - surviving rows.
             old_manifests = self._manifest_abs_paths(parent)
@@ -744,6 +804,10 @@ class Dataset:
                            pa.scalar(0, pa.int64()))
             ).as_py() or 0
             carry = man_tbl.filter(pc.invert(aff_mask))
+            if deletes_rel:
+                bitmap_rel = self._write_delete_bitmaps(
+                    deletes_rel, man_tbl.filter(aff_mask)
+                )
 
             # Write survivors as new data files (may be zero files/rows);
             # they are already physical rows (addresses carried over, blobs
@@ -779,6 +843,7 @@ class Dataset:
             # holds deleted bitmaps only, ops/delete.py:113-115,215-228).
             added_files=list(append_files or []),
             deleted_pks_file=deletes_rel if affected else None,
+            deleted_bitmap_file=bitmap_rel,
             # Blob files are untouched by CoW deletes; their manifests
             # carry over (counts become an upper bound on live refs).
             record_manifest_files=rec_manifests,
@@ -1099,6 +1164,8 @@ class Dataset:
             live.update(snap.manifest_files)
             if snap.deleted_pks_file:
                 live.add(snap.deleted_pks_file)
+            if snap.deleted_bitmap_file:
+                live.add(snap.deleted_bitmap_file)
             live.update(
                 mf.read_manifest_paths(
                     [self.log.abs_path(p) for p in snap.manifest_files]
@@ -1163,6 +1230,65 @@ class Dataset:
         return self.spark.read.parquet(
             self.log.abs_path(snap.deleted_pks_file)
         ).select(*self.primary_keys)
+
+    def read_deleted_pks_via_bitmap(self, snap) -> DataFrame:
+        """The same DELETE stream reconstructed from the PARENT version's
+        data files masked by the per-file row bitmaps — how the reference
+        serves change-data deletes (change_data.py:126-141: FileSetReadOp
+        over bitmap-masked files, PK fields only). The changelog itself is
+        O(deleted) bitmap bytes; this read re-scans only the affected
+        files, PK columns only, and semi-joins on (file, row position).
+        At 100 TB the sidecar ships KBs where PK sets would ship GBs; the
+        PK parquet remains the MV-facing stream (no re-scan)."""
+        if not getattr(snap, "deleted_bitmap_file", None):
+            raise UserInputError(
+                f"Snapshot {snap.snapshot_id} has no delete bitmap"
+            )
+        side = self.spark.read.parquet(
+            self.log.abs_path(snap.deleted_bitmap_file)
+        )
+        location = self.location
+
+        def decode(batches):
+            import numpy as np  # noqa: F401  (bitmaps uses it)
+            import pyarrow as pa_
+
+            from space_spark.core import bitmaps as bm
+
+            for b in batches:
+                out_f: List[str] = []
+                out_p: List[int] = []
+                for f, nr, blob in zip(
+                    b.column(0).to_pylist(),
+                    b.column(1).to_pylist(),
+                    b.column(2).to_pylist(),
+                ):
+                    p = bm.decode_positions(blob, nr)
+                    out_f.extend([os.path.join(location, f)] * len(p))
+                    out_p.extend(int(x) for x in p)
+                yield pa_.RecordBatch.from_arrays(
+                    [pa_.array(out_f, pa_.string()),
+                     pa_.array(out_p, pa_.int64())],
+                    names=["__abs", "__pos"],
+                )
+
+        pairs = side.select("file", "num_rows", "bitmap").mapInArrow(
+            decode, "__abs string, __pos long"
+        )
+        rel_files = [r["file"] for r in side.select("file").collect()]
+        # Normalize _metadata.file_path ("file:///x" or "file:/x") to the
+        # plain absolute path the sidecar stores relative to.
+        phys = self._read_files(rel_files).select(
+            *self.primary_keys,
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^[a-z]+:/+", "/"
+            ).alias("__abs"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        # No join hint: the pair side is O(deleted) — AQE broadcasts it
+        # when small and shuffles when a bulk delete makes it large.
+        return phys.join(pairs, on=["__abs", "__pos"], how="left_semi"
+                         ).select(*self.primary_keys)
 
     def diff(self, v1, v2) -> DataFrame:
         """Change feed between two versions: one row per changed row, with

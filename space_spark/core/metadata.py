@@ -64,6 +64,13 @@ class Snapshot:
     # and a Parquet file holding the primary keys of rows deleted by it.
     added_files: List[str] = dc_field(default_factory=list)
     deleted_pks_file: Optional[str] = None
+    # Row-level delete bitmaps (metadata.proto:160-191 RowBitmap analog):
+    # a parquet of (file, num_rows, bitmap) with one row per affected file,
+    # where ``bitmap`` compactly encodes the deleted row POSITIONS within
+    # that file (core/bitmaps.py). O(deleted) bytes vs the PK parquet's
+    # O(deleted * pk_width); the DELETE stream is reconstructible from the
+    # parent snapshot's files masked by these bitmaps.
+    deleted_bitmap_file: Optional[str] = None
     # Record-file manifests (reference record_manifest, manifests/record.py:
     # 27-32): one row per blob file added by this commit's appends.
     record_manifest_files: List[str] = dc_field(default_factory=list)
@@ -78,6 +85,7 @@ class Snapshot:
             "data_bytes": self.data_bytes,
             "added_files": self.added_files,
             "deleted_pks_file": self.deleted_pks_file,
+            "deleted_bitmap_file": self.deleted_bitmap_file,
             "record_manifest_files": self.record_manifest_files,
         }
 
@@ -92,6 +100,7 @@ class Snapshot:
             data_bytes=d.get("data_bytes", 0),
             added_files=list(d.get("added_files", [])),
             deleted_pks_file=d.get("deleted_pks_file"),
+            deleted_bitmap_file=d.get("deleted_bitmap_file"),
             record_manifest_files=list(d.get("record_manifest_files", [])),
         )
 
@@ -217,6 +226,9 @@ class MetadataLog:
 
     def new_deletes_relpath(self) -> str:
         return os.path.join("_space", "changes", f"deletes_{new_uuid()}.parquet")
+
+    def new_bitmap_relpath(self) -> str:
+        return os.path.join("_space", "changes", f"bitmap_{new_uuid()}.parquet")
 
     def new_commit_data_reldir(self) -> str:
         return os.path.join("data", f"commit_{new_uuid()}")
