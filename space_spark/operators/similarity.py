@@ -167,18 +167,59 @@ def _knuth_key(id_col: Column) -> Column:
 
 
 def ivf_centroids(
-    corpus_v: DataFrame, n_centroids: int
+    corpus_v: DataFrame, n_centroids: int, refine: bool = False
 ) -> DataFrame:
     """Deterministic centroid sample: the ``n_centroids`` corpus vectors
     with the smallest Knuth-hashed ids. ``orderBy().limit()`` plans as a
     distributed TakeOrdered (no global sort); the rank window then runs on
-    the n_centroids surviving rows only."""
+    the n_centroids surviving rows only.
+
+    ``refine=True`` runs ONE Lloyd iteration on the sample: every corpus
+    vector is assigned to its nearest seed (broadcast centroid join —
+    one pass), then each centroid becomes the element-wise mean of its
+    list. Better recall on clustered corpora; opt-in because float-mean
+    partial-aggregation order is engine-dependent, so refined centroids
+    are not bit-for-bit SQL-oracle-able like the deterministic sample."""
     key = _knuth_key(F.col("id"))
     chosen = corpus_v.orderBy(key.asc(), F.col("id").asc()).limit(n_centroids)
     w = Window.orderBy(_knuth_key(F.col("id")).asc(), F.col("id").asc())
-    return chosen.select(
+    seeds = chosen.select(
         F.row_number().over(w).alias("cent_id"),
         F.col("v").alias("cent_v"),
+    )
+    if not refine:
+        return seeds
+    # One Lloyd sweep, all DataFrame ops: nearest-seed assignment
+    # (broadcast cross join + per-id top-1 window), then an element-wise
+    # mean via posexplode + (list, position) aggregate — two hash
+    # shuffles, no driver state, scales with the corpus.
+    scored = corpus_v.crossJoin(F.broadcast(seeds)).withColumn(
+        "csim", F.round(cosine(F.col("v"), F.col("cent_v")), 6)
+    )
+    aw = Window.partitionBy("id").orderBy(
+        F.col("csim").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        scored.withColumn("__r", F.row_number().over(aw))
+        .where(F.col("__r") == 1)
+        .select("cent_id", "v")
+    )
+    means = (
+        assigned.select("cent_id", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cent_id", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("cent_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("mean_v")
+        )
+    )
+    # A seed whose duplicate-vector twin captured its members can end up
+    # with an empty list; it keeps its original vector.
+    return seeds.join(means, on="cent_id", how="left").select(
+        "cent_id", F.coalesce("mean_v", "cent_v").alias("cent_v")
     )
 
 
@@ -192,14 +233,15 @@ def ivf_topk(
     n_probe: int = 4,
     round_digits: int = 4,
     gemm: bool = False,
+    refine: bool = False,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus partitioned into inverted lists
     by nearest centroid; each query scans only its ``n_probe`` closest
     lists.
 
-    Centroids are a deterministic Knuth-hash sample of corpus vectors (one
-    k-means sweep would refine them; sampling keeps the operator fully
-    deterministic and dependency-free). Default assignment is a broadcast
+    Centroids are a deterministic Knuth-hash sample of corpus vectors;
+    ``refine=True`` adds one Lloyd sweep (better recall on clustered
+    corpora, no longer bit-for-bit oracle-able — see ``ivf_centroids``). Default assignment is a broadcast
     join against the centroid set with the same left-to-right cosine fold
     used everywhere (round-before-argmax, centroid-id tie-break) — every
     step is reproducible bit-for-bit in any engine that folds doubles in
@@ -210,7 +252,7 @@ def ivf_topk(
     throughput for wide corpora; same lists except float-boundary ties)."""
     v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    cents = ivf_centroids(v, n_centroids)
+    cents = ivf_centroids(v, n_centroids, refine=refine)
 
     if gemm:
         assign = _ivf_assign_gemm(cents)

@@ -202,3 +202,32 @@ def test_ivf_centroid_key_safe_for_huge_ids(spark):
     got_first = {tuple(r.cent_v) for r in cents}
     exp_first = {(float(i % 5), 1.0) for i in want}
     assert got_first == exp_first
+
+
+def test_ivf_refine_recall_not_worse(spark):
+    """One Lloyd sweep (refine=True) must not lose recall vs the raw
+    hash-sample centroids on clustered vectors — the fixture where
+    refinement has signal to exploit (cluster means beat arbitrary
+    member vectors as list representatives)."""
+    emb = spark.createDataFrame(_clustered_vectors(per_cluster=5))
+    queries = emb.where(F.col("vec_id") % 5 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(
+            emb, queries, "vec_id", "embedding", k=4
+        ).collect()
+    }
+
+    def recall(refine):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(
+                emb, queries, "vec_id", "embedding", k=4, n_centroids=8,
+                n_probe=2, refine=refine,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    base, refined = recall(False), recall(True)
+    assert refined >= base, (base, refined)
+    assert refined >= 0.9
