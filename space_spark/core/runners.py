@@ -135,17 +135,17 @@ class SparkRunner:
 
     def _to_df(self, data):
         """Accept a DataFrame, Arrow table, pandas frame, or dict-of-lists
-        (the reference's InputData union)."""
+        (the reference's InputData union). Arrow input goes straight into
+        ``createDataFrame`` (Spark 4 takes ``pa.Table`` natively) — no
+        pandas round-trip, which both copied every column and let pandas
+        dtype coercion mangle nested/extension types."""
         from pyspark.sql import DataFrame
 
         if isinstance(data, DataFrame):
             return data
         spark = self._t.spark
-        if isinstance(data, pa.Table):
-            return spark.createDataFrame(data.to_pandas(),
-                                         schema=self._t.schema)
         if isinstance(data, dict):
             data = pa.Table.from_pydict(data)
-            return spark.createDataFrame(data.to_pandas(),
-                                         schema=self._t.schema)
+        if isinstance(data, pa.Table):
+            return spark.createDataFrame(data, schema=self._t.schema)
         return spark.createDataFrame(data, schema=self._t.schema)
