@@ -1000,6 +1000,29 @@ SELECT * FROM supplier WHERE NOT (s_acctbal < 1000.0)
 """
 
 
+def space_bitmap_changelog(spark, sf_dir):
+    """Row-level delete bitmap changelog: the DELETE stream reconstructed
+    from the parent version's files masked by the per-file row-position
+    bitmaps (reference RowBitmap change log, metadata.proto:160-191 +
+    change_data.py:126-141) — O(deleted) changelog bytes instead of PK
+    sets."""
+    from space_spark import Dataset, field
+
+    supp = _t(spark, sf_dir, "supplier")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/supplier_bm", supp.schema, ["s_suppkey"]
+    )
+    ds.append(supp)
+    ds.delete(field("s_acctbal") < 1000.0)
+    snap = ds.metadata.snapshot(ds.current_snapshot_id)
+    return ds.read_deleted_pks_via_bitmap(snap)
+
+
+SPACE_BITMAP_SQL = """
+SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0
+"""
+
+
 def space_upsert_read(spark, sf_dir):
     """M3: upsert = delete matching PKs + append."""
     from space_spark import Dataset
@@ -1665,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # space table API (SURVEY.md §2 operators)
         "space_filter_project": space_filter_project,
         "space_delete_read": space_delete_read,
+        "space_bitmap_changelog": space_bitmap_changelog,
         "space_upsert_read": space_upsert_read,
         "space_insert_read": space_insert_read,
         "space_compact_read": space_compact_read,
@@ -1722,6 +1746,7 @@ def oracle_sql() -> dict[str, str]:
         "q_range_band": Q_RANGE_SQL,
         "space_filter_project": SPACE_FILTER_SQL,
         "space_delete_read": SPACE_DELETE_SQL,
+        "space_bitmap_changelog": SPACE_BITMAP_SQL,
         "space_upsert_read": SPACE_UPSERT_SQL,
         "space_insert_read": SPACE_INSERT_SQL,
         "space_compact_read": SPACE_COMPACT_SQL,
