@@ -1429,6 +1429,116 @@ FROM scored
 """
 
 
+def text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary construction: top-100 tokens by frequency."""
+    from space_spark.operators.text import vocab_topk
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return vocab_topk(docs, "text", 100).select(
+        "token", F.col("freq").cast("long").alias("freq")
+    )
+
+
+TEXT_VOCAB_SQL = """
+SELECT token, COUNT(*)::BIGINT AS freq
+FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+        AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 100
+"""
+
+
+def text_tfidf_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (score rounded before ranking,
+    term tie-break — engine-independent)."""
+    from space_spark.operators.text import tf_idf_top_terms
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tf_idf_top_terms(docs, "doc_id", "text", top_n=3).select(
+        "doc", "term", F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"), "score",
+        F.col("rank").cast("long").alias("rnk"),
+    )
+
+
+TFIDF_SQL = """
+WITH terms AS (
+  SELECT doc_id AS doc,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), terms_ne AS (
+  SELECT * FROM terms WHERE term <> ''
+), tf AS (
+  SELECT doc, term, COUNT(*)::BIGINT AS tf FROM terms_ne GROUP BY doc, term
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc)::BIGINT AS df FROM terms_ne GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc, tf.term, tf, df,
+         ROUND(tf * LN(n_docs / df), 4) AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc
+            ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc, term, tf, df, score, rnk::BIGINT AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def sample_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split: md5-bucket assignment, stable
+    under repartitioning and appends (rand() is neither)."""
+    from space_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+
+
+SAMPLE_SPLIT_SQL = """
+SELECT doc_id,
+  CASE
+    WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
+         ::BIGINT % 10000 < 9000 THEN 'train'
+    WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
+         ::BIGINT % 10000 < 9500 THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM documents
+"""
+
+
+def sample_stratified(spark, sf_dir):
+    """Exact per-stratum 10% sample over the source strata: hash-ranked
+    window keeps ceil(0.1 * n) rows per stratum."""
+    from space_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(docs, "source", 0.1, "doc_id")
+
+
+SAMPLE_STRATIFIED_SQL = """
+WITH b AS (
+  SELECT doc_id, source,
+    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
+      ::BIGINT % 10000 AS bucket
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY bucket ASC, doc_id ASC) AS rn,
+    COUNT(*) OVER (PARTITION BY source) AS n
+  FROM b
+)
+SELECT doc_id, source FROM r WHERE rn <= CEIL(n * 0.1)
+"""
+
+
 def ann_cosine_topk(spark, sf_dir):
     from space_spark.operators.similarity import cosine_topk
 
@@ -1706,6 +1816,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "text_stats": text_stats,
+        "text_vocab_topk": text_vocab_topk,
+        "text_tfidf_terms": text_tfidf_terms,
+        "sample_hash_split": sample_hash_split,
+        "sample_stratified": sample_stratified,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1763,6 +1877,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": MINHASH_LSH_SQL,
         "dedup_simhash_pairs": SIMHASH_PAIRS_SQL,
         "text_stats": TEXT_STATS_SQL,
+        "text_vocab_topk": TEXT_VOCAB_SQL,
+        "text_tfidf_terms": TFIDF_SQL,
+        "sample_hash_split": SAMPLE_SPLIT_SQL,
+        "sample_stratified": SAMPLE_STRATIFIED_SQL,
         "ann_cosine_topk": ANN_TOPK_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),

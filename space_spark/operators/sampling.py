@@ -1,0 +1,112 @@
+"""Deterministic sampling and dataset-split operators for training-data
+pipelines.
+
+Additive capabilities beyond the reference (google/space stores training
+data but has no sampling operators). All are built on a cross-engine
+deterministic bucket hash — md5 of the row id (not ``rand()``), so:
+
+- results are REPRODUCIBLE run-to-run and engine-to-engine (each operator
+  has a plain-SQL oracle in ``__spark_entry__.py``);
+- membership is STABLE under repartitioning, retries, and incremental
+  re-runs — a row's split assignment never changes when the corpus grows,
+  which is the property a train/val/test split must have at 100 TB
+  (``rand()``-based sampling changes membership every execution and with
+  every partitioning);
+- the plan is a pure JVM projection + filter (whole-stage codegen, no
+  shuffle for sample/split; one hash shuffle per stratum for the exact
+  stratified variant).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Buckets per unit of probability mass: fractions are quantized to 1/10000.
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column, seed: int = 42) -> Column:
+    """Deterministic bucket in [0, BUCKETS): the first 15 md5 hex digits
+    of ``"<id>:<seed>"`` parsed as an integer, mod BUCKETS. Identical in
+    any SQL engine (DuckDB mirror:
+    ``('0x' || substring(md5(id || ':' || seed), 1, 15))::BIGINT % 10000``).
+    """
+    key = F.concat_ws(":", id_col.cast("string"), F.lit(str(seed)))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return (h % BUCKETS).cast("int")
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: rows whose bucket falls below
+    ``fraction * BUCKETS``. No shuffle; membership is a property of the
+    row id, so the sample is stable across runs and appends."""
+    return df.where(
+        hash_bucket(F.col(id_col), seed) < int(round(fraction * BUCKETS))
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split by cumulative bucket
+    ranges (e.g. ``{"train": 0.9, "val": 0.05, "test": 0.05}``). Weights
+    must sum to 1 (+-1/BUCKETS); iteration order fixes the ranges, so the
+    same weights dict always produces the same assignment."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1.0 / BUCKETS:
+        raise ValueError(f"Split weights must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(id_col), seed)
+    expr = None
+    cum = 0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += int(round(weights[name] * BUCKETS))
+        cond = bucket < cum
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Union[str, Sequence[str]],
+    fraction: float,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT per-stratum sample: within each stratum, rank rows by their
+    hash bucket (id tie-break) and keep the first ``ceil(fraction * n)``.
+    Guarantees every stratum — including rare ones a uniform hash sample
+    would miss — contributes proportionally; the standard rebalancing
+    primitive for skewed training corpora.
+
+    One hash shuffle on the strata columns (window + count); rank order is
+    the hash order, so the kept subset is pseudo-random yet deterministic.
+    """
+    strata: List[str] = (
+        [strata_cols] if isinstance(strata_cols, str) else list(strata_cols)
+    )
+    bucket = hash_bucket(F.col(id_col), seed)
+    w = Window.partitionBy(*strata).orderBy(
+        bucket.asc(), F.col(id_col).asc()
+    )
+    cw = Window.partitionBy(*strata)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(cw))
+        .where(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .drop("__rn", "__n")
+    )

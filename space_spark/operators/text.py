@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import Dict, List
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny stopword lists for the n-gram/stopword language-ID heuristic.
@@ -102,6 +102,56 @@ def fingerprint(text: Column) -> Column:
     engine for cross-checking."""
     normalized = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
     return F.md5(normalized)
+
+
+def vocab_topk(df: DataFrame, text_col: str, k: int) -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent tokens with counts
+    (count desc, token asc — deterministic). One explode + hash-shuffle
+    aggregate with map-side partial counts; the classic first step of
+    tokenizer/vocab construction over a training corpus."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    return (
+        toks.where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def tf_idf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 3
+) -> DataFrame:
+    """Top-``top_n`` TF-IDF terms per document: score = tf * ln(N / df),
+    rounded before ranking (score desc, term asc) so results are
+    engine-independent. Term frequencies and document frequencies are one
+    explode + two hash aggregates; the document-frequency side joins back
+    by term (shuffle join — the term dictionary can exceed broadcast size
+    at corpus scale)."""
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        terms.dropDuplicates(["doc", "term"])
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(dfreq, on="term").withColumn(
+        "score",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4),
+    )
+    w = (
+        Window.partitionBy("doc")
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("doc", "term", "tf", "df", "score", "rank")
+    )
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1,0 +1,89 @@
+"""Deterministic sampling/split operators: stability and exactness."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from space_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source")
+
+
+def test_split_partitions_every_row_once(docs):
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = dict(
+        (r["split"], r["n"])
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    )
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+
+
+def test_split_stable_under_repartition(docs):
+    a = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(docs, "doc_id", {"a": 0.5, "b": 0.5}).collect()
+    }
+    b = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(
+            docs.repartition(13), "doc_id", {"a": 0.5, "b": 0.5}
+        ).collect()
+    }
+    assert a == b
+
+
+def test_split_membership_stable_under_append(docs):
+    """A row's assignment is a function of its id alone: growing the
+    corpus never reassigns existing rows (the property rand() lacks)."""
+    half = docs.where(F.col("doc_id") < 250)
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    small = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(half, "doc_id", w).collect()
+    }
+    full = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(docs, "doc_id", w).collect()
+        if r["doc_id"] < 250
+    }
+    assert small == full
+
+
+def test_split_weights_validated(docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.3})
+
+
+def test_hash_sample_fraction_and_determinism(docs):
+    s1 = sorted(r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).collect())
+    s2 = sorted(r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).collect())
+    assert s1 == s2
+    n = docs.count()
+    assert 0.1 * n < len(s1) < 0.3 * n  # ~20% within loose bounds
+    assert len(set(s1)) == len(s1)
+
+
+def test_stratified_exact_per_stratum(docs):
+    frac = 0.1
+    out = stratified_sample(docs, "source", frac, "doc_id")
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    want = {
+        r["source"]: math.ceil(r["n"] * frac)
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want  # EVERY stratum contributes exactly ceil(frac*n)
