@@ -1489,6 +1489,37 @@ FROM ranked WHERE rnk <= 3
 """
 
 
+def text_chunk_windows(spark, sf_dir):
+    """Fixed-token-window document chunking (32-token chunks, 8-token
+    overlap) — the LLM context-window preprocessing step."""
+    from space_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=32,
+                           overlap=8)
+
+
+TEXT_CHUNK_SQL = """
+WITH base AS (
+  SELECT doc_id AS doc,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc, toks, len(toks) AS n FROM base
+), chunks AS (
+  SELECT doc, toks,
+         unnest(generate_series(1, n, 24)) AS start,
+         generate_subscripts(generate_series(1, n, 24), 1) AS cid
+  FROM s
+)
+SELECT doc, cid::BIGINT AS chunk_id,
+       array_to_string(list_slice(toks, start, start + 31), ' ')
+         AS chunk_text,
+       len(list_slice(toks, start, start + 31))::BIGINT AS n_tokens
+FROM chunks
+"""
+
+
 def sample_hash_split(spark, sf_dir):
     """Deterministic train/val/test split: md5-bucket assignment, stable
     under repartitioning and appends (rand() is neither)."""
@@ -1818,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "text_vocab_topk": text_vocab_topk,
         "text_tfidf_terms": text_tfidf_terms,
+        "text_chunk_windows": text_chunk_windows,
         "sample_hash_split": sample_hash_split,
         "sample_stratified": sample_stratified,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1879,6 +1911,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": TEXT_STATS_SQL,
         "text_vocab_topk": TEXT_VOCAB_SQL,
         "text_tfidf_terms": TFIDF_SQL,
+        "text_chunk_windows": TEXT_CHUNK_SQL,
         "sample_hash_split": SAMPLE_SPLIT_SQL,
         "sample_stratified": SAMPLE_STRATIFIED_SQL,
         "ann_cosine_topk": ANN_TOPK_SQL,

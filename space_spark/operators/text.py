@@ -154,6 +154,47 @@ def tf_idf_top_terms(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-token-window chunks with optional
+    overlap — the sequence-windowing step of an LLM training pipeline
+    (context-length packing preprocessing, RAG chunking).
+
+    Chunk starts are 1, 1+stride, ... <= n_tokens (stride = chunk_tokens
+    - overlap), so every token is covered and the tail chunk may be
+    short. Pure JVM higher-order functions (sequence/slice/concat_ws) +
+    one explode: embarrassingly parallel, no shuffle, and exactly
+    reproducible in SQL (generate_series + list slicing)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc"), toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+    )
+    out = base.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n"), F.lit(stride)),
+                lambda s: F.slice(F.col("__toks"), s, chunk_tokens),
+            )
+        ).alias("__i", "__chunk"),
+    )
+    return out.select(
+        "doc",
+        (F.col("__i") + 1).cast("long").alias("chunk_id"),
+        F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+        F.size("__chunk").cast("long").alias("n_tokens"),
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All per-document text statistics in one pass.
 

@@ -87,3 +87,26 @@ def test_stratified_exact_per_stratum(docs):
         for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
     }
     assert got == want  # EVERY stratum contributes exactly ceil(frac*n)
+
+
+def test_chunk_documents_covers_all_tokens(spark):
+    """Every token appears in some chunk; overlap duplicates exactly the
+    stride-boundary tokens; tail chunk may be short."""
+    from space_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1)
+    rows = {(r["doc"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+            for r in out.collect()}
+    assert rows[(1, 1)] == ("a b c d", 4)
+    assert rows[(1, 2)] == ("d e f g", 4)
+    assert rows[(1, 3)] == ("g", 1)
+    assert rows[(2, 1)] == ("x", 1)
+    assert (3, 1) in rows  # '' tokenizes to [''] — one empty chunk
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
