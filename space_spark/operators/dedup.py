@@ -124,6 +124,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.4,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """All pairs (a<b) with token-n-gram Jaccard >= threshold.
 
@@ -131,7 +132,21 @@ def ngram_jaccard_pairs(
     shingle (hash shuffle co-locates equal shingles), count common shingles
     per pair, then Jaccard = common / (|A| + |B| - common). Scales as the
     number of SHARED shingles, not n^2. Jaccard is a ratio of exact ints —
-    bit-identical in any engine."""
+    bit-identical in any engine.
+
+    ``prefix_filter=True`` switches to the PPJoin/AllPairs candidate
+    scheme (Bayardo et al., WWW'07; Xiao et al., WWW'08): order each
+    document's shingles by global document frequency (rare first) and
+    index only the first ``|A| - ceil(t*|A|) + 1`` — any pair at Jaccard
+    >= t must share a prefix element, so the self-join runs over the
+    prefix index only and hot shingles (the quadratic blowup at corpus
+    scale) fall out of the index almost entirely. Candidates are then
+    verified with an exact set intersection, so the OUTPUT IS IDENTICAL
+    to the plain path (pinned in tests). Costs two extra shuffles (df
+    count + per-doc rank); wins when shingle frequency is skewed — i.e.
+    at real-corpus scale."""
+    if prefix_filter:
+        return _ngram_jaccard_prefix(df, id_col, text_col, n, threshold)
     # Shingles are joined by their full 64-bit hash, not the string: same
     # counts (collision odds ~2^-64 per pair) and a far smaller shuffle.
     # Tokens are hashed JVM-side; grams are mixed in the numpy kernel (the
@@ -164,6 +179,68 @@ def ngram_jaccard_pairs(
     )
     return (
         common.withColumn(
+            "jaccard",
+            F.round(F.col("common")
+                    / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _ngram_jaccard_prefix(
+    df: DataFrame, id_col: str, text_col: str, n: int, threshold: float
+) -> DataFrame:
+    """PPJoin-style exact Jaccard (see ngram_jaccard_pairs docstring)."""
+    tok_hashed = _fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.transform(_norm_tokens(F.col(text_col)), _hash64).alias("th"),
+    )
+    shingled = _with_gram_signatures(tok_hashed, n, None, 0)
+    exploded = shingled.select(
+        "doc", "n_shingles", F.explode("shingles").alias("shingle")
+    )
+    # Global shingle document frequencies (one hash-shuffle agg with
+    # map-side partial counts).
+    freqs = exploded.groupBy("shingle").agg(F.count("*").alias("__df"))
+    # Rank each doc's shingles rare-first; keep the prefix. The window
+    # shuffles on doc — bounded per-doc state, no skew (docs have ~equal
+    # shingle counts relative to corpus hot keys).
+    w = Window.partitionBy("doc").orderBy(
+        F.col("__df").asc(), F.col("shingle").asc()
+    )
+    prefix = (
+        exploded.join(freqs.hint("shuffle_hash"), on="shingle")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(
+            F.col("__rn")
+            <= F.col("n_shingles") - F.ceil(
+                F.col("n_shingles") * F.lit(threshold)
+            ) + 1
+        )
+        .select("doc", "shingle")
+    )
+    a = prefix.alias("a").hint("shuffle_hash")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh_a = shingled.select(
+        F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("na"),
+    )
+    sh_b = shingled.select(
+        F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("nb"),
+    )
+    return (
+        cand.join(sh_a, on="doc_a")
+        .join(sh_b, on="doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
             "jaccard",
             F.round(F.col("common")
                     / (F.col("na") + F.col("nb") - F.col("common")), 6),

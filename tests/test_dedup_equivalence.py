@@ -231,3 +231,15 @@ def test_ivf_refine_recall_not_worse(spark):
     base, refined = recall(False), recall(True)
     assert refined >= base, (base, refined)
     assert refined >= 0.9
+
+
+def test_ngram_prefix_filter_equals_plain(spark, docs):
+    """PPJoin prefix-filtered candidates + exact verify must emit exactly
+    the plain inverted-index output (prefix filtering is lossless by the
+    prefix lemma; the verify step re-computes true Jaccard)."""
+    plain = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                      threshold=0.4)
+    pref = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                     threshold=0.4, prefix_filter=True)
+    assert _pairs(pref) == _pairs(plain)
+    assert len(_pairs(plain)) > 0
