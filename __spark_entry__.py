@@ -1520,6 +1520,39 @@ FROM chunks
 """
 
 
+def text_pack_sequences(spark, sf_dir):
+    """Sequence packing: documents laid out into 512-token context bins
+    by global token offset — computed with a distributed two-phase
+    prefix sum (the oracle's global window would single-partition at
+    scale)."""
+    from space_spark.operators.packing import pack_offsets
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("long").alias("n_tokens"),
+    )
+    return pack_offsets(docs, "doc_id", "n_tokens", context_len=512)
+
+
+TEXT_PACK_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+'))::BIGINT
+           AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  (SUM(n_tokens) OVER (ORDER BY doc_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::BIGINT
+    AS offset,
+  FLOOR(((SUM(n_tokens) OVER (ORDER BY doc_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens))
+     / 512)::BIGINT AS bin_id
+FROM toks
+"""
+
+
 def sample_hash_split(spark, sf_dir):
     """Deterministic train/val/test split: md5-bucket assignment, stable
     under repartitioning and appends (rand() is neither)."""
@@ -1850,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_topk": text_vocab_topk,
         "text_tfidf_terms": text_tfidf_terms,
         "text_chunk_windows": text_chunk_windows,
+        "text_pack_sequences": text_pack_sequences,
         "sample_hash_split": sample_hash_split,
         "sample_stratified": sample_stratified,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1912,6 +1946,7 @@ def oracle_sql() -> dict[str, str]:
         "text_vocab_topk": TEXT_VOCAB_SQL,
         "text_tfidf_terms": TFIDF_SQL,
         "text_chunk_windows": TEXT_CHUNK_SQL,
+        "text_pack_sequences": TEXT_PACK_SQL,
         "sample_hash_split": SAMPLE_SPLIT_SQL,
         "sample_stratified": SAMPLE_STRATIFIED_SQL,
         "ann_cosine_topk": ANN_TOPK_SQL,

@@ -110,3 +110,22 @@ def test_chunk_documents_covers_all_tokens(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_pack_offsets_matches_global_cumsum(spark):
+    """Two-phase distributed prefix sum == the naive global window."""
+    from space_spark.operators.packing import pack_offsets
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 17 + 1).alias("n")
+    )
+    out = {
+        r["id"]: (r["offset"], r["bin_id"])
+        for r in pack_offsets(df, "id", "n", context_len=64,
+                              num_partitions=7).collect()
+    }
+    rows = sorted(df.collect(), key=lambda r: r["id"])
+    acc = 0
+    for r in rows:
+        assert out[r["id"]] == (acc, acc // 64), r["id"]
+        acc += r["n"]
