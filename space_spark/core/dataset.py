@@ -1023,6 +1023,29 @@ class Dataset:
         """Absolute index-file paths for external engines (datasets.py:99-104)."""
         return [self.log.abs_path(f) for f in self.data_files(None, version)]
 
+    def read_row_range(
+        self, rel_file: str, start: int, stop: int,
+        fields: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        """``[start, stop)`` row slice of ONE index file — the reference's
+        row-range read used for block splitting (runtime.proto:43-52,
+        ops/read.py:108-110). Position comes from ``_metadata.row_index``,
+        so the slice is exact regardless of partitioning; parquet row-group
+        stats let the scan skip groups entirely outside the range when the
+        file is large. (Distributed block splitting itself is handled by
+        the ``format("space")`` DataSource's row-group partitions and
+        Spark's own maxPartitionBytes — this API is the point-slice
+        escape hatch.)"""
+        if start < 0 or stop < start:
+            raise UserInputError(f"Bad row range [{start}, {stop})")
+        out = self._read_files([rel_file]).where(
+            (F.col("_metadata.row_index") >= F.lit(start))
+            & (F.col("_metadata.row_index") < F.lit(stop))
+        )
+        if fields:
+            out = out.select(*fields)
+        return out
+
     def read_by_keys(
         self, keys, fields: Optional[Sequence[str]] = None, version=None
     ) -> DataFrame:

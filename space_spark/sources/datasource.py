@@ -108,14 +108,42 @@ def _prune(log, meta, snapshot_id: int, expr: Optional[Expr]) -> List[str]:
         return mf._prune_files_arrow(paths, None, stat_names)
 
 
+def _split_row_groups(path: str, max_bytes: int) -> List[tuple]:
+    """Split one over-sized file into row-group-aligned units
+    ``(path, [row-group indices])`` of ~max_bytes each — the reference's
+    row-range ReadTask splitting (ray/options.py enable_row_range_block,
+    runtime.proto:43-52 row slices), aligned to parquet's natural block
+    boundary. One driver-side footer read per over-sized file only."""
+    meta = pq.ParquetFile(path).metadata
+    units, group, size = [], [], 0
+    for i in range(meta.num_row_groups):
+        b = meta.row_group(i).total_byte_size
+        if group and size + b > max_bytes:
+            units.append((path, group))
+            group, size = [], 0
+        group.append(i)
+        size += b
+    if group:
+        units.append((path, group))
+    return units if len(units) > 1 else [path]
+
+
 def _group_files(abs_paths: List[str], max_bytes: int
-                 ) -> Iterator[List[str]]:
+                 ) -> Iterator[List[object]]:
+    """Size-bounded partition units: small files coalesce into one
+    partition; a file larger than ``max_bytes`` splits into row-group
+    ranges so a 10 GB file does not serialize onto one task. A unit is a
+    path (whole file) or ``(path, [row-group indices])``."""
     group, size = [], 0
     for p in abs_paths:
         try:
             b = os.path.getsize(p)
         except OSError:
             b = max_bytes
+        if b > max_bytes:
+            for unit in _split_row_groups(p, max_bytes):
+                yield [unit]
+            continue
         if group and size + b > max_bytes:
             yield group
             group, size = [], 0
@@ -196,7 +224,14 @@ def _read_aligned(
       physical schema."""
     import pyarrow.dataset as pads
 
-    for path in abs_paths:
+    for unit in abs_paths:
+        # A unit is a path (whole file) or (path, [row-group indices]) —
+        # an intra-file split of an over-sized file (see _group_files).
+        row_groups = None
+        if isinstance(unit, tuple):
+            path, row_groups = unit
+        else:
+            path = unit
         dset = pads.dataset(path, format="parquet")
         avail = set(dset.schema.names)
         cols = [f.name for f in schema if f.name in avail]
@@ -205,7 +240,12 @@ def _read_aligned(
             if arrow_filter is not None and filter_names <= avail
             else None
         )
-        tbl = dset.to_table(columns=cols, filter=filt)
+        if row_groups is not None:
+            frag = next(iter(dset.get_fragments()))
+            sub = frag.subset(row_group_ids=row_groups)
+            tbl = sub.to_table(columns=cols, filter=filt)
+        else:
+            tbl = dset.to_table(columns=cols, filter=filt)
         out = []
         for f in schema:
             if f.name in tbl.column_names:

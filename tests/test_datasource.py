@@ -177,3 +177,64 @@ def test_float_filters_not_pushed_to_arrow(table):
 
     filt, names = _filters_to_arrow([GreaterThan(("val",), 5.0)], SIMPLE)
     assert filt is None and names == set()
+
+
+def test_large_file_splits_into_row_group_partitions(spark, tmp_location):
+    """A file bigger than partition_bytes splits into row-group-aligned
+    InputPartitions (reference row-range blocks) instead of serializing
+    onto one task; results are unchanged."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from space_spark import Dataset
+    from space_spark.sources.datasource import _group_files
+    from space_spark.sources.loaders import append_parquet
+
+    # One physical file with many small row groups (pyarrow-written;
+    # Spark's writer makes big single-group files at this size).
+    ext = os.path.join(os.path.dirname(tmp_location), "ext.parquet")
+    n = 50_000
+    tbl = pa.table({"id": list(range(n)), "v": [i * 2 for i in range(n)]})
+    pq.write_table(tbl, ext, row_group_size=5_000)
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    ds = Dataset.create(spark, tmp_location, schema, ["id"])
+    append_parquet(ds, ext)
+    [data_file] = ds.data_files()
+    abs_path = ds.log.abs_path(data_file)
+    units = list(_group_files([abs_path], 128 * 1024))
+    assert len(units) > 1  # actually split
+    assert all(isinstance(u[0], tuple) for u in units)
+    rgs = [rg for u in units for rg in u[0][1]]
+    assert rgs == sorted(set(rgs))  # every row group exactly once
+
+    got = (
+        spark.read.format("space")
+        .option("partition_bytes", str(128 * 1024))
+        .load(tmp_location)
+    )
+    assert got.count() == n
+    assert got.agg(F.sum("v")).first()[0] == sum(i * 2 for i in range(n))
+
+
+def test_read_row_range_slice(spark, tmp_location):
+    """P5: [start, stop) slice of one index file by physical row
+    position."""
+    from space_spark import Dataset
+    from space_spark.errors import UserInputError
+
+    df = spark.range(1000).coalesce(1).select("id")
+    ds = Dataset.create(spark, tmp_location + "_rr", df.schema, ["id"])
+    ds.append(df)
+    [f] = ds.data_files()
+    part = ds.read_row_range(f, 100, 250)
+    assert part.count() == 150
+    full = sorted(r["id"] for r in ds.read_row_range(f, 0, 10**9).collect())
+    assert full == sorted(r["id"] for r in ds.read().collect())
+    with pytest.raises(UserInputError):
+        ds.read_row_range(f, -1, 5)
