@@ -105,6 +105,20 @@ def test_dml_sequence_matches_model(spark, ops):
             # model can't hold; restrict comparison to count parity first.
             assert got == model, f"step {step} {kind} {ids}"
 
+            # Whenever this op logged deletes, the bitmap-reconstructed
+            # DELETE stream must equal the PK-parquet stream.
+            snap = ds.metadata.snapshot(after)
+            if snap is not None and snap.deleted_pks_file:
+                assert snap.deleted_bitmap_file is not None
+                via_pk = sorted(
+                    r.pk for r in ds.read_deleted_pks(snap).collect()
+                )
+                via_bm = sorted(
+                    r.pk
+                    for r in ds.read_deleted_pks_via_bitmap(snap).collect()
+                )
+                assert via_bm == via_pk, f"step {step} {kind}"
+
         # Time travel: every recorded snapshot state must replay.
         for sid, state in enumerate(history):
             if state is None:
