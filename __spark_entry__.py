@@ -1734,6 +1734,40 @@ SELECT query_id, neighbor_id, score, rnk FROM ranked WHERE rnk <= 5
 """
 
 
+def ann_quantize_int8(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column — 4x
+    smaller ANN index storage, engine-exact arithmetic."""
+    from space_spark.operators.similarity import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantize_int8(emb, "vec_id", "embedding")
+    # The comparison harness sorts/hashes scalar columns — serialize the
+    # int8 vector to CSV (exact, order-preserving).
+    return out.select(
+        "id", "scale", F.concat_ws(",", F.col("q")).alias("q_csv")
+    )
+
+
+ANN_QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id AS id,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale,
+         embedding
+  FROM embeddings
+)
+SELECT id, ROUND(scale, 8) AS scale,
+  array_to_string(
+    CASE WHEN scale > 0
+      THEN list_transform(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) / scale) AS INT))
+      ELSE list_transform(embedding, x -> 0)
+    END, ',') AS q_csv
+FROM s
+"""
+
+
 def embedding_neardup(spark, sf_dir):
     """Embedding near-dup pairs via sign-bit LSH buckets (the registered
     plan is fully distributed — no driver-side matrix; the blocked-GEMM
@@ -1890,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_neardup": embedding_neardup,
+        "ann_quantize_int8": ann_quantize_int8,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_frame_sample": multimodal_frame_sample,
         "multimodal_audio_features": multimodal_audio_features,
@@ -1953,6 +1988,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "embedding_neardup": NEARDUP_SQL,
+        "ann_quantize_int8": ANN_QUANTIZE_SQL,
         "multimodal_image_features": MULTIMODAL_SQL,
         "multimodal_frame_sample": FRAME_SAMPLE_SQL,
         "multimodal_audio_features": AUDIO_FEATURES_SQL,

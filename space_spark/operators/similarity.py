@@ -337,6 +337,32 @@ def _ivf_assign_gemm(cents: DataFrame):
     return assign
 
 
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: ``scale =
+    max(|v|)/127``, ``q[i] = round(v[i]/scale)`` — 4x smaller vectors for
+    ANN index storage with ~1e-2 cosine error at d=64. Pure JVM
+    higher-order functions (no shuffle, no Python); all arithmetic in
+    double so results are engine-exact (oracled). Zero vectors quantize
+    to zeros with scale 0."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = amax / F.lit(127.0)
+    q = F.when(
+        amax > 0,
+        F.transform(v, lambda x: F.round(x.cast("double") / scale)
+                    .cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.round(scale, 8).alias("scale"),
+        q.alias("q"),
+    )
+
+
 def neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
