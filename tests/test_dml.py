@@ -161,3 +161,46 @@ def test_truly_concurrent_appends_both_commit(spark, tmp_location):
     d0.reload()
     assert d0.read().count() == 60
     assert d0.current_snapshot_id == 3  # three serialized commits
+
+
+def test_truly_concurrent_upserts_all_commit(spark, tmp_location):
+    """Concurrent upserts over DISJOINT key ranges: each loser must retry
+    its commit against the new head, re-deriving the affected-file probe
+    (the round-2 upsert committed without retry and failed on benign
+    metadata races)."""
+    import threading
+
+    d0 = Dataset.create(spark, tmp_location, SIMPLE, ["int64"])
+    d0.append(simple_df(spark, range(60)))
+    handles = [Dataset.load(spark, tmp_location) for _ in range(3)]
+    barrier = threading.Barrier(3)
+    errors = []
+
+    def run(i, h):
+        try:
+            barrier.wait(timeout=60)
+            h.upsert(
+                spark.createDataFrame(
+                    [Row(int64=k, float64=float(i), string=f"w{i}")
+                     for k in range(i * 20, i * 20 + 20)],
+                    SIMPLE,
+                )
+            )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=run, args=(i, h))
+        for i, h in enumerate(handles)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(180)
+    assert errors == []
+    d0.reload()
+    got = {r.int64: r.float64 for r in d0.read().collect()}
+    assert len(got) == 60
+    for i in range(3):
+        for k in range(i * 20, i * 20 + 20):
+            assert got[k] == float(i), (k, got[k])
