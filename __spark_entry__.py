@@ -643,12 +643,14 @@ def q2_min_bal_supplier(spark, sf_dir):
         .join(part, li.l_partkey == part.p_partkey)
         .select("p_partkey", "p_brand", "s_suppkey", "s_acctbal")
     )
-    mins = j.groupBy(F.col("p_partkey").alias("mk")).agg(
-        F.min("s_acctbal").alias("min_bal")
-    )
+    # Single-pass min-per-group + winner selection via a window: one
+    # shuffle on p_partkey instead of re-deriving the join tree for a
+    # join-back against the mins (the naive Q2 shape runs the 3-way join
+    # twice).
+    w = Window.partitionBy("p_partkey")
     winners = (
-        j.join(mins, (j.p_partkey == mins.mk)
-               & (j.s_acctbal == mins.min_bal))
+        j.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("min_bal"))
         .groupBy("p_partkey", "p_brand", "min_bal")
         .agg(F.min("s_suppkey").alias("s_suppkey"))
     )
