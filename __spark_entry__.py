@@ -718,13 +718,16 @@ GROUP BY 1, 2, 3
 def q17_small_quantity_revenue(spark, sf_dir):
     """Q17 shape: revenue from lineitems below 50%% of their part's average
     quantity (correlated-aggregate decorrelated into a join)."""
-    li = _t(spark, sf_dir, "lineitem")
-    # Quantities are integral doubles, so AVG is order-independent exact.
-    avgs = li.groupBy(F.col("l_partkey").alias("ak")).agg(
-        F.avg("l_quantity").alias("avg_qty")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
     )
+    # Quantities are integral doubles, so AVG is order-independent exact.
+    # Per-part average via a window: ONE shuffle on l_partkey and one
+    # lineitem scan, vs the decorrelated groupBy + join-back which scans
+    # lineitem twice.
+    w = Window.partitionBy("l_partkey")
     return (
-        li.join(avgs, li.l_partkey == avgs.ak)
+        li.withColumn("avg_qty", F.avg("l_quantity").over(w))
         .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             money_sum(F.col("l_extendedprice"), "total_price"),
