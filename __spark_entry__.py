@@ -837,6 +837,159 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
 """
 
 
+def q4_priority_with_late_item(spark, sf_dir):
+    """Q4 shape: orders in early 1996 with at least one lineitem shipped
+    more than 30 days after the order date, counted per priority —
+    EXISTS decorrelated into a left-semi join."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate")
+           > 30 * 86400),
+        "left_semi",
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND epoch(l_shipdate) - epoch(o_orderdate) > 30*86400)
+GROUP BY o_orderpriority
+"""
+
+
+def q10_returned_revenue(spark, sf_dir):
+    """Q10 shape: top-20 customers by revenue on returned items (rounded
+    revenue desc, custkey asc — deterministic cut)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    rev = j.groupBy("c_custkey", "c_name", "c_mktsegment").agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "revenue")
+    )
+    return rev.orderBy(
+        F.col("revenue").desc(), F.col("c_custkey").asc()
+    ).limit(20)
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_mktsegment,
+  {MONEY_SUM('l_extendedprice*(1-l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q13_order_count_distribution(spark, sf_dir):
+    """Q13 shape: distribution of orders-per-customer including
+    zero-order customers (left join + two-level aggregate)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("n_custs")
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS n_custs
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def q18_large_volume_customers(spark, sf_dir):
+    """Q18 shape: customers whose single order carries > 300 total
+    quantity, with the order details (group-having + joins)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice",
+                "total_qty")
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q22_idle_rich_customers(spark, sf_dir):
+    """Q22 shape: per market segment, customers with above-average
+    positive balance and NO orders (scalar subquery + anti-join).
+    Balance average runs in the integer money domain — engine-exact."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+         / (F.lit(100.0) * F.count(F.lit(1)))).alias("ab")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey,
+                     "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        money_sum(F.col("c_acctbal"), "total_bal"),
+    )
+
+
+Q22_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n_custs,
+  {MONEY_SUM('c_acctbal', 'total_bal')}
+FROM customer
+WHERE c_acctbal > (
+    SELECT SUM(CAST(ROUND(c_acctbal*100) AS BIGINT))/(100.0*COUNT(*))
+    FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
 def q_asof_signup(spark, sf_dir):
     """As-of join (absent in the reference, SURVEY.md §2.3): for each
     event, the user's most recent signup-event time at or before it."""
@@ -1896,6 +2049,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_late_shipments": q12_late_shipments,
         "q14_promo_revenue_share": q14_promo_revenue_share,
         "q19_bracketed_revenue": q19_bracketed_revenue,
+        "q4_priority_with_late_item": q4_priority_with_late_item,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q22_idle_rich_customers": q22_idle_rich_customers,
         "q_asof_signup": q_asof_signup,
         "q_range_band": q_range_band,
         # space table API (SURVEY.md §2 operators)
@@ -1962,6 +2120,11 @@ def oracle_sql() -> dict[str, str]:
         "q12_late_shipments": Q12_SQL,
         "q14_promo_revenue_share": Q14_SQL,
         "q19_bracketed_revenue": Q19_SQL,
+        "q4_priority_with_late_item": Q4_SQL,
+        "q10_returned_revenue": Q10_SQL,
+        "q13_order_count_distribution": Q13_SQL,
+        "q18_large_volume_customers": Q18_SQL,
+        "q22_idle_rich_customers": Q22_SQL,
         "q_asof_signup": Q_ASOF_SQL,
         "q_range_band": Q_RANGE_SQL,
         "space_filter_project": SPACE_FILTER_SQL,
