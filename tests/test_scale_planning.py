@@ -76,3 +76,22 @@ def test_10k_file_no_filter_lists_all(spark, big_manifest):
     elapsed = time.perf_counter() - start
     assert len(pruned) == N_FILES
     assert elapsed < 1.0
+
+
+def test_datasource_grouping_10k_files_subsecond():
+    """_group_files over 10k paths (os.stat per file is the only IO;
+    missing files fall back to max_bytes) must stay fast and must not
+    open parquet footers for normal-sized files."""
+    import time as _time
+
+    from space_spark.sources.datasource import _group_files
+
+    paths = [f"/nonexistent/data/part-{i:05d}.parquet"
+             for i in range(10_000)]
+    start = _time.perf_counter()
+    groups = list(_group_files(paths, 256 << 20))
+    elapsed = _time.perf_counter() - start
+    assert elapsed < 1.0, f"grouping took {elapsed:.2f}s"
+    # Unknown-size files are assumed max_bytes: one partition each.
+    assert len(groups) == 10_000
+    assert sum(len(g) for g in groups) == 10_000
