@@ -1505,6 +1505,41 @@ def dedup_minhash_lsh(spark, sf_dir):
 MINHASH_LSH_SQL = _jaccard_sql(0.5)
 
 
+def dedup_cluster_labels(spark, sf_dir):
+    """Connected components over the exact-Jaccard(>=0.5) pair graph:
+    cluster_id = min doc id per component (min-label propagation;
+    oracle = recursive-CTE transitive closure)."""
+    from space_spark.operators.dedup import dedup_clusters, \
+        ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_clusters(pairs)
+
+
+def _clusters_sql(threshold: float) -> str:
+    jac = _jaccard_sql(threshold).strip()
+    head, tail = jac[len("WITH"):].rsplit("SELECT doc_a", 1)
+    return f"""
+WITH RECURSIVE {head.strip().rstrip(',')},
+jpairs AS (SELECT doc_a{tail}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION ALL SELECT doc_b, doc_a FROM jpairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc, LEAST(src, MIN(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
+DEDUP_CLUSTERS_SQL = _clusters_sql(0.5)
+
+
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash hamming near-dup — EXACT by pigeonhole (4 bit-chunks cover
     hamming<=3) and cross-engine reproducible (md5-derived token hashes),
@@ -2075,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_cluster_labels": dedup_cluster_labels,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "text_stats": text_stats,
         "text_vocab_topk": text_vocab_topk,
@@ -2144,6 +2180,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
         "dedup_minhash_lsh": MINHASH_LSH_SQL,
+        "dedup_cluster_labels": DEDUP_CLUSTERS_SQL,
         "dedup_simhash_pairs": SIMHASH_PAIRS_SQL,
         "text_stats": TEXT_STATS_SQL,
         "text_vocab_topk": TEXT_VOCAB_SQL,

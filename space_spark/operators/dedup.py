@@ -502,6 +502,58 @@ def minhash_lsh_pairs(
     return df.sparkSession.createDataFrame(tbl)
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components over a near-duplicate PAIR graph: every doc
+    appearing in a pair gets ``cluster_id`` = the smallest doc id in its
+    component — the step that turns pairwise dedup output into
+    keep-one-per-cluster decisions.
+
+    Min-label propagation: each iteration joins labels across edges and
+    takes the elementwise min; converges in <= graph-diameter iterations
+    to a unique fixpoint (deterministic regardless of execution order —
+    which is why the result oracles against a recursive-CTE transitive
+    closure in SQL). Each iteration is one shuffle join + one min
+    aggregate; ``localCheckpoint`` truncates the growing lineage so plan
+    size stays constant (the standard Spark iterative-algorithm
+    discipline; checkpoint blocks are released by the ContextCleaner as
+    superseded iterations are garbage-collected). Near-dup components are
+    tiny in practice (diameter ~2-4), so the loop exits early on the
+    no-change test — one tiny count job per iteration."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"),
+                     F.col("doc_a").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = edges.join(
+            labels, edges.dst == labels.doc
+        ).select(F.col("src").alias("doc"), "label")
+        new = (
+            labels.union(neigh)
+            .groupBy("doc")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        # Min-propagation labels only decrease; fixpoint == no decrease.
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), on="doc")
+            .where(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("doc", F.col("label").alias("cluster_id"))
+
+
 # ------------------------------------------------------------------- SimHash
 SIMHASH_BITS = 60
 

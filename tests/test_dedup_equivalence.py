@@ -243,3 +243,18 @@ def test_ngram_prefix_filter_equals_plain(spark, docs):
                                      threshold=0.4, prefix_filter=True)
     assert _pairs(pref) == _pairs(plain)
     assert len(_pairs(plain)) > 0
+
+
+def test_dedup_clusters_multi_hop_chain(spark):
+    """Label propagation must cross multiple hops: a chain 1-2-3-4 plus a
+    separate pair (10,11) yields exactly two components with min-id
+    labels."""
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 4), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
