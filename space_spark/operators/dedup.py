@@ -519,12 +519,15 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     superseded iterations are garbage-collected). Near-dup components are
     tiny in practice (diameter ~2-4), so the loop exits early on the
     no-change test — one tiny count job per iteration."""
+    # Materialize the edge list ONCE: pairs is typically the output of an
+    # expensive candidate pipeline (shingling + inverted-index join), and
+    # every iteration's join would otherwise recompute it end-to-end.
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(
         pairs.select(F.col("doc_b").alias("src"),
                      F.col("doc_a").alias("dst"))
-    )
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("doc"))
         .distinct()
