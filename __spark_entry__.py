@@ -1158,6 +1158,28 @@ SELECT * FROM supplier WHERE NOT (s_acctbal < 1000.0)
 """
 
 
+def space_mor_delete(spark, sf_dir):
+    """Merge-on-read delete: positional delete vectors, no data-file
+    rewrite (Iceberg-v2-style; beyond the reference). The read
+    anti-joins the active vectors; a second MoR delete accumulates."""
+    from space_spark import Dataset, field
+
+    supp = _t(spark, sf_dir, "supplier")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/supplier_mor", supp.schema, ["s_suppkey"]
+    )
+    ds.append(supp)
+    ds.delete(field("s_acctbal") < 1000.0, rewrite=False)
+    ds.delete(field("s_nationkey") == 3, rewrite=False)
+    return ds.read()
+
+
+SPACE_MOR_SQL = """
+SELECT * FROM supplier
+WHERE NOT (s_acctbal < 1000.0) AND NOT (s_nationkey = 3)
+"""
+
+
 def space_bitmap_changelog(spark, sf_dir):
     """Row-level delete bitmap changelog: the DELETE stream reconstructed
     from the parent version's files masked by the per-file row-position
@@ -2095,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "space_filter_project": space_filter_project,
         "space_delete_read": space_delete_read,
         "space_bitmap_changelog": space_bitmap_changelog,
+        "space_mor_delete": space_mor_delete,
         "space_upsert_read": space_upsert_read,
         "space_insert_read": space_insert_read,
         "space_compact_read": space_compact_read,
@@ -2166,6 +2189,7 @@ def oracle_sql() -> dict[str, str]:
         "space_filter_project": SPACE_FILTER_SQL,
         "space_delete_read": SPACE_DELETE_SQL,
         "space_bitmap_changelog": SPACE_BITMAP_SQL,
+        "space_mor_delete": SPACE_MOR_SQL,
         "space_upsert_read": SPACE_UPSERT_SQL,
         "space_insert_read": SPACE_INSERT_SQL,
         "space_compact_read": SPACE_COMPACT_SQL,

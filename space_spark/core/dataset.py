@@ -47,6 +47,13 @@ from space_spark.errors import (
 
 FilterType = Union[Expr, None]
 
+
+def _norm_file_path():
+    """``_metadata.file_path`` normalized ("file:///x" or "file:/x" ->
+    "/x") to match driver-side absolute paths."""
+    return F.regexp_replace(F.col("_metadata.file_path"), "^[a-z]+:/+", "/")
+
+
 CHANGE_TYPE_COL = "_change_type"
 CHANGE_SNAPSHOT_COL = "_snapshot_id"
 CHANGE_ORDER_COL = "_change_order"
@@ -231,6 +238,7 @@ class Dataset:
         return self.read_files(
             files, filter_=filter_, fields=fields,
             reference_read=reference_read, deserialize=deserialize,
+            snapshot=snapshot,
         )
 
     def read_files(
@@ -240,13 +248,20 @@ class Dataset:
         fields: Optional[Sequence[str]] = None,
         reference_read: bool = False,
         deserialize: bool = False,
+        snapshot=None,
     ) -> DataFrame:
         """Read a SPECIFIC data-file set with filter/field application —
         the file-set (block) read primitive underneath ``read`` and the
         runner shim's streaming block iterator (reference FileSet read,
         core/ops/read.py:47-152; ray/data_sources.py:105-126 hands these
-        per-file sets to workers)."""
-        df = self._read_files(rel_files)
+        per-file sets to workers).
+
+        ``snapshot`` supplies the merge-on-read delete vectors to mask
+        (defaults to the current snapshot; ``read`` passes the resolved
+        version's)."""
+        if snapshot is None:
+            snapshot = self.metadata.snapshot(self.current_snapshot_id)
+        df = self._apply_vectors(self._read_files(rel_files), snapshot)
         if filter_ is not None:
             df = df.where(filter_.to_spark())
         if fields is not None:
@@ -391,6 +406,7 @@ class Dataset:
                 data_bytes=parent.data_bytes + nbytes,
                 added_files=files if rows > 0 else [],
                 record_manifest_files=rec_manifests,
+                delete_vector_files=list(parent.delete_vector_files),
             )
             try:
                 self.metadata = self.log.commit_snapshot(
@@ -585,7 +601,7 @@ class Dataset:
         pos = tbl.column("__pos").combine_chunks().to_numpy(
             zero_copy_only=False
         )
-        files, nrows, blobs = [], [], []
+        files, nrows, ndels, blobs = [], [], [], []
         for code, uri in enumerate(fcol.dictionary.to_pylist()):
             rel = self._abs_to_rel_file(uri)
             nr = rows_by_file.get(rel)
@@ -594,6 +610,7 @@ class Dataset:
             p = np.unique(pos[codes == code])
             files.append(rel)
             nrows.append(int(nr))
+            ndels.append(int(p.size))
             blobs.append(bm.encode_positions(p, int(nr)))
         if not files:
             return None
@@ -603,6 +620,7 @@ class Dataset:
                 {
                     "file": pa.array(files, pa.string()),
                     "num_rows": pa.array(nrows, pa.int64()),
+                    "n_deleted": pa.array(ndels, pa.int64()),
                     "bitmap": pa.array(blobs, pa.binary()),
                 }
             ),
@@ -610,14 +628,99 @@ class Dataset:
         )
         return bitmap_rel
 
-    def delete(self, filter_: Expr) -> "Dataset":
-        """Copy-on-write delete (ops/delete.py:56-228): rewrite only the
-        files that contain matching rows; record files are never rewritten
-        (delete.py:42-45) because survivors keep their address structs."""
+    def delete(self, filter_: Expr, rewrite: bool = True) -> "Dataset":
+        """Delete rows matching ``filter_``.
+
+        ``rewrite=True`` (default): copy-on-write (ops/delete.py:56-228) —
+        rewrite only the files that contain matching rows; record files
+        are never rewritten (delete.py:42-45) because survivors keep
+        their address structs.
+
+        ``rewrite=False``: MERGE-ON-READ (Iceberg-v2-style positional
+        delete vectors; beyond the reference, which is CoW-only) — no
+        data file is touched: the matched (file, row position) set is
+        committed as an active delete-vector sidecar that every read of
+        this and descendant snapshots anti-joins out. A 10-row delete on
+        a 100 TB table costs one pruned probe job and a metadata commit.
+        Vectors are retired when their files are rewritten — CoW
+        delete/upsert of the same files, or ``compact()``, which applies
+        and clears them."""
         if filter_ is None:
             raise UserInputError("delete requires a filter")
         self.reload()
+        if not rewrite:
+            return self._delete_mor(filter_.to_spark(), prune_expr=filter_)
         return self._delete_predicate(filter_.to_spark(), prune_expr=filter_)
+
+    def _delete_mor(self, pred, prune_expr: FilterType) -> "Dataset":
+        last_err = None
+        for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
+            snap_id = self.current_snapshot_id
+            snapshot = self.metadata.snapshot(snap_id)
+            candidates = mf.prune_files(
+                self.spark,
+                self._manifest_abs_paths(snapshot),
+                prune_expr,
+                self._stats_fields(),
+            )
+            if not candidates:
+                return self
+            # Mask EXISTING vectors so already-deleted rows are not
+            # re-logged (same single-job probe as the CoW path).
+            phys = self._apply_vectors(
+                self._read_files(candidates)
+                .withColumn("__file", F.input_file_name())
+                .withColumn("__pos", F.col("_metadata.row_index")),
+                snapshot,
+            )
+            pred_true = F.coalesce(pred, F.lit(False))
+            deletes_rel, affected = self._write_probe_deletes(
+                phys.where(pred_true)
+            )
+            if not affected:
+                return self
+            man_tbl = pa.concat_tables(
+                [pq.read_table(p) for p in
+                 self._manifest_abs_paths(snapshot)],
+                promote_options="permissive",
+            )
+            aff_manifest = man_tbl.filter(
+                pc.is_in(man_tbl[mf.FILE_PATH_COL],
+                         value_set=pa.array(affected))
+            )
+            bitmap_rel = self._write_delete_bitmaps(deletes_rel,
+                                                    aff_manifest)
+            n_masked = int(sum(
+                pq.read_table(
+                    self.log.abs_path(bitmap_rel), columns=["n_deleted"]
+                )["n_deleted"].to_pylist()
+            ))
+            snap = md.Snapshot(
+                snapshot_id=-1,
+                parent_snapshot_id=snap_id,
+                created_at="",
+                manifest_files=list(snapshot.manifest_files),
+                # data_bytes tracks PHYSICAL live bytes — unchanged: the
+                # masked rows still occupy their files until a rewrite.
+                num_rows=snapshot.num_rows - n_masked,
+                data_bytes=snapshot.data_bytes,
+                added_files=[],
+                deleted_pks_file=deletes_rel,
+                deleted_bitmap_file=bitmap_rel,
+                delete_vector_files=list(
+                    getattr(snapshot, "delete_vector_files", []) or []
+                ) + [bitmap_rel],
+                record_manifest_files=list(snapshot.record_manifest_files),
+            )
+            try:
+                self.metadata = self.log.commit_snapshot(
+                    snap_id, self.branch, snap
+                )
+                return self
+            except TransactionConflictError as e:
+                last_err = e
+                self.reload()
+        raise last_err
 
     # A key set under this many rows is broadcast to the probe side; above
     # it, a shuffle-hash join (a bulk upsert's key set can exceed executor
@@ -663,17 +766,22 @@ class Dataset:
         )
         if not files:
             return [], None, None
-        phys = self._read_files(files).withColumn(
-            "__file", F.input_file_name()
-        ).withColumn("__pos", F.col("_metadata.row_index"))
+        # Provenance columns BEFORE the vector mask: input_file_name()
+        # must bind to the single parquet source, not the mask join.
+        phys = self._apply_vectors(
+            self._read_files(files)
+            .withColumn("__file", F.input_file_name())
+            .withColumn("__pos", F.col("_metadata.row_index")),
+            snapshot,
+        )
         keys = self._keys_join_side(keys_df, n_keys)
         matches = phys.join(keys, on=pks, how="left_semi")
         deletes_rel, affected = self._write_probe_deletes(matches)
         if not affected:
             return [], None, None
-        survivors = self._read_files(affected).join(
-            keys, on=pks, how="left_anti"
-        )
+        survivors = self._apply_vectors(
+            self._read_files(affected), snapshot
+        ).join(keys, on=pks, how="left_anti")
         return affected, survivors, deletes_rel
 
     def _write_probe_deletes(self, matches: DataFrame):
@@ -740,9 +848,12 @@ class Dataset:
             )
             if not candidates:
                 return self
-            phys = self._read_files(candidates).withColumn(
-                "__file", F.input_file_name()
-            ).withColumn("__pos", F.col("_metadata.row_index"))
+            phys = self._apply_vectors(
+                self._read_files(candidates)
+                .withColumn("__file", F.input_file_name())
+                .withColumn("__pos", F.col("_metadata.row_index")),
+                snapshot,
+            )
             # SQL DELETE semantics: only rows where the predicate is TRUE
             # are deleted — NULL-predicate rows survive AND stay out of the
             # change log, keeping survivors/deleted exactly complementary.
@@ -752,7 +863,9 @@ class Dataset:
             )
             if not affected:
                 return self
-            survivors = self._read_files(affected).where(~pred_true)
+            survivors = self._apply_vectors(
+                self._read_files(affected), snapshot
+            ).where(~pred_true)
             try:
                 self._commit_rewrite(snap_id, affected, survivors,
                                      deletes_rel)
@@ -761,6 +874,44 @@ class Dataset:
                 last_err = e
                 self.reload()
         raise last_err
+
+    def _retire_vectors(self, parent, affected: List[str]):
+        """Carry the parent's delete-vector list across a CoW rewrite of
+        ``affected`` files: entries covering rewritten files are dropped
+        (their masked rows are physically gone), mixed sidecars are
+        rewritten to keep only surviving files' entries. Returns (new
+        vector list, total masked rows dropped with the affected files).
+        Driver-side sidecar reads are O(vector files) — tiny."""
+        vecs = list(getattr(parent, "delete_vector_files", []) or [])
+        if not vecs or not affected:
+            return vecs, 0
+        aff = set(affected)
+        out: List[str] = []
+        masked_removed = 0
+        for rel in vecs:
+            tbl = pq.read_table(self.log.abs_path(rel))
+            files = tbl["file"].to_pylist()
+            hit = [f in aff for f in files]
+            if not any(hit):
+                out.append(rel)
+                continue
+            if "n_deleted" in tbl.column_names:
+                nd = tbl["n_deleted"].to_pylist()
+            else:  # pragma: no cover - pre-n_deleted sidecars
+                from space_spark.core import bitmaps as bm
+
+                nd = [
+                    len(bm.decode_positions(b.as_py(), n.as_py()))
+                    for b, n in zip(tbl["bitmap"], tbl["num_rows"])
+                ]
+            masked_removed += sum(n for n, h in zip(nd, hit) if h)
+            keep = tbl.filter(pa.array([not h for h in hit]))
+            if keep.num_rows == 0:
+                continue
+            new_rel = self.log.new_bitmap_relpath()
+            pq.write_table(keep, self.log.abs_path(new_rel))
+            out.append(new_rel)
+        return out, masked_removed
 
     def _commit_rewrite(
         self,
@@ -783,6 +934,15 @@ class Dataset:
         parent = self.metadata.snapshot(pinned)
         removed_rows = removed_bytes = surv_rows = surv_bytes = 0
         bitmap_rel = None
+        # Rewriting a file retires its merge-on-read vector entries (the
+        # rewrite was produced from a vector-masked read, so the masked
+        # rows are physically gone now); entries for untouched files carry
+        # forward. `masked_removed` corrects the row accounting: manifest
+        # NUM_ROWS is physical, but those masked rows were already
+        # subtracted from snapshot num_rows when the vector was committed.
+        vector_files, masked_removed = self._retire_vectors(
+            parent, affected
+        )
         if affected:
             # Rows removed from the table = affected rows - surviving rows.
             old_manifests = self._manifest_abs_paths(parent)
@@ -834,7 +994,8 @@ class Dataset:
             parent_snapshot_id=pinned,
             created_at="",
             manifest_files=manifest_files,
-            num_rows=parent.num_rows - removed_rows + surv_rows + append_rows,
+            num_rows=(parent.num_rows - (removed_rows - masked_removed)
+                      + surv_rows + append_rows),
             data_bytes=(parent.data_bytes - removed_bytes + surv_bytes
                         + append_bytes),
             # Survivor-rewrite files are physically new but LOGICALLY
@@ -844,6 +1005,7 @@ class Dataset:
             added_files=list(append_files or []),
             deleted_pks_file=deletes_rel if affected else None,
             deleted_bitmap_file=bitmap_rel,
+            delete_vector_files=vector_files,
             # Blob files are untouched by CoW deletes; their manifests
             # carry over (counts become an upper bound on live refs).
             record_manifest_files=rec_manifests,
@@ -914,7 +1076,12 @@ class Dataset:
             n_out = max(1, -(-cand_bytes // target_bytes))
             if len(affected) <= n_out:
                 return self  # already at (or below) the healed file count
-            rewritten = self._read_files(affected)
+            # Masked read: compacting a file with active delete vectors
+            # APPLIES the vectors (the rewrite drops masked rows and
+            # _commit_rewrite retires the file's vector entries).
+            rewritten = self._apply_vectors(
+                self._read_files(affected), snapshot
+            )
             if cluster_by:
                 rewritten = rewritten.repartitionByRange(
                     int(n_out), *cluster_by
@@ -1189,6 +1356,7 @@ class Dataset:
                 live.add(snap.deleted_pks_file)
             if snap.deleted_bitmap_file:
                 live.add(snap.deleted_bitmap_file)
+            live.update(snap.delete_vector_files)
             live.update(
                 mf.read_manifest_paths(
                     [self.log.abs_path(p) for p in snap.manifest_files]
@@ -1270,10 +1438,27 @@ class Dataset:
         side = self.spark.read.parquet(
             self.log.abs_path(snap.deleted_bitmap_file)
         )
+        pairs = self._bitmap_pairs_df([snap.deleted_bitmap_file])
+        rel_files = [r["file"] for r in side.select("file").collect()]
+        phys = self._read_files(rel_files).select(
+            *self.primary_keys,
+            _norm_file_path().alias("__abs"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        # No join hint: the pair side is O(deleted) — AQE broadcasts it
+        # when small and shuffles when a bulk delete makes it large.
+        return phys.join(pairs, on=["__abs", "__pos"], how="left_semi"
+                         ).select(*self.primary_keys)
+
+    def _bitmap_pairs_df(self, sidecar_rels: List[str]) -> DataFrame:
+        """Decode bitmap sidecars to (__abs data-file path, __pos) pairs —
+        distributed mapInArrow, O(deleted) output rows."""
+        side = self.spark.read.parquet(
+            *[self.log.abs_path(r) for r in sidecar_rels]
+        )
         location = self.location
 
         def decode(batches):
-            import numpy as np  # noqa: F401  (bitmaps uses it)
             import pyarrow as pa_
 
             from space_spark.core import bitmaps as bm
@@ -1295,23 +1480,29 @@ class Dataset:
                     names=["__abs", "__pos"],
                 )
 
-        pairs = side.select("file", "num_rows", "bitmap").mapInArrow(
+        return side.select("file", "num_rows", "bitmap").mapInArrow(
             decode, "__abs string, __pos long"
         )
-        rel_files = [r["file"] for r in side.select("file").collect()]
-        # Normalize _metadata.file_path ("file:///x" or "file:/x") to the
-        # plain absolute path the sidecar stores relative to.
-        phys = self._read_files(rel_files).select(
-            *self.primary_keys,
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^[a-z]+:/+", "/"
-            ).alias("__abs"),
-            F.col("_metadata.row_index").alias("__pos"),
+
+    def _apply_vectors(self, phys: DataFrame, snapshot) -> DataFrame:
+        """Mask merge-on-read-deleted rows out of a physical file read:
+        anti-join on (file, row position) against the snapshot's active
+        delete vectors. No-op (zero plan overhead) when the snapshot has
+        none — the common all-CoW case."""
+        vecs = list(getattr(snapshot, "delete_vector_files", []) or [])
+        if not vecs:
+            return phys
+        pairs = self._bitmap_pairs_df(vecs).select(
+            F.col("__abs").alias("__mor_abs"),
+            F.col("__pos").alias("__mor_pos"),
         )
-        # No join hint: the pair side is O(deleted) — AQE broadcasts it
-        # when small and shuffles when a bulk delete makes it large.
-        return phys.join(pairs, on=["__abs", "__pos"], how="left_semi"
-                         ).select(*self.primary_keys)
+        cols = phys.columns
+        tagged = phys.withColumn(
+            "__mor_abs", _norm_file_path()
+        ).withColumn("__mor_pos", F.col("_metadata.row_index"))
+        return tagged.join(
+            pairs, on=["__mor_abs", "__mor_pos"], how="left_anti"
+        ).select(*cols)
 
     def diff(self, v1, v2) -> DataFrame:
         """Change feed between two versions: one row per changed row, with

@@ -71,6 +71,12 @@ class Snapshot:
     # O(deleted * pk_width); the DELETE stream is reconstructible from the
     # parent snapshot's files masked by these bitmaps.
     deleted_bitmap_file: Optional[str] = None
+    # ACTIVE merge-on-read delete vectors (Iceberg-v2-style positional
+    # deletes; beyond the reference, which is CoW-only): bitmap-sidecar
+    # files whose (file, positions) entries mask rows OUT of every read of
+    # this snapshot without rewriting data files. Carried forward by
+    # appends; dropped/rewritten by CoW rewrites of the covered files.
+    delete_vector_files: List[str] = dc_field(default_factory=list)
     # Record-file manifests (reference record_manifest, manifests/record.py:
     # 27-32): one row per blob file added by this commit's appends.
     record_manifest_files: List[str] = dc_field(default_factory=list)
@@ -86,6 +92,7 @@ class Snapshot:
             "added_files": self.added_files,
             "deleted_pks_file": self.deleted_pks_file,
             "deleted_bitmap_file": self.deleted_bitmap_file,
+            "delete_vector_files": self.delete_vector_files,
             "record_manifest_files": self.record_manifest_files,
         }
 
@@ -101,6 +108,7 @@ class Snapshot:
             added_files=list(d.get("added_files", [])),
             deleted_pks_file=d.get("deleted_pks_file"),
             deleted_bitmap_file=d.get("deleted_bitmap_file"),
+            delete_vector_files=list(d.get("delete_vector_files", [])),
             record_manifest_files=list(d.get("record_manifest_files", [])),
         )
 

@@ -65,10 +65,11 @@ class SparkRunner:
         ds = self._t
         snap_id = ds.metadata.resolve_version(version, ds.branch)
         files = ds.data_files(filter_=filter_, version=snap_id)
+        snapshot = ds.metadata.snapshot(snap_id)
         for block in self._split_blocks(ds, files, max_block_bytes):
             df = ds.read_files(
                 block, filter_=filter_, fields=fields,
-                reference_read=reference_read,
+                reference_read=reference_read, snapshot=snapshot,
             )
             tbl = df.toArrow()
             reader = (tbl.to_reader() if batch_size is None

@@ -160,6 +160,7 @@ def _commit_append(location: str, branch: str, rel_files: List[str],
             data_bytes=parent.data_bytes + nbytes,
             added_files=rel_files if rows > 0 else [],
             record_manifest_files=list(parent.record_manifest_files),
+            delete_vector_files=list(parent.delete_vector_files),
         )
         try:
             log.commit_snapshot(pinned, branch, snap, mutate=mutate)

@@ -204,11 +204,71 @@ def _filters_to_arrow(filters: List[Filter], table_schema: T.StructType):
     return expr, names
 
 
+def _load_vector_masks(log, snap) -> dict:
+    """{abs data-file path: (bitmap blob, file num_rows)} from the
+    snapshot's active merge-on-read delete vectors — the ENCODED blobs
+    ship to executors (O(deleted) bytes, roaring-compact) and decode
+    there. Multiple sidecars masking one file merge positionally."""
+    import numpy as np
+
+    from space_spark.core import bitmaps as bm
+
+    masks: dict = {}
+    for rel in getattr(snap, "delete_vector_files", []) or []:
+        tbl = pq.read_table(log.abs_path(rel),
+                            columns=["file", "num_rows", "bitmap"])
+        for f, nr, blob in zip(tbl["file"].to_pylist(),
+                               tbl["num_rows"].to_pylist(),
+                               tbl["bitmap"].to_pylist()):
+            key = log.abs_path(f)
+            if key in masks:
+                prev_blob, _ = masks[key]
+                merged = np.union1d(
+                    bm.decode_positions(prev_blob, nr),
+                    bm.decode_positions(blob, nr),
+                )
+                blob = bm.encode_positions(merged, nr)
+            masks[key] = (blob, nr)
+    return masks
+
+
+def _mask_positions(tbl: pa.Table, path: str, row_groups, masks: dict
+                    ) -> pa.Table:
+    """Drop merge-on-read-deleted rows from a freshly read table by file
+    position (must run BEFORE any row filter — filters break positional
+    correspondence, which is why _read_aligned skips the arrow filter on
+    masked files and lets Spark re-apply it)."""
+    import numpy as np
+
+    from space_spark.core import bitmaps as bm
+
+    entry = masks.get(path)
+    if entry is None:
+        return tbl
+    blob, num_rows = entry
+    deleted = bm.decode_positions(blob, num_rows)
+    if row_groups is None:
+        offset, length = 0, num_rows
+    else:
+        meta = pq.ParquetFile(path).metadata
+        rg_rows = [meta.row_group(i).num_rows
+                   for i in range(meta.num_row_groups)]
+        offset = sum(rg_rows[:row_groups[0]])
+        length = sum(rg_rows[i] for i in row_groups)
+    keep = np.ones(length, dtype=bool)
+    local = deleted[(deleted >= offset) & (deleted < offset + length)]
+    keep[(local - offset).astype(np.int64)] = False
+    if keep.all():
+        return tbl
+    return tbl.filter(pa.array(keep))
+
+
 def _read_aligned(
     abs_paths: List[str],
     schema: pa.Schema,
     arrow_filter=None,
     filter_names: frozenset = frozenset(),
+    masks: Optional[dict] = None,
 ) -> Iterator[pa.RecordBatch]:
     """Read files and align to ``schema`` (the read schema: the table's
     physical schema, or the user's narrower one).
@@ -235,9 +295,11 @@ def _read_aligned(
         dset = pads.dataset(path, format="parquet")
         avail = set(dset.schema.names)
         cols = [f.name for f in schema if f.name in avail]
+        masked = bool(masks) and path in masks
         filt = (
             arrow_filter
             if arrow_filter is not None and filter_names <= avail
+            and not masked  # see _mask_positions: filter after masking
             else None
         )
         if row_groups is not None:
@@ -246,6 +308,8 @@ def _read_aligned(
             tbl = sub.to_table(columns=cols, filter=filt)
         else:
             tbl = dset.to_table(columns=cols, filter=filt)
+        if masked:
+            tbl = _mask_positions(tbl, path, row_groups, masks)
         out = []
         for f in schema:
             if f.name in tbl.column_names:
@@ -273,6 +337,15 @@ class SpaceBatchReader(DataSourceReader):
         self.read_schema = read_schema
         self._expr: Optional[Expr] = None
         self._arrow_filter_src: List[Filter] = []
+        # Pin the snapshot AND load its merge-on-read delete-vector blobs
+        # HERE: Spark pickles the reader at construction, so state set in
+        # partitions() (which runs on a driver-side copy) never reaches
+        # executors. The blobs are O(deleted) bytes (roaring-compact) and
+        # decode executor-side in _mask_positions.
+        log, meta = _load(location)
+        version = int(self.version) if self.version is not None else None
+        self.snap_id = meta.resolve_version(version)
+        self._masks = _load_vector_masks(log, meta.snapshot(self.snap_id))
 
     def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
         self._expr = _filters_to_expr(filters)
@@ -283,9 +356,7 @@ class SpaceBatchReader(DataSourceReader):
 
     def partitions(self) -> List[InputPartition]:
         log, meta = _load(self.location)
-        version = int(self.version) if self.version is not None else None
-        snap_id = meta.resolve_version(version)
-        rel = _prune(log, meta, snap_id, self._expr)
+        rel = _prune(log, meta, self.snap_id, self._expr)
         abs_paths = [log.abs_path(p) for p in rel]
         groups = list(_group_files(abs_paths, self.max_bytes))
         return [InputPartition(g) for g in groups] or [InputPartition([])]
@@ -298,6 +369,7 @@ class SpaceBatchReader(DataSourceReader):
             _arrow_schema(self.read_schema),
             arrow_filter=filt,
             filter_names=names,
+            masks=self._masks,
         )
 
 

@@ -75,6 +75,7 @@ def append_parquet(dataset, pattern: str) -> None:
         num_rows=parent.num_rows + rows,
         data_bytes=parent.data_bytes + nbytes,
         added_files=rel_paths,
+        delete_vector_files=list(parent.delete_vector_files),
     )
     dataset.metadata = dataset.log.commit_snapshot(pinned, dataset.branch,
                                                    snap)
@@ -174,6 +175,7 @@ def append_binary_files(
         data_bytes=parent.data_bytes + nbytes,
         added_files=files,
         record_manifest_files=rec_manifests,
+        delete_vector_files=list(parent.delete_vector_files),
     )
     dataset.metadata = dataset.log.commit_snapshot(pinned, dataset.branch,
                                                    snap)

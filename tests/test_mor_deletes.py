@@ -1,0 +1,146 @@
+"""Merge-on-read (positional delete vector) deletes: no data-file
+rewrites; reads anti-join active vectors; CoW rewrites/compaction retire
+them. Beyond the reference (CoW-only); Iceberg-v2-style semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from space_spark import Dataset, field, lit
+from space_spark.errors import PrimaryKeyExistError
+
+
+@pytest.fixture()
+def table(spark, tmp_location):
+    df = spark.range(100).coalesce(2).select(
+        F.col("id"), (F.col("id") % 10).alias("v")
+    )
+    ds = Dataset.create(spark, tmp_location, df.schema, ["id"])
+    ds.append(df)
+    return ds
+
+
+def test_mor_delete_reads_masked_without_rewrite(table):
+    ds = table
+    files_before = sorted(ds.data_files())
+    ds.delete(field("id") < lit(10), rewrite=False)
+    assert sorted(ds.data_files()) == files_before  # no rewrite
+    got = sorted(r["id"] for r in ds.read().collect())
+    assert got == list(range(10, 100))
+    snap = ds.metadata.snapshot(ds.current_snapshot_id)
+    assert snap.delete_vector_files
+    assert snap.num_rows == 90
+
+
+def test_mor_time_travel_and_append(table):
+    ds = table
+    v0 = ds.current_snapshot_id
+    ds.delete(field("id") < lit(10), rewrite=False)
+    assert ds.read(version=v0).count() == 100  # history unmasked
+    extra = ds.spark.range(100, 110).select(
+        F.col("id"), (F.col("id") % 10).alias("v")
+    )
+    ds.append(extra)
+    got = sorted(r["id"] for r in ds.read().collect())
+    assert got == list(range(10, 110))  # mask carried, new rows visible
+
+
+def test_mor_accumulates_and_filters_push(table):
+    ds = table
+    ds.delete(field("id") == lit(50), rewrite=False)
+    ds.delete(field("id") == lit(60), rewrite=False)
+    snap = ds.metadata.snapshot(ds.current_snapshot_id)
+    assert len(snap.delete_vector_files) == 2
+    assert ds.read().count() == 98
+    assert ds.read(field("v") == lit(0)).count() == 10 - 2  # 50,60 masked
+
+
+def test_mor_then_cow_delete_retires_vectors(table):
+    ds = table
+    ds.delete(field("id") < lit(10), rewrite=False)
+    # CoW delete hitting the SAME (vectored) file: the rewrite applies
+    # the vector (masked rows stay gone) and retires its entry.
+    ds.delete((field("id") >= lit(10)) & (field("id") < lit(20)))
+    snap = ds.metadata.snapshot(ds.current_snapshot_id)
+    assert snap.delete_vector_files == []  # the covered file was rewritten
+    got = sorted(r["id"] for r in ds.read().collect())
+    assert got == list(range(20, 100))
+    assert snap.num_rows == 80
+
+
+def test_mor_vector_survives_unrelated_cow_delete(table):
+    ds = table
+    ds.delete(field("id") < lit(10), rewrite=False)
+    # CoW delete pruned to the OTHER file: the vector must survive.
+    ds.delete(field("id") >= lit(90))
+    snap = ds.metadata.snapshot(ds.current_snapshot_id)
+    assert len(snap.delete_vector_files) == 1
+    got = sorted(r["id"] for r in ds.read().collect())
+    assert got == list(range(10, 90))
+    assert snap.num_rows == 80
+
+
+def test_mor_then_compact_applies_vectors(table):
+    ds = table
+    ds.delete(field("id") < lit(10), rewrite=False)
+    ds.compact(target_bytes=256 * 1024 * 1024)
+    snap = ds.metadata.snapshot(ds.current_snapshot_id)
+    assert snap.delete_vector_files == []
+    got = sorted(r["id"] for r in ds.read().collect())
+    assert got == list(range(10, 100))
+    assert snap.num_rows == 90
+    # compaction is changelog-silent: diff across it is empty
+    assert snap.deleted_pks_file is None and snap.added_files == []
+
+
+def test_mor_upsert_and_insert_of_masked_pk(table):
+    ds = table
+    ds.delete(field("id") == lit(5), rewrite=False)
+    # insert of a masked PK succeeds (the row is logically gone)
+    ds.insert(ds.spark.createDataFrame([(5, 999)], "id long, v long"))
+    got = {r["id"]: r["v"] for r in ds.read().collect()}
+    assert got[5] == 999
+    assert len(got) == 100
+    # and a duplicate insert of a LIVE pk still fails
+    with pytest.raises(PrimaryKeyExistError):
+        ds.insert(ds.spark.createDataFrame([(6, 1)], "id long, v long"))
+
+
+def test_mor_diff_emits_delete_rows(table):
+    ds = table
+    v0 = ds.current_snapshot_id
+    ds.delete(field("id") < lit(3), rewrite=False)
+    d = ds.diff(v0, ds.current_snapshot_id)
+    dels = sorted(
+        r["id"] for r in d.where("_change_type = 'DELETE'").collect()
+    )
+    assert dels == [0, 1, 2]
+    assert d.where("_change_type = 'ADD'").count() == 0
+
+
+def test_mor_read_by_keys_masked(table):
+    ds = table
+    ds.delete(field("id") == lit(7), rewrite=False)
+    assert ds.read_by_keys([7]).count() == 0
+    assert ds.read_by_keys([8]).count() == 1
+
+
+def test_mor_datasource_read_masked(spark, table):
+    from space_spark.sources.datasource import register_space_source
+
+    ds = table
+    register_space_source(spark)
+    ds.delete(field("id") < lit(10), rewrite=False)
+    got = spark.read.format("space").load(ds.location)
+    assert got.count() == 90
+    assert sorted(r["id"] for r in got.collect()) == list(range(10, 100))
+    # filtered+projected read still masked (arrow filter deferred to Spark)
+    assert got.where("id < 20").count() == 10
+
+
+def test_mor_vacuum_keeps_vectors(table):
+    ds = table
+    ds.delete(field("id") == lit(1), rewrite=False)
+    snap = ds.metadata.snapshot(ds.current_snapshot_id)
+    removed = ds.vacuum(dry_run=True)
+    for rel in snap.delete_vector_files:
+        assert rel not in removed
