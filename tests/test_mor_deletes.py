@@ -144,3 +144,39 @@ def test_mor_vacuum_keeps_vectors(table):
     removed = ds.vacuum(dry_run=True)
     for rel in snap.delete_vector_files:
         assert rel not in removed
+
+
+def test_mor_drives_mv_refresh(spark, tmp_location, table):
+    """A merge-on-read delete emits the same PK-only DELETE stream as
+    CoW, so incremental MV refresh applies it unchanged."""
+    ds = table
+
+    def ident(batch):
+        return {"id": batch["id"], "v": batch["v"]}
+
+    from pyspark.sql import types as T
+
+    view = ds.map_batches(
+        ident,
+        T.StructType([T.StructField("id", T.LongType()),
+                      T.StructField("v", T.LongType())]),
+    )
+    mv = view.materialize(spark, tmp_location + "_mv")
+    mv.refresh()
+    assert mv.read().count() == 100
+    ds.delete(field("id") < lit(10), rewrite=False)
+    mv.refresh()
+    assert sorted(r["id"] for r in mv.read().collect()) == list(
+        range(10, 100)
+    )
+
+
+def test_mor_with_schema_evolution(table):
+    ds = table
+    from pyspark.sql import types as T
+
+    ds.delete(field("id") < lit(10), rewrite=False)
+    ds.add_column("extra", T.StringType())
+    got = ds.read()
+    assert got.count() == 90
+    assert got.where("extra IS NULL").count() == 90
