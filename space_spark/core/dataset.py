@@ -261,7 +261,11 @@ class Dataset:
         version's)."""
         if snapshot is None:
             snapshot = self.metadata.snapshot(self.current_snapshot_id)
-        df = self._apply_vectors(self._read_files(rel_files), snapshot)
+        df = self._read_files(rel_files)
+        # Empty file set => local relation without the _metadata column;
+        # nothing to mask, so skip the MoR delete-vector join entirely.
+        if rel_files:
+            df = self._apply_vectors(df, snapshot)
         if filter_ is not None:
             df = df.where(filter_.to_spark())
         if fields is not None:
@@ -690,6 +694,15 @@ class Dataset:
             )
             bitmap_rel = self._write_delete_bitmaps(deletes_rel,
                                                     aff_manifest)
+            if bitmap_rel is None:
+                # Affected files missing from manifest stats (or a sidecar
+                # write failure): surface a clean error rather than
+                # dereferencing None below.
+                raise SpaceError(
+                    "merge-on-read delete: could not build delete vectors "
+                    f"for affected files {sorted(affected)[:5]}...; "
+                    "use delete(rewrite=True) for the copy-on-write path"
+                )
             n_masked = int(sum(
                 pq.read_table(
                     self.log.abs_path(bitmap_rel), columns=["n_deleted"]
@@ -1202,12 +1215,20 @@ class Dataset:
         file is large. (Distributed block splitting itself is handled by
         the ``format("space")`` DataSource's row-group partitions and
         Spark's own maxPartitionBytes — this API is the point-slice
-        escape hatch.)"""
+        escape hatch.)
+
+        ``start``/``stop`` address PHYSICAL file positions; rows masked by
+        active merge-on-read delete vectors are then filtered out, matching
+        ``read()`` / ``read_files()`` / the DataSource (a slice can
+        therefore return fewer than ``stop - start`` rows)."""
         if start < 0 or stop < start:
             raise UserInputError(f"Bad row range [{start}, {stop})")
         out = self._read_files([rel_file]).where(
             (F.col("_metadata.row_index") >= F.lit(start))
             & (F.col("_metadata.row_index") < F.lit(stop))
+        )
+        out = self._apply_vectors(
+            out, self.metadata.snapshot(self.current_snapshot_id)
         )
         if fields:
             out = out.select(*fields)

@@ -39,6 +39,12 @@ def pack_offsets(
     ranged = df.repartitionByRange(n_parts, F.col(id_col)).withColumn(
         "__pid", F.spark_partition_id()
     )
+    # `ranged` feeds TWO jobs (the totals collect and the final joined
+    # plan). Pin one evaluation: if the input is nondeterministic across
+    # re-executions (anything downstream of a shuffle), range boundaries /
+    # partition ids could differ between the jobs and the joined offsets
+    # would silently corrupt — same discipline as dedup_clusters.
+    ranged = ranged.localCheckpoint(eager=True)
     w = (
         Window.partitionBy("__pid")
         .orderBy(F.col(id_col).asc())

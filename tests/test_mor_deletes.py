@@ -180,3 +180,33 @@ def test_mor_with_schema_evolution(table):
     got = ds.read()
     assert got.count() == 90
     assert got.where("extra IS NULL").count() == 90
+
+
+def test_mor_empty_prune_read_returns_empty(table):
+    """ADVICE r3 (medium): a filter whose pruning yields ZERO files on a
+    snapshot with active delete vectors must return an empty DataFrame,
+    not crash in _apply_vectors (no _metadata column on a local
+    relation)."""
+    ds = table
+    ds.delete(field("id") < lit(10), rewrite=False)
+    # id stats span [0, 99]; 1000 is outside every file's range -> no files.
+    out = ds.read(field("id") > lit(1000))
+    assert out.count() == 0
+    assert [(f.name, f.dataType) for f in out.schema] == [
+        (f.name, f.dataType) for f in ds.read().schema
+    ]
+
+
+def test_read_row_range_masks_mor_deletes(table):
+    """ADVICE r3: read_row_range applies active delete vectors, matching
+    read()/read_files()/DataSource (positions stay physical)."""
+    ds = table
+    f = sorted(ds.data_files())[0]
+    before = sorted(r["id"] for r in
+                    ds.read_row_range(f, 0, 20).collect())
+    victim = before[0]
+    ds.delete(field("id") == lit(victim), rewrite=False)
+    after = sorted(r["id"] for r in
+                   ds.read_row_range(f, 0, 20).collect())
+    assert victim not in after
+    assert after == [x for x in before if x != victim]
