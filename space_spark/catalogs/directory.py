@@ -64,3 +64,34 @@ class DirCatalog:
         if not md.MetadataLog(location).exists():
             raise SpaceError(f"Dataset {name!r} not found in catalog")
         shutil.rmtree(location)
+
+    # ------------------------------------------------------- SQL surface --
+    def attach_sql(self, name: str, table_name: str | None = None) -> str:
+        """Register dataset ``name`` in the Spark session catalog so the
+        SQL-first path works: ``spark.table(name)``, ``SELECT ... FROM
+        name``, ``INSERT INTO name ...``. Returns the SQL table name.
+
+        Implemented as schema-less ``CREATE TABLE ... USING space``; the
+        table location rides in the catalog schema's field metadata (see
+        SpaceDataSource), which is what makes SELECT/INSERT on the
+        catalog table find the transaction log. Beyond reference parity —
+        the reference has no SQL surface at all (README.md:17 delegates
+        SQL to external engines)."""
+        location = self._location(name)
+        if not md.MetadataLog(location).exists():
+            raise SpaceError(f"Dataset {name!r} not found in catalog")
+        from space_spark.sources.datasource import register_space_source
+
+        register_space_source(self.spark)
+        tbl = table_name or name
+        if not tbl.replace("_", "").isalnum():
+            raise UserInputError(f"Invalid SQL table name {tbl!r}")
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS `{tbl}` USING space "
+            f"OPTIONS (table_path '{location}')"
+        )
+        return tbl
+
+    def enable_sql(self) -> List[str]:
+        """Attach every dataset in this catalog to the session catalog."""
+        return [self.attach_sql(n) for n in self.datasets()]

@@ -215,6 +215,13 @@ class MetadataLog:
     """Driver-side IO for the transaction log under ``<location>/_space/``."""
 
     def __init__(self, location: str):
+        # Spark SQL (CREATE TABLE ... USING space) hands the path option
+        # back as a file: URI; normalize it so all entry points accept
+        # both plain paths and file:/file:///-prefixed ones.
+        if location.startswith("file:"):
+            from urllib.parse import urlparse
+
+            location = urlparse(location).path
         self.location = os.path.abspath(location)
         self.log_dir = os.path.join(self.location, "_space")
         self.entrypoint_path = os.path.join(self.log_dir, "entrypoint.json")

@@ -418,6 +418,24 @@ class SpaceStreamReader(DataSourceStreamReader):
 
 
 # ----------------------------------------------------------------- source --
+# Field-metadata key smuggling the table location through the session
+# catalog: for catalog tables (CREATE TABLE ... USING space), Spark's
+# Python-data-source bridge constructs the DataSource with EMPTY options
+# on every statement after the CREATE — but it does hand reader()/writer()
+# the catalog-persisted schema, so schema() stamps the location onto the
+# first field and later statements recover it from there.
+LOCATION_METADATA_KEY = "space.location"
+
+
+def _stamp_location(schema: T.StructType, location: str) -> T.StructType:
+    fields = list(schema.fields)
+    meta = dict(fields[0].metadata or {})
+    meta[LOCATION_METADATA_KEY] = os.path.abspath(location)
+    fields[0] = T.StructField(fields[0].name, fields[0].dataType,
+                              fields[0].nullable, meta)
+    return T.StructType(fields)
+
+
 class SpaceDataSource(DataSource):
     """``format("space").option("path"| "location", <table dir>)``.
 
@@ -427,54 +445,90 @@ class SpaceDataSource(DataSource):
     (comma-separated column projection — Spark's Python data source API
     has no required-columns pushdown, so narrow reads are declared
     up-front here or via ``.schema(...)``; either way executors scan only
-    the named columns)."""
+    the named columns).
+
+    SQL surface: an EXISTING space table attaches to the session catalog
+    with ``CREATE TABLE name USING space OPTIONS (table_path '<dir>')``
+    (no column list — the schema comes from the table, carrying the
+    location in field metadata); after that ``SELECT``/``INSERT INTO``/
+    ``spark.table(name)`` work. ``path`` also works as the option key but
+    Spark then treats it as the (reserved) table path; ``table_path``
+    avoids the clash with an explicit ``LOCATION`` clause. CTAS is not
+    supported: Spark hands the writer neither options nor an annotated
+    schema there (create the table first, then ``INSERT INTO ... SELECT``).
+    """
 
     @classmethod
     def name(cls) -> str:
         return "space"
 
-    def _location(self) -> str:
-        loc = self.options.get("path") or self.options.get("location")
+    def _location(self, schema: Optional[T.StructType] = None) -> str:
+        loc = (self.options.get("path") or self.options.get("location")
+               or self.options.get("table_path"))
+        if not loc and schema is not None and len(schema.fields) > 0:
+            loc = (schema.fields[0].metadata or {}).get(
+                LOCATION_METADATA_KEY
+            )
         if not loc:
-            raise ValueError("space source requires .option('path', ...) "
-                             "or .load(<table location>)")
+            raise ValueError(
+                "space source requires .option('path', ...) or "
+                ".load(<table location>); for SQL catalog tables, attach "
+                "an existing table with CREATE TABLE <name> USING space "
+                "OPTIONS (table_path '<dir>') and no column list (CTAS "
+                "and column-list DDL cannot carry the table location "
+                "through Spark's Python data source bridge)"
+            )
         return loc
 
     def schema(self) -> T.StructType:
-        _, meta = _load(self._location())
+        loc = self._location()
+        _, meta = _load(loc)
         phys = _physical(meta)
         fields_opt = self.options.get("fields")
-        if not fields_opt:
-            return phys
-        names = [n.strip() for n in fields_opt.split(",") if n.strip()]
-        missing = [n for n in names if n not in phys.fieldNames()]
-        if missing:
-            raise ValueError(f"Unknown fields {missing}; "
-                             f"table has {phys.fieldNames()}")
-        return T.StructType([phys[n] for n in names])
+        if fields_opt:
+            names = [n.strip() for n in fields_opt.split(",") if n.strip()]
+            missing = [n for n in names if n not in phys.fieldNames()]
+            if missing:
+                raise ValueError(f"Unknown fields {missing}; "
+                                 f"table has {phys.fieldNames()}")
+            phys = T.StructType([phys[n] for n in names])
+        return _stamp_location(phys, loc)
 
     def reader(self, schema: T.StructType) -> SpaceBatchReader:
-        return SpaceBatchReader(self._location(), self.options, schema)
+        return SpaceBatchReader(self._location(schema), self.options,
+                                schema)
 
     def streamReader(self, schema: T.StructType) -> SpaceStreamReader:
-        return SpaceStreamReader(self._location(), self.options, schema)
+        return SpaceStreamReader(self._location(schema), self.options,
+                                 schema)
 
     def writer(self, schema: T.StructType, overwrite: bool):
         from space_spark.sources.datasink import SpaceBatchWriter
 
-        return SpaceBatchWriter(self._location(), self.options, schema,
-                                overwrite)
+        return SpaceBatchWriter(self._location(schema), self.options,
+                                schema, overwrite)
 
     def streamWriter(self, schema: T.StructType, overwrite: bool):
         from space_spark.sources.datasink import SpaceStreamWriter
 
-        return SpaceStreamWriter(self._location(), self.options, schema)
+        return SpaceStreamWriter(self._location(schema), self.options,
+                                 schema)
 
 
 def register_space_source(spark) -> None:
     """Register the 'space' format on a session (idempotent). Also enables
     Python-data-source filter pushdown (off by default in Spark 4.1), which
-    the reader requires for its file-level pruning hook."""
+    the reader requires for its file-level pruning hook.
+
+    Ships the package zip BEFORE registering: Spark captures the session's
+    python-includes list into the data-source wrapper at register() time,
+    and the driver-side planner workers (create_data_source /
+    plan_data_source_read / write_into_data_source) build sys.path from
+    that captured list — a zip added after registration never reaches
+    them, and ``import space_spark`` fails off-repo."""
+    from space_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
     try:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:
