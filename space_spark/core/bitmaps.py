@@ -57,3 +57,49 @@ def decode_positions(blob: bytes, num_rows: int) -> np.ndarray:
         )
         return np.nonzero(bits)[0].astype(np.uint32)
     raise ValueError(f"Unknown bitmap tag {tag}")
+
+
+def merge_blobs(blobs, num_rows: int) -> tuple[bytes, int]:
+    """Union several per-file bitmaps (same data file, same num_rows).
+    Returns (merged blob, deleted count)."""
+    merged = np.unique(
+        np.concatenate([decode_positions(b, num_rows) for b in blobs])
+    )
+    return encode_positions(merged, num_rows), int(merged.size)
+
+
+def read_sidecars(paths, columns=("file", "num_rows", "n_deleted",
+                                 "bitmap"), with_filename=False):
+    """Read N delete-vector sidecar parquet files as ONE Arrow table.
+
+    Above 8 files this is a single ``pyarrow.dataset`` scan (one IO plan,
+    parallel fragment reads) instead of N sequential ``pq.read_table``
+    opens — the difference between O(1) and O(trickle-deletes) planning
+    IO on a table that has accumulated many small MoR sidecars.
+    ``with_filename=True`` appends a ``__filename`` column holding each
+    row's source sidecar path (for callers that need per-sidecar
+    grouping)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(columns)
+    if not paths:
+        out_cols = cols + (["__filename"] if with_filename else [])
+        return pa.table({c: pa.array([], pa.string() if c
+                         in ("file", "__filename") else pa.int64())
+                         for c in out_cols})
+    if len(paths) > 8:
+        import pyarrow.dataset as pds
+
+        return pds.dataset(list(paths), format="parquet").to_table(
+            columns=cols + (["__filename"] if with_filename else [])
+        )
+    parts = []
+    for p in paths:
+        t = pq.read_table(p, columns=cols)
+        if with_filename:
+            t = t.append_column(
+                "__filename", pa.array([p] * t.num_rows, pa.string())
+            )
+        parts.append(t)
+    return pa.concat_tables(parts, promote_options="permissive")

@@ -632,6 +632,89 @@ class Dataset:
         )
         return bitmap_rel
 
+    # Above this many live MoR delete-vector sidecars, a new MoR delete
+    # folds them all into ONE merged sidecar at commit time — pure
+    # metadata IO (no data rewrite, no changelog entries), so scan
+    # planning reads O(1) sidecars no matter how many trickle deletes
+    # accumulated. History is untouched: ancestor snapshots keep their
+    # original sidecar lists for time travel.
+    DELETE_VECTOR_FOLD_MAX = 8
+
+    def _fold_vector_rels(self, vec_rels: List[str]) -> str:
+        """Union N delete-vector sidecars into one merged sidecar file
+        (positions deduped per data file) and return its rel path."""
+        from space_spark.core import bitmaps as bm
+
+        tbl = bm.read_sidecars(
+            [self.log.abs_path(r) for r in vec_rels],
+            columns=["file", "num_rows", "bitmap"],
+        )
+        by_file: Dict[str, list] = {}
+        nrows_of: Dict[str, int] = {}
+        for f, nr, blob in zip(tbl["file"].to_pylist(),
+                               tbl["num_rows"].to_pylist(),
+                               tbl["bitmap"].to_pylist()):
+            by_file.setdefault(f, []).append(blob)
+            nrows_of[f] = nr
+        files, nrows, ndels, blobs = [], [], [], []
+        for f in sorted(by_file):
+            nr = nrows_of[f]
+            blob, nd = bm.merge_blobs(by_file[f], nr)
+            files.append(f)
+            nrows.append(int(nr))
+            ndels.append(nd)
+            blobs.append(blob)
+        folded_rel = self.log.new_bitmap_relpath()
+        pq.write_table(
+            pa.table({
+                "file": pa.array(files, pa.string()),
+                "num_rows": pa.array(nrows, pa.int64()),
+                "n_deleted": pa.array(ndels, pa.int64()),
+                "bitmap": pa.array(blobs, pa.binary()),
+            }),
+            self.log.abs_path(folded_rel),
+        )
+        return folded_rel
+
+    def compact_delete_vectors(self) -> "Dataset":
+        """Fold all live merge-on-read delete-vector sidecars into one —
+        the sidecar analog of ``compact()`` for data files. No data file
+        is rewritten and no changelog entry is produced (the visible row
+        set is unchanged); the commit just swaps N sidecar references for
+        1. A no-op when at most one sidecar is live. Runs automatically
+        from MoR deletes once DELETE_VECTOR_FOLD_MAX sidecars accumulate;
+        call it explicitly after bulk trickle-delete ingestion."""
+        last_err = None
+        for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
+            self.reload()
+            snap_id = self.current_snapshot_id
+            snapshot = self.metadata.snapshot(snap_id)
+            vecs = list(getattr(snapshot, "delete_vector_files", []) or [])
+            if len(vecs) <= 1:
+                return self
+            folded = self._fold_vector_rels(vecs)
+            snap = md.Snapshot(
+                snapshot_id=-1,
+                parent_snapshot_id=snap_id,
+                created_at="",
+                manifest_files=list(snapshot.manifest_files),
+                num_rows=snapshot.num_rows,
+                data_bytes=snapshot.data_bytes,
+                added_files=[],
+                deleted_pks_file=None,
+                deleted_bitmap_file=None,
+                delete_vector_files=[folded],
+                record_manifest_files=list(snapshot.record_manifest_files),
+            )
+            try:
+                self.metadata = self.log.commit_snapshot(
+                    snap_id, self.branch, snap
+                )
+                return self
+            except TransactionConflictError as e:
+                last_err = e
+        raise last_err
+
     def delete(self, filter_: Expr, rewrite: bool = True) -> "Dataset":
         """Delete rows matching ``filter_``.
 
@@ -708,6 +791,11 @@ class Dataset:
                     self.log.abs_path(bitmap_rel), columns=["n_deleted"]
                 )["n_deleted"].to_pylist()
             ))
+            vec_list = list(
+                getattr(snapshot, "delete_vector_files", []) or []
+            ) + [bitmap_rel]
+            if len(vec_list) > self.DELETE_VECTOR_FOLD_MAX:
+                vec_list = [self._fold_vector_rels(vec_list)]
             snap = md.Snapshot(
                 snapshot_id=-1,
                 parent_snapshot_id=snap_id,
@@ -720,9 +808,7 @@ class Dataset:
                 added_files=[],
                 deleted_pks_file=deletes_rel,
                 deleted_bitmap_file=bitmap_rel,
-                delete_vector_files=list(
-                    getattr(snapshot, "delete_vector_files", []) or []
-                ) + [bitmap_rel],
+                delete_vector_files=vec_list,
                 record_manifest_files=list(snapshot.record_manifest_files),
             )
             try:
@@ -899,24 +985,39 @@ class Dataset:
         if not vecs or not affected:
             return vecs, 0
         aff = set(affected)
+        from space_spark.core import bitmaps as bm
+
+        # One batched read of every sidecar (single Arrow-dataset scan
+        # when >8), grouped back per source file so untouched sidecars
+        # keep their rel path unchanged.
+        abs_paths = [self.log.abs_path(r) for r in vecs]
+        try:
+            all_tbl = bm.read_sidecars(abs_paths, with_filename=True)
+        except (pa.lib.ArrowInvalid, KeyError):
+            # pragma: no cover — pre-n_deleted sidecars lack a column the
+            # strict batched schema requires; rebuild them one by one.
+            all_tbl = None
         out: List[str] = []
         masked_removed = 0
-        for rel in vecs:
-            tbl = pq.read_table(self.log.abs_path(rel))
+        for rel, abs_p in zip(vecs, abs_paths):
+            if all_tbl is not None:
+                tbl = all_tbl.filter(
+                    pc.equal(all_tbl["__filename"], abs_p)
+                ).drop_columns(["__filename"])
+            else:  # pragma: no cover - pre-n_deleted fallback
+                tbl = pq.read_table(abs_p)
+                if "n_deleted" not in tbl.column_names:
+                    tbl = tbl.append_column("n_deleted", pa.array(
+                        [len(bm.decode_positions(b.as_py(), n.as_py()))
+                         for b, n in zip(tbl["bitmap"], tbl["num_rows"])],
+                        pa.int64(),
+                    ))
             files = tbl["file"].to_pylist()
             hit = [f in aff for f in files]
             if not any(hit):
                 out.append(rel)
                 continue
-            if "n_deleted" in tbl.column_names:
-                nd = tbl["n_deleted"].to_pylist()
-            else:  # pragma: no cover - pre-n_deleted sidecars
-                from space_spark.core import bitmaps as bm
-
-                nd = [
-                    len(bm.decode_positions(b.as_py(), n.as_py()))
-                    for b, n in zip(tbl["bitmap"], tbl["num_rows"])
-                ]
+            nd = tbl["n_deleted"].to_pylist()
             masked_removed += sum(n for n, h in zip(nd, hit) if h)
             keep = tbl.filter(pa.array([not h for h in hit]))
             if keep.num_rows == 0:

@@ -213,22 +213,27 @@ def _load_vector_masks(log, snap) -> dict:
 
     from space_spark.core import bitmaps as bm
 
+    rels = list(getattr(snap, "delete_vector_files", []) or [])
     masks: dict = {}
-    for rel in getattr(snap, "delete_vector_files", []) or []:
-        tbl = pq.read_table(log.abs_path(rel),
-                            columns=["file", "num_rows", "bitmap"])
-        for f, nr, blob in zip(tbl["file"].to_pylist(),
-                               tbl["num_rows"].to_pylist(),
-                               tbl["bitmap"].to_pylist()):
-            key = log.abs_path(f)
-            if key in masks:
-                prev_blob, _ = masks[key]
-                merged = np.union1d(
-                    bm.decode_positions(prev_blob, nr),
-                    bm.decode_positions(blob, nr),
-                )
-                blob = bm.encode_positions(merged, nr)
-            masks[key] = (blob, nr)
+    if not rels:
+        return masks
+    # One batched Arrow-dataset scan for all sidecars (bitmaps.py) — scan
+    # planning stays O(1) IO even if many trickle-delete sidecars are
+    # live (they are also auto-folded at DELETE_VECTOR_FOLD_MAX).
+    tbl = bm.read_sidecars([log.abs_path(r) for r in rels],
+                           columns=["file", "num_rows", "bitmap"])
+    for f, nr, blob in zip(tbl["file"].to_pylist(),
+                           tbl["num_rows"].to_pylist(),
+                           tbl["bitmap"].to_pylist()):
+        key = log.abs_path(f)
+        if key in masks:
+            prev_blob, _ = masks[key]
+            merged = np.union1d(
+                bm.decode_positions(prev_blob, nr),
+                bm.decode_positions(blob, nr),
+            )
+            blob = bm.encode_positions(merged, nr)
+        masks[key] = (blob, nr)
     return masks
 
 

@@ -148,3 +148,54 @@ def test_vacuum_keeps_bitmap_sidecar(big_table):
     snap = ds.metadata.snapshot(ds.current_snapshot_id)
     removed = ds.vacuum(dry_run=True)
     assert snap.deleted_bitmap_file not in removed
+
+
+def test_read_sidecars_batched_matches_sequential(tmp_path):
+    """>8 files takes the single Arrow-dataset scan path; result rows and
+    the with_filename grouping column must match the sequential path."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from space_spark.core import bitmaps as bm
+
+    paths = []
+    for i in range(20):
+        p = str(tmp_path / f"side_{i}.parquet")
+        pos = np.array([i, i + 100], dtype=np.uint32)
+        pq.write_table(
+            pa.table({
+                "file": pa.array([f"data/f{i}.parquet"], pa.string()),
+                "num_rows": pa.array([1000], pa.int64()),
+                "n_deleted": pa.array([2], pa.int64()),
+                "bitmap": pa.array(
+                    [bm.encode_positions(pos, 1000)], pa.binary()
+                ),
+            }),
+            p,
+        )
+        paths.append(p)
+    batched = bm.read_sidecars(paths, with_filename=True)
+    assert batched.num_rows == 20
+    assert sorted(batched["__filename"].to_pylist()) == sorted(paths)
+    few = bm.read_sidecars(paths[:3], with_filename=True)
+    assert few.num_rows == 3
+    assert few["__filename"].to_pylist() == paths[:3]
+    # decoded content identical across both paths
+    row = batched.filter(
+        pa.compute.equal(batched["file"], "data/f7.parquet")
+    )
+    got = bm.decode_positions(row["bitmap"][0].as_py(), 1000)
+    assert got.tolist() == [7, 107]
+
+
+def test_merge_blobs_unions_and_dedups():
+    import numpy as np
+
+    from space_spark.core import bitmaps as bm
+
+    a = bm.encode_positions(np.array([1, 5, 9], dtype=np.uint32), 100)
+    b = bm.encode_positions(np.array([5, 9, 50], dtype=np.uint32), 100)
+    blob, nd = bm.merge_blobs([a, b], 100)
+    assert nd == 4
+    assert bm.decode_positions(blob, 100).tolist() == [1, 5, 9, 50]

@@ -210,3 +210,72 @@ def test_read_row_range_masks_mor_deletes(table):
                    ds.read_row_range(f, 0, 20).collect())
     assert victim not in after
     assert after == [x for x in before if x != victim]
+
+
+def test_trickle_mor_deletes_fold_sidecars(spark, tmp_location):
+    """50 trickle MoR deletes leave <= 2 live sidecar files (auto-fold at
+    DELETE_VECTOR_FOLD_MAX), the read stays exact, and history keeps its
+    own sidecar lists."""
+    df = spark.range(200).coalesce(2).select(
+        F.col("id"), (F.col("id") % 10).alias("v")
+    )
+    ds = Dataset.create(spark, tmp_location, df.schema, ["id"])
+    ds.append(df)
+    for i in range(50):
+        ds.delete(field("id") == lit(i), rewrite=False)
+    snap = ds.metadata.snapshot(ds.current_snapshot_id)
+    assert len(snap.delete_vector_files) <= 2
+    got = sorted(r["id"] for r in ds.read().collect())
+    assert got == list(range(50, 200))
+    assert snap.num_rows == 150
+    # A mid-history version still masks exactly its own prefix.
+    versions = sorted(
+        r["snapshot_id"] for r in ds.versions().collect()
+    )
+    mid = versions[len(versions) // 2]
+    n_mid = ds.read(version=mid).count()
+    assert 150 <= n_mid <= 200
+
+
+def test_compact_delete_vectors_explicit(spark, tmp_location):
+    df = spark.range(100).coalesce(2).select(
+        F.col("id"), (F.col("id") % 10).alias("v")
+    )
+    ds = Dataset.create(spark, tmp_location, df.schema, ["id"])
+    ds.append(df)
+    for i in range(5):
+        ds.delete(field("id") == lit(i), rewrite=False)
+    snap = ds.metadata.snapshot(ds.current_snapshot_id)
+    assert len(snap.delete_vector_files) == 5
+    before = sorted(r["id"] for r in ds.read().collect())
+    ds.compact_delete_vectors()
+    snap2 = ds.metadata.snapshot(ds.current_snapshot_id)
+    assert len(snap2.delete_vector_files) == 1
+    assert snap2.num_rows == snap.num_rows
+    # No changelog entries: folding is invisible to diff().
+    assert ds.diff(snap.snapshot_id, snap2.snapshot_id).count() == 0
+    after = sorted(r["id"] for r in ds.read().collect())
+    assert after == before
+    # Idempotent no-op at <=1 sidecar.
+    v = ds.current_snapshot_id
+    ds.compact_delete_vectors()
+    assert ds.current_snapshot_id == v
+
+
+def test_fold_then_cow_rewrite_retires(spark, tmp_location):
+    """A CoW delete after folding still applies + retires the folded
+    vector's entries for rewritten files."""
+    df = spark.range(100).coalesce(2).select(
+        F.col("id"), (F.col("id") % 10).alias("v")
+    )
+    ds = Dataset.create(spark, tmp_location, df.schema, ["id"])
+    ds.append(df)
+    for i in range(12):  # crosses DELETE_VECTOR_FOLD_MAX -> folds once
+        ds.delete(field("id") == lit(i), rewrite=False)
+    snap = ds.metadata.snapshot(ds.current_snapshot_id)
+    # Fold fired at delete 9 (9 > 8 -> 1 sidecar), regrew by 3 since.
+    assert len(snap.delete_vector_files) == 4
+    assert len(snap.delete_vector_files) <= Dataset.DELETE_VECTOR_FOLD_MAX
+    ds.delete((field("id") >= lit(12)) & (field("id") < lit(20)))  # CoW
+    got = sorted(r["id"] for r in ds.read().collect())
+    assert got == list(range(20, 100))
