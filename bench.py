@@ -7,13 +7,14 @@ Each query is forced end-to-end with the noop sink (full materialization,
 no collect/driver transfer). Session settings mirror what a production
 deployment would pin: AQE on, shuffle partitions ~ cores, UTC.
 
-Timing is STEADY-STATE, best-of-two: each query runs twice back-to-back
-(the first execution pays JIT/codegen compilation, which on a cold VM
-dominates sub-second queries by 5-15x) and the FASTER run is reported —
-the second run is normally the floor, and taking the min also shields
-single-run numbers from GC/scheduler spikes on a shared VM. Long-running
-engines operate compiled; that is the regime a 100 TB deployment
-measures. Set SPARK_GRAFT_WARMUP=0 for single-shot (cold) timing.
+Each query runs twice back-to-back and BOTH timings are published:
+``queries`` / ``value`` carry the steady-state (min of the two — the
+regime a long-lived 100 TB deployment measures; the first execution pays
+JIT/codegen compilation, which on a cold VM dominates sub-second queries
+by 5-15x), while ``queries_cold`` / ``value_cold`` carry the first
+execution, so round-over-round comparisons can separate methodology from
+real progress. Set SPARK_GRAFT_WARMUP=0 for single-shot timing (then the
+two sets are identical).
 """
 
 from __future__ import annotations
@@ -68,18 +69,19 @@ def main() -> None:
 
     warmup = os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0"
     timings: dict[str, float] = {}
+    timings_cold: dict[str, float] = {}
     for i, (name, fn) in enumerate(entry_mod.queries().items()):
         if i % 8 == 7:
             # Deterministic cleanup point (see periodicGC note above).
             spark._jvm.System.gc()
-        best = None
+        runs = []
         for _run in range(2 if warmup else 1):
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            elapsed = time.perf_counter() - start
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - start)
+        timings[name] = round(min(runs), 3)
+        timings_cold[name] = round(runs[0], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -89,6 +91,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_cold": round(sum(timings_cold.values()), 3),
+                "queries_cold": timings_cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -91,27 +91,51 @@ class PickleSerializer(FieldSerializer):
 
 
 class TfFeaturesSerializer(FieldSerializer):
-    """TFDS FeaturesDict serializer — the reference's TfFeatures type.
+    """TFDS FeaturesDict serializer — the reference's TfFeatures type
+    (core/schema/types/tf_features.py:29-64).
 
-    Requires tensorflow_datasets (not in this container); constructing it
-    without the dependency raises NotImplementedError, keeping the type
-    pluggable exactly like the reference keeps it optional."""
+    With tensorflow_datasets installed, values go through the user's
+    ``FeaturesDict`` (full nested support). Without it — this container —
+    the vendored pure-python ``tf.train.Example`` wire codec
+    (core/tf_example.py) handles the FLAT feature-dict subset: the bytes
+    are wire-compatible with TFDS for flat dicts of bytes/str, int, and
+    float features, so data written here deserializes with real TFDS and
+    vice versa. Nested FeaturesDicts require TFDS and raise a clear
+    error from the codec."""
 
     def __init__(self, features_dict=None):
+        self.features = features_dict
         try:
             import tensorflow_datasets as tfds  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "TfFeaturesSerializer requires tensorflow_datasets; use "
-                "PickleSerializer or a custom FieldSerializer instead."
-            ) from e
-        self.features = features_dict
 
-    def serialize(self, value: Any) -> bytes:  # pragma: no cover
-        return self.features.serialize_example(value)
+            self._tfds = features_dict is not None
+        except ImportError:
+            self._tfds = False
+            if features_dict is not None:
+                raise NotImplementedError(
+                    "A TFDS FeaturesDict was supplied but "
+                    "tensorflow_datasets is not installed; omit it to use "
+                    "the built-in flat tf.train.Example codec, or install "
+                    "TFDS for nested feature support."
+                )
 
-    def deserialize(self, value_bytes: bytes) -> Any:  # pragma: no cover
-        return self.features.deserialize_example(value_bytes)
+    def serialize(self, value: Any) -> bytes:
+        if self._tfds:  # pragma: no cover - TFDS not in this container
+            return self.features.serialize_example(value)
+        from space_spark.core import tf_example as tfe
+
+        return tfe.encode_example(value)
+
+    def deserialize(self, value_bytes: bytes) -> Any:
+        if self._tfds:  # pragma: no cover - TFDS not in this container
+            import tensorflow_datasets as tfds
+
+            return tfds.as_numpy(
+                self.features.deserialize_example(value_bytes)
+            )
+        from space_spark.core import tf_example as tfe
+
+        return tfe.decode_example(value_bytes)
 
 
 # ------------------------------------------------------------ File type ----

@@ -42,6 +42,12 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# cosine_topk broadcasts the query set to every executor; above this many
+# query rows that is an OOM risk, not a plan choice — the caller wants
+# the shuffled path instead.
+COSINE_TOPK_BROADCAST_MAX = 100_000
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -49,19 +55,28 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     round_digits: int = 4,
+    broadcast_max: int = COSINE_TOPK_BROADCAST_MAX,
 ) -> DataFrame:
     """Exact top-k neighbors per query row (excluding self-matches).
 
     Output: (query_id, neighbor_id, score, rank). Rank orders by rounded
-    score desc, neighbor id asc — deterministic across engines."""
+    score desc, neighbor id asc — deterministic across engines.
+
+    The query set is BROADCAST against the streamed corpus — the right
+    shape for interactive/small query sets. A query set above
+    ``broadcast_max`` rows falls back to a plain (shuffled) cross join so
+    a bulk caller degrades to a slower-but-correct plan instead of a
+    broadcast OOM; at that scale prefer ``ivf_topk``/``lsh_bucket_topk``."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
+    n_queries = q.limit(broadcast_max + 1).count()
+    q_side = F.broadcast(q) if n_queries <= broadcast_max else q
     scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        c.join(q_side, F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")),
                                      round_digits))
     )

@@ -133,8 +133,90 @@ def test_pickle_serializer_roundtrip():
 
 
 def test_tf_features_serializer_gated():
+    # Supplying a TFDS FeaturesDict still requires TFDS.
     with pytest.raises(NotImplementedError):
         TfFeaturesSerializer({"image": "bytes"})
+
+
+def test_tf_features_flat_roundtrip():
+    """TFDS-free path: flat feature dicts round-trip through the vendored
+    tf.train.Example wire codec."""
+    import numpy as np
+
+    s = TfFeaturesSerializer()
+    value = {
+        "image": b"\x89PNG fake bytes",
+        "label": [3],
+        "weights": [0.5, 1.5, -2.25],
+        "tags": [b"a", b"bb"],
+    }
+    out = s.deserialize(s.serialize(value))
+    assert out["image"] == [b"\x89PNG fake bytes"]
+    assert out["label"].tolist() == [3]
+    assert out["label"].dtype == np.int64
+    assert out["weights"].dtype == np.float32
+    assert out["weights"].tolist() == [0.5, 1.5, -2.25]
+    assert out["tags"] == [b"a", b"bb"]
+
+
+def test_tf_example_wire_bytes_pinned():
+    """Pin the wire encoding against a hand-assembled tf.train.Example so
+    compatibility with real TFDS/TF can't silently drift: Example(features
+    = Features(feature = {'x': Feature(int64_list = Int64List(value =
+    [7]))})) per the protobuf wire spec."""
+    from space_spark.core import tf_example as tfe
+
+    # Inside out: Int64List{value=[7]} -> field 1 packed varint
+    int64_list = bytes([0x0A, 0x01, 0x07])
+    # Feature{int64_list=...} -> field 3, len-delimited
+    feature = bytes([0x1A, len(int64_list)]) + int64_list
+    # map entry {key='x'=1, value=Feature=2}
+    entry = bytes([0x0A, 0x01]) + b"x" + bytes([0x12, len(feature)]) + feature
+    # Features{feature entry} -> field 1
+    features = bytes([0x0A, len(entry)]) + entry
+    # Example{features} -> field 1
+    example = bytes([0x0A, len(features)]) + features
+    assert tfe.encode_example({"x": [7]}) == example
+    assert tfe.decode_example(example)["x"].tolist() == [7]
+
+
+def test_tf_example_negative_ints_and_unpacked():
+    import numpy as np
+
+    from space_spark.core import tf_example as tfe
+
+    out = tfe.decode_example(tfe.encode_example({"a": [-1, -(2**40), 5]}))
+    assert out["a"].tolist() == [-1, -(2**40), 5]
+    assert out["a"].dtype == np.int64
+    # ndarray input, float32 precision
+    v = np.array([1.25, -0.5], dtype=np.float32)
+    got = tfe.decode_example(tfe.encode_example({"f": v}))["f"]
+    assert got.tolist() == [1.25, -0.5]
+
+
+def test_tf_features_dataset_roundtrip(spark, tmp_location):
+    """End-to-end: a record field serialized as tf.train.Example bytes,
+    stored through the blob sink, read back and decoded."""
+    from space_spark import Dataset
+    from space_spark.core import tf_example as tfe
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("features", T.BinaryType()),
+    ])
+    rows = [
+        (i, tfe.encode_example({"label": [i], "name": f"doc{i}"}))
+        for i in range(10)
+    ]
+    ds = Dataset.create(
+        spark, tmp_location, schema, ["id"], record_fields=["features"],
+        serializers={"features": TfFeaturesSerializer()},
+    )
+    ds.append(spark.createDataFrame(rows, schema))
+    got = {r["id"]: r["features"] for r in ds.read().collect()}
+    dec = TfFeaturesSerializer().deserialize(bytes(got[3]))
+    assert dec["label"].tolist() == [3]
+    assert dec["name"] == [b"doc3"]
 
 
 def test_serializer_requires_record_field(spark, tmp_location):
