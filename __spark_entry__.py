@@ -990,6 +990,289 @@ GROUP BY c_mktsegment
 """
 
 
+def q8_market_share(spark, sf_dir):
+    """Q8 shape: per order-year, the share of ASIA-region ECONOMY-part
+    revenue delivered by suppliers from NATION_3 (two independent nation
+    joins — customer side picks the region, supplier side the share).
+    Share = exact-integer money numerator / denominator, rounded to 6."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        region, nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cn_key")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            nation.select(F.col("n_nationkey").alias("sn_key"),
+                          F.col("n_name").alias("supp_nation"))
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", cents)
+                  .otherwise(F.lit(0))).alias("num"),
+            F.sum(cents).alias("den"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("num") / F.col("den"), 6).alias("mkt_share"),
+        )
+    )
+
+
+Q8_SQL = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+             / SUM(cents), 6) AS mkt_share
+FROM (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         n2.n_name AS supp_nation,
+         CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01')
+GROUP BY o_year
+"""
+
+
+def q9_product_profit(spark, sf_dir):
+    """Q9 shape: revenue from '%widget%' parts by supplier nation and
+    order year (the testdata has no partsupp table, so profit omits the
+    supplycost term — revenue-only, exact in the integer money domain)."""
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_name").contains("widget")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            nation.select(F.col("n_nationkey").alias("sn_key"),
+                          F.col("n_name").alias("nation"))
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return j.groupBy(
+        "nation", F.year("o_orderdate").alias("o_year")
+    ).agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "profit")
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+  {MONEY_SUM('l_extendedprice*(1-l_discount)', 'profit')}
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+"""
+
+
+def q11_important_balance(spark, sf_dir):
+    """Q11 shape (scalar-subquery HAVING): nations whose total supplier
+    account balance exceeds 2% of the global total. The testdata has no
+    partsupp, so supplier balance stands in for stock value; the
+    having-threshold compares exact integer cent sums on both sides."""
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    cents = F.round(F.col("s_acctbal") * 100).cast("long")
+    per_nation = (
+        supp.join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("cents_bal"))
+    )
+    total = supp.agg(F.sum(cents).alias("total_cents"))
+    return (
+        per_nation.join(F.broadcast(total))
+        .where(F.col("cents_bal") * 50 > F.col("total_cents"))
+        .select("n_name",
+                (F.col("cents_bal") / 100.0).alias("total_bal"))
+    )
+
+
+Q11_SQL = """
+SELECT n_name, SUM(CAST(ROUND(s_acctbal*100) AS BIGINT))/100.0 AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+HAVING SUM(CAST(ROUND(s_acctbal*100) AS BIGINT)) * 50 >
+  (SELECT SUM(CAST(ROUND(s_acctbal*100) AS BIGINT)) FROM supplier)
+"""
+
+
+def q16_supplier_part_count(spark, sf_dir):
+    """Q16 shape: distinct supplier count per (brand, type, size) for
+    shipped parts, excluding one brand, a type prefix, and suppliers in
+    deficit (the NOT-IN subquery of the original, acctbal < 0 standing in
+    for the complaints predicate). Supplier-part pairs come from lineitem
+    (no partsupp in the testdata)."""
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "BRAND_1")
+        & (~F.col("p_type").startswith("SMALL"))
+        & (F.col("p_size") < 30)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    pairs = (
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'BRAND_1' AND p_type NOT LIKE 'SMALL%' AND p_size < 30
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q20_surplus_suppliers(spark, sf_dir):
+    """Q20 shape (nested semi-join chain): suppliers who shipped more
+    than 50 units of any 'red%' part during 1996. Shipped quantity from
+    lineitem stands in for partsupp availqty; the quantity sum runs in
+    exact integer centiunits so the > threshold is order-independent."""
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_name").startswith("red")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+             .alias("qty_cents"))
+        .where(F.col("qty_cents") > 5000)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(shipped, supp.s_suppkey == shipped.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) > 5000)
+"""
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """Q21 shape: suppliers who were the SOLE late supplier on a
+    finished multi-supplier order ('late' = shipped more than 60 days
+    after the order date; the testdata has no commit/receipt dates).
+    Spark-first formulation: instead of the original's EXISTS + NOT
+    EXISTS double self-scan, one groupBy over the order computes
+    (distinct suppliers, distinct late suppliers) and the late rows
+    join back — a single lineitem pass plus one shuffle."""
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "is_late",
+        (F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate")
+         > 60 * 86400),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    ).where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    late_rows = j.where(F.col("is_late")).select("l_orderkey", "l_suppkey")
+    culprits = late_rows.join(
+        per_order.select("l_orderkey"), "l_orderkey", "left_semi"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        culprits.join(F.broadcast(supp),
+                      culprits.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+Q21_SQL = """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         (epoch(l_shipdate) - epoch(o_orderdate) > 60*86400) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), culprit_orders AS (
+  SELECT l_orderkey
+  FROM j
+  GROUP BY l_orderkey
+  HAVING COUNT(DISTINCT l_suppkey) > 1
+     AND COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) = 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM j
+JOIN culprit_orders USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE is_late
+GROUP BY s_name
+"""
+
+
 def q_asof_signup(spark, sf_dir):
     """As-of join (absent in the reference, SURVEY.md §2.3): for each
     event, the user's most recent signup-event time at or before it."""
@@ -2181,13 +2464,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_top_orders": q_window_top_orders,
         "q_window_user_events": q_window_user_events,
         "q_order_rollup": q_order_rollup,
+        # -- new this round (never gate-checked): TPC-H shapes 8/9/11/16/20/21
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_balance": q11_important_balance,
+        "q16_supplier_part_count": q16_supplier_part_count,
+        "q20_surplus_suppliers": q20_surplus_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        # ---- round-4 gate window ends here (50 entries) ----
+        # -- displaced by the new queries (r2+r3 green, pure SQL); MUST
+        #    return to the window in round 5 with the block below
         "q_pivot_status": q_pivot_status,
         "q_grouping_sets": q_grouping_sets,
         "q_percentiles": q_percentiles,
         "q_string_functions": q_string_functions,
         "q_semi_anti": q_semi_anti,
         "q_intersect": q_intersect,
-        # ---- round-4 gate window ends here (50 entries) ----
         "q_except": q_except,
         # -- rotated out this round (r2+r3 green, pure-SQL, no operator
         #    dependence); MUST lead the analytics block in round 5
@@ -2241,6 +2533,12 @@ def oracle_sql() -> dict[str, str]:
         "q13_order_count_distribution": Q13_SQL,
         "q18_large_volume_customers": Q18_SQL,
         "q22_idle_rich_customers": Q22_SQL,
+        "q8_market_share": Q8_SQL,
+        "q9_product_profit": Q9_SQL,
+        "q11_important_balance": Q11_SQL,
+        "q16_supplier_part_count": Q16_SQL,
+        "q20_surplus_suppliers": Q20_SQL,
+        "q21_waiting_suppliers": Q21_SQL,
         "q_asof_signup": Q_ASOF_SQL,
         "q_range_band": Q_RANGE_SQL,
         "space_filter_project": SPACE_FILTER_SQL,
