@@ -1969,6 +1969,184 @@ FROM scored
 """
 
 
+def _enriched_docs(spark, sf_dir):
+    """Documents with a deterministic synthetic contact footer (emails,
+    URLs, phone numbers, IPv4) derived from doc_id — the testdata corpus
+    is plain word-soup, so the PII/URL extraction queries build their
+    own signal identically on both engines (byte-identical strings)."""
+    d = F.col("doc_id")
+    footer = F.concat_ws(
+        " ",
+        F.lit("contact"),
+        F.concat(F.lit("user"), d, F.lit("@example.com")),
+        F.concat(F.lit("https://site"), d % 7, F.lit(".example.org/p/"), d),
+        F.concat(F.lit("tel"), F.lit(" "), (d % 900 + 100).cast("long"),
+                 F.lit("-"), ((d * 7) % 900 + 100).cast("long"),
+                 F.lit("-"), (d % 9000 + 1000).cast("long")),
+        F.concat(F.lit("10."), (d % 256).cast("long"), F.lit("."),
+                 ((d * 3) % 256).cast("long"), F.lit("."),
+                 (d % 100).cast("long")),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat_ws(" ", F.col("text"), footer).alias("text")
+    )
+
+
+_ENRICHED_DOCS_SQL = """
+  SELECT doc_id,
+    text || ' contact user' || doc_id::VARCHAR || '@example.com' ||
+    ' https://site' || (doc_id % 7)::VARCHAR || '.example.org/p/' ||
+    doc_id::VARCHAR ||
+    ' tel ' || (doc_id % 900 + 100)::VARCHAR || '-' ||
+    ((doc_id * 7) % 900 + 100)::VARCHAR || '-' ||
+    (doc_id % 9000 + 1000)::VARCHAR ||
+    ' 10.' || (doc_id % 256)::VARCHAR || '.' ||
+    ((doc_id * 3) % 256)::VARCHAR || '.' || (doc_id % 100)::VARCHAR AS text
+  FROM documents
+"""
+
+
+def text_quality_rules(spark, sf_dir):
+    """Gopher-style repetition/quality filters. The word-soup corpus has
+    no line structure, so the query first rewrites ' table ' separators
+    into bullet lines (same left-to-right non-overlapping regexp_replace
+    on both engines) to exercise the line-level rules."""
+    from space_spark.operators.text import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", " table ", "\n- table\n").alias("text"),
+    )
+    out = gopher_quality_flags(docs, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "mean_word_len", "alpha_word_frac", "dup_line_frac",
+        "bullet_line_frac", "ellipsis_line_frac", "symbol_word_ratio",
+        "gopher_pass",
+    )
+
+
+TEXT_QUALITY_SQL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         regexp_replace(text, ' table ', chr(10) || '- table' || chr(10),
+                        'g') AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, t,
+    regexp_split_to_array(trim(t), '\s+') AS words,
+    string_split(t, chr(10)) AS lines,
+    length(t) - length(replace(t, '#', '')) AS hash_cnt,
+    (length(t) - length(replace(t, '...', ''))) / 3 AS ell_cnt
+  FROM docs
+), m AS (
+  SELECT doc_id, hash_cnt, ell_cnt,
+    len(words) AS nw, len(lines) AS nl,
+    list_sum(list_transform(words, x -> length(x))) AS wchars,
+    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_w,
+    len(list_distinct(lines)) AS dlines,
+    len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]'))) AS bullets,
+    len(list_filter(lines, x -> regexp_matches(x, '\.\.\.$'))) AS ells
+  FROM s
+), r AS (
+  SELECT doc_id,
+    nw::BIGINT AS n_words, nl::BIGINT AS n_lines,
+    ROUND(CASE WHEN nw > 0 THEN wchars / nw ELSE 0.0 END, 6)
+      AS mean_word_len,
+    ROUND(CASE WHEN nw > 0 THEN alpha_w / nw ELSE 0.0 END, 6)
+      AS alpha_word_frac,
+    ROUND(CASE WHEN nl > 0 THEN 1 - dlines / nl ELSE 0.0 END, 6)
+      AS dup_line_frac,
+    ROUND(CASE WHEN nl > 0 THEN bullets / nl ELSE 0.0 END, 6)
+      AS bullet_line_frac,
+    ROUND(CASE WHEN nl > 0 THEN ells / nl ELSE 0.0 END, 6)
+      AS ellipsis_line_frac,
+    ROUND(CASE WHEN nw > 0 THEN (hash_cnt + ell_cnt) / nw ELSE 0.0 END, 6)
+      AS symbol_word_ratio
+  FROM m
+)
+SELECT *,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_word_len >= 3 AND mean_word_len <= 10
+   AND alpha_word_frac > 0.8 AND dup_line_frac < 0.3
+   AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+   AND symbol_word_ratio < 0.1) AS gopher_pass
+FROM r
+"""
+
+
+def text_pii_scrub(spark, sf_dir):
+    """PII detection + redaction over footer-enriched documents: typed
+    match counts and the md5 of the scrubbed text (tags substituted in a
+    fixed order on both engines)."""
+    from space_spark.operators.text import pii_stats
+
+    out = pii_stats(_enriched_docs(spark, sf_dir), "text")
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        "has_pii",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_URL = "https?://[A-Za-z0-9./?=_%-]+"
+_PII_PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+_PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+TEXT_PII_SQL = f"""
+WITH docs AS ({_ENRICHED_DOCS_SQL})
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(text, '{_PII_URL}'))::BIGINT AS n_urls,
+  len(regexp_extract_all(text, '{_PII_PHONE}'))::BIGINT AS n_phones,
+  len(regexp_extract_all(text, '{_PII_IPV4}'))::BIGINT AS n_ipv4,
+  (len(regexp_extract_all(text, '{_PII_EMAIL}'))
+   + len(regexp_extract_all(text, '{_PII_PHONE}'))
+   + len(regexp_extract_all(text, '{_PII_IPV4}'))) > 0 AS has_pii,
+  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+        '{_PII_URL}', '<URL>', 'g'),
+        '{_PII_IPV4}', '<IP>', 'g'),
+        '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+FROM docs
+"""
+
+
+def text_url_hosts(spark, sf_dir):
+    """Domain-level URL profile: per-host URL and document counts over
+    footer-enriched documents (crawl-curation / blocklist statistics)."""
+    from space_spark.operators.text import url_host_stats
+
+    out = url_host_stats(_enriched_docs(spark, sf_dir), "text")
+    return out.select(
+        "host",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+TEXT_URL_HOSTS_SQL = f"""
+WITH docs AS ({_ENRICHED_DOCS_SQL}),
+u AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1))
+           AS host
+  FROM docs
+)
+SELECT host, COUNT(*)::BIGINT AS n_urls,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+FROM u
+GROUP BY host
+"""
+
+
 def text_vocab_topk(spark, sf_dir):
     """Corpus vocabulary construction: top-100 tokens by frequency."""
     from space_spark.operators.text import vocab_topk
@@ -2459,21 +2637,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_signup": q_asof_signup,
         "q_range_band": q_range_band,
         "q1_pricing_summary": q1_pricing_summary,
-        "q_sessionize": q_sessionize,
-        "q_tumbling_window": q_tumbling_window,
         "q_window_top_orders": q_window_top_orders,
-        "q_window_user_events": q_window_user_events,
         "q_order_rollup": q_order_rollup,
-        # -- new this round (never gate-checked): TPC-H shapes 8/9/11/16/20/21
+        # -- new this round (never gate-checked): TPC-H shapes 8/9/11/16/
+        #    20/21 + Gopher quality rules + PII scrub + URL host stats
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q11_important_balance": q11_important_balance,
         "q16_supplier_part_count": q16_supplier_part_count,
         "q20_surplus_suppliers": q20_surplus_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
+        "text_quality_rules": text_quality_rules,
+        "text_pii_scrub": text_pii_scrub,
+        "text_url_hosts": text_url_hosts,
         # ---- round-4 gate window ends here (50 entries) ----
         # -- displaced by the new queries (r2+r3 green, pure SQL); MUST
         #    return to the window in round 5 with the block below
+        "q_sessionize": q_sessionize,
+        "q_tumbling_window": q_tumbling_window,
+        "q_window_user_events": q_window_user_events,
         "q_pivot_status": q_pivot_status,
         "q_grouping_sets": q_grouping_sets,
         "q_percentiles": q_percentiles,
@@ -2539,6 +2721,9 @@ def oracle_sql() -> dict[str, str]:
         "q16_supplier_part_count": Q16_SQL,
         "q20_surplus_suppliers": Q20_SQL,
         "q21_waiting_suppliers": Q21_SQL,
+        "text_quality_rules": TEXT_QUALITY_SQL,
+        "text_pii_scrub": TEXT_PII_SQL,
+        "text_url_hosts": TEXT_URL_HOSTS_SQL,
         "q_asof_signup": Q_ASOF_SQL,
         "q_range_band": Q_RANGE_SQL,
         "space_filter_project": SPACE_FILTER_SQL,

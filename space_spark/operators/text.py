@@ -195,6 +195,128 @@ def chunk_documents(
     )
 
 
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/quality signals per document (Rae et al.
+    2021, §A1.1 — the standard cheap corpus filters): mean word length,
+    alphabetic-word fraction, duplicate-line fraction, bullet-point and
+    ellipsis line fractions, symbol-per-word ratio, plus the combined
+    ``gopher_pass`` accept flag.
+
+    Pure JVM higher-order functions over one split of the text (no
+    shuffle, embarrassingly parallel); every ratio divides exact integer
+    counts and is rounded to 6 places, so the values — and the boolean
+    threshold flag computed from them — are bit-reproducible in ANSI SQL.
+    """
+    t = F.col(text_col)
+    out = df.withColumn("__words", F.split(F.trim(t), r"\s+")).withColumn(
+        "__lines", F.split(t, "\n")
+    )
+    w, ln = F.col("__words"), F.col("__lines")
+    nw, nl = F.size(w), F.size(ln)
+    word_chars = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    bullet_lines = F.size(
+        F.filter(ln, lambda x: x.rlike(r"^\s*[-*•]"))
+    )
+    ellipsis_lines = F.size(F.filter(ln, lambda x: x.rlike(r"\.\.\.$")))
+    hash_count = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    ell_count = (
+        F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+    ) / 3
+    out = out.select(
+        *df.columns,
+        nw.alias("n_words"),
+        nl.alias("n_lines"),
+        F.round(F.when(nw > 0, word_chars / nw).otherwise(F.lit(0.0)), 6)
+        .alias("mean_word_len"),
+        F.round(F.when(nw > 0, alpha_words / nw).otherwise(F.lit(0.0)), 6)
+        .alias("alpha_word_frac"),
+        F.round(
+            F.when(nl > 0, 1 - F.size(F.array_distinct(ln)) / nl)
+            .otherwise(F.lit(0.0)), 6,
+        ).alias("dup_line_frac"),
+        F.round(F.when(nl > 0, bullet_lines / nl).otherwise(F.lit(0.0)), 6)
+        .alias("bullet_line_frac"),
+        F.round(
+            F.when(nl > 0, ellipsis_lines / nl).otherwise(F.lit(0.0)), 6
+        ).alias("ellipsis_line_frac"),
+        F.round(
+            F.when(nw > 0, (hash_count + ell_count) / nw)
+            .otherwise(F.lit(0.0)), 6,
+        ).alias("symbol_word_ratio"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("alpha_word_frac") > 0.8)
+        & (F.col("dup_line_frac") < 0.3)
+        & (F.col("bullet_line_frac") < 0.9)
+        & (F.col("ellipsis_line_frac") < 0.3)
+        & (F.col("symbol_word_ratio") < 0.1),
+    )
+
+
+# PII / URL patterns shared by the Spark operators and the SQL oracles.
+# Restricted to syntax with identical semantics in Java regex (Spark) and
+# RE2 (DuckDB): no lookaround, explicit character classes, ASCII \b.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL_RE = r"https?://[A-Za-z0-9./?=_%-]+"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII detection and scrubbing: counts of email / URL /
+    phone / IPv4 matches plus the redacted text (matches replaced by
+    typed tags, applied in a fixed order so the output is deterministic).
+
+    Regex scans are JVM-side codegen (no Python); the operator is a
+    projection — no shuffle, linear scan, safe at any scale. At 100 TB
+    the scrub runs as part of the ingest projection pipeline."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, PII_URL_RE, "<URL>")
+    redacted = F.regexp_replace(redacted, PII_IPV4_RE, "<IP>")
+    redacted = F.regexp_replace(redacted, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        *df.columns,
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_URL_RE)).alias("n_urls"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).alias("n_ipv4"),
+        redacted.alias("redacted"),
+    ).withColumn(
+        "has_pii",
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ipv4")) > 0,
+    )
+
+
+def url_host_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-host URL statistics over a corpus: extract every URL, parse
+    the host, and aggregate (n_urls, n_docs) per host — the domain-level
+    profile used for crawl curation / blocklisting.
+
+    One regexp_extract_all + explode + hash aggregate with map-side
+    partial counts; the host dictionary is the only shuffled data."""
+    hosts = df.select(
+        F.col("doc_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"https?://([A-Za-z0-9.-]+)"), 1
+            )
+        ).alias("host"),
+    )
+    return hosts.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All per-document text statistics in one pass.
 
