@@ -1735,6 +1735,43 @@ GROUP BY l_returnflag
 """
 
 
+def space_zorder_pruned(spark, sf_dir):
+    """Z-order layout (beyond-reference, operators/zorder.py): lineitem
+    written with a Morton-interleaved (l_orderkey, l_partkey) key, then
+    filtered on the SECOND column only — single-column range clustering
+    would prune nothing here; the z-layout's per-file min/max rectangles
+    prune on both dimensions."""
+    from space_spark import Dataset, field
+
+    li = _t(spark, sf_dir, "lineitem")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/lineitem_z", li.schema,
+        ["l_orderkey", "l_linenumber"],
+    )
+    ds.append(li, zorder_by=["l_orderkey", "l_partkey"], target_files=16)
+    pruned = ds.read(
+        filter_=(field("l_partkey") >= 200) & (field("l_partkey") < 400)
+    )
+    return pruned.groupBy("l_linestatus").agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+        .alias("qty_cents"),
+    )
+
+
+SPACE_ZORDER_SQL = f"""
+SELECT l_linestatus,
+  {MONEY_SUM('l_extendedprice*(1-l_discount)', 'revenue')},
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents
+FROM lineitem
+WHERE l_partkey >= 200 AND l_partkey < 400
+GROUP BY l_linestatus
+"""
+
+
 def space_sql_table(spark, sf_dir):
     """SQL-catalog surface (beyond reference parity — the reference
     delegates SQL to external engines, README.md:17): attach an existing
@@ -2626,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "space_record_fields": space_record_fields,
         "space_read_by_keys": space_read_by_keys,
         "space_lineitem_clustered": space_lineitem_clustered,
+        "space_zorder_pruned": space_zorder_pruned,
         "space_sql_table": space_sql_table,
         # -- dedup core: always in-window
         "dedup_exact_documents": dedup_exact_documents,
@@ -2637,7 +2675,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_signup": q_asof_signup,
         "q_range_band": q_range_band,
         "q1_pricing_summary": q1_pricing_summary,
-        "q_window_top_orders": q_window_top_orders,
         "q_order_rollup": q_order_rollup,
         # -- new this round (never gate-checked): TPC-H shapes 8/9/11/16/
         #    20/21 + Gopher quality rules + PII scrub + URL host stats
@@ -2656,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_tumbling_window": q_tumbling_window,
         "q_window_user_events": q_window_user_events,
+        "q_window_top_orders": q_window_top_orders,
         "q_pivot_status": q_pivot_status,
         "q_grouping_sets": q_grouping_sets,
         "q_percentiles": q_percentiles,
@@ -2741,6 +2779,7 @@ def oracle_sql() -> dict[str, str]:
         "space_record_fields": SPACE_RECORD_SQL,
         "space_read_by_keys": SPACE_READ_BY_KEYS_SQL,
         "space_lineitem_clustered": SPACE_LINEITEM_SQL,
+        "space_zorder_pruned": SPACE_ZORDER_SQL,
         "space_sql_table": SPACE_SQL_TABLE_SQL,
         "dedup_exact_documents": DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,

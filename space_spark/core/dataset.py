@@ -353,6 +353,7 @@ class Dataset:
         cluster_by: Optional[Sequence[str]] = None,
         target_files: Optional[int] = None,
         commit_mutate=None,
+        zorder_by: Optional[Sequence[str]] = None,
     ) -> "Dataset":
         """Blind append — no PK check (runners.py:239-244).
 
@@ -363,6 +364,11 @@ class Dataset:
         tables (the reference's storage has no clustering; Spark gives it
         to us as a repartitionByRange).
 
+        ``zorder_by``: Morton-interleave the named columns instead, so each
+        file covers a compact hyper-rectangle and manifest pruning works
+        for predicates on ANY of the columns (operators/zorder.py), not
+        just the lead one.
+
         Appends commute: if another writer advanced the head between our
         pin and commit, the already-written data files are still valid —
         only the snapshot record needs rebuilding against the new parent.
@@ -371,7 +377,19 @@ class Dataset:
         their affected-file probe against the new head before retrying,
         since the new head may invalidate their reads."""
         df = self._align(df)
-        if cluster_by:
+        if cluster_by and zorder_by:
+            raise UserInputError(
+                "cluster_by and zorder_by are mutually exclusive"
+            )
+        if zorder_by:
+            from space_spark.operators.zorder import zorder_layout
+
+            unknown = set(zorder_by) - set(self.schema.fieldNames())
+            if unknown:
+                raise UserInputError(f"Unknown zorder columns: {unknown}")
+            n = target_files or self.spark.sparkContext.defaultParallelism
+            df = zorder_layout(df, zorder_by, n)
+        elif cluster_by:
             unknown = set(cluster_by) - set(self.schema.fieldNames())
             if unknown:
                 raise UserInputError(f"Unknown cluster columns: {unknown}")
@@ -1138,6 +1156,7 @@ class Dataset:
         self,
         target_bytes: int = 128 * 1024 * 1024,
         cluster_by: Optional[Sequence[str]] = None,
+        zorder_by: Optional[Sequence[str]] = None,
     ) -> "Dataset":
         """Rewrite under-sized data files into ~``target_bytes`` files as a
         NO-CHANGE snapshot: readers see identical rows, ``diff()`` across
@@ -1163,10 +1182,17 @@ class Dataset:
         """
         if target_bytes <= 0:
             raise UserInputError("target_bytes must be positive")
-        if cluster_by:
-            unknown = set(cluster_by) - set(self.schema.fieldNames())
-            if unknown:
-                raise UserInputError(f"Unknown cluster columns: {unknown}")
+        if cluster_by and zorder_by:
+            raise UserInputError(
+                "cluster_by and zorder_by are mutually exclusive"
+            )
+        for named in (cluster_by, zorder_by):
+            if named:
+                unknown = set(named) - set(self.schema.fieldNames())
+                if unknown:
+                    raise UserInputError(
+                        f"Unknown cluster columns: {unknown}"
+                    )
         self.reload()
         threshold = int(target_bytes * self.COMPACT_HEALTHY_RATIO)
         last_err = None
@@ -1196,7 +1222,11 @@ class Dataset:
             rewritten = self._apply_vectors(
                 self._read_files(affected), snapshot
             )
-            if cluster_by:
+            if zorder_by:
+                from space_spark.operators.zorder import zorder_layout
+
+                rewritten = zorder_layout(rewritten, zorder_by, int(n_out))
+            elif cluster_by:
                 rewritten = rewritten.repartitionByRange(
                     int(n_out), *cluster_by
                 ).sortWithinPartitions(*cluster_by)

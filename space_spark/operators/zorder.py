@@ -1,0 +1,148 @@
+"""Z-order (Morton-interleaved) clustering for multi-column file pruning.
+
+Single-column ``cluster_by`` gives each data file a disjoint range of ONE
+column, so manifest min/max pruning only helps predicates on that column.
+Z-ordering quantile-buckets each clustering column and interleaves the
+bucket bits into one Morton key; range-partitioning + sorting on that key
+gives every data file a compact hyper-rectangle in the multi-column value
+space, so the existing per-column manifest stats (core/schema.py
+stats_fields — every scalar column already carries min/max) prune files
+for predicates on ANY of the z-ordered columns.
+
+The reference's storage has no clustering at all (its manifest stats are
+populated from arrival order); this is the write-side layout lever a
+100 TB table needs. Scale notes:
+
+- Quantile cut points come from ``DataFrame.approxQuantile`` — one
+  distributed pass, and the driver holds only ``cols * 2^bits`` doubles
+  (bounded protocol data, not row data).
+- Bucketing a value is a fold over a literal cut-point array
+  (``aggregate``), and bit interleaving is a static unrolled
+  shiftleft/bitwise-OR expression — all JVM-side, no Python, no shuffle
+  beyond the final ``repartitionByRange`` the write was doing anyway.
+- Skew-safe: quantile (not uniform-width) buckets keep cells equally
+  populated under skewed distributions.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from space_spark.errors import UserInputError
+
+ZKEY_COL = "__zorder_key"
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+_TEMPORAL = (T.DateType, T.TimestampType, T.TimestampNTZType)
+
+
+def _as_double(df: DataFrame, col: str) -> Column:
+    dt = df.schema[col].dataType
+    if isinstance(dt, _NUMERIC):
+        return F.col(col).cast("double")
+    if isinstance(dt, _TEMPORAL):
+        if isinstance(dt, T.DateType):
+            return F.unix_date(F.col(col)).cast("double")
+        return F.unix_micros(F.col(col).cast("timestamp_ltz")).cast("double")
+    raise UserInputError(
+        f"zorder_by column {col!r} has unsupported type {dt.simpleString()}"
+        " (numeric/date/timestamp only)"
+    )
+
+
+def _bucket(col: Column, cuts: List[float]) -> Column:
+    """Quantile-bucket id in [0, len(cuts)]: the number of cut points at
+    or below the value — a left fold over a literal array (JVM-side; the
+    write path amortizes the O(cuts) per-row cost)."""
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    safe = F.coalesce(col, F.lit(float("-inf")))  # nulls sort first
+    return F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(b <= safe, 1).otherwise(0),
+    )
+
+
+def _interleave(buckets: Sequence[Column], bits: int) -> Column:
+    """Morton interleave: bit i of column j lands at position i*k + j.
+    Static unrolled expression (bits*k shift/or terms, codegen-friendly)."""
+    k = len(buckets)
+    z = F.lit(0).cast("long")
+    for j, b in enumerate(buckets):
+        bl = b.cast("long")
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(bl, i).bitwiseAND(F.lit(1)),
+                            i * k + j)
+            )
+    return z
+
+
+def zorder_cuts(
+    df: DataFrame, cols: Sequence[str], bits_per_col: int
+) -> List[List[float]]:
+    """Per-column quantile cut points (one approxQuantile pass over the
+    casted projection; relative error scaled to the bucket width)."""
+    n_cuts = (1 << bits_per_col) - 1
+    probs = [(i + 1) / (n_cuts + 1) for i in range(n_cuts)]
+    casted = df.select(
+        *[_as_double(df, c).alias(c) for c in cols]
+    )
+    rel_err = max(1.0 / (4 * (n_cuts + 1)), 1e-4)
+    all_cuts = casted.approxQuantile(list(cols), probs, rel_err)
+    # Deduplicate (low-cardinality columns repeat cut values) while
+    # keeping order — fewer effective buckets is fine.
+    out: List[List[float]] = []
+    for cuts in all_cuts:
+        seen, uniq = set(), []
+        for c in cuts:
+            if c not in seen:
+                seen.add(c)
+                uniq.append(c)
+        out.append(uniq)
+    return out
+
+
+def add_zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits_per_col: Optional[int] = None,
+    cuts: Optional[List[List[float]]] = None,
+) -> Tuple[DataFrame, str]:
+    """Append the Morton key column ``ZKEY_COL``; returns (df, colname).
+    Pass precomputed ``cuts`` to skip the quantile pass (compaction reuses
+    the cuts computed on the full table)."""
+    cols = list(cols)
+    if not cols:
+        raise UserInputError("zorder_by requires at least one column")
+    bits = bits_per_col or max(4, 16 // len(cols))
+    if cuts is None:
+        cuts = zorder_cuts(df, cols, bits)
+    buckets = [
+        _bucket(_as_double(df, c), cut) for c, cut in zip(cols, cuts)
+    ]
+    return df.withColumn(ZKEY_COL, _interleave(buckets, bits)), ZKEY_COL
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: Sequence[str],
+    num_files: int,
+    bits_per_col: Optional[int] = None,
+) -> DataFrame:
+    """Range-partition + sort ``df`` by its Morton key into ``num_files``
+    output partitions and drop the helper column — the write-side layout
+    transform used by ``Dataset.append(zorder_by=...)``."""
+    keyed, key = add_zorder_key(df, cols, bits_per_col)
+    return (
+        keyed.repartitionByRange(num_files, F.col(key))
+        .sortWithinPartitions(key)
+        .drop(key)
+    )

@@ -1,0 +1,111 @@
+"""Z-order clustering: Morton key construction and multi-column manifest
+pruning (operators/zorder.py + Dataset.append/compact(zorder_by=...))."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from space_spark import Dataset, field
+from space_spark.errors import UserInputError
+from space_spark.operators.zorder import (
+    add_zorder_key,
+    zorder_layout,
+    ZKEY_COL,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_zorder_key_deterministic_and_monotone_per_cell(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("a"), (F.col("id") * 7 % 1000).alias("b")
+    )
+    keyed, key = add_zorder_key(df, ["a", "b"], bits_per_col=4)
+    assert key == ZKEY_COL
+    again, _ = add_zorder_key(df, ["a", "b"], bits_per_col=4)
+    assert (
+        keyed.orderBy("a").select(key).collect()
+        == again.orderBy("a").select(key).collect()
+    )
+    # 4 bits per column -> keys fit in 8 bits
+    mx = keyed.agg(F.max(key)).collect()[0][0]
+    assert 0 <= mx < 256
+
+
+def test_zorder_layout_drops_helper_and_preserves_rows(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("a"), (F.col("id") % 13).alias("b")
+    )
+    out = zorder_layout(df, ["a", "b"], num_files=4)
+    assert ZKEY_COL not in out.columns
+    assert out.count() == 500
+    assert out.rdd.getNumPartitions() == 4
+
+
+def test_zorder_rejects_string_columns(spark):
+    df = spark.createDataFrame([(1, "x")], "a long, s string")
+    with pytest.raises(UserInputError):
+        add_zorder_key(df, ["s"])
+
+
+def test_append_zorder_prunes_both_dimensions(spark, tmp_location):
+    """The point of z-order vs cluster_by: with cluster_by(l_orderkey) a
+    filter on l_partkey prunes ~nothing; z-ordered files carry compact
+    min/max rectangles on BOTH columns, so both predicates prune."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    ds = Dataset.create(
+        spark, tmp_location, li.schema, ["l_orderkey", "l_linenumber"]
+    )
+    ds.append(li, zorder_by=["l_orderkey", "l_partkey"], target_files=16)
+    total = len(ds.data_files())
+    assert total >= 8
+
+    ok_lo, ok_hi = 1000, 1300
+    by_order = len(ds.data_files(
+        (field("l_orderkey") >= ok_lo) & (field("l_orderkey") < ok_hi)
+    ))
+    by_part = len(ds.data_files(
+        (field("l_partkey") >= 100) & (field("l_partkey") < 150)
+    ))
+    assert by_order < total, f"l_orderkey never pruned: {by_order}/{total}"
+    assert by_part < total, f"l_partkey never pruned: {by_part}/{total}"
+
+    # correctness: masked/pruned read == plain parquet oracle
+    got = (
+        ds.read(filter_=(field("l_partkey") >= 100)
+                & (field("l_partkey") < 150))
+        .agg(F.count(F.lit(1)), F.sum("l_orderkey"))
+        .collect()[0]
+    )
+    want = (
+        li.where((F.col("l_partkey") >= 100) & (F.col("l_partkey") < 150))
+        .agg(F.count(F.lit(1)), F.sum("l_orderkey"))
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(want)
+
+
+def test_append_zorder_cluster_by_exclusive(spark, tmp_location):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(10)
+    ds = Dataset.create(
+        spark, tmp_location, li.schema, ["l_orderkey", "l_linenumber"]
+    )
+    with pytest.raises(UserInputError):
+        ds.append(li, cluster_by=["l_orderkey"], zorder_by=["l_partkey"])
+
+
+def test_compact_zorder_restores_layout(spark, tmp_location):
+    """Trickle-append unclustered batches, then compact(zorder_by=...):
+    the healed table prunes on both dimensions and reads identically."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    ds = Dataset.create(
+        spark, tmp_location, li.schema, ["l_orderkey", "l_linenumber"]
+    )
+    for i in range(4):
+        ds.append(li.where(F.col("l_orderkey") % 4 == i).coalesce(2))
+    before = len(ds.data_files())
+    ds.compact(target_bytes=64 * 1024 * 1024,
+               zorder_by=["l_orderkey", "l_partkey"])
+    total = len(ds.data_files())
+    assert total < before
+    n_rows = ds.read().count()
+    assert n_rows == li.count()
