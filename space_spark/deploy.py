@@ -40,4 +40,24 @@ def ensure_shipped(spark: SparkSession) -> None:
                     )
                     zf.write(abs_f, rel)
     sc.addPyFile(zip_path)
+    # Streaming planner workers resolve the python-includes list against
+    # the job-artifact dir <userFilesRoot>/streaming_job — Spark 4.1's
+    # PythonStreamingSourceRunner.init hardcodes
+    # writeSparkFiles(Some("streaming_job"), ...) — while addPyFile only
+    # populates the root. Nothing ever copies pyfiles into that subdir,
+    # so mirror the zip there ourselves, or `readStream.format("space")`
+    # raises ModuleNotFoundError whenever the driver cwd can't import the
+    # package (batch reads meanwhile work fine).
+    try:
+        import shutil
+
+        from pyspark.core.files import SparkFiles
+
+        streaming_dir = os.path.join(
+            SparkFiles.getRootDirectory(), "streaming_job"
+        )
+        os.makedirs(streaming_dir, exist_ok=True)
+        shutil.copy2(zip_path, streaming_dir)
+    except Exception:
+        pass  # non-local drivers: ship via --py-files instead
     _SHIPPED.add(key)

@@ -61,6 +61,19 @@ def _load(location: str):
     return log, log.read_metadata()
 
 
+# Change-feed column names — same values as core/dataset.py's
+# CHANGE_TYPE_COL/CHANGE_SNAPSHOT_COL/CHANGE_ORDER_COL (defined locally:
+# executors unpickle this module standalone, and core.dataset pulls in the
+# whole driver-side surface).
+_CDF_TYPE = "_change_type"
+_CDF_SNAPSHOT = "_snapshot_id"
+_CDF_ORDER = "_change_order"
+
+
+def _truthy(options, key: str) -> bool:
+    return str(options.get(key, "")).lower() in ("true", "1", "yes")
+
+
 def _physical(meta) -> T.StructType:
     return sc.physical_schema(meta.schema, meta.record_fields)
 
@@ -422,6 +435,128 @@ class SpaceStreamReader(DataSourceStreamReader):
         pass  # progress is tracked by the stream's own checkpoint
 
 
+class SpaceChangeFeedStreamReader(DataSourceStreamReader):
+    """CDC streaming read of the change feed (Delta-CDF-style
+    ``option("readChangeFeed", "true")``): each micro-batch emits the
+    change rows of the snapshots between the offsets — ADD rows with full
+    columns, DELETE rows with primary keys only (other columns null), plus
+    ``_change_type`` / ``_snapshot_id`` / ``_change_order`` (deletes sort
+    before adds within a snapshot — the replay order MV refresh requires,
+    reference core/ops/change_data.py:123-127).
+
+    Offsets are snapshot ids (monotone); partitions ship only file paths
+    and constants, and executors read parquet directly — per-snapshot
+    DELETE changelogs are O(deleted) parquet, ADD files are grouped under
+    the same size ceiling as the batch reader. The reference's change feed
+    is batch-only (SURVEY.md §2.9); this is the Structured-Streaming
+    continuous form of it."""
+
+    def __init__(self, location: str, options, cdf_schema: T.StructType):
+        self.location = location
+        self.start_version = int(options.get("startingversion", 0))
+        self.max_bytes = int(options.get("partition_bytes",
+                                         DEFAULT_PARTITION_BYTES))
+        # cdf_schema = physical schema + the three change columns (built by
+        # SpaceDataSource.schema()); the table part drives file reads.
+        self.cdf_schema = cdf_schema
+        names = cdf_schema.fieldNames()
+        cut = names.index(_CDF_TYPE)
+        self.table_schema = T.StructType(cdf_schema.fields[:cut])
+        _, meta = _load(location)
+        self.primary_keys = list(meta.primary_keys)
+
+    def initialOffset(self) -> dict:
+        return {"snapshot_id": self.start_version}
+
+    def latestOffset(self) -> dict:
+        _, meta = _load(self.location)
+        return {"snapshot_id": meta.resolve_version(None)}
+
+    def partitions(self, start: dict, end: dict) -> List[InputPartition]:
+        log, meta = _load(self.location)
+        lo, hi = start["snapshot_id"], end["snapshot_id"]
+        snaps = []
+        sid = hi
+        while sid > lo:
+            snap = meta.snapshot(sid)
+            snaps.append(snap)
+            if snap.parent_snapshot_id is None:
+                break
+            sid = snap.parent_snapshot_id
+        snaps.reverse()  # oldest first
+        parts: List[InputPartition] = []
+        for snap in snaps:
+            if snap.deleted_pks_file:
+                parts.append(InputPartition(
+                    ("D", snap.snapshot_id,
+                     [log.abs_path(snap.deleted_pks_file)])
+                ))
+            added = [log.abs_path(p) for p in snap.added_files]
+            for group in _group_files(added, self.max_bytes):
+                parts.append(InputPartition(("A", snap.snapshot_id, group)))
+        return parts or [InputPartition(("A", hi, []))]
+
+    def read(self, partition: InputPartition) -> Iterator[pa.RecordBatch]:
+        kind, sid, units = partition.value
+        out_schema = _arrow_schema(self.cdf_schema)
+        if kind == "D":
+            import pyarrow.dataset as pads
+
+            pk_schema = _arrow_schema(
+                T.StructType([self.table_schema[k]
+                              for k in self.primary_keys])
+            )
+            for path in units:
+                tbl = pads.dataset(path, format="parquet").to_table(
+                    columns=self.primary_keys
+                )
+                yield from _constants_appended(
+                    tbl, pk_schema, out_schema, "DELETE", sid, 0
+                )
+        else:
+            table_arrow = _arrow_schema(self.table_schema)
+            for batch in _read_aligned(units, table_arrow):
+                tbl = pa.Table.from_batches([batch])
+                yield from _constants_appended(
+                    tbl, table_arrow, out_schema, "ADD", sid, 1
+                )
+
+    def commit(self, end: dict) -> None:
+        pass  # progress is tracked by the stream's own checkpoint
+
+
+def _constants_appended(
+    tbl: pa.Table,
+    present: pa.Schema,
+    out_schema: pa.Schema,
+    change_type: str,
+    snapshot_id: int,
+    order: int,
+) -> Iterator[pa.RecordBatch]:
+    """Align ``tbl`` (whose columns are a subset described by ``present``)
+    to the CDF output schema: missing table columns become nulls, the
+    three change columns become constants."""
+    n = len(tbl)
+    consts = {
+        _CDF_TYPE: pa.array([change_type] * n, pa.string()),
+        _CDF_SNAPSHOT: pa.array([snapshot_id] * n, pa.int64()),
+        _CDF_ORDER: pa.array([order] * n, pa.int32()),
+    }
+    cols = []
+    for f in out_schema:
+        if f.name in consts:
+            cols.append(consts[f.name])
+        elif f.name in tbl.column_names:
+            col = tbl.column(f.name)
+            if col.type != f.type:
+                col = col.cast(f.type)
+            cols.append(col)
+        else:
+            cols.append(pa.nulls(n, f.type))
+    yield from pa.table(dict(zip(out_schema.names, cols)),
+                        schema=out_schema).to_batches()
+
+
 # ----------------------------------------------------------------- source --
 # Field-metadata key smuggling the table location through the session
 # catalog: for catalog tables (CREATE TABLE ... USING space), Spark's
@@ -446,6 +581,9 @@ class SpaceDataSource(DataSource):
 
     Options: ``version`` (batch time travel), ``startingVersion``
     (streaming replay start, default 0 = full history),
+    ``readChangeFeed`` (streaming CDC: emit ADD/DELETE change rows with
+    ``_change_type``/``_snapshot_id``/``_change_order`` instead of
+    appended rows — see SpaceChangeFeedStreamReader),
     ``partition_bytes`` (per-InputPartition ceiling), ``fields``
     (comma-separated column projection — Spark's Python data source API
     has no required-columns pushdown, so narrow reads are declared
@@ -497,13 +635,23 @@ class SpaceDataSource(DataSource):
                 raise ValueError(f"Unknown fields {missing}; "
                                  f"table has {phys.fieldNames()}")
             phys = T.StructType([phys[n] for n in names])
+        if _truthy(self.options, "readchangefeed"):
+            phys = (
+                phys.add(_CDF_TYPE, T.StringType())
+                .add(_CDF_SNAPSHOT, T.LongType())
+                .add(_CDF_ORDER, T.IntegerType())
+            )
         return _stamp_location(phys, loc)
 
     def reader(self, schema: T.StructType) -> SpaceBatchReader:
         return SpaceBatchReader(self._location(schema), self.options,
                                 schema)
 
-    def streamReader(self, schema: T.StructType) -> SpaceStreamReader:
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        if _truthy(self.options, "readchangefeed"):
+            return SpaceChangeFeedStreamReader(
+                self._location(schema), self.options, schema
+            )
         return SpaceStreamReader(self._location(schema), self.options,
                                  schema)
 

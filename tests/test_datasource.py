@@ -238,3 +238,50 @@ def test_read_row_range_slice(spark, tmp_location):
     assert full == sorted(r["id"] for r in ds.read().collect())
     with pytest.raises(UserInputError):
         ds.read_row_range(f, -1, 5)
+
+
+def test_change_feed_stream(spark, table, tmp_path):
+    """readChangeFeed streaming: appends emit ADD rows, a CoW delete
+    emits DELETE rows (PKs only, other columns null) — same contents as
+    the batch diff(), delivered as micro-batches with exactly-once
+    progress across restarts."""
+    out_dir = str(tmp_path / "cdf_out")
+    ckpt = str(tmp_path / "cdf_ckpt")
+
+    def drain():
+        (
+            spark.readStream.format("space")
+            .option("readChangeFeed", "true")
+            .load(table.location)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        return spark.read.parquet(out_dir)
+
+    got = drain()
+    assert got.columns == ["id", "val", "_change_type", "_snapshot_id",
+                           "_change_order"]
+    adds = got.where(F.col("_change_type") == "ADD")
+    assert sorted(r.id for r in adds.collect()) == list(range(30))
+    assert got.where(F.col("_change_type") == "DELETE").count() == 0
+
+    # CoW delete: DELETE rows for the removed PKs; survivor-rewrite files
+    # must NOT re-emit as ADDs (added_files covers genuinely new rows only).
+    table.delete(field("id") < 5)
+    got = drain()
+    dels = got.where(F.col("_change_type") == "DELETE")
+    assert sorted(r.id for r in dels.collect()) == list(range(5))
+    assert dels.where(F.col("val").isNotNull()).count() == 0
+    assert dels.agg(F.min("_change_order")).collect()[0][0] == 0
+    adds = got.where(F.col("_change_type") == "ADD")
+    assert sorted(r.id for r in adds.collect()) == list(range(30))
+
+    # Matches the batch change feed over the full history.
+    batch = table.diff(0, None)
+    assert batch.where(F.col("_change_type") == "DELETE").count() == 5
+    n_add_batch = batch.where(F.col("_change_type") == "ADD").count()
+    assert n_add_batch == adds.count()
