@@ -2058,6 +2058,7 @@ def text_quality_rules(spark, sf_dir):
     return out.select(
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
         F.col("n_lines").cast("long").alias("n_lines"),
         "mean_word_len", "alpha_word_frac", "dup_line_frac",
         "bullet_line_frac", "ellipsis_line_frac", "symbol_word_ratio",
@@ -2074,12 +2075,14 @@ WITH docs AS (
 ), s AS (
   SELECT doc_id, t,
     regexp_split_to_array(trim(t), '\s+') AS words,
+    len(regexp_extract_all(t, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+      AS n_bpe,
     string_split(t, chr(10)) AS lines,
     length(t) - length(replace(t, '#', '')) AS hash_cnt,
     (length(t) - length(replace(t, '...', ''))) / 3 AS ell_cnt
   FROM docs
 ), m AS (
-  SELECT doc_id, hash_cnt, ell_cnt,
+  SELECT doc_id, hash_cnt, ell_cnt, n_bpe,
     len(words) AS nw, len(lines) AS nl,
     list_sum(list_transform(words, x -> length(x))) AS wchars,
     len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_w,
@@ -2089,7 +2092,8 @@ WITH docs AS (
   FROM s
 ), r AS (
   SELECT doc_id,
-    nw::BIGINT AS n_words, nl::BIGINT AS n_lines,
+    nw::BIGINT AS n_words, n_bpe::BIGINT AS n_tokens_bpe,
+    nl::BIGINT AS n_lines,
     ROUND(CASE WHEN nw > 0 THEN wchars / nw ELSE 0.0 END, 6)
       AS mean_word_len,
     ROUND(CASE WHEN nw > 0 THEN alpha_w / nw ELSE 0.0 END, 6)

@@ -195,6 +195,20 @@ def chunk_documents(
     )
 
 
+# GPT-2-style pre-tokenizer chunks, restricted to the Java-regex/RE2
+# common dialect (the original's \s+(?!\S) lookahead is dropped — RE2 has
+# no lookaround): a token is an optionally space-prefixed letter run,
+# digit run, or punctuation run. Whitespace itself is not a token.
+BPE_TOKEN_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Subword-style token count: the number of BPE pre-tokenizer chunks
+    — a far better LLM-token estimate than whitespace splitting (which
+    undercounts punctuation-heavy and number-heavy text)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
 def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition/quality signals per document (Rae et al.
     2021, §A1.1 — the standard cheap corpus filters): mean word length,
@@ -228,6 +242,7 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = out.select(
         *df.columns,
         nw.alias("n_words"),
+        token_count_bpe(t).alias("n_tokens_bpe"),
         nl.alias("n_lines"),
         F.round(F.when(nw > 0, word_chars / nw).otherwise(F.lit(0.0)), 6)
         .alias("mean_word_len"),
