@@ -2188,6 +2188,127 @@ GROUP BY host
 """
 
 
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any token 8-gram
+    with the held-out 'benchmark' slice (doc_id % 11 == 0 stands in for
+    an eval suite). The benchmark gram set is broadcast, so the corpus
+    never shuffles — the GPT-3/Pile eval-leak filter at ingest cost."""
+    from space_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 11 == 0)
+    corpus = docs.where(F.col("doc_id") % 11 != 0)
+    return decontaminate(corpus, bench, "doc_id", "text", n=8)
+
+
+TEXT_DECONTAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(0, GREATEST(len(w) - 8, 0)),
+    i -> array_to_string(w[i+1:i+8], ' '))) AS g
+  FROM toks
+), bench AS (
+  SELECT DISTINCT UNNEST(g) AS gram FROM grams WHERE doc_id % 11 = 0
+), corpus AS (
+  SELECT doc_id, UNNEST(g) AS gram FROM grams WHERE doc_id % 11 != 0
+)
+SELECT c.doc_id, COUNT(*)::BIGINT AS n_shared_grams
+FROM corpus c JOIN bench b USING (gram)
+GROUP BY c.doc_id
+"""
+
+
+DOMAIN_MIX_WEIGHTS = {
+    "en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15,
+}
+
+
+def sample_domain_mix(spark, sf_dir):
+    """Domain-mixture resampling: downsample each language so the kept
+    corpus matches the target mix (40% en, 15% each of de/es/fr/zh) —
+    the mixture-weights step of a pretraining pipeline. Exact integer
+    quotas from a broadcast count table; rows kept by hash rank."""
+    from space_spark.operators.sampling import domain_mix_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return domain_mix_sample(docs, "lang", "doc_id", DOMAIN_MIX_WEIGHTS)
+
+
+DOMAIN_MIX_SQL = """
+WITH w(lang, wt) AS (VALUES
+  ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
+  ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+  ('zh', CAST(0.15 AS DOUBLE))),
+d AS (
+  SELECT doc_id, documents.lang, wt FROM documents JOIN w
+  ON documents.lang = w.lang
+), counts AS (
+  SELECT lang, wt, COUNT(*) AS n FROM d GROUP BY lang, wt
+), t AS (
+  SELECT MIN(FLOOR(n / wt)) AS t FROM counts
+), quotas AS (
+  SELECT lang, FLOOR(wt * t.t) AS quota FROM counts, t
+), ranked AS (
+  SELECT doc_id, lang,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+      ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
+        ::BIGINT % 10000, doc_id) AS rn
+  FROM d
+)
+SELECT r.doc_id, r.lang FROM ranked r JOIN quotas q
+ON r.lang = q.lang WHERE r.rn <= q.quota
+"""
+
+
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup over the embedding corpus: 16 deterministic clusters,
+    in-cluster cosine >= 0.4 marks the higher-id vector a duplicate of
+    the smallest matching id (the synthetic embeddings are near-uniform
+    on the sphere — max pairwise cosine ~0.51 — so 0.4 is the regime
+    where the dup-marking path does real work)."""
+    from space_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "vec_id", "embedding", n_clusters=16,
+                          threshold=0.4).select(
+        "vec_id", F.col("list_id").cast("long").alias("list_id"),
+        "dup_of", "is_dup",
+    )
+
+
+def _semantic_dedup_sql(n_clusters: int = 16, threshold: float = 0.4) -> str:
+    from space_spark.operators.similarity import (
+        KNUTH_ID_MOD,
+        KNUTH_MOD,
+        KNUTH_MULT,
+    )
+
+    key = f"((id % {KNUTH_ID_MOD}) * {KNUTH_MULT}) % {KNUTH_MOD}"
+    csim = f"ROUND({_cosine_sql('s.v', 'c.cent_v')}, 6)"
+    return f"""
+WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY {key}, id) AS cent_id, v AS cent_v
+  FROM v ORDER BY {key}, id LIMIT {n_clusters}
+), c_assign AS (
+  SELECT id, v, list_id FROM (
+    SELECT s.id, s.v, c.cent_id AS list_id, ROW_NUMBER() OVER (
+      PARTITION BY s.id ORDER BY {csim} DESC, c.cent_id) AS r
+    FROM v s, cents c) WHERE r <= 1
+), pairs AS (
+  SELECT b.id AS id, a.id AS winner
+  FROM c_assign a JOIN c_assign b ON a.list_id = b.list_id AND a.id < b.id
+  WHERE ROUND({_cosine_sql('a.v', 'b.v')}, 6) >= {threshold}
+), dups AS (SELECT id, MIN(winner) AS dup_of FROM pairs GROUP BY id)
+SELECT c.id AS vec_id, c.list_id, d.dup_of,
+       d.dup_of IS NOT NULL AS is_dup
+FROM c_assign c LEFT JOIN dups d USING (id)
+"""
+
+
 def text_vocab_topk(spark, sf_dir):
     """Corpus vocabulary construction: top-100 tokens by frequency."""
     from space_spark.operators.text import vocab_topk
@@ -2674,12 +2795,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_cluster_labels": dedup_cluster_labels,
-        # -- analytics kept in-window this round (custom operators +
-        #    window/set/rollup shapes)
-        "q_asof_signup": q_asof_signup,
+        # -- new curation/sampling operators (never gate-checked):
+        #    decontamination, SemDeDup, domain-mixture resampling
+        "text_decontaminate": text_decontaminate,
+        "dedup_semantic": dedup_semantic,
+        "sample_domain_mix": sample_domain_mix,
+        # -- analytics kept in-window this round (range-band custom join)
         "q_range_band": q_range_band,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q_order_rollup": q_order_rollup,
         # -- new this round (never gate-checked): TPC-H shapes 8/9/11/16/
         #    20/21 + Gopher quality rules + PII scrub + URL host stats
         "q8_market_share": q8_market_share,
@@ -2692,8 +2814,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": text_pii_scrub,
         "text_url_hosts": text_url_hosts,
         # ---- round-4 gate window ends here (50 entries) ----
-        # -- displaced by the new queries (r2+r3 green, pure SQL); MUST
-        #    return to the window in round 5 with the block below
+        # -- displaced by the new queries (r2+r3 green); MUST return to
+        #    the window in round 5 with the block below
+        "q_asof_signup": q_asof_signup,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q_order_rollup": q_order_rollup,
         "q_sessionize": q_sessionize,
         "q_tumbling_window": q_tumbling_window,
         "q_window_user_events": q_window_user_events,
@@ -2766,6 +2891,9 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_rules": TEXT_QUALITY_SQL,
         "text_pii_scrub": TEXT_PII_SQL,
         "text_url_hosts": TEXT_URL_HOSTS_SQL,
+        "text_decontaminate": TEXT_DECONTAM_SQL,
+        "dedup_semantic": _semantic_dedup_sql(),
+        "sample_domain_mix": DOMAIN_MIX_SQL,
         "q_asof_signup": Q_ASOF_SQL,
         "q_range_band": Q_RANGE_SQL,
         "space_filter_project": SPACE_FILTER_SQL,

@@ -660,3 +660,50 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ------------------------------------------------------------ decontamination
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    bench_text_col: Optional[str] = None,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the number of
+    distinct token ``n``-grams it shares with a benchmark/eval set — the
+    GPT-3 appendix-C / The-Pile style overlap filter used to strip eval
+    leakage from pretraining corpora (13-grams there; ``n`` is a knob
+    because small eval suites warrant shorter grams).
+
+    Returns (id_col, n_shared_grams) for contaminated documents only;
+    anti-joining the corpus against this result yields the clean set.
+
+    Scale design: the benchmark side is an eval suite — megabytes, not
+    terabytes — so its distinct-gram set is **broadcast**; the corpus side
+    is a projection + explode whose grams meet the broadcast hash map
+    map-side, so NO corpus bytes shuffle. The only exchange is the final
+    per-doc count aggregation over matched (doc, gram) hits, which is
+    bounded by contamination volume, not corpus size. Grams join as raw
+    strings (not hashes): equality on the broadcast side is exact, spares
+    a hash pass, and keeps the operator bit-identical to the ANSI-SQL
+    oracle."""
+    bench_text_col = bench_text_col or text_col
+    bgrams = (
+        benchmark.select(
+            F.explode(_token_ngrams(F.col(bench_text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    corpus = df.select(
+        F.col(id_col),
+        F.explode(_token_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    # _token_ngrams is distinct per document, so count(*) counts distinct
+    # shared grams.
+    return (
+        corpus.join(F.broadcast(bgrams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

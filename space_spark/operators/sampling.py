@@ -110,3 +110,64 @@ def stratified_sample(
         .where(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
         .drop("__rn", "__n")
     )
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weights: Dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic domain-mixture resampling: downsample each group so
+    the kept corpus matches the target proportions ``weights`` — the
+    mixture-rebalancing step of a pretraining data pipeline (e.g. language
+    or source balancing a la The Pile / Dolma mixture weights).
+
+    The largest corpus achieving the target mix exactly is kept: with
+    group counts n_g and normalized weights w_g, the feasible total is
+    T = min_g floor(n_g / w_g) and each group keeps floor(w_g * T) rows —
+    integer arithmetic, so every engine agrees. Rows within a group are
+    kept by hash-bucket rank (id tie-break), so the kept set is
+    pseudo-random, reproducible, and stable run-to-run. Groups absent
+    from ``weights`` are dropped (weight 0).
+
+    Plan shape: one tiny group-count aggregate (|groups| rows — the quota
+    table, broadcast back), then one hash shuffle of the corpus on the
+    group column for the rank window. No global window, no driver-side
+    row data; the only driver state is the weights dict itself. At 100 TB
+    the quota aggregate is a map-side-combined count and the rank shuffle
+    is the same discipline as ``stratified_sample``."""
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("Domain weights must have positive mass")
+    norm = {k: v / total_w for k, v in weights.items()}
+    w_map = F.create_map(
+        *[F.lit(x) for kv in norm.items() for x in kv]
+    )
+    weighted = (
+        df.withColumn("__w", w_map[F.col(group_col)])
+        .where(F.col("__w").isNotNull() & (F.col("__w") > 0))
+    )
+    # Quota table: n_g per group -> feasible total T = min_g floor(n_g /
+    # w_g) (a 1-row sub-aggregate, cross-joined back) -> quota_g =
+    # floor(w_g * T). |groups| rows: always broadcast.
+    counts = weighted.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n"), F.first("__w").alias("__gw")
+    )
+    t = counts.agg(
+        F.min(F.floor(F.col("__n") / F.col("__gw"))).alias("__t")
+    )
+    quotas = counts.crossJoin(F.broadcast(t)).select(
+        group_col,
+        F.floor(F.col("__gw") * F.col("__t")).alias("__quota"),
+    )
+    bucket = hash_bucket(F.col(id_col), seed)
+    rw = Window.partitionBy(group_col).orderBy(bucket.asc(),
+                                              F.col(id_col).asc())
+    return (
+        weighted.join(F.broadcast(quotas), on=group_col)
+        .withColumn("__rn", F.row_number().over(rw))
+        .where(F.col("__rn") <= F.col("__quota"))
+        .drop("__w", "__rn", "__quota")
+    )

@@ -465,3 +465,66 @@ def _neardup_exact_gemm(v: DataFrame, threshold: float) -> DataFrame:
             )
 
     return v.mapInPandas(task, out_schema)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    refine: bool = False,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus — cluster, then mark every vector
+    whose cosine similarity to a higher-priority vector IN THE SAME
+    cluster exceeds ``threshold`` as a duplicate of the smallest such id.
+
+    Returns (id_col, list_id, dup_of, is_dup); filtering ``NOT is_dup``
+    yields the semantically-deduplicated corpus, and ``dup_of`` gives the
+    retained representative (min-id winner — deterministic).
+
+    Scale design: the pairwise comparison is confined to clusters — the
+    whole point of SemDeDup at corpus scale is that ``n_clusters`` grows
+    with the corpus (the paper uses 50k clusters for LAION), keeping each
+    cluster's pair count tractable. Assignment is a broadcast join against
+    the centroid set (centroids are small at any corpus size); the
+    in-cluster self-join is a hash shuffle on list_id, so each task sees
+    one cluster, never the corpus. Deterministic centroid choice (Knuth
+    sample, see ``ivf_centroids``) keeps the default bit-for-bit
+    reproducible in ANSI SQL; ``refine=True`` trades that for one Lloyd
+    sweep of centroid quality."""
+    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = ivf_centroids(v, n_clusters, refine=refine)
+    scored_c = v.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", F.round(cosine(F.col("v"), F.col("cent_v")), 6)
+    )
+    aw = Window.partitionBy("id").orderBy(
+        F.col("csim").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        scored_c.withColumn("__r", F.row_number().over(aw))
+        .where(F.col("__r") == 1)
+        .select("id", "v", F.col("cent_id").alias("list_id"))
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    # In-cluster pairs above threshold; AQE would broadcast one whole side
+    # at test scale — pin the shuffle-hash join that survives 100 TB.
+    pairs = (
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.list_id") == F.col("b.list_id"))
+              & (F.col("a.id") < F.col("b.id")))
+        .where(F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+               >= F.lit(threshold))
+        .select(F.col("b.id").alias("id"), F.col("a.id").alias("winner"))
+    )
+    dups = pairs.groupBy("id").agg(F.min("winner").alias("dup_of"))
+    return (
+        assigned.join(dups, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            "list_id",
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )

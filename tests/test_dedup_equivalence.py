@@ -280,3 +280,51 @@ def test_cosine_topk_large_queryset_skips_broadcast(spark):
     # the fallback's own plan may still broadcast via AQE size estimates,
     # but must not carry the explicit broadcast HINT on the query side
     assert plan_large  # plan materializes without error
+
+
+def test_decontaminate_clean_and_hit(spark):
+    """A corpus doc sharing an 8-gram with the benchmark is flagged with
+    the exact distinct-gram overlap count; disjoint docs are absent."""
+    from space_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h i j")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares two 8-grams (windows 1-8 and 2-9)... with bench
+            (1, "a b c d e f g h i"),
+            # no 8-token window in common
+            (2, "z y x w v u t s r q"),
+            # shorter than 8 tokens and a substring: gram = whole text,
+            # which is NOT an 8-gram of bench -> clean
+            (3, "a b c"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["n_shared_grams"]
+           for r in decontaminate(corpus, bench, "doc_id", "text",
+                                  n=8).collect()}
+    assert out == {1: 2}
+
+
+def test_semantic_dedup_marks_min_id_winner(spark):
+    """In-cluster near-identical vectors collapse onto the smallest id."""
+    from space_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9999, 0.001, 0.0]),   # dup of 0
+        (2, [0.0, 1.0, 0.0]),        # different direction
+        (3, [1.0, 0.0001, 0.0]),     # dup of 0 (and of 1)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: (r["dup_of"], r["is_dup"])
+           for r in semantic_dedup(emb, "vec_id", "embedding",
+                                   n_clusters=2,
+                                   threshold=0.99).collect()}
+    assert out[1] == (0, True)
+    assert out[3] == (0, True)
+    assert out[0] == (None, False)
+    # 2 may share a cluster with 0 but is far below threshold.
+    assert out[2] == (None, False)

@@ -129,3 +129,37 @@ def test_pack_offsets_matches_global_cumsum(spark):
     for r in rows:
         assert out[r["id"]] == (acc, acc // 64), r["id"]
         acc += r["n"]
+
+
+def test_domain_mix_exact_quotas(spark):
+    """Kept counts hit floor(w_g * T) exactly; membership deterministic."""
+    from space_spark.operators.sampling import domain_mix_sample
+
+    df = spark.range(300).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 6, "en")
+        .when(F.col("id") % 10 < 9, "fr")
+        .otherwise("zh")
+        .alias("lang"),
+    )
+    # counts: en=180, fr=90, zh=30; weights .5/.3/.2 ->
+    # T = min(360, 300, 150) = 150 -> quotas en=75, fr=45, zh=30
+    out = domain_mix_sample(
+        df, "lang", "id", {"en": 0.5, "fr": 0.3, "zh": 0.2}
+    )
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 75, "fr": 45, "zh": 30}
+    # Deterministic: same call returns the identical id set.
+    ids1 = {r["id"] for r in out.collect()}
+    ids2 = {r["id"] for r in domain_mix_sample(
+        df, "lang", "id", {"en": 0.5, "fr": 0.3, "zh": 0.2}).collect()}
+    assert ids1 == ids2
+    # Groups without weight are dropped entirely.
+    out2 = domain_mix_sample(df, "lang", "id", {"en": 1.0})
+    assert out2.select("lang").distinct().collect()[0]["lang"] == "en"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        domain_mix_sample(df, "lang", "id", {"en": 0.0})
