@@ -69,16 +69,21 @@ def cosine_topk(
     broadcast OOM; at that scale prefer ``ivf_topk``/``lsh_bucket_topk``."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     n_queries = q.limit(broadcast_max + 1).count()
     q_side = F.broadcast(q) if n_queries <= broadcast_max else q
+    # Norms cached per row (same doubles, same rounded score): the
+    # per-candidate cost is one array fold, not three.
     scored = (
         c.join(q_side, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")),
-                                     round_digits))
+        .withColumn(
+            "score",
+            F.round(dot(F.col("qv"), F.col("cv"))
+                    / (F.col("qn") * F.col("cn")), round_digits),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -132,11 +137,13 @@ def lsh_bucket_topk(
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes)) \
+        .withColumn("cn", norm(F.col("cv")))
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("bucket0", lsh_bucket(F.col("qv"), planes))
+    ).withColumn("bucket0", lsh_bucket(F.col("qv"), planes)) \
+        .withColumn("qn", norm(F.col("qv")))
     # Multi-probe: enumerate buckets at hamming distance <= probes.
     probe_buckets = [F.col("bucket0")]
     if probes >= 1:
@@ -151,8 +158,11 @@ def lsh_bucket_topk(
     scored = (
         c.join(q, on="bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")),
-                                     round_digits))
+        .withColumn(
+            "score",
+            F.round(dot(F.col("qv"), F.col("cv"))
+                    / (F.col("qn") * F.col("cn")), round_digits),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -272,9 +282,21 @@ def ivf_topk(
     if gemm:
         assign = _ivf_assign_gemm(cents)
     else:
+        # Norms cached per row / per centroid pre-join (bit-identical:
+        # sqrt(dot(v,v)) is the same double either way), so assignment and
+        # probe scoring each cost one array fold per candidate, not three.
+        cn_ = F.broadcast(cents.withColumn("cnrm", norm(F.col("cent_v"))))
+
         def assign(side: DataFrame, top_n: int) -> DataFrame:
-            scored_c = side.crossJoin(F.broadcast(cents)).withColumn(
-                "csim", F.round(cosine(F.col("v"), F.col("cent_v")), 6)
+            scored_c = side.withColumn("nrm", norm(F.col("v"))).crossJoin(
+                cn_
+            ).withColumn(
+                "csim",
+                F.round(
+                    dot(F.col("v"), F.col("cent_v"))
+                    / (F.col("nrm") * F.col("cnrm")),
+                    6,
+                ),
             )
             w = Window.partitionBy("id").orderBy(
                 F.col("csim").desc(), F.col("cent_id").asc()
@@ -282,21 +304,30 @@ def ivf_topk(
             return (
                 scored_c.withColumn("__r", F.row_number().over(w))
                 .where(F.col("__r") <= top_n)
-                .select("id", "v", F.col("cent_id").alias("list_id"))
+                .select("id", "v", "nrm", F.col("cent_id").alias("list_id"))
             )
 
+    keep_n = [] if gemm else ["nrm"]
     c_assigned = assign(v, 1).select(
-        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "list_id"
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "list_id",
+        *[F.col(c).alias("cn") for c in keep_n]
     )
     q_assigned = assign(q, n_probe).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv"), "list_id"
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "list_id",
+        *[F.col(c).alias("qn") for c in keep_n]
     )
 
+    if gemm:
+        score_expr = F.round(cosine(F.col("qv"), F.col("cv")), round_digits)
+    else:
+        score_expr = F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            round_digits,
+        )
     scored = (
         c_assigned.join(q_assigned, on="list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")),
-                                     round_digits))
+        .withColumn("score", score_expr)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -397,14 +428,21 @@ def neardup_pairs(
     if exact:
         return _neardup_exact_gemm(v, threshold)
     planes = _hyperplanes(dim, n_planes, seed)
-    vb_ = v.withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    # Norm cached per row pre-join (bit-identical: the rounded cosine is
+    # built from the same doubles), so each candidate pair costs one dot.
+    vb_ = v.withColumn("bucket", lsh_bucket(F.col("v"), planes)) \
+        .withColumn("nrm", norm(F.col("v")))
     a = vb_.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                   "bucket")
+                   F.col("nrm").alias("na"), "bucket")
     b = vb_.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                   "bucket")
+                   F.col("nrm").alias("nb"), "bucket")
     pairs = a.join(b, on="bucket").where(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        pairs.withColumn(
+            "score",
+            F.round(dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb")), 4),
+        )
         .where(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
@@ -496,8 +534,20 @@ def semantic_dedup(
     sweep of centroid quality."""
     v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     cents = ivf_centroids(v, n_clusters, refine=refine)
-    scored_c = v.crossJoin(F.broadcast(cents)).withColumn(
-        "csim", F.round(cosine(F.col("v"), F.col("cent_v")), 6)
+    # Cache each vector's norm as a scalar column before any join: the
+    # pair predicate then costs ONE array fold (the dot) instead of
+    # three, with bit-identical results — sqrt(dot(v,v)) is the same
+    # double whether computed inline per pair or once per row, so the
+    # rounded cosine (and the SQL oracle) are unchanged.
+    vn = v.withColumn("nrm", norm(F.col("v")))
+    cn = F.broadcast(cents.withColumn("cnrm", norm(F.col("cent_v"))))
+    scored_c = vn.crossJoin(cn).withColumn(
+        "csim",
+        F.round(
+            dot(F.col("v"), F.col("cent_v"))
+            / (F.col("nrm") * F.col("cnrm")),
+            6,
+        ),
     )
     aw = Window.partitionBy("id").orderBy(
         F.col("csim").desc(), F.col("cent_id").asc()
@@ -505,7 +555,7 @@ def semantic_dedup(
     assigned = (
         scored_c.withColumn("__r", F.row_number().over(aw))
         .where(F.col("__r") == 1)
-        .select("id", "v", F.col("cent_id").alias("list_id"))
+        .select("id", "v", "nrm", F.col("cent_id").alias("list_id"))
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     # In-cluster pairs above threshold; AQE would broadcast one whole side
@@ -514,8 +564,14 @@ def semantic_dedup(
         a.hint("shuffle_hash")
         .join(b, (F.col("a.list_id") == F.col("b.list_id"))
               & (F.col("a.id") < F.col("b.id")))
-        .where(F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
-               >= F.lit(threshold))
+        .where(
+            F.round(
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            )
+            >= F.lit(threshold)
+        )
         .select(F.col("b.id").alias("id"), F.col("a.id").alias("winner"))
     )
     dups = pairs.groupBy("id").agg(F.min("winner").alias("dup_of"))
