@@ -1232,22 +1232,23 @@ def q21_waiting_suppliers(spark, sf_dir):
         (F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate")
          > 60 * 86400),
     )
+    late_supp = F.when(F.col("is_late"), F.col("l_suppkey"))
     per_order = j.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+        F.countDistinct(late_supp).alias("n_late_supp"),
+        # With exactly one late supplier (the filter below), max() IS
+        # that supplier, and the late-row count is attributable to it —
+        # so the join-back second lineitem pass is unnecessary.
+        F.max(late_supp).alias("late_supp"),
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0))
+        .alias("n_late_rows"),
     ).where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-    late_rows = j.where(F.col("is_late")).select("l_orderkey", "l_suppkey")
-    culprits = late_rows.join(
-        per_order.select("l_orderkey"), "l_orderkey", "left_semi"
-    )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        culprits.join(F.broadcast(supp),
-                      culprits.l_suppkey == supp.s_suppkey)
+        per_order.join(F.broadcast(supp),
+                       per_order.late_supp == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_rows").cast("long").alias("numwait"))
     )
 
 

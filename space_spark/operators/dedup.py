@@ -690,6 +690,7 @@ def decontaminate(
     a hash pass, and keeps the operator bit-identical to the ANSI-SQL
     oracle."""
     bench_text_col = bench_text_col or text_col
+    df = _fan_out(df)  # single-file corpora arrive as one partition
     bgrams = (
         benchmark.select(
             F.explode(_token_ngrams(F.col(bench_text_col), n)).alias("gram")

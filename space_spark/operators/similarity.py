@@ -70,9 +70,11 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).withColumn("qn", norm(F.col("qv")))
-    c = corpus.select(
+    from space_spark.operators.dedup import _fan_out
+
+    c = _fan_out(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
+    )).withColumn("cn", norm(F.col("cv")))
     n_queries = q.limit(broadcast_max + 1).count()
     q_side = F.broadcast(q) if n_queries <= broadcast_max else q
     # Norms cached per row (same doubles, same rounded score): the
@@ -134,10 +136,12 @@ def lsh_bucket_topk(
     query's bucket (multi-probe LSH), trading compute for recall. The join
     is a hash shuffle on bucket id — at 100 TB no task ever sees the whole
     corpus."""
+    from space_spark.operators.dedup import _fan_out
+
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
+    c = _fan_out(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes)) \
+    )).withColumn("bucket", lsh_bucket(F.col("cv"), planes)) \
         .withColumn("cn", norm(F.col("cv")))
 
     q = queries.select(
@@ -275,7 +279,11 @@ def ivf_topk(
     inverted list, never the whole corpus. ``gemm=True`` swaps assignment
     for a blocked numpy GEMM against the broadcast centroid matrix (BLAS
     throughput for wide corpora; same lists except float-boundary ties)."""
-    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    from space_spark.operators.dedup import _fan_out
+
+    v = _fan_out(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
     q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     cents = ivf_centroids(v, n_centroids, refine=refine)
 
@@ -424,7 +432,11 @@ def neardup_pairs(
     ``exact=True`` brute-forces all pairs (oracle/baseline); default uses
     LSH buckets: near-identical vectors share all sign bits with high
     probability, so candidates co-locate in one shuffle."""
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    from space_spark.operators.dedup import _fan_out
+
+    v = _fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
     if exact:
         return _neardup_exact_gemm(v, threshold)
     planes = _hyperplanes(dim, n_planes, seed)
@@ -532,7 +544,13 @@ def semantic_dedup(
     sample, see ``ivf_centroids``) keeps the default bit-for-bit
     reproducible in ANSI SQL; ``refine=True`` trades that for one Lloyd
     sweep of centroid quality."""
-    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    from space_spark.operators.dedup import _fan_out
+
+    # A single-file embedding table arrives as ONE partition; every
+    # in-cluster dot would then run on one core. Fan out first.
+    v = _fan_out(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
     cents = ivf_centroids(v, n_clusters, refine=refine)
     # Cache each vector's norm as a scalar column before any join: the
     # pair predicate then costs ONE array fold (the dot) instead of
@@ -557,6 +575,13 @@ def semantic_dedup(
         .where(F.col("__r") == 1)
         .select("id", "v", "nrm", F.col("cent_id").alias("list_id"))
     )
+    # Pin the pair stage's parallelism: its bytes are tiny but its CPU is
+    # quadratic-in-cluster-size, so AQE's byte-based coalescing would run
+    # it on ONE core at small scale. An explicit-count repartition is
+    # exempt from AQE coalescing, and hash-partitioning by the join key
+    # means both self-join sides are co-partitioned (no further shuffle).
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    assigned = assigned.repartition(par, "list_id")
     a, b = assigned.alias("a"), assigned.alias("b")
     # In-cluster pairs above threshold; AQE would broadcast one whole side
     # at test scale — pin the shuffle-hash join that survives 100 TB.
