@@ -486,33 +486,33 @@ class Dataset:
 
     def insert(self, df: DataFrame) -> "Dataset":
         """Append that FAILS if any input primary key exists
-        (ops/insert.py:38-134). The existence probe is a broadcast-friendly
-        left-semi join instead of the reference's O(n) OR-of-AND filter."""
+        (ops/insert.py:38-134). The existence probe is manifest-pruned by
+        the input keys' min/max range (the same ``_keys_range_expr``
+        discipline as the upsert/delete probe) and runs as a
+        broadcast-friendly left-semi join — a small insert into a huge
+        clustered table scans only the files whose stats overlap the
+        input keys, never the table. (The reference probes with an O(n)
+        OR-of-AND filter over the full table.)"""
         df = self._align(df)
         self.reload()
         pks = self.primary_keys
-        # One job validates both invariants (duplicate keys within the
-        # input, and input keys already present): union-tag + aggregate,
-        # instead of two separate probe jobs.
-        new_keys = df.select(*pks).withColumn("__new", F.lit(1))
-        old_keys = self.read(fields=pks).withColumn("__new", F.lit(0))
-        bad = (
-            new_keys.unionByName(old_keys)
-            .groupBy(*pks)
-            .agg(F.sum("__new").alias("n_new"), F.count(F.lit(1)).alias("n"))
-            .where(
-                (F.col("n_new") > 1)
-                | ((F.col("n_new") >= 1) & (F.col("n") > F.col("n_new")))
+        # One aggregate yields the input-duplicate check (raises), the
+        # key count (join-strategy choice) and the range bounds (prune).
+        n_keys, bounds = self._check_duplicate_pks(df)
+        if n_keys:
+            old_keys = self.read(
+                filter_=self._keys_range_expr(bounds), fields=pks
             )
-            .limit(1)
-            .collect()
-        )
-        if bad:
-            if bad[0]["n_new"] > 1:
-                raise UserInputError("Input data has duplicate primary keys")
-            raise PrimaryKeyExistError(
-                "insert: input primary keys already exist (use upsert)"
+            keys = self._keys_join_side(df.select(*pks), n_keys)
+            clash = (
+                old_keys.join(keys, on=pks, how="left_semi")
+                .limit(1)
+                .collect()
             )
+            if clash:
+                raise PrimaryKeyExistError(
+                    "insert: input primary keys already exist (use upsert)"
+                )
         return self.append(df)
 
     def upsert(self, df: DataFrame) -> "Dataset":
