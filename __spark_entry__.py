@@ -1424,6 +1424,39 @@ SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 2
 """
 
 
+def space_rename_read(spark, sf_dir):
+    """Schema evolution: column RENAME is metadata-only over immutable
+    physical names (core/dataset.py rename_column — the evolution the
+    reference's field-ID design reserves, core/schema/arrow.py:28-31).
+    Appends before AND after two renames (one PK), filters on a renamed
+    column, and reads mixed-era files through one logical schema."""
+    from space_spark import Dataset, field
+
+    cust = _t(spark, sf_dir, "customer")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/cust_rn", cust.schema, ["c_custkey"]
+    )
+    half = cust.where(F.col("c_custkey") % 2 == 0)
+    ds.append(half)
+    ds.rename_column("c_custkey", "customer_id")
+    ds.rename_column("c_acctbal", "balance")
+    ds.append(
+        cust.where(F.col("c_custkey") % 2 == 1)
+        .withColumnRenamed("c_custkey", "customer_id")
+        .withColumnRenamed("c_acctbal", "balance")
+    )
+    return ds.read(
+        filter_=field("balance") >= 0.0,
+        fields=["customer_id", "c_name", "balance"],
+    )
+
+
+SPACE_RENAME_SQL = """
+SELECT c_custkey AS customer_id, c_name, c_acctbal AS balance
+FROM customer WHERE c_acctbal >= 0.0
+"""
+
+
 def space_delete_read(spark, sf_dir):
     """M4: copy-on-write delete."""
     from space_spark import Dataset, field
@@ -2817,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-4 gate window ends here (50 entries) ----
         # -- displaced by the new queries (r2+r3 green); MUST return to
         #    the window in round 5 with the block below
+        "space_rename_read": space_rename_read,
         "q_asof_signup": q_asof_signup,
         "q1_pricing_summary": q1_pricing_summary,
         "q_order_rollup": q_order_rollup,
@@ -2914,6 +2948,7 @@ def oracle_sql() -> dict[str, str]:
         "space_lineitem_clustered": SPACE_LINEITEM_SQL,
         "space_zorder_pruned": SPACE_ZORDER_SQL,
         "space_sql_table": SPACE_SQL_TABLE_SQL,
+        "space_rename_read": SPACE_RENAME_SQL,
         "dedup_exact_documents": DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
         "dedup_minhash_lsh": MINHASH_LSH_SQL,

@@ -171,11 +171,52 @@ class Dataset:
     def current_snapshot_id(self) -> int:
         return self.metadata.branches[self.branch]
 
+    # -- logical/physical name boundary (column rename support) -------------
+    # Data files and manifest stats are written under immutable PHYSICAL
+    # names (the name at create/add_column time); ``rename_column`` only
+    # changes the LOGICAL name in metadata. The entire translation lives
+    # in four seams: _read_files aliases physical->logical, _to_physical
+    # renames logical->physical right before any data/changelog write,
+    # _phys_expr translates filters at the manifest-pruning boundary, and
+    # _stats_fields/_physical_schema speak physical. Everything between
+    # those seams — probes, survivors, diff, views — speaks logical.
+
+    @property
+    def renames(self) -> Dict[str, str]:
+        """Current logical name -> immutable physical name (renamed
+        columns only)."""
+        return self.metadata.renames
+
+    def _phys_name(self, name: str) -> str:
+        return self.metadata.renames.get(name, name)
+
+    def _log_map(self) -> Dict[str, str]:
+        return {v: k for k, v in self.metadata.renames.items()}
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        return df.withColumnsRenamed(self.metadata.renames) \
+            if self.metadata.renames else df
+
+    def _to_logical(self, df: DataFrame) -> DataFrame:
+        return df.withColumnsRenamed(self._log_map()) \
+            if self.metadata.renames else df
+
+    def _phys_expr(self, expr):
+        from space_spark.core.expressions import rename_fields
+
+        return rename_fields(expr, self.metadata.renames)
+
     def _stats_fields(self):
-        return sc.stats_fields(self.schema, self.record_fields)
+        return sc.stats_fields(
+            sc.rename_struct(self.schema, self.metadata.renames),
+            [self._phys_name(f) for f in self.record_fields],
+        )
 
     def _physical_schema(self) -> T.StructType:
-        return sc.physical_schema(self.schema, self.record_fields)
+        return sc.physical_schema(
+            sc.rename_struct(self.schema, self.metadata.renames),
+            [self._phys_name(f) for f in self.record_fields],
+        )
 
     # ---------------------------------------------------------------- reading
     def _manifest_abs_paths(self, snapshot: md.Snapshot) -> List[str]:
@@ -190,18 +231,23 @@ class Dataset:
         return mf.prune_files(
             self.spark,
             self._manifest_abs_paths(snapshot),
-            filter_,
+            self._phys_expr(filter_),
             self._stats_fields(),
         )
 
     def _read_files(
         self, rel_files: List[str], schema: Optional[T.StructType] = None
     ) -> DataFrame:
+        """File read under PHYSICAL names, aliased back to the current
+        LOGICAL names before returning — the read half of the rename
+        boundary (every downstream consumer speaks logical)."""
         schema = schema or self._physical_schema()
         if not rel_files:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(
-            *[self.log.abs_path(f) for f in rel_files]
+            return self._to_logical(self.spark.createDataFrame([], schema))
+        return self._to_logical(
+            self.spark.read.schema(schema).parquet(
+                *[self.log.abs_path(f) for f in rel_files]
+            )
         )
 
     def read(
@@ -232,7 +278,7 @@ class Dataset:
         files = mf.prune_files(
             self.spark,
             self._manifest_abs_paths(snapshot),
-            filter_,
+            self._phys_expr(filter_),
             self._stats_fields(),
         )
         return self.read_files(
@@ -321,7 +367,10 @@ class Dataset:
         absdir = self.log.abs_path(commit_reldir)
         if self.record_fields and not physical:
             df = rec.write_record_fields(df, self.location, self.record_fields)
-        df.write.parquet(absdir)
+        # Write half of the rename boundary: files always land under the
+        # immutable PHYSICAL names, keeping every data file uniform across
+        # renames (stats/pruning stay consistent table-wide).
+        self._to_physical(df).write.parquet(absdir)
         rel_files = sorted(
             os.path.join(commit_reldir, name)
             for name in os.listdir(absdir)
@@ -765,7 +814,7 @@ class Dataset:
             candidates = mf.prune_files(
                 self.spark,
                 self._manifest_abs_paths(snapshot),
-                prune_expr,
+                self._phys_expr(prune_expr),
                 self._stats_fields(),
             )
             if not candidates:
@@ -878,7 +927,7 @@ class Dataset:
         files = mf.prune_files(
             self.spark,
             self._manifest_abs_paths(snapshot),
-            self._keys_range_expr(bounds),
+            self._phys_expr(self._keys_range_expr(bounds)),
             self._stats_fields(),
         )
         if not files:
@@ -914,7 +963,12 @@ class Dataset:
         pks = self.primary_keys
         deletes_rel = self.log.new_deletes_relpath().replace(".parquet", "")
         abs_del = self.log.abs_path(deletes_rel)
-        matches.select(*pks, "__file", "__pos").write.parquet(abs_del)
+        # Changelog PK files are written under PHYSICAL names too, so the
+        # delete stream stays uniform across column renames.
+        matches.select(
+            *[F.col(k).alias(self._phys_name(k)) for k in pks],
+            "__file", "__pos",
+        ).write.parquet(abs_del)
         try:
             tbl = pq.read_table(abs_del, columns=["__file"])
         except Exception:
@@ -960,7 +1014,7 @@ class Dataset:
             candidates = mf.prune_files(
                 self.spark,
                 self._manifest_abs_paths(snapshot),
-                prune_expr,
+                self._phys_expr(prune_expr),
                 self._stats_fields(),
             )
             if not candidates:
@@ -1431,6 +1485,11 @@ class Dataset:
                     f"Column {name!r} was previously dropped; reusing the "
                     "name would collide with old data files"
                 )
+            if name in set(meta.renames.values()):
+                raise UserInputError(
+                    f"Column name {name!r} is the physical name of a "
+                    "renamed column; data files already carry it"
+                )
             next_id = max(meta.field_ids.values(), default=0) + 1
             meta.schema = T.StructType(
                 meta.schema.fields
@@ -1458,7 +1517,73 @@ class Dataset:
             if name in meta.record_fields:
                 meta.record_fields.remove(name)
             meta.field_ids.pop(name, None)
+            # Retire BOTH names of a renamed column: old data files carry
+            # the physical bytes, and the logical name stays reserved so a
+            # reader of historical metadata is never ambiguous.
+            phys = meta.renames.pop(name, name)
             meta.retired_columns.append(name)
+            if phys != name:
+                meta.retired_columns.append(phys)
+
+        self.metadata = self.log.update_refs(mutate)
+        return self
+
+    def rename_column(self, old: str, new: str) -> "Dataset":
+        """Rename a column — METADATA-ONLY, instant at any table size.
+
+        Data files and manifest stats keep the immutable PHYSICAL name
+        the column was created under (keyed by its field ID — the
+        evolution mechanism the reference's field-ID design reserves,
+        core/schema/arrow.py:28-31); only the logical name changes, so no
+        file is rewritten and files written before and after the rename
+        stay uniform. Reads alias physical -> logical at the API boundary
+        (``_read_files``); writes translate back (``_write_data_files``);
+        filters translate at the manifest-pruning seam (``_phys_expr``).
+        Primary keys and record fields may be renamed. Persisted UDF
+        views capture the names current at creation time and are NOT
+        rewritten (the SQL-engine convention for views over renamed
+        columns)."""
+
+        def mutate(meta: md.StorageMetadata):
+            names = meta.schema.fieldNames()
+            if old not in names:
+                raise UserInputError(f"Column {old!r} not found")
+            if new == old:
+                raise UserInputError("New name equals current name")
+            # Collision scope excludes the column being renamed, so
+            # renaming BACK to its own physical name is allowed (and
+            # clears the mapping below).
+            phys_names = {
+                meta.renames.get(n, n) for n in names if n != old
+            }
+            if new in names or new in phys_names:
+                raise UserInputError(f"Column {new!r} already exists")
+            if new in meta.retired_columns:
+                raise UserInputError(
+                    f"Column {new!r} was previously dropped; reusing the "
+                    "name would collide with old data files"
+                )
+            phys = meta.renames.pop(old, old)
+            meta.schema = T.StructType(
+                [
+                    T.StructField(new, f.dataType, f.nullable,
+                                  dict(f.metadata or {}))
+                    if f.name == old else f
+                    for f in meta.schema.fields
+                ]
+            )
+            if phys != new:  # renaming back to the physical name clears it
+                meta.renames[new] = phys
+            if old in meta.field_ids:
+                meta.field_ids[new] = meta.field_ids.pop(old)
+            meta.primary_keys = [
+                new if k == old else k for k in meta.primary_keys
+            ]
+            meta.record_fields = [
+                new if k == old else k for k in meta.record_fields
+            ]
+            if old in meta.serializers:
+                meta.serializers[new] = meta.serializers.pop(old)
 
         self.metadata = self.log.update_refs(mutate)
         return self
@@ -1572,7 +1697,9 @@ class Dataset:
         reads it."""
         return self.spark.read.parquet(
             self.log.abs_path(snap.deleted_pks_file)
-        ).select(*self.primary_keys)
+        ).select(
+            *[F.col(self._phys_name(k)).alias(k) for k in self.primary_keys]
+        )
 
     def read_deleted_pks_via_bitmap(self, snap) -> DataFrame:
         """The same DELETE stream reconstructed from the PARENT version's
@@ -1681,7 +1808,11 @@ class Dataset:
                     .withColumn(CHANGE_ORDER_COL, F.lit(1))
                 )
         if not parts:
-            schema = self._physical_schema().add(
+            # Logical column names with address-struct record fields (NOT
+            # _physical_schema, which carries pre-rename physical names).
+            schema = sc.physical_schema(
+                self.schema, self.record_fields
+            ).add(
                 CHANGE_TYPE_COL, T.StringType()
             ).add(CHANGE_SNAPSHOT_COL, T.LongType()).add(
                 CHANGE_ORDER_COL, T.IntegerType()

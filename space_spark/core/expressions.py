@@ -332,3 +332,31 @@ class Not(Expr):
 
     def __repr__(self):
         return f"~{self.child!r}"
+
+
+def rename_fields(expr: "Expr", mapping: dict) -> "Expr":
+    """Copy of ``expr`` with every Field name passed through ``mapping``
+    (identity for absent names). Used to translate user-facing LOGICAL
+    column names to the immutable PHYSICAL names that manifest stats are
+    keyed by, at the manifest-pruning boundary only."""
+    if expr is None or not mapping:
+        return expr
+    if isinstance(expr, Field):
+        return Field(mapping.get(expr.name, expr.name))
+    if isinstance(expr, Literal):
+        return expr
+    if isinstance(expr, Comparison):
+        return Comparison(
+            expr.op,
+            rename_fields(expr.left, mapping),
+            rename_fields(expr.right, mapping),
+        )
+    if isinstance(expr, And):
+        return And(rename_fields(expr.left, mapping),
+                   rename_fields(expr.right, mapping))
+    if isinstance(expr, Or):
+        return Or(rename_fields(expr.left, mapping),
+                  rename_fields(expr.right, mapping))
+    if isinstance(expr, Not):
+        return Not(rename_fields(expr.child, mapping))
+    return expr  # unknown node: pruning treats it as non-falsifiable

@@ -134,6 +134,15 @@ class StorageMetadata:
     # Names dropped by schema evolution; never reusable (old data files
     # still carry their bytes under the old type).
     retired_columns: List[str] = dc_field(default_factory=list)
+    # Column renames: current LOGICAL name -> immutable PHYSICAL name (the
+    # name data files/manifest stats were and will be written under —
+    # fixed at create/add_column time, keyed by field id). Only renamed
+    # columns appear; everything else is identity. Rename is therefore a
+    # metadata-only commit: no file is rewritten, old and new files are
+    # uniformly physical, and reads alias physical -> logical at the API
+    # boundary (reference field-id design note, core/schema/arrow.py:28-31
+    # — 'to enable schema evolution later').
+    renames: Dict[str, str] = dc_field(default_factory=dict)
     # Streaming-sink exactly-once bookkeeping: sink id -> last committed
     # micro-batch id. Updated atomically with the batch's snapshot, so a
     # replayed micro-batch (restart between sink commit and checkpoint
@@ -159,6 +168,7 @@ class StorageMetadata:
                 "udf_registry": self.udf_registry,
                 "serializers": self.serializers,
                 "retired_columns": self.retired_columns,
+                "renames": self.renames,
                 "stream_progress": self.stream_progress,
             },
             indent=1,
@@ -183,6 +193,7 @@ class StorageMetadata:
             udf_registry=d.get("udf_registry", {}),
             serializers=d.get("serializers", {}),
             retired_columns=list(d.get("retired_columns", [])),
+            renames=dict(d.get("renames", {})),
             stream_progress={
                 k: int(v)
                 for k, v in d.get("stream_progress", {}).items()

@@ -152,3 +152,20 @@ def stats_fields(
         if isinstance(f.dataType, _STATS_TYPES):
             out.append((f.name, f.dataType))
     return out
+
+
+def rename_struct(schema: T.StructType, mapping: dict) -> T.StructType:
+    """Top-level field renames (keeping type/nullability/metadata incl.
+    field ids). ``mapping`` maps current names -> replacement names;
+    absent names pass through."""
+    if not mapping:
+        return schema
+    return T.StructType(
+        [
+            T.StructField(
+                mapping.get(f.name, f.name), f.dataType, f.nullable,
+                dict(f.metadata or {}),
+            )
+            for f in schema.fields
+        ]
+    )

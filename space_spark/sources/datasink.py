@@ -88,12 +88,30 @@ def _validated_table_arrow(location: str, input_schema: T.StructType
     return _arrow_schema(table_schema)
 
 
+def _phys_arrow(logical_arrow: pa.Schema, meta) -> pa.Schema:
+    """The parquet write schema: logical field order/types renamed to the
+    immutable PHYSICAL column names data files are keyed by (the write
+    half of the rename_column boundary — same as
+    ``Dataset._write_data_files``)."""
+    ren = getattr(meta, "renames", {}) or {}
+    if not ren:
+        return logical_arrow
+    return pa.schema(
+        [pa.field(ren.get(f.name, f.name), f.type) for f in logical_arrow]
+    )
+
+
 def _write_shard(location: str, rel: str, table_arrow: pa.Schema,
-                 iterator: Iterator[pa.RecordBatch]) -> FilesCommitMessage:
+                 iterator: Iterator[pa.RecordBatch],
+                 write_arrow: Optional[pa.Schema] = None
+                 ) -> FilesCommitMessage:
     """Executor side: stream this task's batches into one parquet file,
     aligned to the table's column order/types. Returns no file for an
-    empty task (no zero-row shards in the manifest)."""
+    empty task (no zero-row shards in the manifest). ``write_arrow``
+    (default: ``table_arrow``) names the columns in the FILE — the
+    physical names under a rename_column."""
     abs_path = os.path.join(location, rel)
+    write_arrow = write_arrow or table_arrow
     writer: Optional[pq.ParquetWriter] = None
     try:
         for batch in iterator:
@@ -105,10 +123,10 @@ def _write_shard(location: str, rel: str, table_arrow: pa.Schema,
                 )
                 for f in table_arrow
             ]
-            aligned = pa.RecordBatch.from_arrays(cols, schema=table_arrow)
+            aligned = pa.RecordBatch.from_arrays(cols, schema=write_arrow)
             if writer is None:
                 os.makedirs(os.path.dirname(abs_path), exist_ok=True)
-                writer = pq.ParquetWriter(abs_path, table_arrow)
+                writer = pq.ParquetWriter(abs_path, write_arrow)
             writer.write_batch(aligned)
     finally:
         if writer is not None:
@@ -129,7 +147,11 @@ def _commit_append(location: str, branch: str, rel_files: List[str],
     valid across a conflict; only the metadata commit re-runs)."""
     log = md.MetadataLog(location)
     meta = log.read_metadata()
-    stat_fields = sc.stats_fields(meta.schema, meta.record_fields)
+    ren = getattr(meta, "renames", {}) or {}
+    stat_fields = sc.stats_fields(
+        sc.rename_struct(meta.schema, ren),
+        [ren.get(f, f) for f in meta.record_fields],
+    )
     stat_names = [n for n, _ in stat_fields]
     stats = [
         mf._footer_stats(log.abs_path(f), stat_names) for f in rel_files
@@ -197,13 +219,17 @@ class SpaceBatchWriter(DataSourceArrowWriter):
         self.location = location
         self.branch = options.get("branch", md.MAIN_BRANCH)
         self.table_arrow = _validated_table_arrow(location, input_schema)
+        self.write_arrow = _phys_arrow(
+            self.table_arrow, md.MetadataLog(location).read_metadata()
+        )
         self.commit_reldir = md.MetadataLog(location).new_commit_data_reldir()
 
     def write(self, iterator: Iterator[pa.RecordBatch]
               ) -> FilesCommitMessage:
         rel = os.path.join(self.commit_reldir,
                            f"part-{uuid.uuid4().hex[:16]}.parquet")
-        return _write_shard(self.location, rel, self.table_arrow, iterator)
+        return _write_shard(self.location, rel, self.table_arrow, iterator,
+                            self.write_arrow)
 
     def commit(self, messages) -> None:
         _commit_append(self.location, self.branch, _files_from(messages))
@@ -231,13 +257,17 @@ class SpaceStreamWriter(DataSourceStreamArrowWriter):
         self.branch = options.get("branch", md.MAIN_BRANCH)
         self.sink_id = options.get("sink_id", "default")
         self.table_arrow = _validated_table_arrow(location, input_schema)
+        self.write_arrow = _phys_arrow(
+            self.table_arrow, md.MetadataLog(location).read_metadata()
+        )
 
     def write(self, iterator: Iterator[pa.RecordBatch]
               ) -> FilesCommitMessage:
         rel = os.path.join(
             "data", f"stream-{uuid.uuid4().hex[:16]}.parquet"
         )
-        return _write_shard(self.location, rel, self.table_arrow, iterator)
+        return _write_shard(self.location, rel, self.table_arrow, iterator,
+                            self.write_arrow)
 
     def commit(self, messages, batchId: int) -> None:
         rel_files = _files_from(messages)

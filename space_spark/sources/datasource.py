@@ -84,10 +84,14 @@ def _arrow_schema(spark_schema: T.StructType) -> pa.Schema:
     return to_arrow_schema(spark_schema)
 
 
-def _filters_to_expr(filters: List[Filter]) -> Optional[Expr]:
+def _filters_to_expr(filters: List[Filter],
+                     renames: Optional[dict] = None) -> Optional[Expr]:
     """Translate Spark's pushed filters into the falsifiable-pruning Expr
     DSL (conjunction of the recognizable comparisons; anything else is
-    simply not used for pruning)."""
+    simply not used for pruning). Attribute names arrive LOGICAL from
+    Spark; ``renames`` maps them to the PHYSICAL names manifest stats are
+    keyed by."""
+    renames = renames or {}
     ops = {
         EqualTo: lambda f, v: f == v,
         GreaterThan: lambda f, v: f > v,
@@ -101,7 +105,7 @@ def _filters_to_expr(filters: List[Filter]) -> Optional[Expr]:
         attr = getattr(flt, "attribute", None)
         if build is None or attr is None or len(attr) != 1:
             continue
-        term = build(field(attr[0]), flt.value)
+        term = build(field(renames.get(attr[0], attr[0])), flt.value)
         expr = term if expr is None else (expr & term)
     return expr
 
@@ -113,8 +117,13 @@ def _prune(log, meta, snapshot_id: int, expr: Optional[Expr]) -> List[str]:
     paths = [log.abs_path(p) for p in snap.manifest_files]
     if not paths:
         return []
-    stat_names = {n for n, _ in sc.stats_fields(meta.schema,
-                                                meta.record_fields)}
+    ren = getattr(meta, "renames", {}) or {}
+    stat_names = {
+        n for n, _ in sc.stats_fields(
+            sc.rename_struct(meta.schema, ren),
+            [ren.get(f, f) for f in meta.record_fields],
+        )
+    }
     try:
         return mf._prune_files_arrow(paths, expr, stat_names)
     except Exception:
@@ -176,7 +185,8 @@ _ARROW_SAFE_TYPES = (
 )
 
 
-def _filters_to_arrow(filters: List[Filter], table_schema: T.StructType):
+def _filters_to_arrow(filters: List[Filter], table_schema: T.StructType,
+                      renames: Optional[dict] = None):
     """(pyarrow dataset filter expression, referenced column names) from
     the pushed Spark filters — conjunction of the recognizable comparisons
     over arrow-safe column types; (None, set()) when nothing qualifies.
@@ -211,9 +221,11 @@ def _filters_to_arrow(filters: List[Filter], table_schema: T.StructType):
 
         if not isinstance(flt.value, (bool, int, str, datetime.date)):
             continue  # floats and exotic literals: let Spark handle them
-        term = build(pads.field(name), flt.value)
+        # Executor scans address files under PHYSICAL column names.
+        phys = (renames or {}).get(name, name)
+        term = build(pads.field(phys), flt.value)
         expr = term if expr is None else (expr & term)
-        names.add(name)
+        names.add(phys)
     return expr, names
 
 
@@ -287,6 +299,7 @@ def _read_aligned(
     arrow_filter=None,
     filter_names: frozenset = frozenset(),
     masks: Optional[dict] = None,
+    renames: Optional[dict] = None,
 ) -> Iterator[pa.RecordBatch]:
     """Read files and align to ``schema`` (the read schema: the table's
     physical schema, or the user's narrower one).
@@ -299,8 +312,15 @@ def _read_aligned(
       skipping is always safe.
     - Files written before a schema-evolution add_column lack the new
       columns — fill with nulls, exactly like the Spark read path's fixed
-      physical schema."""
+      physical schema.
+    - ``renames`` (LOGICAL output name -> PHYSICAL file column name, from
+      ``rename_column``): files are accessed under physical names, output
+      batches carry ``schema``'s logical names — the same read-side alias
+      boundary as ``Dataset._read_files``."""
     import pyarrow.dataset as pads
+
+    renames = renames or {}
+    phys_of = {f.name: renames.get(f.name, f.name) for f in schema}
 
     for unit in abs_paths:
         # A unit is a path (whole file) or (path, [row-group indices]) —
@@ -312,7 +332,7 @@ def _read_aligned(
             path = unit
         dset = pads.dataset(path, format="parquet")
         avail = set(dset.schema.names)
-        cols = [f.name for f in schema if f.name in avail]
+        cols = [phys_of[f.name] for f in schema if phys_of[f.name] in avail]
         masked = bool(masks) and path in masks
         filt = (
             arrow_filter
@@ -330,8 +350,9 @@ def _read_aligned(
             tbl = _mask_positions(tbl, path, row_groups, masks)
         out = []
         for f in schema:
-            if f.name in tbl.column_names:
-                col = tbl.column(f.name)
+            pn = phys_of[f.name]
+            if pn in tbl.column_names:
+                col = tbl.column(pn)
                 if col.type != f.type:
                     col = col.cast(f.type)
             else:
@@ -364,9 +385,12 @@ class SpaceBatchReader(DataSourceReader):
         version = int(self.version) if self.version is not None else None
         self.snap_id = meta.resolve_version(version)
         self._masks = _load_vector_masks(log, meta.snapshot(self.snap_id))
+        # logical -> physical column names (rename_column support); ships
+        # in the pickled reader so executors translate without metadata.
+        self.renames = dict(getattr(meta, "renames", {}) or {})
 
     def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
-        self._expr = _filters_to_expr(filters)
+        self._expr = _filters_to_expr(filters, self.renames)
         self._arrow_filter_src = list(filters)
         # File-level pruning + executor-scan filtering only — every filter
         # must still run row-level in Spark.
@@ -381,13 +405,14 @@ class SpaceBatchReader(DataSourceReader):
 
     def read(self, partition: InputPartition) -> Iterator[pa.RecordBatch]:
         filt, names = _filters_to_arrow(self._arrow_filter_src,
-                                        self.read_schema)
+                                        self.read_schema, self.renames)
         yield from _read_aligned(
             partition.value,
             _arrow_schema(self.read_schema),
             arrow_filter=filt,
             filter_names=names,
             masks=self._masks,
+            renames=self.renames,
         )
 
 
@@ -401,6 +426,8 @@ class SpaceStreamReader(DataSourceStreamReader):
         self.max_bytes = int(options.get("partition_bytes",
                                          DEFAULT_PARTITION_BYTES))
         self.read_schema = read_schema
+        _, meta = _load(location)
+        self.renames = dict(getattr(meta, "renames", {}) or {})
 
     def initialOffset(self) -> dict:
         return {"snapshot_id": self.start_version}
@@ -429,7 +456,8 @@ class SpaceStreamReader(DataSourceStreamReader):
 
     def read(self, partition: InputPartition) -> Iterator[pa.RecordBatch]:
         yield from _read_aligned(partition.value,
-                                 _arrow_schema(self.read_schema))
+                                 _arrow_schema(self.read_schema),
+                                 renames=self.renames)
 
     def commit(self, end: dict) -> None:
         pass  # progress is tracked by the stream's own checkpoint
@@ -464,6 +492,7 @@ class SpaceChangeFeedStreamReader(DataSourceStreamReader):
         self.table_schema = T.StructType(cdf_schema.fields[:cut])
         _, meta = _load(location)
         self.primary_keys = list(meta.primary_keys)
+        self.renames = dict(getattr(meta, "renames", {}) or {})
 
     def initialOffset(self) -> dict:
         return {"snapshot_id": self.start_version}
@@ -506,16 +535,18 @@ class SpaceChangeFeedStreamReader(DataSourceStreamReader):
                 T.StructType([self.table_schema[k]
                               for k in self.primary_keys])
             )
+            phys_pks = [self.renames.get(k, k) for k in self.primary_keys]
             for path in units:
                 tbl = pads.dataset(path, format="parquet").to_table(
-                    columns=self.primary_keys
-                )
+                    columns=phys_pks
+                ).rename_columns(self.primary_keys)
                 yield from _constants_appended(
                     tbl, pk_schema, out_schema, "DELETE", sid, 0
                 )
         else:
             table_arrow = _arrow_schema(self.table_schema)
-            for batch in _read_aligned(units, table_arrow):
+            for batch in _read_aligned(units, table_arrow,
+                                       renames=self.renames):
                 tbl = pa.Table.from_batches([batch])
                 yield from _constants_appended(
                     tbl, table_arrow, out_schema, "ADD", sid, 1
