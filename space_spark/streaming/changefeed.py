@@ -106,6 +106,47 @@ def stream_append(
     return writer.start()
 
 
+def stream_upsert(
+    stream_df: DataFrame,
+    dataset,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    query_name: Optional[str] = None,
+):
+    """CDC-style streaming ingestion: each micro-batch UPSERTS into the
+    space table (replace matching primary keys + append the rest) as ONE
+    snapshot — the merge half of a streaming pipeline, next to
+    ``stream_append``'s insert-only half.
+
+    Exactly-once-by-idempotence: a replayed micro-batch (crash between
+    the sink commit and the checkpoint advance) re-applies the SAME rows
+    to the SAME keys, so the table converges to the identical state —
+    upsert is idempotent for identical input, unlike blind append.
+    Micro-batches carrying several rows per key keep the last by input
+    order only if the caller pre-deduplicates; upsert itself rejects
+    duplicate keys within one batch (the Dataset invariant), which is the
+    safe default for CDC feeds that should be keyed.
+
+    At scale each micro-batch costs one range-pruned probe + commit
+    (``_matching_delete_parts``): a trickle of small upserts touches the
+    few overlapping files, never the table."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dataset.upsert(batch_df)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     spark,
     events_dir: str,

