@@ -104,11 +104,26 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
     ]
 
 
+# Building a 64-float literal array costs ~64 py4j round trips; with 8
+# planes on both join sides that is ~1s of pure DRIVER chatter per query
+# build. The planes are deterministic constants, and an unresolved
+# literal Column is reusable across plans in one JVM gateway — memoize.
+_PLANE_LIT_CACHE: dict = {}
+
+
+def _plane_lit(plane: tuple) -> Column:
+    col = _PLANE_LIT_CACHE.get(plane)
+    if col is None:
+        col = F.array(*[F.lit(v) for v in plane])
+        _PLANE_LIT_CACHE[plane] = col
+    return col
+
+
 def lsh_bucket(vec: Column, planes: List[List[float]]) -> Column:
     """Sign-bit bucket id from fixed random hyperplanes."""
     bits = [
         F.when(
-            dot(vec, F.array(*[F.lit(v) for v in plane])) >= 0, F.lit(1 << i)
+            dot(vec, _plane_lit(tuple(plane))) >= 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
         for i, plane in enumerate(planes)
     ]
@@ -139,10 +154,13 @@ def lsh_bucket_topk(
     from space_spark.operators.dedup import _fan_out
 
     planes = _hyperplanes(dim, n_planes, seed)
+    # min_bytes gate: repartitioning only pays off once the corpus is
+    # big enough that per-row bucket hashing dominates the shuffle.
     c = _fan_out(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )).withColumn("bucket", lsh_bucket(F.col("cv"), planes)) \
-        .withColumn("cn", norm(F.col("cv")))
+    ), min_bytes=8 << 20).withColumn(
+        "bucket", lsh_bucket(F.col("cv"), planes)
+    ).withColumn("cn", norm(F.col("cv")))
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
