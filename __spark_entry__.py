@@ -2343,6 +2343,66 @@ FROM c_assign c LEFT JOIN dups d USING (id)
 """
 
 
+def text_repetition(spark, sf_dir):
+    """Gopher repetition rules (Rae et al. 2021 §A1.1): most-frequent
+    n-gram character coverage (n=2..4) and duplicated-5-gram character
+    fraction, per document."""
+    from space_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs, "text", "doc_id")
+
+
+def _rep_sql() -> str:
+    def gram_cte(n):
+        return f"""
+g{n} AS (
+  SELECT doc_id, len,
+    UNNEST(list_transform(
+      generate_series(0, GREATEST(len(w) - {n}, 0)),
+      i -> array_to_string(w[i+1:i+{n}], ' '))) AS gram
+  FROM toks
+), c{n} AS (
+  SELECT doc_id, gram, COUNT(*) AS c, ANY_VALUE(len) AS len
+  FROM g{n} GROUP BY doc_id, gram
+)"""
+
+    def top_cte(n):
+        return f"""
+t{n} AS (
+  SELECT doc_id, ROUND(c * length(gram) / len, 6) AS frac
+  FROM (SELECT doc_id, gram, c, len, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY c DESC, gram) AS r FROM c{n})
+  WHERE r = 1
+)"""
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, length(text) AS len,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),{gram_cte(2)},{top_cte(2)},{gram_cte(3)},{top_cte(3)},{gram_cte(4)},{top_cte(4)},{gram_cte(5)},
+d5 AS (
+  SELECT doc_id,
+         ROUND(SUM((c - 1) * length(gram)) / ANY_VALUE(len), 6) AS frac
+  FROM c5 GROUP BY doc_id
+)
+SELECT toks.doc_id,
+  COALESCE(t2.frac, 0.0) AS top2gram_char_frac,
+  COALESCE(t3.frac, 0.0) AS top3gram_char_frac,
+  COALESCE(t4.frac, 0.0) AS top4gram_char_frac,
+  COALESCE(d5.frac, 0.0) AS dup5gram_char_frac
+FROM toks
+LEFT JOIN t2 ON toks.doc_id = t2.doc_id
+LEFT JOIN t3 ON toks.doc_id = t3.doc_id
+LEFT JOIN t4 ON toks.doc_id = t4.doc_id
+LEFT JOIN d5 ON toks.doc_id = d5.doc_id
+"""
+
+
+TEXT_REPETITION_SQL = _rep_sql()
+
+
 def text_vocab_topk(spark, sf_dir):
     """Corpus vocabulary construction: top-100 tokens by frequency."""
     from space_spark.operators.text import vocab_topk
@@ -2851,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- displaced by the new queries (r2+r3 green); MUST return to
         #    the window in round 5 with the block below
         "space_rename_read": space_rename_read,
+        "text_repetition": text_repetition,
         "q_asof_signup": q_asof_signup,
         "q1_pricing_summary": q1_pricing_summary,
         "q_order_rollup": q_order_rollup,
@@ -2949,6 +3010,7 @@ def oracle_sql() -> dict[str, str]:
         "space_zorder_pruned": SPACE_ZORDER_SQL,
         "space_sql_table": SPACE_SQL_TABLE_SQL,
         "space_rename_read": SPACE_RENAME_SQL,
+        "text_repetition": TEXT_REPETITION_SQL,
         "dedup_exact_documents": DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
         "dedup_minhash_lsh": MINHASH_LSH_SQL,

@@ -408,3 +408,73 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_expr.alias("pred_lang"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 §A1.1) beyond the line
+    rules in ``gopher_quality_flags``: per document,
+
+    - ``top{2,3,4}gram_char_frac`` — the fraction of the document's
+      characters covered by the single most frequent token n-gram
+      (count * n-gram length / text length); ties break to the
+      lexicographically smallest gram so every engine agrees;
+    - ``dup5gram_char_frac`` — the fraction of characters in REPEATED
+      occurrences of 5-grams (occurrences beyond each gram's first;
+      non-overlap-adjusted, which upper-bounds the paper's definition).
+
+    Plan shape: one explode of (doc, gram) rows per n, a per-(doc, gram)
+    count aggregate with map-side combine, then a per-doc top-1 window /
+    sum — two hash shuffles per n over narrow rows, the standard corpus
+    discipline (HOF-free: an in-array O(grams^2) mode search would burn
+    executor CPU at long-document scale)."""
+    from space_spark.operators.dedup import _fan_out
+
+    base = _fan_out(df.select(id_col, text_col)).withColumn(
+        "__len", F.length(F.col(text_col))
+    )
+    out = base.select(id_col, "__len")
+    for n, alias, dup in ((2, "top2gram_char_frac", False),
+                          (3, "top3gram_char_frac", False),
+                          (4, "top4gram_char_frac", False),
+                          (5, "dup5gram_char_frac", True)):
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+        exploded = base.select(
+            id_col, "__len", F.explode(grams).alias("gram")
+        )
+        counts = exploded.groupBy(id_col, "gram").agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("__len").alias("__len"),
+        )
+        if dup:
+            per_doc = counts.groupBy(id_col).agg(
+                F.round(
+                    F.sum((F.col("c") - 1) * F.length("gram"))
+                    / F.first("__len"), 6,
+                ).alias(alias)
+            )
+        else:
+            w = Window.partitionBy(id_col).orderBy(
+                F.col("c").desc(), F.col("gram").asc()
+            )
+            per_doc = (
+                counts.withColumn("__r", F.row_number().over(w))
+                .where(F.col("__r") == 1)
+                .select(
+                    id_col,
+                    F.round(
+                        F.col("c") * F.length("gram") / F.col("__len"), 6
+                    ).alias(alias),
+                )
+            )
+        out = out.join(per_doc, on=id_col, how="left")
+    return out.select(
+        id_col,
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+          for c in ("top2gram_char_frac", "top3gram_char_frac",
+                    "top4gram_char_frac", "dup5gram_char_frac")],
+    )
