@@ -2403,6 +2403,66 @@ LEFT JOIN d5 ON toks.doc_id = d5.doc_id
 TEXT_REPETITION_SQL = _rep_sql()
 
 
+def sample_weighted(spark, sf_dir):
+    """Quality-weighted Bernoulli resampling: keep each document with
+    probability min(1, n_chars/3000) decided by the deterministic id
+    hash — the quality-classifier sampling step of a corpus pipeline
+    (no shuffle; membership stable under appends)."""
+    from space_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.least(F.col("n_chars") / 3000.0, F.lit(1.0)).alias("w"),
+    )
+    return weighted_sample(docs, "w", "doc_id").drop("w")
+
+
+SAMPLE_WEIGHTED_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
+        ::BIGINT % 10000
+      < LEAST(n_chars / 3000.0, 1.0) * 10000.0
+"""
+
+
+def ann_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss Gaussian random projection of the embedding
+    corpus to 8 dims (fixed seeded planes, 1/sqrt(d) scaling) — the
+    dimensionality-reduction step ahead of ANN indexing at scale."""
+    from space_spark.operators.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = random_projection(emb, "vec_id", "embedding", out_dim=8)
+    # per-component scalar columns: sortable/hashable on both engines
+    return out.select(
+        "vec_id",
+        *[F.element_at("proj", i + 1).alias(f"p{i}") for i in range(8)],
+    )
+
+
+def _rp_sql(out_dim: int = 8, seed: int = 7) -> str:
+    import math
+
+    from space_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(EMB_DIM, out_dim, seed)
+    inv = repr(1.0 / math.sqrt(float(out_dim)))
+    comps = []
+    for p in planes:
+        lits = ", ".join(
+            f"CAST({v!r} AS DOUBLE)" for v in p
+        )
+        comps.append(
+            f"ROUND({_dot_sql('embedding', f'[{lits}]')} * "
+            f"CAST({inv} AS DOUBLE), 6)"
+        )
+    cols = ", ".join(f"{c} AS p{i}" for i, c in enumerate(comps))
+    return f"SELECT vec_id, {cols} FROM embeddings"
+
+
+ANN_RP_SQL = _rp_sql()
+
+
 def text_vocab_topk(spark, sf_dir):
     """Corpus vocabulary construction: top-100 tokens by frequency."""
     from space_spark.operators.text import vocab_topk
@@ -2912,6 +2972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    the window in round 5 with the block below
         "space_rename_read": space_rename_read,
         "text_repetition": text_repetition,
+        "sample_weighted": sample_weighted,
+        "ann_random_projection": ann_random_projection,
         "q_asof_signup": q_asof_signup,
         "q1_pricing_summary": q1_pricing_summary,
         "q_order_rollup": q_order_rollup,
@@ -3011,6 +3073,8 @@ def oracle_sql() -> dict[str, str]:
         "space_sql_table": SPACE_SQL_TABLE_SQL,
         "space_rename_read": SPACE_RENAME_SQL,
         "text_repetition": TEXT_REPETITION_SQL,
+        "sample_weighted": SAMPLE_WEIGHTED_SQL,
+        "ann_random_projection": ANN_RP_SQL,
         "dedup_exact_documents": DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
         "dedup_minhash_lsh": MINHASH_LSH_SQL,

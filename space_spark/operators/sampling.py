@@ -171,3 +171,22 @@ def domain_mix_sample(
         .where(F.col("__rn") <= F.col("__quota"))
         .drop("__w", "__rn", "__quota")
     )
+
+
+def weighted_sample(
+    df: DataFrame, weight_col: str, id_col: str, seed: int = 42
+) -> DataFrame:
+    """Independent per-row Bernoulli sample with acceptance probability
+    = ``weight_col`` (clamped to [0, 1]), decided by the deterministic
+    id hash — the quality-weighted resampling step of a corpus pipeline
+    (keep high-quality documents with high probability, down-weight the
+    tail, e.g. DSIR/quality-classifier sampling).
+
+    Pure projection + filter: no shuffle, membership stable under
+    repartitioning and appends, reproducible in any engine (md5 hash;
+    same contract as ``hash_sample``)."""
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)),
+                F.lit(1.0))
+    return df.where(
+        hash_bucket(F.col(id_col), seed) < w * F.lit(float(BUCKETS))
+    )

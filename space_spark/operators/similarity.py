@@ -627,3 +627,38 @@ def semantic_dedup(
             F.col("dup_of").isNotNull().alias("is_dup"),
         )
     )
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    in_dim: int = 64,
+    seed: int = 7,
+    round_digits: int = 6,
+    out_col: str = "proj",
+) -> DataFrame:
+    """Gaussian random projection (Johnson-Lindenstrauss): map each
+    embedding to ``out_dim`` dimensions with a fixed seeded Gaussian
+    matrix, scaled by 1/sqrt(out_dim) — the standard dimensionality
+    reduction ahead of ANN indexing / clustering at corpus scale (pair
+    distances preserved within (1 +- eps) for out_dim ~ O(log n / eps^2)).
+
+    Pure per-row projection: no shuffle, whole-row JVM folds against
+    memoized literal plane columns (see ``_plane_lit``), deterministic
+    and SQL-oracle-able (rounded elements, fixed fold order)."""
+    import math
+
+    from space_spark.operators.dedup import _fan_out
+
+    planes = _hyperplanes(in_dim, out_dim, seed)
+    inv = 1.0 / math.sqrt(float(out_dim))
+    v = F.col(vec_col)
+    comps = [
+        F.round(dot(v, _plane_lit(tuple(p))) * F.lit(inv), round_digits)
+        for p in planes
+    ]
+    return _fan_out(df.select(id_col, vec_col)).select(
+        F.col(id_col), F.array(*comps).alias(out_col)
+    )
