@@ -163,3 +163,43 @@ def test_domain_mix_exact_quotas(spark):
 
     with _pytest.raises(ValueError):
         domain_mix_sample(df, "lang", "id", {"en": 0.0})
+
+
+def test_weighted_sample_clamps_and_is_deterministic(spark):
+    from space_spark.operators.sampling import weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id"),
+        # weights spanning <0, [0,1], >1 — clamped to [0,1]
+        ((F.col("id") % 30) / 10.0 - 0.5).alias("w"),
+    )
+    out = weighted_sample(df, "w", "id")
+    rows = out.collect()
+    ids1 = {r["id"] for r in rows}
+    # w <= 0 rows can never be kept; w >= 1 rows are always kept
+    assert all((r["w"] > 0) for r in rows)
+    always = {r["id"] for r in df.where("w >= 1.0").collect()}
+    assert always <= ids1
+    # deterministic
+    ids2 = {r["id"] for r in weighted_sample(df, "w", "id").collect()}
+    assert ids1 == ids2
+
+
+def test_random_projection_preserves_relative_distance(spark):
+    """JL sanity: projections of identical vectors coincide; orthogonal
+    far vectors stay far apart relative to that."""
+    from space_spark.operators.similarity import random_projection
+
+    rows = [
+        (0, [1.0] * 64),
+        (1, [1.0] * 64),               # identical to 0
+        (2, [-1.0] * 64),              # opposite
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: list(r["proj"])
+           for r in random_projection(emb, "vec_id", "embedding",
+                                      out_dim=8).collect()}
+    assert out[0] == out[1]
+    d01 = sum((a - b) ** 2 for a, b in zip(out[0], out[1]))
+    d02 = sum((a - b) ** 2 for a, b in zip(out[0], out[2]))
+    assert d01 == 0.0 and d02 > 1.0
