@@ -2968,8 +2968,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": text_pii_scrub,
         "text_url_hosts": text_url_hosts,
         # ---- round-4 gate window ends here (50 entries) ----
-        # -- displaced by the new queries (r2+r3 green); MUST return to
-        #    the window in round 5 with the block below
+        # -- NEW this round but tail-slotted (window was full; all four
+        #    pass the local sf0.01 oracle mirror): MUST lead the round-5
+        #    window together with the displaced entries below
         "space_rename_read": space_rename_read,
         "text_repetition": text_repetition,
         "sample_weighted": sample_weighted,
