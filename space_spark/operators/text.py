@@ -423,58 +423,76 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
       occurrences of 5-grams (occurrences beyond each gram's first;
       non-overlap-adjusted, which upper-bounds the paper's definition).
 
-    Plan shape: one explode of (doc, gram) rows per n, a per-(doc, gram)
-    count aggregate with map-side combine, then a per-doc top-1 window /
-    sum — two hash shuffles per n over narrow rows, the standard corpus
-    discipline (HOF-free: an in-array O(grams^2) mode search would burn
-    executor CPU at long-document scale)."""
+    Plan shape: the token split runs ONCE, all four n-gram families ride
+    one (doc, n, gram) explode, one per-(doc, n, gram) count aggregate
+    with map-side combine, then a per-(doc, n) top-1 window and a pivot
+    back to columns — two narrow-row shuffles total (a per-n formulation
+    costs 4 explodes and 8 shuffles; HOF-free because an in-array
+    O(grams^2) mode search would burn executor CPU on long documents)."""
     from space_spark.operators.dedup import _fan_out
 
-    base = _fan_out(df.select(id_col, text_col)).withColumn(
-        "__len", F.length(F.col(text_col))
-    )
-    out = base.select(id_col, "__len")
-    for n, alias, dup in ((2, "top2gram_char_frac", False),
-                          (3, "top3gram_char_frac", False),
-                          (4, "top4gram_char_frac", False),
-                          (5, "dup5gram_char_frac", True)):
-        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        grams = F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-        exploded = base.select(
-            id_col, "__len", F.explode(grams).alias("gram")
-        )
-        counts = exploded.groupBy(id_col, "gram").agg(
-            F.count(F.lit(1)).alias("c"),
-            F.first("__len").alias("__len"),
-        )
-        if dup:
-            per_doc = counts.groupBy(id_col).agg(
-                F.round(
-                    F.sum((F.col("c") - 1) * F.length("gram"))
-                    / F.first("__len"), 6,
-                ).alias(alias)
-            )
-        else:
-            w = Window.partitionBy(id_col).orderBy(
-                F.col("c").desc(), F.col("gram").asc()
-            )
-            per_doc = (
-                counts.withColumn("__r", F.row_number().over(w))
-                .where(F.col("__r") == 1)
-                .select(
-                    id_col,
-                    F.round(
-                        F.col("c") * F.length("gram") / F.col("__len"), 6
-                    ).alias(alias),
-                )
-            )
-        out = out.join(per_doc, on=id_col, how="left")
-    return out.select(
+    base = _fan_out(df.select(id_col, text_col)).select(
         id_col,
-        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c)
-          for c in ("top2gram_char_frac", "top3gram_char_frac",
-                    "top4gram_char_frac", "dup5gram_char_frac")],
+        F.length(F.col(text_col)).alias("__len"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+    toks = F.col("__toks")
+
+    def fam(n):
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("gram"),
+            ),
+        )
+
+    exploded = base.select(
+        id_col, "__len",
+        F.explode(
+            F.flatten(F.array(*[fam(n) for n in (2, 3, 4, 5)]))
+        ).alias("p"),
+    ).select(id_col, "__len", F.col("p.n").alias("n"),
+             F.col("p.gram").alias("gram"))
+    counts = exploded.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("c"), F.first("__len").alias("__len")
+    )
+    w = Window.partitionBy(id_col, "n").orderBy(
+        F.col("c").desc(), F.col("gram").asc()
+    )
+    tops = (
+        counts.where(F.col("n") < 5)
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .withColumn(
+            "frac",
+            F.round(F.col("c") * F.length("gram") / F.col("__len"), 6),
+        )
+        .groupBy(id_col)
+        .agg(*[
+            F.max(F.when(F.col("n") == n, F.col("frac")))
+            .alias(f"top{n}gram_char_frac")
+            for n in (2, 3, 4)
+        ])
+    )
+    dup5 = (
+        counts.where(F.col("n") == 5)
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum((F.col("c") - 1) * F.length("gram"))
+                / F.first("__len"), 6,
+            ).alias("dup5gram_char_frac")
+        )
+    )
+    return (
+        base.select(id_col)
+        .join(tops, on=id_col, how="left")
+        .join(dup5, on=id_col, how="left")
+        .select(
+            id_col,
+            *[F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+              for c in ("top2gram_char_frac", "top3gram_char_frac",
+                        "top4gram_char_frac", "dup5gram_char_frac")],
+        )
     )
