@@ -1,0 +1,140 @@
+"""Physical-plan regression tests: pin the scale-critical plan
+properties (broadcast vs shuffle choice, pushdown, no cartesian
+products, no global single-partition windows) so a refactor that
+silently degrades a 100 TB-relevant plan fails CI, not the cluster.
+
+These assert on ``executedPlan`` strings — the same audit a human does
+with ``.explain("formatted")``.
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram set must broadcast — corpus bytes never
+    shuffle through the contamination join."""
+    from space_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark)
+    plan = plan_of(
+        decontaminate(
+            docs.where("doc_id % 11 != 0"), docs.where("doc_id % 11 = 0"),
+            "doc_id", "text", n=8,
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    # the corpus side must not be exchanged before the join
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_no_cartesian_and_pinned_shuffle(spark):
+    """In-cluster pairs join on list_id (shuffle or sort-merge), never a
+    cartesian product; the centroid assignment is a broadcast NL join
+    (bounded centroid set)."""
+    from space_spark.operators.similarity import semantic_dedup
+
+    plan = plan_of(semantic_dedup(_emb(spark), "vec_id", "embedding",
+                                  n_clusters=4, threshold=0.4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # centroid assignment
+
+
+def test_exact_jaccard_pins_shuffle_hash(spark):
+    """The inverted-index self-join must stay a shuffle join: AQE's
+    broadcast choice at test scale would OOM at corpus scale."""
+    from space_spark.operators.dedup import ngram_jaccard_pairs
+
+    plan = plan_of(
+        ngram_jaccard_pairs(_docs(spark), "doc_id", "text", n=3,
+                            threshold=0.5)
+    )
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """A projected, filtered read must push both into the scan."""
+    df = (
+        _docs(spark)
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", "lang")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_domain_mix_has_no_global_window(spark):
+    """The feasible-total reduction must be a tiny aggregate + broadcast
+    join, not a single-partition global window over the corpus."""
+    from space_spark.operators.sampling import domain_mix_sample
+
+    docs = _docs(spark).select("doc_id", "lang")
+    plan = plan_of(domain_mix_sample(
+        docs, "lang", "doc_id",
+        {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
+    ))
+    # Window specs must all partition by the group column; a global
+    # window appears as 'Window [...]' with an empty partition spec.
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "windowspecdefinition(lang" in line, line
+    assert plan.count("BroadcastExchange") >= 1
+
+
+def test_weighted_and_hash_sample_are_scan_only(spark):
+    """Deterministic sampling is a pure projection+filter: no exchange,
+    no aggregate — whole-stage codegen over the scan."""
+    from space_spark.operators.sampling import hash_sample, weighted_sample
+
+    docs = _docs(spark).select("doc_id", "n_chars")
+    p1 = plan_of(hash_sample(docs, "doc_id", 0.1))
+    w = docs.withColumn("w", F.least(F.col("n_chars") / 3000.0, F.lit(1.0)))
+    p2 = plan_of(weighted_sample(w, "w", "doc_id"))
+    for p in (p1, p2):
+        assert "Exchange" not in p
+        # '*(n)' prefixes mark whole-stage-codegen'd operators in the
+        # compact plan string
+        assert "*(" in p or "WholeStageCodegen" in p
+
+
+def test_upsert_probe_is_pruned(spark, tmp_path):
+    """A small upsert into a clustered table must probe a file subset
+    (manifest range pruning), not re-read the table."""
+    from pyspark.sql import types as T
+
+    from space_spark import Dataset
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()), T.StructField("v", T.LongType()),
+    ])
+    ds = Dataset.create(spark, str(tmp_path / "t"), schema, ["k"])
+    for start in (0, 1000, 2000, 3000):
+        ds.append(spark.createDataFrame(
+            [(i, i) for i in range(start, start + 1000)], schema
+        ).coalesce(1))
+    bounds_keys = spark.createDataFrame([(5, -5)], schema)
+    affected, _, _ = ds._matching_delete_parts(bounds_keys.select("k"))
+    # key 5 overlaps only the first file's [0, 999] range
+    assert len(affected) <= 1
+    assert len(ds.data_files()) == 4
