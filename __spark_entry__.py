@@ -2463,6 +2463,49 @@ def _rp_sql(out_dim: int = 8, seed: int = 7) -> str:
 ANN_RP_SQL = _rp_sql()
 
 
+def dedup_corpus_lines(spark, sf_dir):
+    """Cross-document line dedup (CCNet/RefinedWeb boilerplate removal):
+    every distinct line survives only at its first (doc, position)
+    occurrence; documents are rebuilt from surviving lines. The word-soup
+    corpus gains line structure via the same ' table ' rewrite as
+    text_quality_rules."""
+    from space_spark.operators.dedup import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", " quick ", "\nquick\n").alias("text"),
+    )
+    return dedup_lines(docs, "doc_id", "text")
+
+
+DEDUP_LINES_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         regexp_replace(text, ' quick ', chr(10) || 'quick' || chr(10),
+                        'g') AS text
+  FROM documents
+), split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS parts FROM docs
+), lines AS (
+  SELECT doc_id,
+         generate_subscripts(parts, 1) - 1 AS pos,
+         unnest(parts) AS line
+  FROM split
+), kept AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
+           AS keep
+  FROM lines
+)
+SELECT doc_id,
+  COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                      ORDER BY pos), '') AS text,
+  COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0)::BIGINT AS n_kept,
+  COALESCE(SUM(CASE WHEN keep THEN 0 ELSE 1 END), 0)::BIGINT AS n_dropped
+FROM kept GROUP BY doc_id
+"""
+
+
 def text_vocab_topk(spark, sf_dir):
     """Corpus vocabulary construction: top-100 tokens by frequency."""
     from space_spark.operators.text import vocab_topk
@@ -2975,6 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "sample_weighted": sample_weighted,
         "ann_random_projection": ann_random_projection,
+        "dedup_corpus_lines": dedup_corpus_lines,
         "q_asof_signup": q_asof_signup,
         "q1_pricing_summary": q1_pricing_summary,
         "q_order_rollup": q_order_rollup,
@@ -3076,6 +3120,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": TEXT_REPETITION_SQL,
         "sample_weighted": SAMPLE_WEIGHTED_SQL,
         "ann_random_projection": ANN_RP_SQL,
+        "dedup_corpus_lines": DEDUP_LINES_SQL,
         "dedup_exact_documents": DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
         "dedup_minhash_lsh": MINHASH_LSH_SQL,

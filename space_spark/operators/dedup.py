@@ -708,3 +708,56 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+# ------------------------------------------------------------- line dedup
+def dedup_lines(
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 0
+) -> DataFrame:
+    """Cross-document LINE deduplication (CCNet / RefinedWeb style): every
+    distinct line is kept only at its FIRST occurrence — smallest
+    (document id, line position) — and each document is rebuilt from its
+    surviving lines. This is the boilerplate-removal step of a crawl
+    pipeline (navigation text, cookie banners and footers repeat across
+    pages; document-level dedup never sees them). Lines shorter than
+    ``min_len`` characters are exempt (kept everywhere): dropping every
+    repeated short line ("Yes.", blank) would mangle prose.
+
+    Returns (id_col, text, n_kept, n_dropped). Plan: one posexplode, one
+    first-occurrence window keyed by the line (hash shuffle on line
+    content — the only shuffled payload is the distinct-line dictionary
+    plus (doc, pos) pairs), one per-document ordered rebuild aggregate.
+    Deterministic and ANSI-SQL reproducible (ordered string_agg)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy(
+        F.col(id_col).asc(), F.col("pos").asc()
+    )
+    exempt = F.length("line") < min_len
+    kept = (
+        lines.withColumn(
+            "__keep",
+            exempt | (F.row_number().over(w) == 1),
+        )
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"),
+                               F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0)).cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("__keep"), 0).otherwise(1)).cast("long")
+        .alias("n_dropped"),
+    )
+    return rebuilt

@@ -328,3 +328,29 @@ def test_semantic_dedup_marks_min_id_winner(spark):
     assert out[0] == (None, False)
     # 2 may share a cluster with 0 but is far below threshold.
     assert out[2] == (None, False)
+
+
+def test_dedup_lines_first_occurrence_and_exemption(spark):
+    from space_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\ncookie banner\nbeta"),
+            (2, "cookie banner\ngamma\nok"),
+            (3, "delta\nok\ncookie banner"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+           for r in dedup_lines(docs, "doc_id", "text").collect()}
+    # 'cookie banner' survives only in doc 1; 'ok' only in doc 2
+    assert out[1] == ("alpha\ncookie banner\nbeta", 3, 0)
+    assert out[2] == ("gamma\nok", 2, 1)
+    assert out[3][0] == "delta" and out[3][1:] == (1, 2)
+    # min_len exemption keeps short lines everywhere
+    out2 = {r["doc_id"]: r["text"]
+            for r in dedup_lines(docs, "doc_id", "text",
+                                 min_len=3).collect()}
+    # 'ok' (2 chars < min_len 3) is exempt and survives in docs 2 AND 3
+    assert out2[2] == "gamma\nok"
+    assert out2[3] == "delta\nok"
