@@ -2466,8 +2466,9 @@ ANN_RP_SQL = _rp_sql()
 def dedup_corpus_lines(spark, sf_dir):
     """Cross-document line dedup (CCNet/RefinedWeb boilerplate removal):
     every distinct line survives only at its first (doc, position)
-    occurrence; documents are rebuilt from surviving lines. The word-soup
-    corpus gains line structure via the same ' table ' rewrite as
+    occurrence — short (<5 chars) and empty lines are exempt — and
+    documents are rebuilt from surviving lines. The word-soup corpus
+    gains line structure via the same ' table ' rewrite as
     text_quality_rules."""
     from space_spark.operators.dedup import dedup_lines
 
@@ -2493,7 +2494,8 @@ WITH docs AS (
   FROM split
 ), kept AS (
   SELECT doc_id, pos, line,
-         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
+         (length(line) < 5 OR line = '')
+         OR ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
            AS keep
   FROM lines
 )

@@ -3,8 +3,9 @@
 Additive capabilities beyond the reference (google/space stores training
 data but has no dedup operators) — designed for 100 TB corpora:
 
-- ``exact_dedup``: one hash-shuffle on the group columns. At scale this is
-  the canonical groupBy; no driver state.
+- ``exact_dedup``: a partial-aggregable groupBy-min + join-back on the
+  unique id (never a window over the group key — hot duplicate groups
+  would serialize onto one reducer); no driver state.
 - ``ngram_jaccard_pairs``: EXACT Jaccard via an inverted-index shuffle join
   (explode shingles -> join on shingle -> count), NOT an O(n^2) cross join;
   the candidate space is bounded by shared shingles, which is how the big
@@ -97,16 +98,19 @@ def _hash64(col: Column) -> Column:
 
 # ---------------------------------------------------------------- exact dedup
 def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
-    """Keep the min-id row per duplicate group (deterministic winner).
+    """Keep the min-id row per duplicate group (deterministic winner;
+    assumes ``id_col`` is unique per row, the usual document-id contract).
 
-    One hash shuffle on ``cols``; Catalyst plans a partial (map-side)
-    min-aggregate before the exchange."""
-    w = Window.partitionBy(*cols).orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    Skew-safe at corpus scale: a window over ``cols`` would ship EVERY
+    occurrence of a hot duplicate group to one reducer (windows have no
+    partial aggregation). Instead the winner per group is computed with
+    ``groupBy(cols).min(id)`` — map-side partial agg collapses each
+    group to one row per task before the exchange, so a group with 10^9
+    members costs O(tasks) shuffled rows — and winners join back on
+    (cols..., id): the join keys include the unique id, so hot groups
+    hash-spread across reducers instead of landing on one."""
+    winners = df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
+    return df.join(winners, on=[*cols, id_col], how="left_semi")
 
 
 def duplicate_groups(df: DataFrame, cols: Sequence[str], id_col: str
@@ -712,7 +716,7 @@ def decontaminate(
 
 # ------------------------------------------------------------- line dedup
 def dedup_lines(
-    df: DataFrame, id_col: str, text_col: str, min_len: int = 0
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 5
 ) -> DataFrame:
     """Cross-document LINE deduplication (CCNet / RefinedWeb style): every
     distinct line is kept only at its FIRST occurrence — smallest
@@ -720,27 +724,50 @@ def dedup_lines(
     surviving lines. This is the boilerplate-removal step of a crawl
     pipeline (navigation text, cookie banners and footers repeat across
     pages; document-level dedup never sees them). Lines shorter than
-    ``min_len`` characters are exempt (kept everywhere): dropping every
-    repeated short line ("Yes.", blank) would mangle prose.
+    ``min_len`` characters — and empty lines ALWAYS, regardless of
+    ``min_len`` — are exempt (kept everywhere): dropping every repeated
+    short line ("Yes.", paragraph breaks) would mangle prose, and the
+    shortest lines are exactly the most-repeated ones.
 
-    Returns (id_col, text, n_kept, n_dropped). Plan: one posexplode, one
-    first-occurrence window keyed by the line (hash shuffle on line
-    content — the only shuffled payload is the distinct-line dictionary
-    plus (doc, pos) pairs), one per-document ordered rebuild aggregate.
-    Deterministic and ANSI-SQL reproducible (ordered string_agg)."""
+    Returns (id_col, text, n_kept, n_dropped).
+
+    Plan (skew-safe by construction — the operator's whole job is lines
+    that repeat across billions of documents, so the hot-key case is the
+    NORMAL case): exempt lines never enter any line-keyed exchange; the
+    rest compute their first occurrence via
+    ``groupBy(line).agg(min(struct(id, pos)))`` — a combinable aggregate,
+    so map-side partial agg collapses a line occurring 10^9 times to one
+    row per task before the shuffle — and winners join back on the full
+    (line, id, pos) triple, whose hash spreads hot lines across reducers.
+    A ``Window.partitionBy(line)`` here would instead sort all 10^9
+    occurrences of "Home" in ONE task (windows have no partial
+    aggregation). Final per-document rebuild shuffles on the document id
+    (uniform). Deterministic and ANSI-SQL reproducible (ordered
+    string_agg)."""
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
-    w = Window.partitionBy("line").orderBy(
-        F.col(id_col).asc(), F.col("pos").asc()
-    )
-    exempt = F.length("line") < min_len
-    kept = (
-        lines.withColumn(
-            "__keep",
-            exempt | (F.row_number().over(w) == 1),
+    exempt = (F.length("line") < min_len) | (F.col("line") == "")
+    subject = lines.where(~exempt)
+    winners = (
+        subject.groupBy("line")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"))
+        .select(
+            "line",
+            F.col(f"__w.{id_col}").alias(id_col),
+            F.col("__w.pos").alias("pos"),
         )
+    )
+    kept = subject.join(
+        winners.withColumn("__first", F.lit(True)),
+        on=["line", id_col, "pos"],
+        how="left",
+    ).select(
+        id_col, "pos", "line",
+        F.coalesce(F.col("__first"), F.lit(False)).alias("__keep"),
+    ).unionByName(
+        lines.where(exempt).withColumn("__keep", F.lit(True))
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(

@@ -342,7 +342,8 @@ def test_dedup_lines_first_occurrence_and_exemption(spark):
         ["doc_id", "text"],
     )
     out = {r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
-           for r in dedup_lines(docs, "doc_id", "text").collect()}
+           for r in dedup_lines(docs, "doc_id", "text",
+                                min_len=0).collect()}
     # 'cookie banner' survives only in doc 1; 'ok' only in doc 2
     assert out[1] == ("alpha\ncookie banner\nbeta", 3, 0)
     assert out[2] == ("gamma\nok", 2, 1)
@@ -354,3 +355,29 @@ def test_dedup_lines_first_occurrence_and_exemption(spark):
     # 'ok' (2 chars < min_len 3) is exempt and survives in docs 2 AND 3
     assert out2[2] == "gamma\nok"
     assert out2[3] == "delta\nok"
+    # default min_len=5: 'beta' (4 chars) is exempt too
+    out3 = {r["doc_id"]: r["text"]
+            for r in dedup_lines(docs, "doc_id", "text").collect()}
+    assert out3[1] == "alpha\ncookie banner\nbeta"
+    assert out3[2] == "gamma\nok"
+    assert out3[3] == "delta\nok"
+
+
+def test_dedup_lines_empty_lines_always_exempt(spark):
+    """Blank paragraph separators must NEVER be deduplicated corpus-wide
+    (they'd be removed from every document after the first), even with
+    min_len=0."""
+    from space_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "first paragraph\n\nsecond paragraph"),
+            (2, "third paragraph\n\nfourth paragraph"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+           for r in dedup_lines(docs, "doc_id", "text",
+                                min_len=0).collect()}
+    assert out[1] == ("first paragraph\n\nsecond paragraph", 3, 0)
+    assert out[2] == ("third paragraph\n\nfourth paragraph", 3, 0)

@@ -118,6 +118,33 @@ def test_weighted_and_hash_sample_are_scan_only(spark):
         assert "*(" in p or "WholeStageCodegen" in p
 
 
+def test_dedup_lines_partial_agg_not_window(spark):
+    """First-occurrence selection must be a partial-aggregable
+    groupBy(line).min + join-back, never Window.partitionBy(line): the
+    operator's whole job is lines repeated across billions of documents,
+    and a window would sort every occurrence of a hot boilerplate line
+    ("Home", cookie banners) in ONE task. The groupBy's map-side partial
+    aggregate collapses each hot line to one row per task before the
+    exchange, and the join-back keys on (line, id, pos) so the probe side
+    hash-spreads hot lines."""
+    from space_spark.operators.dedup import dedup_lines
+
+    plan = plan_of(dedup_lines(_docs(spark), "doc_id", "text"))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan  # partial+final min(struct(id, pos))
+
+
+def test_exact_dedup_partial_agg_not_window(spark):
+    """Same skew discipline for exact dedup: groupBy-min winners + left
+    semi join on (cols, id) — no window over the duplicate-group key."""
+    from space_spark.operators.dedup import exact_dedup
+
+    plan = plan_of(exact_dedup(_docs(spark), ["text"], "doc_id"))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+    assert "LeftSemi" in plan
+
+
 def test_upsert_probe_is_pruned(spark, tmp_path):
     """A small upsert into a clustered table must probe a file subset
     (manifest range pruning), not re-read the table."""
