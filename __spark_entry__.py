@@ -2687,7 +2687,9 @@ def ann_cosine_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
-    return cosine_topk(emb, queries_df, "vec_id", "embedding", k=5).select(
+    # vec_id < 5 bounds the query set at 5 rows — skip the count probe.
+    return cosine_topk(emb, queries_df, "vec_id", "embedding", k=5,
+                       n_queries=5).select(
         "query_id", "neighbor_id", "score",
         F.col("rank").cast("long").alias("rnk"),
     )

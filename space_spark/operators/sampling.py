@@ -130,7 +130,12 @@ def domain_mix_sample(
     integer arithmetic, so every engine agrees. Rows within a group are
     kept by hash-bucket rank (id tie-break), so the kept set is
     pseudo-random, reproducible, and stable run-to-run. Groups absent
-    from ``weights`` are dropped (weight 0).
+    from ``weights`` are dropped (weight 0); a ``weights`` key with NO
+    rows in the data raises at execution time — the contract is that the
+    kept corpus matches the target mix EXACTLY, and a missing group
+    would silently ship the remaining groups at full quota with zero of
+    the missing one (the in-plan guard costs nothing: it rides the quota
+    aggregate the plan already computes).
 
     Plan shape: one tiny group-count aggregate (|groups| rows — the quota
     table, broadcast back), then one hash shuffle of the corpus on the
@@ -155,12 +160,25 @@ def domain_mix_sample(
     counts = weighted.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("__n"), F.first("__w").alias("__gw")
     )
+    wanted = F.array(
+        *[F.lit(k) for k, v in sorted(norm.items()) if v > 0]
+    )
     t = counts.agg(
-        F.min(F.floor(F.col("__n") / F.col("__gw"))).alias("__t")
+        F.min(F.floor(F.col("__n") / F.col("__gw"))).alias("__t"),
+        F.array_except(wanted, F.collect_list(group_col)).alias("__miss"),
     )
     quotas = counts.crossJoin(F.broadcast(t)).select(
         group_col,
-        F.floor(F.col("__gw") * F.col("__t")).alias("__quota"),
+        F.when(
+            F.size("__miss") > 0,
+            F.raise_error(F.concat(
+                F.lit("domain_mix_sample: weights name groups with no "
+                      "rows in the data (target mix is unsatisfiable): "),
+                F.array_join("__miss", ", "),
+            )),
+        ).otherwise(
+            F.floor(F.col("__gw") * F.col("__t"))
+        ).alias("__quota"),
     )
     bucket = hash_bucket(F.col(id_col), seed)
     rw = Window.partitionBy(group_col).orderBy(bucket.asc(),

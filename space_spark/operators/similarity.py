@@ -56,6 +56,7 @@ def cosine_topk(
     k: int = 5,
     round_digits: int = 4,
     broadcast_max: int = COSINE_TOPK_BROADCAST_MAX,
+    n_queries: Optional[int] = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query row (excluding self-matches).
 
@@ -66,7 +67,13 @@ def cosine_topk(
     shape for interactive/small query sets. A query set above
     ``broadcast_max`` rows falls back to a plain (shuffled) cross join so
     a bulk caller degrades to a slower-but-correct plan instead of a
-    broadcast OOM; at that scale prefer ``ivf_topk``/``lsh_bucket_topk``."""
+    broadcast OOM; at that scale prefer ``ivf_topk``/``lsh_bucket_topk``.
+
+    ``n_queries``: caller-known query row count (or a trusted upper
+    bound). When given, the broadcast-vs-shuffle choice is made from it
+    directly instead of running the bounded ``limit(max+1).count()``
+    probe job — callers that already know their query-set size (a fixed
+    probe list, a bounded filter) save one Spark job per call."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).withColumn("qn", norm(F.col("qv")))
@@ -75,7 +82,8 @@ def cosine_topk(
     c = _fan_out(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )).withColumn("cn", norm(F.col("cv")))
-    n_queries = q.limit(broadcast_max + 1).count()
+    if n_queries is None:
+        n_queries = q.limit(broadcast_max + 1).count()
     q_side = F.broadcast(q) if n_queries <= broadcast_max else q
     # Norms cached per row (same doubles, same rounded score): the
     # per-candidate cost is one array fold, not three.
@@ -107,15 +115,25 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
 # Building a 64-float literal array costs ~64 py4j round trips; with 8
 # planes on both join sides that is ~1s of pure DRIVER chatter per query
 # build. The planes are deterministic constants, and an unresolved
-# literal Column is reusable across plans in one JVM gateway — memoize.
-_PLANE_LIT_CACHE: dict = {}
+# literal Column is reusable across plans in one JVM gateway — but ONLY
+# that gateway: after a SparkSession/JVM restart a cached Column points
+# at a dead gateway, so the cache is keyed to the active SparkContext
+# and flushed whenever it changes.
+_PLANE_LIT_CACHE: dict = {"ctx": None, "cols": {}}
 
 
 def _plane_lit(plane: tuple) -> Column:
-    col = _PLANE_LIT_CACHE.get(plane)
+    from pyspark import SparkContext
+
+    ctx = SparkContext._active_spark_context
+    if _PLANE_LIT_CACHE["ctx"] is not ctx:
+        _PLANE_LIT_CACHE["ctx"] = ctx
+        _PLANE_LIT_CACHE["cols"] = {}
+    cols = _PLANE_LIT_CACHE["cols"]
+    col = cols.get(plane)
     if col is None:
         col = F.array(*[F.lit(v) for v in plane])
-        _PLANE_LIT_CACHE[plane] = col
+        cols[plane] = col
     return col
 
 

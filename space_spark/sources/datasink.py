@@ -96,8 +96,11 @@ def _phys_arrow(logical_arrow: pa.Schema, meta) -> pa.Schema:
     ren = getattr(meta, "renames", {}) or {}
     if not ren:
         return logical_arrow
+    # with_name keeps nullability and field metadata — rebuilding with
+    # pa.field(name, type) would silently drop non-null flags from
+    # post-rename files that pre-rename files carry.
     return pa.schema(
-        [pa.field(ren.get(f.name, f.name), f.type) for f in logical_arrow]
+        [f.with_name(ren.get(f.name, f.name)) for f in logical_arrow]
     )
 
 

@@ -164,6 +164,18 @@ def test_domain_mix_exact_quotas(spark):
     with _pytest.raises(ValueError):
         domain_mix_sample(df, "lang", "id", {"en": 0.0})
 
+    # A weights key with NO rows makes the target mix unsatisfiable:
+    # the in-plan guard raises at execution time instead of silently
+    # shipping the remaining groups at full quota.
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    with _pytest.raises((Py4JJavaError, SparkRuntimeException),
+                        match="no\\s+rows in the data"):
+        domain_mix_sample(
+            df, "lang", "id", {"en": 0.6, "de": 0.4}
+        ).count()
+
 
 def test_weighted_sample_clamps_and_is_deterministic(spark):
     from space_spark.operators.sampling import weighted_sample
