@@ -1806,6 +1806,93 @@ GROUP BY l_linestatus
 """
 
 
+def space_zorder_string(spark, sf_dir):
+    """Z-order over a STRING column (byte-prefix bucketing,
+    operators/zorder.py:_as_double): orders written Morton-interleaved
+    on (o_custkey, o_orderpriority), then filtered on the string column
+    only — each file carries a compact o_orderpriority min/max range, so
+    the manifest prunes on a string predicate, the common real-world
+    clustering key (URL host, language, source)."""
+    from space_spark import Dataset, field
+
+    orders = _t(spark, sf_dir, "orders")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/orders_z", orders.schema, ["o_orderkey"]
+    )
+    ds.append(orders, zorder_by=["o_custkey", "o_orderpriority"],
+              target_files=16)
+    pruned = ds.read(filter_=field("o_orderpriority") == "1-URGENT")
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice"), "total"),
+        F.sum("o_custkey").alias("cust_sum"),
+    )
+
+
+SPACE_ZORDER_STRING_SQL = f"""
+SELECT o_orderstatus,
+  COUNT(*) AS n_orders,
+  {MONEY_SUM('o_totalprice', 'total')},
+  SUM(o_custkey)::BIGINT AS cust_sum
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+"""
+
+
+def space_stream_cdc(spark, sf_dir):
+    """Streaming CDC replication end-to-end (SURVEY §2.9's change feed in
+    Structured-Streaming form, beyond the batch-only reference): a source
+    space table is mutated (append, upsert, CoW delete), its change feed
+    is consumed as a stream (``format("space").option("readChangeFeed",
+    "true")``) and applied onto a SECOND space table by
+    ``stream_apply_changes`` under an availableNow trigger. Returns the
+    replica's final state, which must equal the mutations' net effect —
+    the oracle recomputes that net effect in plain SQL."""
+    from space_spark import Dataset, field
+    from space_spark.sources.datasource import register_space_source
+    from space_spark.streaming.changefeed import stream_apply_changes
+
+    register_space_source(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    base = _space_tmp()
+    src = Dataset.create(spark, base + "/cdc_src", cust.schema,
+                         ["c_custkey"])
+    src.append(cust.where(F.col("c_custkey") <= 300))
+    src.upsert(
+        cust.where(F.col("c_custkey").between(101, 150)
+                   | F.col("c_custkey").between(301, 330))
+        .withColumn("c_acctbal", F.lit(0.0))
+    )
+    src.delete((field("c_custkey") >= 251) & (field("c_custkey") <= 300))
+    tgt = Dataset.create(spark, base + "/cdc_tgt", cust.schema,
+                         ["c_custkey"])
+    feed = (
+        spark.readStream.format("space")
+        .option("readChangeFeed", "true")
+        .load(src.location)
+    )
+    q = stream_apply_changes(feed, tgt, base + "/cdc_ckpt")
+    q.awaitTermination(600)
+    q.stop()
+    return tgt.reload().read().select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+
+
+SPACE_STREAM_CDC_SQL = """
+SELECT c_custkey, c_name,
+  CASE WHEN c_custkey BETWEEN 101 AND 150
+         OR c_custkey BETWEEN 301 AND 330
+       THEN 0.0 ELSE c_acctbal END AS c_acctbal,
+  c_nationkey
+FROM customer
+WHERE c_custkey <= 250 OR c_custkey BETWEEN 301 AND 330
+"""
+
+
 def space_sql_table(spark, sf_dir):
     """SQL-catalog surface (beyond reference parity — the reference
     delegates SQL to external engines, README.md:17): attach an existing
@@ -2948,81 +3035,26 @@ FROM b
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the external correctness gate checks the FIRST 50
     # entries only. Policy: (1) any entry never checked, or not checked
-    # last round, goes first; (2) the space table API and the dedup core
-    # stay inside the window every round (their operator code churns the
-    # most); (3) stable pure-SQL analytics rotate through the tail so
-    # nothing goes unchecked for more than one consecutive round.
-    # Round 4 window: the 16 entries the round-3 gate never saw (slots
-    # 51-66 last round) lead; the 16 TPC-H joins/aggs green in BOTH r2
-    # and r3 rotate out and must return to the window in round 5.
+    # last round, goes first; (2) entries whose operator code churned
+    # this round stay in-window; (3) everything else rotates so nothing
+    # goes unchecked for more than one consecutive round.
+    # Round 5 window (the round-4 verdict's prescribed resolution): the
+    # 5 entries that were tail-slotted in r4 lead, plus the 2 new r5
+    # queries, then ALL 30 analytics rotated out in r4 return, then the
+    # 13 core entries whose operator code churned in r4/r5 (dedup core,
+    # the space DML/compact/zorder family, cosine guard, domain-mix
+    # guard). The 35 r4-green entries with unchanged code sit out
+    # exactly one round and MUST return in round 6.
     return {
-        # -- never / least-recently gate-checked (round-3 slots 51-66)
-        "dedup_simhash_pairs": dedup_simhash_pairs,
-        "text_stats": text_stats,
-        "text_vocab_topk": text_vocab_topk,
-        "text_tfidf_terms": text_tfidf_terms,
-        "text_chunk_windows": text_chunk_windows,
-        "text_pack_sequences": text_pack_sequences,
-        "sample_hash_split": sample_hash_split,
-        "sample_stratified": sample_stratified,
-        "ann_cosine_topk": ann_cosine_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "embedding_neardup": embedding_neardup,
-        "ann_quantize_int8": ann_quantize_int8,
-        "multimodal_image_features": multimodal_image_features,
-        "multimodal_frame_sample": multimodal_frame_sample,
-        "multimodal_audio_features": multimodal_audio_features,
-        # -- space table API (SURVEY.md §2 operators): always in-window
-        "space_filter_project": space_filter_project,
-        "space_delete_read": space_delete_read,
-        "space_bitmap_changelog": space_bitmap_changelog,
-        "space_mor_delete": space_mor_delete,
-        "space_upsert_read": space_upsert_read,
-        "space_insert_read": space_insert_read,
-        "space_compact_read": space_compact_read,
-        "space_time_travel": space_time_travel,
-        "space_diff_changes": space_diff_changes,
-        "space_join_view": space_join_view,
-        "space_map_batches_udf": space_map_batches_udf,
-        "space_filter_udf": space_filter_udf,
-        "space_record_fields": space_record_fields,
-        "space_read_by_keys": space_read_by_keys,
-        "space_lineitem_clustered": space_lineitem_clustered,
-        "space_zorder_pruned": space_zorder_pruned,
-        "space_sql_table": space_sql_table,
-        # -- dedup core: always in-window
-        "dedup_exact_documents": dedup_exact_documents,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_cluster_labels": dedup_cluster_labels,
-        # -- new curation/sampling operators (never gate-checked):
-        #    decontamination, SemDeDup, domain-mixture resampling
-        "text_decontaminate": text_decontaminate,
-        "dedup_semantic": dedup_semantic,
-        "sample_domain_mix": sample_domain_mix,
-        # -- analytics kept in-window this round (range-band custom join)
-        "q_range_band": q_range_band,
-        # -- new this round (never gate-checked): TPC-H shapes 8/9/11/16/
-        #    20/21 + Gopher quality rules + PII scrub + URL host stats
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_balance": q11_important_balance,
-        "q16_supplier_part_count": q16_supplier_part_count,
-        "q20_surplus_suppliers": q20_surplus_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "text_quality_rules": text_quality_rules,
-        "text_pii_scrub": text_pii_scrub,
-        "text_url_hosts": text_url_hosts,
-        # ---- round-4 gate window ends here (50 entries) ----
-        # -- NEW this round but tail-slotted (window was full; all four
-        #    pass the local sf0.01 oracle mirror): MUST lead the round-5
-        #    window together with the displaced entries below
+        # -- never gate-checked: r4 tail slots 51-55 + new this round
         "space_rename_read": space_rename_read,
         "text_repetition": text_repetition,
         "sample_weighted": sample_weighted,
         "ann_random_projection": ann_random_projection,
         "dedup_corpus_lines": dedup_corpus_lines,
+        "space_zorder_string": space_zorder_string,
+        "space_stream_cdc": space_stream_cdc,
+        # -- analytics unchecked in r4 (green r2+r3): all 30 return
         "q_asof_signup": q_asof_signup,
         "q1_pricing_summary": q1_pricing_summary,
         "q_order_rollup": q_order_rollup,
@@ -3037,8 +3069,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semi_anti": q_semi_anti,
         "q_intersect": q_intersect,
         "q_except": q_except,
-        # -- rotated out this round (r2+r3 green, pure-SQL, no operator
-        #    dependence); MUST lead the analytics block in round 5
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_revenue": q5_local_supplier_revenue,
         "q6_revenue_change": q6_revenue_change,
@@ -3055,6 +3085,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_order_count_distribution": q13_order_count_distribution,
         "q18_large_volume_customers": q18_large_volume_customers,
         "q22_idle_rich_customers": q22_idle_rich_customers,
+        # -- core whose operator code churned in r4/r5: stays in-window
+        "dedup_exact_documents": dedup_exact_documents,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_cluster_labels": dedup_cluster_labels,
+        "space_compact_read": space_compact_read,
+        "space_record_fields": space_record_fields,
+        "space_insert_read": space_insert_read,
+        "space_upsert_read": space_upsert_read,
+        "space_mor_delete": space_mor_delete,
+        "space_diff_changes": space_diff_changes,
+        "space_zorder_pruned": space_zorder_pruned,
+        "ann_cosine_topk": ann_cosine_topk,
+        "sample_domain_mix": sample_domain_mix,
+        # ---- round-5 gate window ends here (50 entries) ----
+        # -- r4-green, code unchanged since: sitting out exactly one
+        #    round; MUST lead the round-6 window
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "text_stats": text_stats,
+        "text_vocab_topk": text_vocab_topk,
+        "text_tfidf_terms": text_tfidf_terms,
+        "text_chunk_windows": text_chunk_windows,
+        "text_pack_sequences": text_pack_sequences,
+        "sample_hash_split": sample_hash_split,
+        "sample_stratified": sample_stratified,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "embedding_neardup": embedding_neardup,
+        "ann_quantize_int8": ann_quantize_int8,
+        "multimodal_image_features": multimodal_image_features,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "multimodal_audio_features": multimodal_audio_features,
+        "space_filter_project": space_filter_project,
+        "space_delete_read": space_delete_read,
+        "space_bitmap_changelog": space_bitmap_changelog,
+        "space_time_travel": space_time_travel,
+        "space_join_view": space_join_view,
+        "space_map_batches_udf": space_map_batches_udf,
+        "space_filter_udf": space_filter_udf,
+        "space_read_by_keys": space_read_by_keys,
+        "space_lineitem_clustered": space_lineitem_clustered,
+        "space_sql_table": space_sql_table,
+        "text_decontaminate": text_decontaminate,
+        "dedup_semantic": dedup_semantic,
+        "q_range_band": q_range_band,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_balance": q11_important_balance,
+        "q16_supplier_part_count": q16_supplier_part_count,
+        "q20_surplus_suppliers": q20_surplus_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "text_quality_rules": text_quality_rules,
+        "text_pii_scrub": text_pii_scrub,
+        "text_url_hosts": text_url_hosts,
     }
 
 
@@ -3119,6 +3203,8 @@ def oracle_sql() -> dict[str, str]:
         "space_read_by_keys": SPACE_READ_BY_KEYS_SQL,
         "space_lineitem_clustered": SPACE_LINEITEM_SQL,
         "space_zorder_pruned": SPACE_ZORDER_SQL,
+        "space_zorder_string": SPACE_ZORDER_STRING_SQL,
+        "space_stream_cdc": SPACE_STREAM_CDC_SQL,
         "space_sql_table": SPACE_SQL_TABLE_SQL,
         "space_rename_read": SPACE_RENAME_SQL,
         "text_repetition": TEXT_REPETITION_SQL,

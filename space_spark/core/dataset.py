@@ -986,6 +986,19 @@ class Dataset:
         )
         return deletes_rel, affected
 
+    def delete_by_keys(self, keys: DataFrame) -> "Dataset":
+        """Delete rows whose primary keys appear in ``keys`` (a DataFrame
+        holding the PK columns) — the keyed-delete half of a CDC apply
+        (streaming/changefeed.py ``stream_apply_changes``). The key set
+        stays distributed end-to-end (broadcast or shuffle-hash joined,
+        never collected) and the probe is manifest-range-pruned by the
+        keys' bounds, exactly like upsert's delete half. Deleting keys
+        that are absent (or already deleted) is a no-op, which is what
+        makes a replayed CDC batch idempotent."""
+        self.reload()
+        self._delete_matching(keys.select(*self.primary_keys))
+        return self
+
     def _delete_matching(self, keys_df: DataFrame, commit_mutate=None) -> bool:
         """Delete rows whose PKs appear in keys_df (MV refresh's delete
         half). Returns whether a snapshot was committed."""

@@ -43,6 +43,17 @@ _NUMERIC = (
 _TEMPORAL = (T.DateType, T.TimestampType, T.TimestampNTZType)
 
 
+# String/binary columns are z-ordered by their first 6 bytes read as a
+# big-endian unsigned integer: 48 bits stays exact in a double (< 2^53),
+# and fixed-width right-zero-padded hex preserves byte order, so the
+# encoding is order-preserving on the prefix. Real tables cluster on
+# string keys (URL host, language, source); a 6-byte prefix separates
+# those at file granularity — values that tie on the prefix simply land
+# in the same bucket, costing pruning resolution, never correctness
+# (cut points are computed under the same transform).
+_STR_PREFIX_BYTES = 6
+
+
 def _as_double(df: DataFrame, col: str) -> Column:
     dt = df.schema[col].dataType
     if isinstance(dt, _NUMERIC):
@@ -51,9 +62,17 @@ def _as_double(df: DataFrame, col: str) -> Column:
         if isinstance(dt, T.DateType):
             return F.unix_date(F.col(col)).cast("double")
         return F.unix_micros(F.col(col).cast("timestamp_ltz")).cast("double")
+    if isinstance(dt, (T.StringType, T.BinaryType)):
+        raw = (F.col(col) if isinstance(dt, T.BinaryType)
+               else F.encode(F.col(col), "UTF-8"))
+        hexed = F.rpad(
+            F.hex(F.substring(raw, 1, _STR_PREFIX_BYTES)),
+            2 * _STR_PREFIX_BYTES, "0",
+        )
+        return F.conv(hexed, 16, 10).cast("double")
     raise UserInputError(
         f"zorder_by column {col!r} has unsupported type {dt.simpleString()}"
-        " (numeric/date/timestamp only)"
+        " (numeric/date/timestamp/string/binary only)"
     )
 
 

@@ -147,6 +147,71 @@ def stream_upsert(
     return writer.start()
 
 
+def stream_apply_changes(
+    cdf_stream: DataFrame,
+    dataset,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    query_name: Optional[str] = None,
+):
+    """Apply a space CDC stream (``readStream.format("space")`` with
+    ``option("readChangeFeed", "true")``) onto another space table —
+    the full replication loop: mutate table A, stream its change feed,
+    and table B converges to A's state.
+
+    A micro-batch may span SEVERAL source snapshots (an ``availableNow``
+    catch-up replays the whole feed in one batch), so the batch is first
+    reduced to the LATEST change per primary key — ``max(struct(
+    _snapshot_id, _change_order, ...))`` per key, a partial-aggregable
+    groupBy, no window — and then the net ADDs upsert while the net
+    DELETEs apply as one keyed delete (``Dataset.delete_by_keys``; the
+    two key sets are disjoint by construction, so ordering between the
+    two commits cannot be observed as a wrong state). Within a snapshot
+    deletes order before adds (``_change_order`` 0 vs 1), so an upsert's
+    delete+add nets to the add, matching replay semantics.
+
+    Idempotent under replay (crash between the two commits or before the
+    checkpoint advance): re-applying the same net changes to the same
+    keys converges to the identical table state."""
+    from pyspark.sql import functions as F
+
+    pks = list(dataset.primary_keys)
+    cdf_cols = ("_change_type", "_snapshot_id", "_change_order")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cols = [c for c in batch_df.columns if c not in cdf_cols]
+        non_pk = [c for c in cols if c not in pks]
+        latest = batch_df.groupBy(*pks).agg(
+            F.max(
+                F.struct("_snapshot_id", "_change_order", "_change_type",
+                         *non_pk)
+            ).alias("__c")
+        )
+        dels = latest.where(
+            F.col("__c._change_type") == CHANGE_DELETE
+        ).select(*pks)
+        adds = latest.where(
+            F.col("__c._change_type") == CHANGE_ADD
+        ).select(
+            *[F.col(c) if c in pks else F.col(f"__c.{c}").alias(c)
+              for c in cols]
+        )
+        dataset.delete_by_keys(dels)
+        dataset.upsert(adds)
+
+    writer = (
+        cdf_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     spark,
     events_dir: str,

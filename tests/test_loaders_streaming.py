@@ -14,6 +14,7 @@ from space_spark.sources.loaders import append_binary_files, append_parquet
 from space_spark.streaming.changefeed import (
     ChangeFeedProcessor,
     stream_append,
+    stream_apply_changes,
     stream_upsert,
     windowed_event_counts,
 )
@@ -153,6 +154,49 @@ def test_stream_upsert_into_table(spark, tmp_location):
         [Row(id=i, val=99.0) for i in range(5, 15)], SIMPLE))
     got2 = {r["id"]: r["val"] for r in ds.reload().read().collect()}
     assert len(got2) == 15 and all(got2[i] == 99.0 for i in range(5, 15))
+
+
+def test_stream_apply_changes_replicates_table(spark, tmp_location):
+    """readChangeFeed -> stream_apply_changes: the target converges to
+    the source's state across append + upsert + delete, even when the
+    availableNow catch-up packs all three snapshots into one batch (the
+    per-key latest-change reduction nets delete+add to the add)."""
+    from space_spark.sources.datasource import register_space_source
+
+    register_space_source(spark)
+    src = Dataset.create(spark, tmp_location + "_cdc_src", SIMPLE, ["id"])
+    src.append(spark.createDataFrame(
+        [Row(id=i, val=float(i)) for i in range(20)], SIMPLE))
+    src.upsert(spark.createDataFrame(
+        [Row(id=i, val=-1.0) for i in range(5, 10)]
+        + [Row(id=i, val=-2.0) for i in range(20, 25)], SIMPLE))
+    src.delete(field("id") >= 15)  # drops 15..19 and 20..24
+
+    tgt = Dataset.create(spark, tmp_location + "_cdc_tgt", SIMPLE, ["id"])
+    feed = (
+        spark.readStream.format("space")
+        .option("readChangeFeed", "true")
+        .load(src.location)
+    )
+    q = stream_apply_changes(feed, tgt, tmp_location + "_cdc_ckpt")
+    q.awaitTermination(180)
+    q.stop()
+    want = {r["id"]: r["val"] for r in src.reload().read().collect()}
+    got = {r["id"]: r["val"] for r in tgt.reload().read().collect()}
+    assert got == want
+    assert set(got) == set(range(15))
+    assert all(got[i] == -1.0 for i in range(5, 10))
+
+    # replaying the whole feed from scratch converges (idempotence)
+    q2 = stream_apply_changes(
+        spark.readStream.format("space")
+        .option("readChangeFeed", "true").load(src.location),
+        tgt, tmp_location + "_cdc_ckpt2",
+    )
+    q2.awaitTermination(180)
+    q2.stop()
+    got2 = {r["id"]: r["val"] for r in tgt.reload().read().collect()}
+    assert got2 == want
 
 
 def test_windowed_event_counts(spark):

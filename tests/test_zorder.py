@@ -41,10 +41,53 @@ def test_zorder_layout_drops_helper_and_preserves_rows(spark):
     assert out.rdd.getNumPartitions() == 4
 
 
-def test_zorder_rejects_string_columns(spark):
-    df = spark.createDataFrame([(1, "x")], "a long, s string")
+def test_zorder_rejects_complex_columns(spark):
+    df = spark.createDataFrame([(1, ["x"])], "a long, s array<string>")
     with pytest.raises(UserInputError):
         add_zorder_key(df, ["s"])
+
+
+def test_zorder_string_prefix_encoding_is_order_preserving(spark):
+    """The 6-byte-prefix double encoding must sort like the bytes do —
+    that is what makes string quantile cuts and bucket comparisons
+    meaningful."""
+    from space_spark.operators.zorder import _as_double
+
+    vals = ["", "a", "ab", "abc", "abcdefgh", "b", "ba", "zz", "zzzzzzz"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [
+        r["s"] for r in
+        df.select("s", _as_double(df, "s").alias("d"))
+        .orderBy(F.col("d").asc(), F.col("s").asc()).collect()
+    ]
+    assert got == sorted(vals)
+
+
+def test_append_zorder_string_column_prunes(spark, tmp_location):
+    """Z-order on (numeric, string): a filter on the STRING column alone
+    must prune files — the string is bucketed by its byte-prefix, so
+    files carry compact min/max ranges on it."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    ds = Dataset.create(
+        spark, tmp_location, orders.schema, ["o_orderkey"]
+    )
+    ds.append(orders, zorder_by=["o_custkey", "o_orderpriority"],
+              target_files=16)
+    total = len(ds.data_files())
+    assert total >= 8
+    by_prio = len(ds.data_files(field("o_orderpriority") == "1-URGENT"))
+    assert by_prio < total, f"string column never pruned: {by_prio}/{total}"
+    got = (
+        ds.read(filter_=field("o_orderpriority") == "1-URGENT")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_custkey").alias("s"))
+        .collect()[0]
+    )
+    want = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_custkey").alias("s"))
+        .collect()[0]
+    )
+    assert (got["n"], got["s"]) == (want["n"], want["s"])
 
 
 def test_append_zorder_prunes_both_dimensions(spark, tmp_location):
