@@ -1310,6 +1310,240 @@ class Dataset:
                 self.reload()
         raise last_err
 
+    def compact_records(
+        self,
+        target_bytes: int = rec.MAX_RECORD_FILE_BYTES,
+    ) -> "Dataset":
+        """Rewrite under-sized record BLOB files into ~``target_bytes``
+        files and update the address structs of the index files that
+        reference them, as ONE no-change CoW commit: readers see
+        identical values, ``diff()`` across it is empty, and older
+        snapshots keep reading the old blobs (``vacuum`` removes them
+        only once no live snapshot references them).
+
+        ``compact()`` heals the INDEX small-files problem but never
+        touches blobs (addresses are immutable), so N trickle appends of
+        record fields leave N small blob files forever — the classic
+        streaming-ingest failure for record-heavy tables. This is the
+        blob half. The reference rolls ArrayRecord files at 100 MB
+        (options.py:74-75) but has the same trickle gap; beyond-
+        reference capability.
+
+        Plan shape at scale: (1) candidate small blobs come from the
+        record manifests (driver-side metadata, O(blob files)); (2) ONE
+        column-pruned distributed scan of the address columns yields
+        both the live candidate set and the referencing index files;
+        (3) bin-packing + the address mapping old_rel -> (new_rel,
+        row_offset) are computed from parquet footer row counts alone —
+        O(small blob files) driver state, never row data; (4) blobs
+        concatenate in a distributed map job, one task per output file,
+        no shuffle; (5) only the referencing index files rewrite, with a
+        literal-map address fixup."""
+        if not self.record_fields:
+            return self
+        if target_bytes <= 0:
+            raise UserInputError("target_bytes must be positive")
+        self.reload()
+        threshold = int(target_bytes * self.COMPACT_HEALTHY_RATIO)
+        last_err = None
+        mapping: Dict[str, tuple] = {}
+        new_blobs: List[tuple] = []  # (new_rel, field, rows) for manifest
+        for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
+            snap_id = self.current_snapshot_id
+            snapshot = self.metadata.snapshot(snap_id)
+            # (1) small, internally-stored blob candidates per field.
+            # Zero-copy external blobs (sources/loaders.py) are raw
+            # foreign files — never rewritten.
+            rec_tbl_paths = [self.log.abs_path(p)
+                             for p in snapshot.record_manifest_files]
+            field_of: Dict[str, str] = {}
+            for p in rec_tbl_paths:
+                t = pq.read_table(p)
+                for r, fld, size in zip(
+                    t[mf.FILE_PATH_COL].to_pylist(),
+                    t[mf.RECORD_FIELD_COL].to_pylist(),
+                    t[mf.SIZE_BYTES_COL].to_pylist(),
+                ):
+                    if (r.startswith(rec.RECORDS_DIR)
+                            and r.endswith(".parquet")
+                            and size < threshold):
+                        field_of[r] = fld
+            if not field_of:
+                return self
+            # (2) one pruned scan: which candidates are live NOW, and
+            # which index files reference them.
+            data_files = mf.read_manifest_paths(
+                self._manifest_abs_paths(snapshot)
+            )
+            if not data_files:
+                return self
+            phys = self._read_files(sorted(data_files)).withColumn(
+                "__ix", _norm_file_path()
+            )
+            refs = None
+            for f in self.record_fields:
+                part = phys.select(
+                    "__ix", F.col(f)[sc.FILE_COL].alias("rf")
+                ).where(F.col("rf").isNotNull())
+                refs = part if refs is None else refs.unionByName(part)
+            cand = list(field_of)
+            pairs = (
+                refs.where(F.col("rf").isin(cand)).distinct().collect()
+            )
+            if not pairs:
+                return self
+            live = sorted({r["rf"] for r in pairs})
+            affected = sorted({self.log.rel_path(r["__ix"])
+                               for r in pairs})
+            # (3) per-field bin-packing + address mapping from footers.
+            by_field: Dict[str, List[str]] = {}
+            for r in live:
+                by_field.setdefault(field_of[r], []).append(r)
+            import uuid as _uuid
+
+            mapping, new_blobs = {}, []
+            for fld, rels in sorted(by_field.items()):
+                if len(rels) < 2:
+                    continue
+                bins: List[List[str]] = [[]]
+                bin_bytes = 0
+                for r in sorted(rels):
+                    size = os.path.getsize(self.log.abs_path(r))
+                    if bins[-1] and bin_bytes + size > target_bytes:
+                        bins.append([])
+                        bin_bytes = 0
+                    bins[-1].append(r)
+                    bin_bytes += size
+                for group in bins:
+                    if len(group) < 2:
+                        continue
+                    new_rel = os.path.join(
+                        rec.RECORDS_DIR,
+                        f"{fld}_compact_{_uuid.uuid4().hex[:20]}.parquet",
+                    )
+                    offset, rows = 0, 0
+                    for r in group:
+                        mapping[r] = (new_rel, offset)
+                        n = pq.read_metadata(
+                            self.log.abs_path(r)).num_rows
+                        offset += n
+                    new_blobs.append((new_rel, fld, offset))
+            if not mapping:
+                return self
+            # (4) distributed concatenation: one task per output blob.
+            self._write_compacted_blobs(mapping, new_blobs)
+            # (5) rewrite only the referencing index files with the
+            # address fixup; vectors of affected files apply + retire
+            # exactly like compact().
+            survivors = self._apply_vectors(
+                self._read_files(affected), snapshot
+            )
+            file_map = F.create_map(
+                *[x for old, (new, _o) in sorted(mapping.items())
+                  for x in (F.lit(old), F.lit(new))]
+            )
+            off_map = F.create_map(
+                *[x for old, (_n, off) in sorted(mapping.items())
+                  for x in (F.lit(old), F.lit(off))]
+            )
+            for f in self.record_fields:
+                addr = F.col(f)
+                nf = file_map[addr[sc.FILE_COL]]
+                survivors = survivors.withColumn(
+                    f,
+                    F.when(
+                        nf.isNotNull(),
+                        F.struct(
+                            nf.alias(sc.FILE_COL),
+                            (addr[sc.ROW_ID_COL]
+                             + off_map[addr[sc.FILE_COL]])
+                            .cast("int").alias(sc.ROW_ID_COL),
+                        ),
+                    ).otherwise(addr),
+                )
+            rec_rel = self.log.new_manifest_relpath().replace(
+                "manifest_", "record_manifest_"
+            )
+            mf.write_record_manifest(
+                self.location, self.log.abs_path(rec_rel),
+                new_blobs,
+            )
+            try:
+                self._commit_rewrite(
+                    snap_id, affected, survivors, None,
+                    append_record_manifest=rec_rel,
+                )
+                return self
+            except TransactionConflictError as e:
+                last_err = e
+                self.reload()
+        raise last_err
+
+    def _write_compacted_blobs(
+        self, mapping: Dict[str, tuple], new_blobs: List[tuple]
+    ) -> None:
+        """Concatenate each bin of small blob files into its new blob —
+        one executor task per output file, streaming row groups (no
+        task ever holds a whole output file in memory), no shuffle."""
+        groups: Dict[str, List[str]] = {}
+        for old, (new_rel, off) in sorted(mapping.items(),
+                                          key=lambda kv: kv[1][1]):
+            groups.setdefault(new_rel, []).append(old)
+        loc = self.location
+        import pandas as pd
+
+        spec = self.spark.createDataFrame(
+            pd.DataFrame({
+                "new_rel": list(groups),
+                "olds": ["\x00".join(groups[k]) for k in groups],
+            })
+        ).repartition(len(groups))
+
+        def task(batches):
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            for batch in batches:
+                for new_rel, olds in zip(
+                    batch.column("new_rel").to_pylist(),
+                    batch.column("olds").to_pylist(),
+                ):
+                    abs_new = os.path.join(loc, new_rel)
+                    os.makedirs(os.path.dirname(abs_new), exist_ok=True)
+                    schema = _pa.schema(
+                        [_pa.field(rec.VALUE_COL, _pa.binary())]
+                    )
+                    writer = _pq.ParquetWriter(abs_new, schema)
+                    n = 0
+                    try:
+                        for old in olds.split("\x00"):
+                            pf = _pq.ParquetFile(os.path.join(loc, old))
+                            for b in pf.iter_batches(
+                                columns=[rec.VALUE_COL]
+                            ):
+                                writer.write_batch(
+                                    b.cast(_pa.schema(schema))
+                                    if b.schema != schema else b
+                                )
+                                n += b.num_rows
+                    finally:
+                        writer.close()
+                    yield _pa.RecordBatch.from_arrays(
+                        [_pa.array([new_rel], _pa.string()),
+                         _pa.array([n], _pa.int64())],
+                        names=["new_rel", "rows"],
+                    )
+
+        out = {r["new_rel"]: r["rows"]
+               for r in spec.mapInArrow(
+                   task, "new_rel string, rows long").collect()}
+        want = {nr: rows for nr, _f, rows in new_blobs}
+        if out != want:
+            raise SpaceError(
+                f"record compaction wrote unexpected row counts: "
+                f"{out} != {want}"
+            )
+
     # ------------------------------------------------------- refs & versions
     def add_tag(self, tag: str, version=None) -> "Dataset":
         snap_id = self.metadata.resolve_version(version, self.branch)

@@ -158,3 +158,102 @@ def test_compact_then_delete_and_diff(spark, fragmented):
     d = ds.diff(v, None)
     assert d.filter("_change_type = 'DELETE'").count() == 10
     assert d.filter("_change_type = 'ADD'").count() == 0
+
+
+def test_compact_records_merges_blobs_and_preserves_reads(
+    spark, tmp_location
+):
+    """20 trickle record appends -> compact_records leaves a handful of
+    blob files; read(), reference resolution, random access and diff()
+    are unchanged; old blobs survive for time travel until vacuumed."""
+    from space_spark.core.random_access import RandomAccessDataSource
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    ds = Dataset.create(
+        spark, tmp_location, schema, ["id"], record_fields=["payload"]
+    )
+    for i in range(20):
+        ds.append(
+            spark.createDataFrame(
+                [Row(id=i * 2, payload=f"blob-{i * 2}".encode()),
+                 Row(id=i * 2 + 1, payload=f"blob-{i * 2 + 1}".encode())],
+                schema,
+            ).coalesce(1)
+        )
+    before = {r["id"]: r["payload"] for r in ds.read().collect()}
+    ra_before = RandomAccessDataSource(ds, ["payload"]).__getitems__(
+        list(range(10))
+    )
+    old_blobs = set(
+        glob.glob(os.path.join(ds.location, "records", "*.parquet"))
+    )
+    assert len(old_blobs) == 20
+    pre_version = ds.current_snapshot_id
+
+    ds.compact_records(target_bytes=64 * 1024 * 1024)
+
+    # Live refs now point at <= 2 compacted blobs...
+    live_refs = {
+        r["payload"]["_FILE"]
+        for r in ds.read(reference_read=True).collect()
+    }
+    assert len(live_refs) <= 2
+    assert all("_compact_" in p for p in live_refs)
+    # ...and every read path is value-identical.
+    after = {r["id"]: r["payload"] for r in ds.read().collect()}
+    assert after == before
+    assert RandomAccessDataSource(ds, ["payload"]).__getitems__(
+        list(range(10))
+    ) == ra_before
+    # No-change commit: empty change feed across the compaction.
+    d = ds.diff(pre_version, None)
+    assert d.count() == 0
+    # Time travel still resolves through the OLD blobs...
+    tt = {r["id"]: r["payload"]
+          for r in ds.read(version=pre_version).collect()}
+    assert tt == before
+    # ...so vacuum keeps them while the old snapshot is live, and
+    # removes them once expired.
+    ds.vacuum()
+    assert old_blobs <= set(
+        glob.glob(os.path.join(ds.location, "records", "*.parquet"))
+    )
+    ds.expire_snapshots(keep_last=1)
+    ds.vacuum()
+    remaining = set(
+        glob.glob(os.path.join(ds.location, "records", "*.parquet"))
+    )
+    assert not (old_blobs & remaining)
+    assert {r["id"]: r["payload"] for r in ds.read().collect()} == before
+
+
+def test_compact_records_noop_cases(spark, tmp_location):
+    """Healthy blobs (over the ratio threshold) and single-small-file
+    fields are never rewritten; tables without record fields no-op."""
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    ds = Dataset.create(
+        spark, tmp_location, schema, ["id"], record_fields=["payload"]
+    )
+    ds.append(spark.createDataFrame(
+        [Row(id=1, payload=b"x")], schema).coalesce(1))
+    blobs = sorted(glob.glob(os.path.join(ds.location, "records", "*")))
+    v = ds.current_snapshot_id
+    ds.compact_records()  # one small file: nothing to merge
+    assert ds.current_snapshot_id == v
+    assert sorted(
+        glob.glob(os.path.join(ds.location, "records", "*"))
+    ) == blobs
+
+    plain = Dataset.create(
+        spark, tmp_location + "_plain",
+        T.StructType([T.StructField("id", T.LongType())]), ["id"],
+    )
+    pv = plain.current_snapshot_id
+    plain.compact_records()
+    assert plain.current_snapshot_id == pv
