@@ -459,7 +459,14 @@ class Dataset:
         # only snapshot) so the caller's progress marker lands atomically
         # (MV refresh of a filtered-to-zero source snapshot).
         rec_rel = self._write_record_manifest_for(files)
+        return self._commit_append(manifest_rel, files, rows, nbytes,
+                                   rec_rel, commit_mutate)
 
+    def _commit_append(self, manifest_rel, files, rows, nbytes, rec_rel,
+                       commit_mutate=None) -> "Dataset":
+        """Append-commit retry loop over already-written data files (the
+        files stay valid across a conflicting head advance — only the
+        snapshot record rebuilds against the new parent)."""
         last_err = None
         for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
             pinned = self.current_snapshot_id
@@ -535,34 +542,86 @@ class Dataset:
 
     def insert(self, df: DataFrame) -> "Dataset":
         """Append that FAILS if any input primary key exists
-        (ops/insert.py:38-134). The existence probe is manifest-pruned by
-        the input keys' min/max range (the same ``_keys_range_expr``
-        discipline as the upsert/delete probe) and runs as a
-        broadcast-friendly left-semi join — a small insert into a huge
-        clustered table scans only the files whose stats overlap the
-        input keys, never the table. (The reference probes with an O(n)
-        OR-of-AND filter over the full table.)"""
+        (ops/insert.py:38-134), in TWO Spark actions total:
+
+        1. Blind-write the data files (valid under every outcome — on a
+           failed check they are never committed and ``vacuum`` reclaims
+           the orphans). The input's PK min/max bounds then come FREE
+           from the written files' manifest stats (driver-side footer
+           metadata, zero extra jobs).
+        2. ONE fused probe job checks both invariants at once: the
+           written keys union the manifest-range-pruned existing keys,
+           and a per-key count tells apart an input-duplicate PK
+           (>1 written row per key) from a clash (a written key that
+           also exists in the table). A small insert into a huge
+           clustered table scans only the files whose stats overlap the
+           input keys, never the table. (The reference probes with an
+           O(n) OR-of-AND filter over the full table.)
+
+        Reading the probe keys back from the written parquet (instead of
+        re-evaluating the input plan) also means an expensive input
+        query is computed exactly once."""
         df = self._align(df)
         self.reload()
         pks = self.primary_keys
-        # One aggregate yields the input-duplicate check (raises), the
-        # key count (join-strategy choice) and the range bounds (prune).
-        n_keys, bounds = self._check_duplicate_pks(df)
-        if n_keys:
-            old_keys = self.read(
-                filter_=self._keys_range_expr(bounds), fields=pks
+        manifest_rel, files, rows, nbytes = self._write_data_files(df)
+        if rows == 0:
+            return self  # empty insert: nothing to check or commit
+        bounds = self._bounds_from_manifest(manifest_rel)
+        new_keys = self._read_files(files).select(*pks)
+        old_keys = self.read(
+            filter_=self._keys_range_expr(bounds), fields=pks
+        )
+        flags = (
+            new_keys.withColumn("__new", F.lit(1))
+            .unionByName(old_keys.withColumn("__new", F.lit(0)))
+            .groupBy(*pks)
+            .agg(F.sum("__new").alias("__n_new"),
+                 F.count(F.lit(1)).alias("__n"))
+            .agg(
+                F.max((F.col("__n_new") > 1).cast("int")).alias("dup"),
+                F.max(((F.col("__n_new") >= 1)
+                       & (F.col("__n") > F.col("__n_new")))
+                      .cast("int")).alias("clash"),
             )
-            keys = self._keys_join_side(df.select(*pks), n_keys)
-            clash = (
-                old_keys.join(keys, on=pks, how="left_semi")
-                .limit(1)
-                .collect()
+            .collect()[0]
+        )
+        if flags["dup"]:
+            raise UserInputError("Input data has duplicate primary keys")
+        if flags["clash"]:
+            raise PrimaryKeyExistError(
+                "insert: input primary keys already exist (use upsert)"
             )
-            if clash:
-                raise PrimaryKeyExistError(
-                    "insert: input primary keys already exist (use upsert)"
-                )
-        return self.append(df)
+        rec_rel = self._write_record_manifest_for(files)
+        return self._commit_append(manifest_rel, files, rows, nbytes,
+                                   rec_rel)
+
+    def _bounds_from_manifest(self, manifest_rel: str):
+        """Per-PK min/max bounds aggregated from a just-written
+        manifest's file stats — driver-side parquet metadata, shaped as
+        the ``mn_<pk>``/``mx_<pk>`` mapping ``_keys_range_expr``
+        consumes. Zero-row shard files carry null stats and are ignored;
+        a PK column missing stats in any NON-empty file yields
+        (None, None) for that key — conservatively unbounded, pruning
+        simply helps less."""
+        tbl = pq.read_table(self.log.abs_path(manifest_rel))
+        tbl = tbl.filter(pc.greater(tbl[mf.NUM_ROWS_COL],
+                                    pa.scalar(0, pa.int64())))
+        out = {}
+        for k in self.primary_keys:
+            col = mf.STATS_PREFIX + self._phys_name(k)
+            mn = mx = None
+            if col in tbl.column_names and tbl.num_rows:
+                arr = tbl[col].combine_chunks()
+                mins = arr.field(mf.MIN_COL)
+                maxs = arr.field(mf.MAX_COL)
+                if mins.null_count == 0:
+                    mn = pc.min(mins).as_py()
+                if maxs.null_count == 0:
+                    mx = pc.max(maxs).as_py()
+            out[f"mn_{k}"] = mn
+            out[f"mx_{k}"] = mx
+        return out
 
     def upsert(self, df: DataFrame) -> "Dataset":
         """Replace rows matching input PKs and append the input, as ONE
@@ -572,21 +631,35 @@ class Dataset:
         new rows after dropping the old ones."""
         df = self._align(df)
         self.reload()
-        n_keys, bounds = self._check_duplicate_pks(df)
-        if n_keys == 0:
-            return self
         # The append half is head-independent: its data files stay valid
         # across a conflict, so they are written once outside the retry
-        # loop. Only the delete half (which reads the pinned head) is
-        # re-derived against the new head on conflict — same bounded
-        # retry discipline as append.
+        # loop, FIRST — the input plan is then evaluated exactly once,
+        # and every later consumer (dup check, delete probe, survivor
+        # anti-join) reads the materialized parquet back instead of
+        # recomputing an arbitrarily expensive input query. PK bounds
+        # for the probe's manifest pruning come free from the written
+        # files' stats (driver-side footers, no job). On a duplicate-PK
+        # raise the uncommitted files are orphans; vacuum reclaims them.
         manifest_rel, files, rows, nbytes = self._write_data_files(df)
+        if rows == 0:
+            return self
+        pks = self.primary_keys
+        new_keys = self._read_files(files).select(*pks)
+        row = (
+            new_keys.groupBy(*pks).count()
+            .agg(F.count(F.lit(1)).alias("n"), F.max("count").alias("mx"))
+            .collect()[0]
+        )
+        if row["mx"] is not None and row["mx"] > 1:
+            raise UserInputError("Input data has duplicate primary keys")
+        n_keys = int(row["n"] or 0)
+        bounds = self._bounds_from_manifest(manifest_rel)
         rec_rel = self._write_record_manifest_for(files)
         last_err = None
         for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
             pinned = self.current_snapshot_id
             affected, survivors, deletes_rel = self._matching_delete_parts(
-                df.select(*self.primary_keys), n_keys=n_keys, bounds=bounds
+                new_keys, n_keys=n_keys, bounds=bounds
             )
             try:
                 self._commit_rewrite(
@@ -600,27 +673,6 @@ class Dataset:
                 last_err = e
                 self.reload()
         raise last_err
-
-    def _check_duplicate_pks(self, df: DataFrame):
-        """Validate input PK uniqueness; returns (distinct key count,
-        per-PK min/max bounds Row). One aggregate job yields all three —
-        the count feeds the broadcast-vs-shuffle join choice and the
-        bounds feed manifest range pruning in the delete half."""
-        pks = self.primary_keys
-        row = (
-            df.groupBy(*pks)
-            .count()
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.max("count").alias("mx"),
-                *[F.min(k).alias(f"mn_{k}") for k in pks],
-                *[F.max(k).alias(f"mx_{k}") for k in pks],
-            )
-            .collect()[0]
-        )
-        if row["mx"] is not None and row["mx"] > 1:
-            raise UserInputError("Input data has duplicate primary keys")
-        return int(row["n"] or 0), row
 
     def _keys_range_expr(self, bounds) -> FilterType:
         """Falsifiable manifest-prune expression from a key set's min/max

@@ -95,3 +95,35 @@ def test_datasource_grouping_10k_files_subsecond():
     # Unknown-size files are assumed max_bytes: one partition each.
     assert len(groups) == 10_000
     assert sum(len(g) for g in groups) == 10_000
+
+
+def test_dml_spark_action_budget(spark, tmp_path):
+    """Commit-path job budget: each DML op costs a bounded number of
+    Spark jobs (AQE stage materializations included), independent of
+    table size — the driver-side overhead lever for trickle-commit
+    workloads. insert = write + one fused dup/clash probe; upsert =
+    write + read-back dup check + probe + survivor rewrite. A regression
+    that adds an action per op multiplies streaming-ingest latency."""
+    from pyspark.sql import types as T
+
+    from space_spark import Dataset
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()), T.StructField("v", T.StringType()),
+    ])
+    ds = Dataset.create(spark, str(tmp_path / "t"), schema, ["k"])
+    ds.append(spark.createDataFrame(
+        [(i, "x") for i in range(1000)], schema).coalesce(1))
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
+
+    def jobs(fn):
+        before = len(list(tracker.getJobIdsForGroup(None)))
+        fn()
+        return len(list(tracker.getJobIdsForGroup(None))) - before
+
+    n_ins = jobs(lambda: ds.insert(
+        spark.createDataFrame([(2000, "y"), (2001, "z")], schema)))
+    assert n_ins <= 5, f"insert ran {n_ins} Spark jobs (budget 5)"
+    n_up = jobs(lambda: ds.upsert(
+        spark.createDataFrame([(1, "u"), (2002, "w")], schema)))
+    assert n_up <= 9, f"upsert ran {n_up} Spark jobs (budget 9)"
