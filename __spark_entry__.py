@@ -1806,6 +1806,110 @@ GROUP BY l_linestatus
 """
 
 
+def text_c4_rules(spark, sf_dir):
+    """C4-style document filters (Raffel et al. 2020 §2.2): sentence
+    count, terminal-punctuation line fraction, code/boilerplate signals,
+    combined keep flag. The word-soup corpus gains sentence/line
+    structure via a ' table ' -> '.\\n' rewrite (same left-to-right
+    non-overlapping replace on both engines)."""
+    from space_spark.operators.text import c4_rules
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", " table ", ".\n").alias("text"),
+    )
+    return c4_rules(docs, "text").select(
+        "doc_id", "n_sentences", "n_text_lines", "punct_line_frac",
+        "has_curly_brace", "has_lorem_ipsum", "mentions_javascript",
+        "c4_keep",
+    )
+
+
+TEXT_C4_SQL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         regexp_replace(text, ' table ', '.' || chr(10), 'g') AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, t,
+    list_filter(string_split(t, chr(10)),
+                x -> length(trim(x)) > 0) AS lines,
+    CAST(len(list_filter(regexp_split_to_array(t, '[.!?]'),
+                         x -> length(trim(x)) > 0)) AS BIGINT)
+      AS n_sentences
+  FROM docs
+)
+SELECT doc_id,
+  n_sentences,
+  CAST(len(lines) AS BIGINT) AS n_text_lines,
+  ROUND(CASE WHEN len(lines) > 0
+        THEN CAST(len(list_filter(lines,
+               x -> regexp_matches(trim(x), '[.!?"'']$'))) AS DOUBLE)
+             / len(lines)
+        ELSE 0.0 END, 6) AS punct_line_frac,
+  contains(lower(t), '{') AS has_curly_brace,
+  contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+  contains(lower(t), 'javascript') AS mentions_javascript,
+  (n_sentences >= 3
+   AND NOT contains(lower(t), '{')
+   AND NOT contains(lower(t), 'lorem ipsum')
+   AND ROUND(CASE WHEN len(lines) > 0
+        THEN CAST(len(list_filter(lines,
+               x -> regexp_matches(trim(x), '[.!?"'']$'))) AS DOUBLE)
+             / len(lines)
+        ELSE 0.0 END, 6) >= 0.5) AS c4_keep
+FROM s
+"""
+
+
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram LM scoring (KenLM-perplexity stand-in, CCNet-style
+    quality bucketing): per-document summed log10 token probability in
+    exact integer micro-units (order-independent integer sums — float
+    summation order would break cross-engine hashing). Vocab broadcasts
+    back to the corpus, so corpus tokens never shuffle on the skewed
+    token key."""
+    from space_spark.operators.text import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob(docs, "doc_id", "text").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_scored").cast("long").alias("n_scored"),
+        "logprob_micro_sum",
+    )
+
+
+TEXT_UNIGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+             AS token
+    FROM documents)
+  WHERE token <> ''
+), counts AS (
+  SELECT token, COUNT(*)::BIGINT AS freq FROM toks GROUP BY token
+), vocab AS (
+  SELECT token, freq FROM (
+    SELECT token, freq,
+           ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS r
+    FROM counts)
+  WHERE r <= 65536
+), scored AS (
+  SELECT token,
+         CAST(ROUND(log10(freq / total) * 1000000) AS BIGINT) AS lp
+  FROM vocab, (SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM vocab)
+)
+SELECT doc_id,
+  COUNT(*)::BIGINT AS n_tokens,
+  COUNT(lp)::BIGINT AS n_scored,
+  COALESCE(SUM(lp), 0)::BIGINT AS logprob_micro_sum
+FROM toks LEFT JOIN scored USING (token)
+GROUP BY doc_id
+"""
+
+
 def space_zorder_string(spark, sf_dir):
     """Z-order over a STRING column (byte-prefix bucketing,
     operators/zorder.py:_as_double): orders written Morton-interleaved
@@ -3139,6 +3243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_rules": text_quality_rules,
         "text_pii_scrub": text_pii_scrub,
         "text_url_hosts": text_url_hosts,
+        # -- NEW this round, tail-slotted (window already holds this
+        #    round's obligations; both pass the local oracle mirror):
+        #    MUST lead the round-6 window with the sitting-out entries
+        "text_c4_rules": text_c4_rules,
+        "text_unigram_logprob": text_unigram_logprob,
     }
 
 
@@ -3205,6 +3314,8 @@ def oracle_sql() -> dict[str, str]:
         "space_zorder_pruned": SPACE_ZORDER_SQL,
         "space_zorder_string": SPACE_ZORDER_STRING_SQL,
         "space_stream_cdc": SPACE_STREAM_CDC_SQL,
+        "text_c4_rules": TEXT_C4_SQL,
+        "text_unigram_logprob": TEXT_UNIGRAM_SQL,
         "space_sql_table": SPACE_SQL_TABLE_SQL,
         "space_rename_read": SPACE_RENAME_SQL,
         "text_repetition": TEXT_REPETITION_SQL,

@@ -18,7 +18,12 @@ Supported value types (the "FeaturesDict subset"): per feature name, a
 ``bytes``/``str`` (or list thereof), a list/ndarray of ints
 (→ Int64List), or a list/ndarray of floats (→ FloatList, float32
 precision — the proto field is ``float``, matching TFDS). Nested
-FeaturesDicts are out of scope and raise.
+FeaturesDicts are supported the way TFDS serializes them: flattened
+into the single Example with "/"-joined feature names
+({"a": {"b": v}} encodes as feature "a/b"); ``decode_example(...,
+unflatten=True)`` rebuilds the nesting (only safe when flat feature
+names themselves never contain "/" — TFDS resolves that ambiguity with
+the schema, which raw bytes don't carry).
 
 Bytes produced here deserialize with real TFDS/TensorFlow and vice
 versa for this subset; ``tests/test_extension_types.py`` pins the wire
@@ -94,12 +99,26 @@ def _encode_feature(value: Any) -> bytes:
                      "use bytes/str, ints, or floats (flat)")
 
 
+def _flatten(features: Dict[str, Any], prefix: str = "") -> List[Tuple]:
+    """TFDS-style flattening of nested FeaturesDicts: "/"-joined names,
+    dict order preserved depth-first."""
+    out: List[Tuple] = []
+    for name, value in features.items():
+        full = f"{prefix}{name}"
+        if isinstance(value, dict):
+            out.extend(_flatten(value, full + "/"))
+        else:
+            out.append((full, value))
+    return out
+
+
 def encode_example(features: Dict[str, Any]) -> bytes:
-    """Serialize a flat feature dict to ``tf.train.Example`` bytes."""
+    """Serialize a (possibly nested) feature dict to ``tf.train.Example``
+    bytes; nested dicts flatten to "/"-joined names as TFDS does."""
     entries = b""
-    for name in features:  # dict order — deterministic per input
+    for name, value in _flatten(features):  # dict order — deterministic
         entry = _len_delimited(1, name.encode("utf-8")) + _len_delimited(
-            2, _encode_feature(features[name])
+            2, _encode_feature(value)
         )
         entries += _len_delimited(1, entry)  # Features.feature map entry
     return _len_delimited(1, entries)  # Example.features = 1
@@ -172,11 +191,13 @@ def _decode_feature(buf: bytes) -> Any:
     raise ValueError("Feature message with no recognized list field")
 
 
-def decode_example(blob: bytes) -> Dict[str, Any]:
+def decode_example(blob: bytes, unflatten: bool = False) -> Dict[str, Any]:
     """Parse ``tf.train.Example`` bytes back to {name: value}.
 
     BytesList → list[bytes]; Int64List → int64 ndarray; FloatList →
-    float32 ndarray (mirroring ``tfds.as_numpy`` for the flat subset)."""
+    float32 ndarray (mirroring ``tfds.as_numpy`` for the flat subset).
+    ``unflatten=True`` rebuilds nested dicts from "/"-joined names (the
+    inverse of ``encode_example``'s TFDS-style flattening)."""
     out: Dict[str, Any] = {}
     for field, _wt, features_buf in _read_fields(blob):
         if field != 1:
@@ -193,4 +214,19 @@ def decode_example(blob: bytes) -> Dict[str, Any]:
                     value = _decode_feature(v)
             if name is not None:
                 out[name] = value
-    return out
+    if not unflatten:
+        return out
+    nested: Dict[str, Any] = {}
+    for name, value in out.items():
+        node = nested
+        *parents, leaf = name.split("/")
+        for p in parents:
+            nxt = node.setdefault(p, {})
+            if not isinstance(nxt, dict):
+                raise ValueError(
+                    f"cannot unflatten {name!r}: {p!r} is both a leaf "
+                    "feature and a nested dict"
+                )
+            node = nxt
+        node[leaf] = value
+    return nested

@@ -716,7 +716,11 @@ def decontaminate(
 
 # ------------------------------------------------------------- line dedup
 def dedup_lines(
-    df: DataFrame, id_col: str, text_col: str, min_len: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 5,
+    delimiter: str = "\n",
 ) -> DataFrame:
     """Cross-document LINE deduplication (CCNet / RefinedWeb style): every
     distinct line is kept only at its FIRST occurrence — smallest
@@ -743,10 +747,17 @@ def dedup_lines(
     occurrences of "Home" in ONE task (windows have no partial
     aggregation). Final per-document rebuild shuffles on the document id
     (uniform). Deterministic and ANSI-SQL reproducible (ordered
-    string_agg)."""
+    string_agg).
+
+    ``delimiter`` picks the dedup unit: "\\n" (default) deduplicates
+    lines; "\\n\\n" deduplicates paragraphs (RefinedWeb runs both)."""
+    import re as _re
+
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(delimiter))
+        ).alias("pos", "line"),
     )
     exempt = (F.length("line") < min_len) | (F.col("line") == "")
     subject = lines.where(~exempt)
@@ -780,7 +791,7 @@ def dedup_lines(
                 ),
                 lambda s: s["line"],
             ),
-            "\n",
+            delimiter,
         ).alias("text"),
         F.sum(F.when(F.col("__keep"), 1).otherwise(0)).cast("long")
         .alias("n_kept"),

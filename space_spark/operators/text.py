@@ -496,3 +496,107 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                         "top4gram_char_frac", "dup5gram_char_frac")],
         )
     )
+
+
+def c4_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style document heuristics (Raffel et al. 2020, §2.2 — the
+    filters behind the Colossal Clean Crawled Corpus): sentence count,
+    fraction of lines ending in terminal punctuation, code/boilerplate
+    signals (curly braces, "lorem ipsum", "javascript"), and the
+    combined ``c4_keep`` flag (>=3 sentences, no curly brace, no lorem
+    ipsum, majority of lines end with terminal punctuation).
+
+    Pure projection over one split of the text — no shuffle, linear
+    scan; every count is an exact integer and each ratio rounds to 6
+    places, so values and the flag reproduce bit-exactly in ANSI SQL."""
+    t = F.col(text_col)
+    low = F.lower(t)
+    sentences = F.size(
+        F.filter(F.split(t, r"[.!?]"),
+                 lambda x: F.length(F.trim(x)) > 0)
+    )
+    lines = F.filter(F.split(t, "\n"),
+                     lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    punct_end = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"[.!?\"']$"))
+    )
+    punct_frac = F.round(
+        F.when(n_lines > 0, punct_end / n_lines).otherwise(F.lit(0.0)), 6
+    )
+    has_brace = low.contains("{")
+    has_lorem = low.contains("lorem ipsum")
+    has_js = low.contains("javascript")
+    return df.select(
+        *df.columns,
+        sentences.cast("long").alias("n_sentences"),
+        n_lines.cast("long").alias("n_text_lines"),
+        punct_frac.alias("punct_line_frac"),
+        has_brace.alias("has_curly_brace"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_js.alias("mentions_javascript"),
+    ).withColumn(
+        "c4_keep",
+        (F.col("n_sentences") >= 3)
+        & ~F.col("has_curly_brace")
+        & ~F.col("has_lorem_ipsum")
+        & (F.col("punct_line_frac") >= 0.5),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 65536,
+) -> DataFrame:
+    """Corpus-unigram language-model score per document — the cheap
+    stand-in for a KenLM perplexity filter (CCNet-style quality
+    bucketing): token probabilities come from the corpus's own top-
+    ``vocab_size`` unigram counts, and each document gets its summed
+    log10 probability over scored tokens.
+
+    Deterministic across engines: per-token log-probs are scaled to
+    integer MICRO-units before summing (integer addition commutes;
+    float summation order does not), so the output hashes identically
+    anywhere. Returns (id, n_tokens, n_scored, logprob_micro_sum) —
+    callers derive mean logprob / perplexity buckets from the exact
+    integers.
+
+    100 TB plan shape: one token-count aggregate (explode + map-side
+    partial counts — hot tokens collapse per task before the shuffle),
+    a top-K rank over the VOCABULARY (not the corpus), then the vocab
+    BROADCASTS back to the exploded corpus — corpus tokens never
+    shuffle on the token key, so "the" appearing 10^11 times costs no
+    skewed exchange; the only corpus-keyed shuffle is the final
+    per-document aggregate (uniform ids). Out-of-vocab tokens are
+    counted but unscored (``n_scored`` < ``n_tokens``)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    # The global top-K rank runs over |vocab| rows (already aggregated),
+    # not the corpus — the one place a global window is acceptable.
+    vocab = (
+        counts.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= vocab_size)
+        .drop("__r")
+    )
+    total = vocab.agg(F.sum("freq").alias("__total"))
+    scored_vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(F.log10(F.col("freq") / F.col("__total")) * 1e6)
+        .cast("long").alias("__lp_micro"),
+    )
+    return (
+        toks.join(F.broadcast(scored_vocab), on="token", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("__lp_micro").alias("n_scored"),
+            F.coalesce(F.sum("__lp_micro"), F.lit(0)).cast("long")
+            .alias("logprob_micro_sum"),
+        )
+    )

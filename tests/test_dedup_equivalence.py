@@ -381,3 +381,23 @@ def test_dedup_lines_empty_lines_always_exempt(spark):
                                 min_len=0).collect()}
     assert out[1] == ("first paragraph\n\nsecond paragraph", 3, 0)
     assert out[2] == ("third paragraph\n\nfourth paragraph", 3, 0)
+
+
+def test_dedup_paragraphs_via_delimiter(spark):
+    """delimiter='\\n\\n' switches the dedup unit to paragraphs
+    (RefinedWeb runs line AND paragraph passes with the same machinery)."""
+    from space_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique first para\n\nshared boilerplate paragraph"),
+            (2, "shared boilerplate paragraph\n\nanother unique para"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+           for r in dedup_lines(docs, "doc_id", "text",
+                                delimiter="\n\n").collect()}
+    assert out[1] == (
+        "unique first para\n\nshared boilerplate paragraph", 2, 0)
+    assert out[2] == ("another unique para", 1, 1)

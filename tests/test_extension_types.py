@@ -243,3 +243,40 @@ def test_deserialize_udf_requires_spark_type():
 
     with pytest.raises(UserInputError, match="spark_type"):
         deserialize_udf(PickleSerializer())
+
+
+def test_tf_example_nested_features_flatten():
+    """Nested FeaturesDicts encode exactly like their TFDS flattening
+    ("/"-joined names), and unflatten=True inverts it."""
+    import numpy as np
+
+    from space_spark.core.tf_example import decode_example, encode_example
+
+    nested = {
+        "meta": {"id": [7], "lang": b"en"},
+        "text": b"hello",
+        "emb": {"v": [1.5, 2.5]},
+    }
+    flat = {
+        "meta/id": [7], "meta/lang": b"en",
+        "text": b"hello", "emb/v": [1.5, 2.5],
+    }
+    assert encode_example(nested) == encode_example(flat)
+    got = decode_example(encode_example(nested), unflatten=True)
+    assert set(got) == {"meta", "text", "emb"}
+    assert got["meta"]["lang"] == [b"en"]
+    assert got["text"] == [b"hello"]
+    assert np.array_equal(got["meta"]["id"], np.array([7]))
+    assert np.allclose(got["emb"]["v"], np.array([1.5, 2.5]))
+    # flat decode keeps the wire names
+    assert set(decode_example(encode_example(nested))) == set(flat)
+
+
+def test_tf_example_unflatten_conflict_raises():
+    import pytest as _pytest
+
+    from space_spark.core.tf_example import decode_example, encode_example
+
+    blob = encode_example({"a": b"x", "a/b": b"y"})
+    with _pytest.raises(ValueError, match="both a leaf"):
+        decode_example(blob, unflatten=True)
