@@ -188,18 +188,21 @@ def stream_apply_changes(
                 F.struct("_snapshot_id", "_change_order", "_change_type",
                          *non_pk)
             ).alias("__c")
-        )
-        dels = latest.where(
-            F.col("__c._change_type") == CHANGE_DELETE
-        ).select(*pks)
-        adds = latest.where(
-            F.col("__c._change_type") == CHANGE_ADD
-        ).select(
-            *[F.col(c) if c in pks else F.col(f"__c.{c}").alias(c)
-              for c in cols]
-        )
-        dataset.delete_by_keys(dels)
-        dataset.upsert(adds)
+        ).persist()  # read by both branches: reduce the batch once
+        try:
+            dels = latest.where(
+                F.col("__c._change_type") == CHANGE_DELETE
+            ).select(*pks)
+            adds = latest.where(
+                F.col("__c._change_type") == CHANGE_ADD
+            ).select(
+                *[F.col(c) if c in pks else F.col(f"__c.{c}").alias(c)
+                  for c in cols]
+            )
+            dataset.delete_by_keys(dels)
+            dataset.upsert(adds)
+        finally:
+            latest.unpersist()
 
     writer = (
         cdf_stream.writeStream.foreachBatch(sink)
