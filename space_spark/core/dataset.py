@@ -549,14 +549,17 @@ class Dataset:
            the orphans). The input's PK min/max bounds then come FREE
            from the written files' manifest stats (driver-side footer
            metadata, zero extra jobs).
-        2. ONE fused probe job checks both invariants at once: the
-           written keys union the manifest-range-pruned existing keys,
-           and a per-key count tells apart an input-duplicate PK
-           (>1 written row per key) from a clash (a written key that
-           also exists in the table). A small insert into a huge
-           clustered table scans only the files whose stats overlap the
-           input keys, never the table. (The reference probes with an
-           O(n) OR-of-AND filter over the full table.)
+        2. ONE fused probe job checks both invariants at once, as a
+           union of two bounded branches: (a) the input-duplicate check
+           groups only the WRITTEN keys (small side shuffles, map-side
+           combined); (b) the clash check left-semi-joins the
+           manifest-range-pruned existing keys against the written keys
+           — broadcast below ``BROADCAST_KEYS_MAX`` written rows, so
+           the table side never exchanges a row. Each branch stops at
+           the first offending key (limit 1). A small insert into a
+           huge clustered table scans only the files whose stats
+           overlap the input keys, never the table. (The reference
+           probes with an O(n) OR-of-AND filter over the full table.)
 
         Reading the probe keys back from the written parquet (instead of
         re-evaluating the input plan) also means an expensive input
@@ -572,23 +575,21 @@ class Dataset:
         old_keys = self.read(
             filter_=self._keys_range_expr(bounds), fields=pks
         )
-        flags = (
-            new_keys.withColumn("__new", F.lit(1))
-            .unionByName(old_keys.withColumn("__new", F.lit(0)))
-            .groupBy(*pks)
-            .agg(F.sum("__new").alias("__n_new"),
-                 F.count(F.lit(1)).alias("__n"))
-            .agg(
-                F.max((F.col("__n_new") > 1).cast("int")).alias("dup"),
-                F.max(((F.col("__n_new") >= 1)
-                       & (F.col("__n") > F.col("__n_new")))
-                      .cast("int")).alias("clash"),
-            )
-            .collect()[0]
+        dup_branch = (
+            new_keys.groupBy(*pks).agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .select(F.lit("dup").alias("__kind")).limit(1)
         )
-        if flags["dup"]:
+        clash_branch = (
+            old_keys.join(self._keys_join_side(new_keys, rows),
+                          on=pks, how="left_semi")
+            .select(F.lit("clash").alias("__kind")).limit(1)
+        )
+        verdicts = {r["__kind"]
+                    for r in dup_branch.unionByName(clash_branch).collect()}
+        if "dup" in verdicts:
             raise UserInputError("Input data has duplicate primary keys")
-        if flags["clash"]:
+        if "clash" in verdicts:
             raise PrimaryKeyExistError(
                 "insert: input primary keys already exist (use upsert)"
             )
@@ -1445,8 +1446,6 @@ class Dataset:
             if not pairs:
                 return self
             live = sorted({r["rf"] for r in pairs})
-            affected = sorted({self.log.rel_path(r["__ix"])
-                               for r in pairs})
             # (3) per-field bin-packing + address mapping from footers.
             by_field: Dict[str, List[str]] = {}
             for r in live:
@@ -1481,6 +1480,14 @@ class Dataset:
                         offset += n
                     new_blobs.append((new_rel, fld, offset))
             if not mapping:
+                return self
+            # Only index files referencing a blob that actually MOVES
+            # rewrite — a file whose small-blob refs were all excluded
+            # from the mapping (lone files, single-file bins) would get
+            # a byte-identical rewrite for no address change.
+            affected = sorted({self.log.rel_path(r["__ix"])
+                               for r in pairs if r["rf"] in mapping})
+            if not affected:
                 return self
             # (4) distributed concatenation: one task per output blob.
             self._write_compacted_blobs(mapping, new_blobs)
@@ -1560,12 +1567,19 @@ class Dataset:
                     batch.column("new_rel").to_pylist(),
                     batch.column("olds").to_pylist(),
                 ):
+                    import uuid as _uuid
+
                     abs_new = os.path.join(loc, new_rel)
                     os.makedirs(os.path.dirname(abs_new), exist_ok=True)
+                    # Attempt-isolated write + atomic rename: a retried
+                    # or speculative task attempt must never interleave
+                    # bytes into the final path; whichever complete tmp
+                    # file renames last wins.
+                    abs_tmp = f"{abs_new}.tmp-{_uuid.uuid4().hex[:12]}"
                     schema = _pa.schema(
                         [_pa.field(rec.VALUE_COL, _pa.binary())]
                     )
-                    writer = _pq.ParquetWriter(abs_new, schema)
+                    writer = _pq.ParquetWriter(abs_tmp, schema)
                     n = 0
                     try:
                         for old in olds.split("\x00"):
@@ -1580,6 +1594,7 @@ class Dataset:
                                 n += b.num_rows
                     finally:
                         writer.close()
+                    os.replace(abs_tmp, abs_new)
                     yield _pa.RecordBatch.from_arrays(
                         [_pa.array([new_rel], _pa.string()),
                          _pa.array([n], _pa.int64())],

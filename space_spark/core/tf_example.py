@@ -228,5 +228,12 @@ def decode_example(blob: bytes, unflatten: bool = False) -> Dict[str, Any]:
                     "feature and a nested dict"
                 )
             node = nxt
+        if isinstance(node.get(leaf), dict):
+            # Order-independent conflict detection: the nested sibling
+            # may have been built before OR after this leaf arrives.
+            raise ValueError(
+                f"cannot unflatten {name!r}: {leaf!r} is both a leaf "
+                "feature and a nested dict"
+            )
         node[leaf] = value
     return nested

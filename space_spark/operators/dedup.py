@@ -108,9 +108,18 @@ def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
     group to one row per task before the exchange, so a group with 10^9
     members costs O(tasks) shuffled rows — and winners join back on
     (cols..., id): the join keys include the unique id, so hot groups
-    hash-spread across reducers instead of landing on one."""
-    winners = df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
-    return df.join(winners, on=[*cols, id_col], how="left_semi")
+    hash-spread across reducers instead of landing on one. NULL group
+    values join null-safely (``eqNullSafe``), preserving the window
+    semantics where NULL keys form a group with one winner — a plain
+    equality join-back would silently drop every NULL-keyed row."""
+    winners = df.groupBy(*cols).agg(F.min(id_col).alias(id_col)).select(
+        [F.col(c).alias(f"__w_{c}") for c in [*cols, id_col]]
+    )
+    cond = None
+    for c in [*cols, id_col]:
+        piece = F.col(c).eqNullSafe(F.col(f"__w_{c}"))
+        cond = piece if cond is None else (cond & piece)
+    return df.join(winners, on=cond, how="left_semi")
 
 
 def duplicate_groups(df: DataFrame, cols: Sequence[str], id_col: str

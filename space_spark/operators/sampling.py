@@ -131,17 +131,19 @@ def domain_mix_sample(
     kept by hash-bucket rank (id tie-break), so the kept set is
     pseudo-random, reproducible, and stable run-to-run. Groups absent
     from ``weights`` are dropped (weight 0); a ``weights`` key with NO
-    rows in the data raises at execution time — the contract is that the
+    rows in the data raises ``ValueError`` — the contract is that the
     kept corpus matches the target mix EXACTLY, and a missing group
     would silently ship the remaining groups at full quota with zero of
-    the missing one (the in-plan guard costs nothing: it rides the quota
-    aggregate the plan already computes).
+    the missing one. The guard is checked eagerly on the group-count
+    aggregate so it fires even when EVERY weighted group is absent (an
+    in-plan ``raise_error`` never evaluates when the surviving row set
+    is empty).
 
-    Plan shape: one tiny group-count aggregate (|groups| rows — the quota
-    table, broadcast back), then one hash shuffle of the corpus on the
-    group column for the rank window. No global window, no driver-side
-    row data; the only driver state is the weights dict itself. At 100 TB
-    the quota aggregate is a map-side-combined count and the rank shuffle
+    Plan shape: one group-count aggregate job at build time (|groups|
+    rows to the driver — the quota table, re-emitted as literals), then
+    one hash shuffle of the corpus on the group column for the rank
+    window. No global window, no driver-side row data. At 100 TB the
+    quota aggregate is a map-side-combined count and the rank shuffle
     is the same discipline as ``stratified_sample``."""
     total_w = sum(weights.values())
     if total_w <= 0:
@@ -155,39 +157,37 @@ def domain_mix_sample(
         .where(F.col("__w").isNotNull() & (F.col("__w") > 0))
     )
     # Quota table: n_g per group -> feasible total T = min_g floor(n_g /
-    # w_g) (a 1-row sub-aggregate, cross-joined back) -> quota_g =
-    # floor(w_g * T). |groups| rows: always broadcast.
-    counts = weighted.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("__n"), F.first("__w").alias("__gw")
-    )
-    wanted = F.array(
-        *[F.lit(k) for k, v in sorted(norm.items()) if v > 0]
-    )
-    t = counts.agg(
-        F.min(F.floor(F.col("__n") / F.col("__gw"))).alias("__t"),
-        F.array_except(wanted, F.collect_list(group_col)).alias("__miss"),
-    )
-    quotas = counts.crossJoin(F.broadcast(t)).select(
-        group_col,
-        F.when(
-            F.size("__miss") > 0,
-            F.raise_error(F.concat(
-                F.lit("domain_mix_sample: weights name groups with no "
-                      "rows in the data (target mix is unsatisfiable): "),
-                F.array_join("__miss", ", "),
-            )),
-        ).otherwise(
-            F.floor(F.col("__gw") * F.col("__t"))
-        ).alias("__quota"),
+    # w_g) -> quota_g = floor(w_g * T). |groups| rows: collected once,
+    # validated, and re-emitted as a literal map (no join in the plan).
+    counts = {
+        r[group_col]: int(r["__n"])
+        for r in weighted.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    missing = sorted(k for k, v in norm.items()
+                     if v > 0 and k not in counts)
+    if missing:
+        raise ValueError(
+            "domain_mix_sample: weights name groups with no rows in "
+            f"the data (target mix is unsatisfiable): {', '.join(missing)}"
+        )
+    import math
+
+    # floor(n / w) via true division + floor: Python's float ``//`` is
+    # fmod-based and can differ by 1 from SQL/Spark FLOOR(n/w) at
+    # representation boundaries (30 // 0.2 == 149.0, floor(30/0.2) == 150).
+    feasible_t = min(int(math.floor(counts[k] / norm[k])) for k in counts)
+    quota_map = F.create_map(
+        *[F.lit(x) for k in sorted(counts)
+          for x in (k, int(norm[k] * feasible_t))]
     )
     bucket = hash_bucket(F.col(id_col), seed)
     rw = Window.partitionBy(group_col).orderBy(bucket.asc(),
                                               F.col(id_col).asc())
     return (
-        weighted.join(F.broadcast(quotas), on=group_col)
-        .withColumn("__rn", F.row_number().over(rw))
-        .where(F.col("__rn") <= F.col("__quota"))
-        .drop("__w", "__rn", "__quota")
+        weighted.withColumn("__rn", F.row_number().over(rw))
+        .where(F.col("__rn") <= quota_map[F.col(group_col)])
+        .drop("__w", "__rn")
     )
 
 

@@ -576,14 +576,14 @@ def unigram_logprob(
         F.explode(tokens(F.col(text_col))).alias("token"),
     ).where(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
-    # The global top-K rank runs over |vocab| rows (already aggregated),
-    # not the corpus — the one place a global window is acceptable.
-    vocab = (
-        counts.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") <= vocab_size)
-        .drop("__r")
-    )
+    # Top-K via orderBy+limit, which Spark plans as TakeOrderedAndProject:
+    # each partition keeps its local top-K and only K rows per partition
+    # merge. A global row_number window here would instead sort ALL
+    # distinct tokens (web corpora have 10^8+: URLs, hashes, typos) in
+    # one task. Same deterministic cut (freq desc, token asc).
+    vocab = counts.orderBy(
+        F.col("freq").desc(), F.col("token").asc()
+    ).limit(vocab_size)
     total = vocab.agg(F.sum("freq").alias("__total"))
     scored_vocab = vocab.crossJoin(F.broadcast(total)).select(
         "token",

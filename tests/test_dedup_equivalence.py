@@ -401,3 +401,18 @@ def test_dedup_paragraphs_via_delimiter(spark):
     assert out[1] == (
         "unique first para\n\nshared boilerplate paragraph", 2, 0)
     assert out[2] == ("another unique para", 1, 1)
+
+
+def test_exact_dedup_null_group_keys_keep_one_winner(spark):
+    """NULL dedup-column values form a duplicate group like any other
+    value: exactly one NULL-keyed row survives (the join-back is
+    null-safe; plain equality would drop ALL NULL-keyed rows)."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "x")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dedup.exact_dedup(docs, ["text"], "doc_id").collect()
+    )
+    assert got == [1, 3]

@@ -277,6 +277,8 @@ def test_tf_example_unflatten_conflict_raises():
 
     from space_spark.core.tf_example import decode_example, encode_example
 
-    blob = encode_example({"a": b"x", "a/b": b"y"})
-    with _pytest.raises(ValueError, match="both a leaf"):
-        decode_example(blob, unflatten=True)
+    for feats in ({"a": b"x", "a/b": b"y"}, {"a/b": b"y", "a": b"x"}):
+        # conflict must raise in BOTH wire orders (leaf-first used to
+        # silently overwrite the nested dict)
+        with _pytest.raises(ValueError, match="both a leaf"):
+            decode_example(encode_example(feats), unflatten=True)

@@ -165,16 +165,14 @@ def test_domain_mix_exact_quotas(spark):
         domain_mix_sample(df, "lang", "id", {"en": 0.0})
 
     # A weights key with NO rows makes the target mix unsatisfiable:
-    # the in-plan guard raises at execution time instead of silently
-    # shipping the remaining groups at full quota.
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import SparkRuntimeException
-
-    with _pytest.raises((Py4JJavaError, SparkRuntimeException),
-                        match="no\\s+rows in the data"):
-        domain_mix_sample(
-            df, "lang", "id", {"en": 0.6, "de": 0.4}
-        ).count()
+    # the eager guard raises instead of silently shipping the remaining
+    # groups at full quota — including when EVERY weighted group is
+    # absent (an in-plan raise_error would never evaluate on an empty
+    # surviving row set).
+    with _pytest.raises(ValueError, match="no rows in the data"):
+        domain_mix_sample(df, "lang", "id", {"en": 0.6, "de": 0.4})
+    with _pytest.raises(ValueError, match="no rows in the data"):
+        domain_mix_sample(df, "lang", "id", {"xx": 0.5, "yy": 0.5})
 
 
 def test_weighted_sample_clamps_and_is_deterministic(spark):
