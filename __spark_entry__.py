@@ -1806,6 +1806,37 @@ GROUP BY l_linestatus
 """
 
 
+def sample_temperature(spark, sf_dir):
+    """Temperature (alpha=0.5) mixture resampling, the mT5/XLM-R
+    multilingual rebalancing: group g keeps floor(sqrt(n_g * n_min))
+    rows — denominator-free quotas through IEEE sqrt (correctly rounded
+    by definition), so both engines agree bit-exactly."""
+    from space_spark.operators.sampling import temperature_mix_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mix_sample(docs, "lang", "doc_id", alpha=0.5)
+
+
+SAMPLE_TEMPERATURE_SQL = """
+WITH c AS (
+  SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang
+), m AS (SELECT MIN(n) AS n_min FROM c),
+q AS (
+  SELECT lang,
+         CAST(FLOOR(SQRT(CAST(n * n_min AS DOUBLE))) AS BIGINT) AS quota
+  FROM c, m
+), ranked AS (
+  SELECT doc_id, lang,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+      ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
+        ::BIGINT % 10000, doc_id) AS rn
+  FROM documents WHERE lang IS NOT NULL
+)
+SELECT r.doc_id, r.lang FROM ranked r JOIN q ON r.lang = q.lang
+WHERE r.rn <= q.quota
+"""
+
+
 def text_c4_rules(spark, sf_dir):
     """C4-style document filters (Raffel et al. 2020 §2.2): sentence
     count, terminal-punctuation line fraction, code/boilerplate signals,
@@ -3248,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    MUST lead the round-6 window with the sitting-out entries
         "text_c4_rules": text_c4_rules,
         "text_unigram_logprob": text_unigram_logprob,
+        "sample_temperature": sample_temperature,
     }
 
 
@@ -3316,6 +3348,7 @@ def oracle_sql() -> dict[str, str]:
         "space_stream_cdc": SPACE_STREAM_CDC_SQL,
         "text_c4_rules": TEXT_C4_SQL,
         "text_unigram_logprob": TEXT_UNIGRAM_SQL,
+        "sample_temperature": SAMPLE_TEMPERATURE_SQL,
         "space_sql_table": SPACE_SQL_TABLE_SQL,
         "space_rename_read": SPACE_RENAME_SQL,
         "text_repetition": TEXT_REPETITION_SQL,

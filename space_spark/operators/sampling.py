@@ -208,3 +208,66 @@ def weighted_sample(
     return df.where(
         hash_bucket(F.col(id_col), seed) < w * F.lit(float(BUCKETS))
     )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based mixture resampling (the multilingual-pretraining
+    alpha-sampling of mT5 / XLM-R): target proportions p_g ∝ n_g^alpha
+    flatten the group distribution toward uniform as alpha -> 0. Without
+    replication, the largest corpus matching those proportions keeps
+    quota_g = floor(n_g^alpha * n_min^(1-alpha)) rows per group — the
+    binding constraint is the smallest group, which is kept in full;
+    alpha=1 keeps everything, alpha=0 caps every group at n_min. Rows
+    with a NULL group are dropped.
+
+    The quota form is DENOMINATOR-FREE — no cross-group float sum whose
+    summation order could differ between engines — and for the default
+    alpha=0.5 it reduces to floor(sqrt(n_g * n_min)): an exact integer
+    product (< 2^53) through IEEE-754 sqrt, which is correctly rounded
+    by definition, so every engine computes the identical quota. Other
+    alphas go through pow, which can differ by 1 ulp across C math
+    libraries — fine for pipelines, but pin alpha=0.5 where bit-exact
+    cross-engine reproducibility matters.
+
+    Same plan shape as ``domain_mix_sample``: one eager group-count
+    aggregate (bounded |groups| rows to the driver, re-emitted as quota
+    literals), then one per-group rank-window shuffle of the corpus —
+    no join, no global window."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    import math
+
+    grouped = df.where(F.col(group_col).isNotNull())
+    counts = {
+        r[group_col]: int(r["__n"])
+        for r in grouped.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    if not counts:
+        return grouped.where(F.lit(False))
+    n_min = min(counts.values())
+
+    def quota(n: int) -> int:
+        if alpha == 0.5:
+            return int(math.floor(math.sqrt(float(n * n_min))))
+        return int(math.floor(
+            math.pow(float(n), alpha) * math.pow(float(n_min), 1.0 - alpha)
+        ))
+
+    quota_map = F.create_map(
+        *[F.lit(x) for k in sorted(counts) for x in (k, quota(counts[k]))]
+    )
+    bucket = hash_bucket(F.col(id_col), seed)
+    rw = Window.partitionBy(group_col).orderBy(bucket.asc(),
+                                              F.col(id_col).asc())
+    return (
+        grouped.withColumn("__rn", F.row_number().over(rw))
+        .where(F.col("__rn") <= quota_map[F.col(group_col)])
+        .drop("__rn")
+    )

@@ -213,3 +213,38 @@ def test_random_projection_preserves_relative_distance(spark):
     d01 = sum((a - b) ** 2 for a, b in zip(out[0], out[1]))
     d02 = sum((a - b) ** 2 for a, b in zip(out[0], out[2]))
     assert d01 == 0.0 and d02 > 1.0
+
+
+def test_temperature_mix_quotas_and_bounds(spark):
+    """alpha=0.5 keeps floor(sqrt(n_g * n_min)) per group: the smallest
+    group survives whole, larger groups flatten toward it; alpha=1 keeps
+    everything; alpha=0 caps all groups at n_min."""
+    from space_spark.operators.sampling import temperature_mix_sample
+
+    df = spark.range(260).select(
+        F.col("id"),
+        F.when(F.col("id") < 200, "en")
+        .when(F.col("id") < 250, "fr")
+        .otherwise("zh")
+        .alias("lang"),
+    )  # en=200, fr=50, zh=10
+    out = temperature_mix_sample(df, "lang", "id", alpha=0.5)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # floor(sqrt(200*10))=44, floor(sqrt(50*10))=22, zh kept whole
+    assert counts == {"en": 44, "fr": 22, "zh": 10}
+    assert temperature_mix_sample(df, "lang", "id", alpha=1.0).count() == 260
+    c0 = {r["lang"]: r["n"] for r in
+          temperature_mix_sample(df, "lang", "id", alpha=0.0)
+          .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert c0 == {"en": 10, "fr": 10, "zh": 10}
+    # deterministic membership
+    ids1 = {r["id"] for r in out.collect()}
+    ids2 = {r["id"] for r in
+            temperature_mix_sample(df, "lang", "id", alpha=0.5).collect()}
+    assert ids1 == ids2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_mix_sample(df, "lang", "id", alpha=1.5)
