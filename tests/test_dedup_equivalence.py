@@ -416,3 +416,40 @@ def test_exact_dedup_null_group_keys_keep_one_winner(spark):
         for r in dedup.exact_dedup(docs, ["text"], "doc_id").collect()
     )
     assert got == [1, 3]
+
+
+from hypothesis import given, settings, strategies as st
+
+_line = st.text(alphabet="ab \t.", min_size=0, max_size=8)
+_doc = st.lists(_line, min_size=0, max_size=6).map("\n".join)
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=st.lists(_doc, min_size=1, max_size=6),
+       min_len=st.integers(min_value=0, max_value=4))
+def test_dedup_lines_matches_python_reference(spark, texts, min_len):
+    """The distributed first-occurrence plan equals a sequential
+    reference implementation for arbitrary line content (repeats within
+    a doc, exempt short/empty lines, every-line-duplicate docs)."""
+    from space_spark.operators.dedup import dedup_lines
+
+    docs = list(enumerate(texts))
+    seen = set()
+    want = {}
+    for doc_id, text in docs:
+        kept, nk, nd = [], 0, 0
+        for line in text.split("\n"):
+            exempt = len(line) < min_len or line == ""
+            if exempt or line not in seen:
+                if not exempt:
+                    seen.add(line)
+                kept.append(line)
+                nk += 1
+            else:
+                nd += 1
+        want[doc_id] = ("\n".join(kept), nk, nd)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+           for r in dedup_lines(df, "doc_id", "text",
+                                min_len=min_len).collect()}
+    assert got == want

@@ -53,3 +53,14 @@ def test_range_join_empty(spark):
     bands = spark.createDataFrame([("b", 0.0, 1.0)],
                                   "band string, lo double, hi double")
     assert joins.range_join(pts, bands, "x", "lo", "hi").count() == 0
+
+
+def test_new_text_and_sampling_ops_empty(spark):
+    from space_spark.operators.sampling import temperature_mix_sample
+    from space_spark.operators.text import c4_rules, unigram_logprob
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert c4_rules(empty_docs, "text").count() == 0
+    assert unigram_logprob(empty_docs, "doc_id", "text").count() == 0
+    empty_lang = spark.createDataFrame([], "doc_id long, lang string")
+    assert temperature_mix_sample(empty_lang, "lang", "doc_id").count() == 0
