@@ -1903,11 +1903,17 @@ class Dataset:
         return self
 
     # ---------------------------------------------------- retention / vacuum
-    def expire_snapshots(self, keep_last: int = 10) -> List[int]:
+    def expire_snapshots(self, keep_last: int = 10,
+                         older_than: Optional[str] = None) -> List[int]:
         """Drop old snapshots from the log (metadata-only; data files are
         reclaimed by ``vacuum``). Keeps: the most recent ``keep_last``
         ancestors of every branch head, plus every tagged snapshot and
-        snapshot 0. Returns the expired ids."""
+        snapshot 0. ``older_than`` (ISO-8601 timestamp string, compared
+        against each snapshot's ``created_at``) additionally protects
+        every snapshot created at or after it — the Iceberg-style
+        time-based retention: ``expire_snapshots(keep_last=1,
+        older_than=week_ago)`` keeps the full last week of history AND at
+        least the head. Returns the expired ids."""
         if keep_last < 1:
             raise UserInputError("keep_last must be >= 1")
 
@@ -1921,6 +1927,12 @@ class Dataset:
                     keep.add(cur)
                     cur = meta.snapshots[cur].parent_snapshot_id
                     n += 1
+            if older_than is not None:
+                for sid, snap in meta.snapshots.items():
+                    # ISO-8601 strings (fixed UTC format) compare
+                    # chronologically as strings.
+                    if snap.created_at >= older_than:
+                        keep.add(sid)
             for sid in list(meta.snapshots):
                 if sid not in keep:
                     expired.append(sid)

@@ -125,3 +125,24 @@ def test_vacuum_keeps_record_files(spark, tmp_location):
     assert not any(r.startswith("records/") for r in removed)
     got = ds.read().orderBy("id").collect()
     assert [r.blob for r in got] == [f"b{i}".encode() for i in range(5, 10)]
+
+
+def test_expire_older_than_protects_recent_history(spark, tmp_location):
+    """Time-based retention (Iceberg-style): snapshots created at or
+    after ``older_than`` survive even beyond keep_last; a cutoff after
+    everything falls back to keep_last-only behavior."""
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["id"])
+    for i in range(4):
+        ds.append(spark.createDataFrame(
+            [Row(id=10 * i + j, val=float(j)) for j in range(3)], SIMPLE))
+    # Cutoff before every commit: all four snapshots are recent -> none
+    # expire even with keep_last=1.
+    assert ds.expire_snapshots(
+        keep_last=1, older_than="2000-01-01T00:00:00+00:00") == []
+    assert set(ds.metadata.snapshots) == {0, 1, 2, 3, 4}
+    # Cutoff after every commit: only keep_last guards remain.
+    expired = ds.expire_snapshots(
+        keep_last=1, older_than="2100-01-01T00:00:00+00:00")
+    assert expired == [1, 2, 3]
+    assert set(ds.metadata.snapshots) == {0, 4}
+    assert ds.read().count() == 12
