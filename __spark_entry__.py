@@ -1806,6 +1806,45 @@ GROUP BY l_linestatus
 """
 
 
+def space_range_join(spark, sf_dir):
+    """Key-range partitioned equi-join (SURVEY §2.3 J2, the reference's
+    ray/ops/join.py re-expressed): customer and orders loaded into two
+    space tables clustered on the join key, the key range derived from
+    manifest stats (driver-side), split into 4 sub-ranges, each joined
+    over pruned file subsets and unioned — bit-equal to the plain SQL
+    join the oracle runs."""
+    from space_spark import Dataset
+    from space_spark.operators.joins import range_partitioned_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    base = _space_tmp()
+    dc = Dataset.create(spark, base + "/cust", cust.schema, ["c_custkey"])
+    dc.append(cust, cluster_by=["c_custkey"], target_files=8)
+    do = Dataset.create(spark, base + "/ord", orders.schema, ["o_orderkey"])
+    do.append(orders, cluster_by=["c_custkey"], target_files=8)
+    j = range_partitioned_join(dc, do, "c_custkey", n_ranges=4)
+    return j.groupBy((F.col("c_custkey") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice"), "total"),
+        F.sum("c_custkey").alias("cust_sum"),
+    )
+
+
+SPACE_RANGE_JOIN_SQL = f"""
+SELECT o.o_custkey % 10 AS bucket,
+  COUNT(*) AS n_orders,
+  {MONEY_SUM('o.o_totalprice', 'total')},
+  SUM(o.o_custkey)::BIGINT AS cust_sum
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY bucket
+"""
+
+
 def sample_temperature(spark, sf_dir):
     """Temperature (alpha=0.5) mixture resampling, the mT5/XLM-R
     multilingual rebalancing: group g keeps floor(sqrt(n_g * n_min))
@@ -3280,6 +3319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_rules": text_c4_rules,
         "text_unigram_logprob": text_unigram_logprob,
         "sample_temperature": sample_temperature,
+        "space_range_join": space_range_join,
     }
 
 
@@ -3349,6 +3389,7 @@ def oracle_sql() -> dict[str, str]:
         "text_c4_rules": TEXT_C4_SQL,
         "text_unigram_logprob": TEXT_UNIGRAM_SQL,
         "sample_temperature": SAMPLE_TEMPERATURE_SQL,
+        "space_range_join": SPACE_RANGE_JOIN_SQL,
         "space_sql_table": SPACE_SQL_TABLE_SQL,
         "space_rename_read": SPACE_RENAME_SQL,
         "text_repetition": TEXT_REPETITION_SQL,

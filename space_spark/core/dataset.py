@@ -2055,6 +2055,33 @@ class Dataset:
         return phys.join(pairs, on=["__abs", "__pos"], how="left_semi"
                          ).select(*self.primary_keys)
 
+    def key_range(self, col: str):
+        """(min, max) of an indexed column aggregated from manifest
+        stats — driver-side metadata only, zero Spark jobs (the
+        reference's join-range derivation, ray/ops/join.py:148-176).
+        Returns (None, None) for an empty table or when any non-empty
+        file lacks stats for ``col`` (a partial range would be
+        unsound)."""
+        snapshot = self.metadata.snapshot(self.current_snapshot_id)
+        scol = mf.STATS_PREFIX + self._phys_name(col)
+        mn = mx = None
+        for p in self._manifest_abs_paths(snapshot):
+            t = pq.read_table(p)
+            t = t.filter(pc.greater(t[mf.NUM_ROWS_COL],
+                                    pa.scalar(0, pa.int64())))
+            if not t.num_rows:
+                continue
+            if scol not in t.column_names:
+                return None, None
+            arr = t[scol].combine_chunks()
+            mins, maxs = arr.field(mf.MIN_COL), arr.field(mf.MAX_COL)
+            if mins.null_count or maxs.null_count:
+                return None, None
+            lo, hi = pc.min(mins).as_py(), pc.max(maxs).as_py()
+            mn = lo if mn is None or lo < mn else mn
+            mx = hi if mx is None or hi > mx else mx
+        return mn, mx
+
     def _bitmap_pairs_df(self, sidecar_rels: List[str]) -> DataFrame:
         """Decode bitmap sidecars to (__abs data-file path, __pos) pairs —
         distributed mapInArrow, O(deleted) output rows."""

@@ -146,3 +146,51 @@ def test_expire_older_than_protects_recent_history(spark, tmp_location):
     assert expired == [1, 2, 3]
     assert set(ds.metadata.snapshots) == {0, 4}
     assert ds.read().count() == 12
+
+
+def test_range_partitioned_join_equals_plain_join(spark, tmp_location):
+    """The per-range union equals Catalyst's own equi-join row-for-row;
+    empty key-range intersections short-circuit to an empty result with
+    the joined schema; overlapping non-key columns are rejected."""
+    from space_spark.operators.joins import range_partitioned_join
+
+    left_schema = T.StructType([
+        T.StructField("k", T.LongType()), T.StructField("lv", T.DoubleType()),
+    ])
+    right_schema = T.StructType([
+        T.StructField("k", T.LongType()), T.StructField("rv", T.StringType()),
+    ])
+    dl = Dataset.create(spark, tmp_location + "_l", left_schema, ["k"])
+    dl.append(spark.createDataFrame(
+        [Row(k=i, lv=float(i)) for i in range(0, 300, 2)], left_schema),
+        cluster_by=["k"], target_files=4)
+    dr = Dataset.create(spark, tmp_location + "_r", right_schema, ["k"])
+    dr.append(spark.createDataFrame(
+        [Row(k=i, rv=f"s{i}") for i in range(100, 400, 3)], right_schema),
+        cluster_by=["k"], target_files=4)
+
+    got = sorted(tuple(r) for r in range_partitioned_join(
+        dl, dr, "k", n_ranges=5).collect())
+    want = sorted(tuple(r) for r in dl.read().join(
+        dr.read(), on="k", how="inner").collect())
+    assert got == want and len(got) > 0
+
+    # Disjoint ranges: left is all < 1000, shift right above it.
+    dr2 = Dataset.create(spark, tmp_location + "_r2", right_schema, ["k"])
+    dr2.append(spark.createDataFrame(
+        [Row(k=i, rv="x") for i in range(1000, 1010)], right_schema))
+    empty = range_partitioned_join(dl, dr2, "k")
+    assert empty.columns == ["k", "lv", "rv"]
+    assert empty.count() == 0
+
+    import pytest as _pytest
+
+    from space_spark.errors import UserInputError
+
+    clash_schema = T.StructType([
+        T.StructField("k", T.LongType()), T.StructField("lv", T.DoubleType()),
+    ])
+    dc = Dataset.create(spark, tmp_location + "_c", clash_schema, ["k"])
+    dc.append(spark.createDataFrame([Row(k=1, lv=0.0)], clash_schema))
+    with _pytest.raises(UserInputError, match="both sides"):
+        range_partitioned_join(dl, dc, "k")
