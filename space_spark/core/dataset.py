@@ -1039,6 +1039,69 @@ class Dataset:
         )
         return deletes_rel, affected
 
+    def apply_changes(self, adds: DataFrame,
+                      delete_keys: DataFrame) -> "Dataset":
+        """CDC merge as ONE snapshot commit: rows whose primary keys
+        appear in ``delete_keys`` or in ``adds`` are removed and ``adds``
+        appends — the atomic form of ``delete_by_keys`` + ``upsert``
+        that ``stream_apply_changes`` applies per micro-batch, so a
+        reader never observes the deletes-applied-but-adds-missing
+        intermediate state and a replayed batch converges to the same
+        table.
+
+        Job shape (same write-first discipline as upsert): one data-file
+        write, one fused dup-check/key-stats aggregate over the written
+        keys unioned with the delete keys (map-side combined), one
+        range-pruned probe, one survivor rewrite inside the commit —
+        about half the actions of running the two operations separately,
+        and one snapshot instead of two."""
+        adds = self._align(adds)
+        self.reload()
+        pks = self.primary_keys
+        manifest_rel, files, rows, nbytes = self._write_data_files(adds)
+        dk = delete_keys.select(*pks)
+        if rows > 0:
+            new_keys = self._read_files(files).select(*pks)
+            tagged = new_keys.withColumn("__new", F.lit(1)).unionByName(
+                dk.withColumn("__new", F.lit(0))
+            )
+        else:
+            tagged = dk.withColumn("__new", F.lit(0))
+        row = (
+            tagged.groupBy(*pks).agg(F.sum("__new").alias("__nn"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("__nn").alias("mx"),
+                *[F.min(k).alias(f"mn_{k}") for k in pks],
+                *[F.max(k).alias(f"mx_{k}") for k in pks],
+            )
+            .collect()[0]
+        )
+        if row["mx"] is not None and row["mx"] > 1:
+            raise UserInputError("Input data has duplicate primary keys")
+        n_keys = int(row["n"] or 0)
+        if n_keys == 0:
+            return self
+        rec_rel = self._write_record_manifest_for(files)
+        last_err = None
+        for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
+            pinned = self.current_snapshot_id
+            affected, survivors, deletes_rel = self._matching_delete_parts(
+                tagged.select(*pks), n_keys=n_keys, bounds=row
+            )
+            try:
+                self._commit_rewrite(
+                    pinned, affected, survivors, deletes_rel,
+                    append_manifest=manifest_rel, append_files=files,
+                    append_rows=rows, append_bytes=nbytes,
+                    append_record_manifest=rec_rel,
+                )
+                return self
+            except TransactionConflictError as e:
+                last_err = e
+                self.reload()
+        raise last_err
+
     def delete_by_keys(self, keys: DataFrame) -> "Dataset":
         """Delete rows whose primary keys appear in ``keys`` (a DataFrame
         holding the PK columns) — the keyed-delete half of a CDC apply

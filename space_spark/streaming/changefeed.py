@@ -163,16 +163,16 @@ def stream_apply_changes(
     catch-up replays the whole feed in one batch), so the batch is first
     reduced to the LATEST change per primary key — ``max(struct(
     _snapshot_id, _change_order, ...))`` per key, a partial-aggregable
-    groupBy, no window — and then the net ADDs upsert while the net
-    DELETEs apply as one keyed delete (``Dataset.delete_by_keys``; the
-    two key sets are disjoint by construction, so ordering between the
-    two commits cannot be observed as a wrong state). Within a snapshot
-    deletes order before adds (``_change_order`` 0 vs 1), so an upsert's
-    delete+add nets to the add, matching replay semantics.
+    groupBy, no window — and the net ADDs and net DELETEs then apply as
+    ONE snapshot commit (``Dataset.apply_changes``): a reader of the
+    target never observes a deletes-applied-but-adds-missing
+    intermediate state. Within a source snapshot deletes order before
+    adds (``_change_order`` 0 vs 1), so an upsert's delete+add nets to
+    the add, matching replay semantics.
 
-    Idempotent under replay (crash between the two commits or before the
-    checkpoint advance): re-applying the same net changes to the same
-    keys converges to the identical table state."""
+    Idempotent under replay (crash before the checkpoint advance):
+    re-applying the same net changes to the same keys converges to the
+    identical table state."""
     from pyspark.sql import functions as F
 
     pks = list(dataset.primary_keys)
@@ -199,8 +199,7 @@ def stream_apply_changes(
                 *[F.col(c) if c in pks else F.col(f"__c.{c}").alias(c)
                   for c in cols]
             )
-            dataset.delete_by_keys(dels)
-            dataset.upsert(adds)
+            dataset.apply_changes(adds, dels)
         finally:
             latest.unpersist()
 

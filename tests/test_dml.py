@@ -204,3 +204,37 @@ def test_truly_concurrent_upserts_all_commit(spark, tmp_location):
     for i in range(3):
         for k in range(i * 20, i * 20 + 20):
             assert got[k] == float(i), (k, got[k])
+
+
+def test_apply_changes_single_commit(spark, tmp_location):
+    """CDC merge: net deletes + net adds land as ONE snapshot; replay
+    converges; duplicate add keys rejected."""
+    from pyspark.sql import Row, types as T
+
+    import pytest as _pytest
+
+    from space_spark import Dataset
+    from space_spark.errors import UserInputError
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType()),
+    ])
+    ds = Dataset.create(spark, tmp_location + "_ac", schema, ["id"])
+    ds.append(spark.createDataFrame(
+        [Row(id=i, v=float(i)) for i in range(10)], schema))
+    v0 = ds.current_snapshot_id
+    adds = spark.createDataFrame(
+        [Row(id=3, v=-3.0), Row(id=20, v=20.0)], schema)
+    dels = spark.createDataFrame([Row(id=7)], "id long")
+    ds.apply_changes(adds, dels)
+    assert ds.current_snapshot_id == v0 + 1  # one snapshot for both halves
+    got = {r["id"]: r["v"] for r in ds.read().collect()}
+    assert 7 not in got and got[3] == -3.0 and got[20] == 20.0
+    assert len(got) == 10  # 10 - deleted + added
+    # replay converges without new observable state
+    ds.apply_changes(adds, dels)
+    got2 = {r["id"]: r["v"] for r in ds.read().collect()}
+    assert got2 == got
+    with _pytest.raises(UserInputError):
+        ds.apply_changes(spark.createDataFrame(
+            [Row(id=1, v=0.0), Row(id=1, v=1.0)], schema), dels)
