@@ -1806,6 +1806,65 @@ GROUP BY l_linestatus
 """
 
 
+def dedup_substr(spark, sf_dir):
+    """Cross-document exact-substring dedup (ExactSubstr, Lee et al.
+    2022): any 12-token run already seen earlier in the corpus is
+    removed from later documents token-wise; documents rebuild from
+    surviving tokens."""
+    from space_spark.operators.dedup import dedup_substrings
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_substrings(docs, "doc_id", "text", window=12)
+
+
+DEDUP_SUBSTR_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(generate_series(0, len(toks) - 12)) AS s, toks
+  FROM docs WHERE len(toks) >= 12
+), wh AS (
+  SELECT doc_id, s,
+         md5(array_to_string(toks[s + 1:s + 12], ' ')) AS h
+  FROM w
+), firsts AS (
+  SELECT doc_id, s,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+  FROM wh
+), covered AS (
+  SELECT DISTINCT doc_id, s + u AS pos
+  FROM (SELECT doc_id, s,
+               unnest(generate_series(0, 11)) AS u
+        FROM firsts WHERE rn > 1)
+), tokens AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+         unnest(toks) AS tok
+  FROM docs
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tokens t LEFT JOIN covered c
+    ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+), kept_agg AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY pos) AS text,
+         COUNT(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+), drop_agg AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_dropped FROM covered
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(k.text, '') AS text,
+  COALESCE(k.n_kept, 0)::BIGINT AS n_kept,
+  COALESCE(g.n_dropped, 0)::BIGINT AS n_dropped
+FROM docs d
+LEFT JOIN kept_agg k ON d.doc_id = k.doc_id
+LEFT JOIN drop_agg g ON d.doc_id = g.doc_id
+"""
+
+
 def space_range_join(spark, sf_dir):
     """Key-range partitioned equi-join (SURVEY §2.3 J2, the reference's
     ray/ops/join.py re-expressed): customer and orders loaded into two
@@ -3320,6 +3379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": text_unigram_logprob,
         "sample_temperature": sample_temperature,
         "space_range_join": space_range_join,
+        "dedup_substr": dedup_substr,
     }
 
 
@@ -3390,6 +3450,7 @@ def oracle_sql() -> dict[str, str]:
         "text_unigram_logprob": TEXT_UNIGRAM_SQL,
         "sample_temperature": SAMPLE_TEMPERATURE_SQL,
         "space_range_join": SPACE_RANGE_JOIN_SQL,
+        "dedup_substr": DEDUP_SUBSTR_SQL,
         "space_sql_table": SPACE_SQL_TABLE_SQL,
         "space_rename_read": SPACE_RENAME_SQL,
         "text_repetition": TEXT_REPETITION_SQL,

@@ -808,3 +808,115 @@ def dedup_lines(
         .alias("n_dropped"),
     )
     return rebuilt
+
+
+# ---------------------------------------------------- substring dedup
+def dedup_substrings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 50,
+) -> DataFrame:
+    """Cross-document EXACT-SUBSTRING deduplication (the ExactSubstr
+    pass of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): every run of ``window`` consecutive
+    tokens that already occurred earlier in the corpus — smallest
+    (document id, start position) owns the first occurrence — is
+    removed from later documents, token-wise: a token is dropped when
+    ANY duplicated window covers it. Documents rebuild from surviving
+    tokens (whitespace-normalized: single spaces).
+
+    Returns (id_col, text, n_kept, n_dropped) with token counts.
+
+    Plan (same skew discipline as ``dedup_lines`` — repeated substrings
+    ARE the hot keys): window fingerprints are md5 of the
+    space-joined token slice (cross-engine reproducible); the first
+    occurrence per fingerprint is ``groupBy(hash).agg(min(struct(id,
+    s)))`` — map-side partial agg collapses a fingerprint occurring
+    10^9 times to one row per task — and the join-back keys on the
+    full (hash, id, s) triple, spreading hot fingerprints across
+    reducers. Covered-position expansion explodes ONLY duplicated
+    windows (bounded by duplication volume, not corpus size); the
+    final anti-join and rebuild shuffle on uniform (id, pos) /
+    (id) keys."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    win = (
+        base.select(
+            id_col,
+            "__toks",
+            F.posexplode(
+                # Docs shorter than the window yield NO windows (Spark's
+                # sequence(0, -1) would descend, not stay empty).
+                F.when(
+                    n >= window,
+                    F.transform(
+                        F.sequence(F.lit(0), n - window),
+                        lambda s: F.md5(
+                            F.concat_ws(
+                                " ",
+                                F.slice(F.col("__toks"), s + 1, window),
+                            )
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("s", "__h"),
+        )
+        .select(id_col, "s", "__h")
+    )
+    winners = (
+        win.groupBy("__h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("s"))).alias("__w"))
+        .select(
+            "__h",
+            F.col(f"__w.{id_col}").alias(id_col),
+            F.col("__w.s").alias("s"),
+            F.lit(True).alias("__first"),
+        )
+    )
+    dup_windows = (
+        win.join(winners, on=["__h", id_col, "s"], how="left")
+        .where(F.col("__first").isNull())
+        .select(id_col, "s")
+    )
+    covered = dup_windows.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("s"), F.col("s") + F.lit(window - 1))
+        ).alias("pos"),
+    ).distinct()
+    tokens = base.select(
+        id_col, F.posexplode(F.col("__toks")).alias("pos", "tok")
+    )
+    kept = tokens.join(covered, on=[id_col, "pos"], how="left_anti")
+    dropped_counts = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__nd")
+    )
+    rebuilt = (
+        kept.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+        # fully-deduplicated documents vanish from `kept`; resurface
+        # them with empty text via the doc universe
+        .join(base.select(id_col), on=id_col, how="right")
+        .join(dropped_counts, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+            .alias("n_kept"),
+            F.coalesce(F.col("__nd"), F.lit(0)).cast("long")
+            .alias("n_dropped"),
+        )
+    )
+    return rebuilt

@@ -453,3 +453,26 @@ def test_dedup_lines_matches_python_reference(spark, texts, min_len):
            for r in dedup_lines(df, "doc_id", "text",
                                 min_len=min_len).collect()}
     assert got == want
+
+
+def test_dedup_substrings_removes_later_occurrences(spark):
+    """ExactSubstr semantics: a window-length token run is owned by its
+    first (doc, start) occurrence; later documents lose exactly the
+    covered tokens; full duplicates empty out; short docs are exempt."""
+    from space_spark.operators.dedup import dedup_substrings
+
+    docs = spark.createDataFrame([
+        (1, "a b c d e f g h"),
+        (2, "x y a b c d z w"),       # contains doc 1's 4-gram "a b c d"
+        (3, "a b c d e f g h"),       # full duplicate of doc 1
+        (4, "totally different words here"),
+        (5, "tiny"),                  # shorter than the window: no-op
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+           for r in dedup_substrings(docs, "doc_id", "text",
+                                     window=4).collect()}
+    assert out[1] == ("a b c d e f g h", 8, 0)
+    assert out[2] == ("x y z w", 4, 4)
+    assert out[3] == ("", 0, 8)
+    assert out[4] == ("totally different words here", 4, 0)
+    assert out[5] == ("tiny", 1, 0)

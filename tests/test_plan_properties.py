@@ -166,3 +166,15 @@ def test_upsert_probe_is_pruned(spark, tmp_path):
     # key 5 overlaps only the first file's [0, 999] range
     assert len(affected) <= 1
     assert len(ds.data_files()) == 4
+
+
+def test_dedup_substrings_partial_agg_not_window(spark):
+    """ExactSubstr first-occurrence selection follows the same skew
+    discipline as dedup_lines: groupBy(hash).min + join-back on the
+    (hash, id, start) triple — duplicated substrings ARE the hot keys."""
+    from space_spark.operators.dedup import dedup_substrings
+
+    plan = plan_of(dedup_substrings(_docs(spark), "doc_id", "text",
+                                    window=12))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
