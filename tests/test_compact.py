@@ -257,3 +257,41 @@ def test_compact_records_noop_cases(spark, tmp_location):
     pv = plain.current_snapshot_id
     plain.compact_records()
     assert plain.current_snapshot_id == pv
+
+
+def test_compact_records_conflict_retry(spark, tmp_location):
+    """A concurrent append landing between compact_records' snapshot pin
+    and its commit forces TransactionConflictError; the retry re-derives
+    against the new head (including the freshly appended blob) and the
+    final table is complete and value-correct."""
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    ds = Dataset.create(
+        spark, tmp_location, schema, ["id"], record_fields=["payload"]
+    )
+    for i in range(6):
+        ds.append(spark.createDataFrame(
+            [Row(id=i, payload=f"p{i}".encode())], schema).coalesce(1))
+    intruder = Dataset.load(spark, tmp_location)
+
+    orig = ds._commit_rewrite
+    state = {"commits": 0}
+
+    def racing_commit(*args, **kwargs):
+        state["commits"] += 1
+        if state["commits"] == 1:
+            intruder.append(spark.createDataFrame(
+                [Row(id=100, payload=b"p100")], schema).coalesce(1))
+        return orig(*args, **kwargs)
+
+    ds._commit_rewrite = racing_commit
+    try:
+        ds.compact_records()
+    finally:
+        ds._commit_rewrite = orig
+    assert state["commits"] >= 2  # first attempt conflicted, retry ran
+    got = {r["id"]: r["payload"] for r in ds.read().collect()}
+    assert got == {**{i: f"p{i}".encode() for i in range(6)},
+                   100: b"p100"}
