@@ -838,7 +838,8 @@ def dedup_substrings(
     reducers. Covered-position expansion explodes ONLY duplicated
     windows (bounded by duplication volume, not corpus size); the
     final anti-join and rebuild shuffle on uniform (id, pos) /
-    (id) keys."""
+    (id) keys and run ONLY over documents that contain a duplicated
+    span — the untouched majority passes through as a projection."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.select(F.col(id_col), toks.alias("__toks"))
     n = F.size(F.col("__toks"))
@@ -886,7 +887,18 @@ def dedup_substrings(
             F.sequence(F.col("s"), F.col("s") + F.lit(window - 1))
         ).alias("pos"),
     ).distinct()
-    tokens = base.select(
+    # Only documents that actually contain a duplicated span pay the
+    # token-explode + rebuild shuffle; the (typically vast) untouched
+    # majority passes through as a projection. The touched-id set is
+    # O(affected docs) and semi/anti-joins decide membership.
+    touched_ids = covered.select(id_col).distinct()
+    untouched = base.join(touched_ids, on=id_col, how="left_anti").select(
+        id_col,
+        F.array_join(F.col("__toks"), " ").alias("text"),
+        F.size(F.col("__toks")).cast("long").alias("n_kept"),
+        F.lit(0).cast("long").alias("n_dropped"),
+    )
+    tokens = base.join(touched_ids, on=id_col, how="left_semi").select(
         id_col, F.posexplode(F.col("__toks")).alias("pos", "tok")
     )
     kept = tokens.join(covered, on=[id_col, "pos"], how="left_anti")
@@ -907,8 +919,8 @@ def dedup_substrings(
             F.count(F.lit(1)).cast("long").alias("n_kept"),
         )
         # fully-deduplicated documents vanish from `kept`; resurface
-        # them with empty text via the doc universe
-        .join(base.select(id_col), on=id_col, how="right")
+        # them with empty text via the touched-doc universe
+        .join(touched_ids, on=id_col, how="right")
         .join(dropped_counts, on=id_col, how="left")
         .select(
             id_col,
@@ -919,4 +931,4 @@ def dedup_substrings(
             .alias("n_dropped"),
         )
     )
-    return rebuilt
+    return rebuilt.unionByName(untouched)
