@@ -171,6 +171,11 @@ class Dataset:
     def current_snapshot_id(self) -> int:
         return self.metadata.branches[self.branch]
 
+    @property
+    def num_rows(self) -> int:
+        """Live row count of the current snapshot (metadata, no job)."""
+        return self.metadata.snapshot(self.current_snapshot_id).num_rows
+
     # -- logical/physical name boundary (column rename support) -------------
     # Data files and manifest stats are written under immutable PHYSICAL
     # names (the name at create/add_column time); ``rename_column`` only
@@ -1067,6 +1072,13 @@ class Dataset:
             )
         else:
             tagged = dk.withColumn("__new", F.lit(0))
+        # One evaluation for bounds, probe, and conflict retries: the
+        # adds side is already materialized parquet, but delete_keys is
+        # a live plan — a nondeterministic source (sample/limit/changing
+        # view) re-evaluated after the bounds were computed could emit a
+        # key OUTSIDE those bounds, which range pruning would then
+        # silently skip. localCheckpoint pins the key set.
+        tagged = tagged.localCheckpoint(eager=True)
         row = (
             tagged.groupBy(*pks).agg(F.sum("__new").alias("__nn"))
             .agg(
@@ -1971,18 +1983,37 @@ class Dataset:
         """Drop old snapshots from the log (metadata-only; data files are
         reclaimed by ``vacuum``). Keeps: the most recent ``keep_last``
         ancestors of every branch head, plus every tagged snapshot and
-        snapshot 0. ``older_than`` (ISO-8601 timestamp string, compared
-        against each snapshot's ``created_at``) additionally protects
-        every snapshot created at or after it — the Iceberg-style
-        time-based retention: ``expire_snapshots(keep_last=1,
-        older_than=week_ago)`` keeps the full last week of history AND at
-        least the head. Returns the expired ids."""
+        snapshot 0. ``older_than`` (an ISO-8601 timestamp string —
+        parsed, not string-compared, so 'Z' suffixes and other valid
+        forms order correctly and malformed input raises instead of
+        silently mis-protecting; a naive timestamp is taken as UTC)
+        additionally protects every snapshot created at or after it —
+        the Iceberg-style time-based retention: ``expire_snapshots(
+        keep_last=1, older_than=week_ago)`` keeps the full last week of
+        history AND at least the head. Returns the expired ids."""
         if keep_last < 1:
             raise UserInputError("keep_last must be >= 1")
+        cutoff = None
+        if older_than is not None:
+            from datetime import datetime, timezone
+
+            try:
+                cutoff = datetime.fromisoformat(
+                    older_than.replace("Z", "+00:00")
+                )
+            except ValueError as e:
+                raise UserInputError(
+                    f"older_than is not an ISO-8601 timestamp: "
+                    f"{older_than!r}"
+                ) from e
+            if cutoff.tzinfo is None:
+                cutoff = cutoff.replace(tzinfo=timezone.utc)
 
         expired: List[int] = []
 
         def mutate(meta: md.StorageMetadata):
+            from datetime import datetime
+
             keep = {0} | set(meta.tags.values())
             for head in meta.branches.values():
                 cur, n = head, 0
@@ -1990,11 +2021,9 @@ class Dataset:
                     keep.add(cur)
                     cur = meta.snapshots[cur].parent_snapshot_id
                     n += 1
-            if older_than is not None:
+            if cutoff is not None:
                 for sid, snap in meta.snapshots.items():
-                    # ISO-8601 strings (fixed UTC format) compare
-                    # chronologically as strings.
-                    if snap.created_at >= older_than:
+                    if datetime.fromisoformat(snap.created_at) >= cutoff:
                         keep.add(sid)
             for sid in list(meta.snapshots):
                 if sid not in keep:

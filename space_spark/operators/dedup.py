@@ -840,7 +840,13 @@ def dedup_substrings(
     final anti-join and rebuild shuffle on uniform (id, pos) /
     (id) keys and run ONLY over documents that contain a duplicated
     span — the untouched majority passes through as a projection."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # NULL text tokenizes to NULL; coalesce to an empty array so such
+    # docs flow through the untouched branch as ('', 0, 0) — matching
+    # the SQL oracle's COALESCE over an absent aggregate row.
+    toks = F.coalesce(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        F.array().cast("array<string>"),
+    )
     base = df.select(F.col(id_col), toks.alias("__toks"))
     n = F.size(F.col("__toks"))
     win = (

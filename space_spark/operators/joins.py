@@ -174,10 +174,21 @@ def range_partitioned_join(
         raise UserInputError(
             f"non-key columns appear on both sides: {sorted(clash)}"
         )
-    lo = hi = None
-    if key_l[0] is not None and key_r[0] is not None:
-        lo, hi = max(key_l[0], key_r[0]), min(key_l[1], key_r[1])
-    if lo is None or lo > hi:
+    if left_ds.num_rows == 0 or right_ds.num_rows == 0:
+        l = left_ds.read(fields=left_fields).where(F.lit(False))
+        r = right_ds.read(fields=right_fields).where(F.lit(False))
+        return l.join(r, on=key, how="inner")
+    if key_l[0] is None or key_r[0] is None:
+        # Stats unavailable for the key on a NON-empty side (non-stats
+        # type, or an all-NULL key column in some file): key_range
+        # cannot distinguish that from an unbounded range, so fall back
+        # to the plain unpartitioned join rather than silently return
+        # an empty (wrong) result.
+        return left_ds.read(fields=left_fields).join(
+            right_ds.read(fields=right_fields), on=key, how="inner"
+        )
+    lo, hi = max(key_l[0], key_r[0]), min(key_l[1], key_r[1])
+    if lo > hi:
         l = left_ds.read(fields=left_fields).where(F.lit(False))
         r = right_ds.read(fields=right_fields).where(F.lit(False))
         return l.join(r, on=key, how="inner")

@@ -112,6 +112,51 @@ def stratified_sample(
     )
 
 
+# Mixture samplers collect one row per distinct group to the driver and
+# re-emit the quotas as a literal map — driver state and plan size are
+# O(|groups|), which is fine for language/source mixes (dozens to
+# thousands of groups) and WRONG for an unbounded key like URL host.
+# The bounded collect below fails loudly past this cap instead of
+# OOMing the driver.
+MIX_MAX_GROUPS = 10_000
+
+
+def _mixture_counts(df: DataFrame, group_col: str,
+                    op: str) -> Dict:
+    """Distinct-group row counts as a driver dict, via a BOUNDED collect
+    (at most MIX_MAX_GROUPS + 1 rows leave the cluster)."""
+    rows = (
+        df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+        .limit(MIX_MAX_GROUPS + 1).collect()
+    )
+    if len(rows) > MIX_MAX_GROUPS:
+        raise ValueError(
+            f"{op}: more than {MIX_MAX_GROUPS} distinct groups in "
+            f"{group_col!r} — the quota table is driver state and a "
+            "literal plan node; bucket or pre-filter the group column"
+        )
+    return {r[group_col]: int(r["__n"]) for r in rows}
+
+
+def _keep_by_group_quota(df: DataFrame, group_col: str, id_col: str,
+                         quotas: Dict, seed: int) -> DataFrame:
+    """Keep the first ``quotas[g]`` rows of each group by hash-bucket
+    rank (id tie-break): one per-group rank window over the corpus — no
+    join, no global window; the quota map is a literal."""
+    quota_map = F.create_map(
+        *[F.lit(x) for k in sorted(quotas, key=str)
+          for x in (k, quotas[k])]
+    )
+    bucket = hash_bucket(F.col(id_col), seed)
+    rw = Window.partitionBy(group_col).orderBy(bucket.asc(),
+                                              F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(rw))
+        .where(F.col("__rn") <= quota_map[F.col(group_col)])
+        .drop("__rn")
+    )
+
+
 def domain_mix_sample(
     df: DataFrame,
     group_col: str,
@@ -159,11 +204,7 @@ def domain_mix_sample(
     # Quota table: n_g per group -> feasible total T = min_g floor(n_g /
     # w_g) -> quota_g = floor(w_g * T). |groups| rows: collected once,
     # validated, and re-emitted as a literal map (no join in the plan).
-    counts = {
-        r[group_col]: int(r["__n"])
-        for r in weighted.groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("__n")).collect()
-    }
+    counts = _mixture_counts(weighted, group_col, "domain_mix_sample")
     missing = sorted(k for k, v in norm.items()
                      if v > 0 and k not in counts)
     if missing:
@@ -177,18 +218,10 @@ def domain_mix_sample(
     # fmod-based and can differ by 1 from SQL/Spark FLOOR(n/w) at
     # representation boundaries (30 // 0.2 == 149.0, floor(30/0.2) == 150).
     feasible_t = min(int(math.floor(counts[k] / norm[k])) for k in counts)
-    quota_map = F.create_map(
-        *[F.lit(x) for k in sorted(counts)
-          for x in (k, int(norm[k] * feasible_t))]
-    )
-    bucket = hash_bucket(F.col(id_col), seed)
-    rw = Window.partitionBy(group_col).orderBy(bucket.asc(),
-                                              F.col(id_col).asc())
-    return (
-        weighted.withColumn("__rn", F.row_number().over(rw))
-        .where(F.col("__rn") <= quota_map[F.col(group_col)])
-        .drop("__w", "__rn")
-    )
+    quotas = {k: int(norm[k] * feasible_t) for k in counts}
+    return _keep_by_group_quota(
+        weighted, group_col, id_col, quotas, seed
+    ).drop("__w")
 
 
 def weighted_sample(
@@ -228,27 +261,27 @@ def temperature_mix_sample(
 
     The quota form is DENOMINATOR-FREE — no cross-group float sum whose
     summation order could differ between engines — and for the default
-    alpha=0.5 it reduces to floor(sqrt(n_g * n_min)): an exact integer
-    product (< 2^53) through IEEE-754 sqrt, which is correctly rounded
-    by definition, so every engine computes the identical quota. Other
-    alphas go through pow, which can differ by 1 ulp across C math
-    libraries — fine for pipelines, but pin alpha=0.5 where bit-exact
-    cross-engine reproducibility matters.
+    alpha=0.5 it is floor(sqrt(n_g * n_min)) computed in IEEE doubles:
+    every engine runs the IDENTICAL double conversion + correctly
+    rounded sqrt + floor, so the kept set matches across engines at any
+    scale (and equals the exact integer quota whenever n_g * n_min fits
+    a double's 2^53 integer range). Other alphas go through pow, which
+    can differ by 1 ulp across C math libraries — fine for pipelines,
+    but pin alpha=0.5 where bit-exact cross-engine reproducibility
+    matters.
 
     Same plan shape as ``domain_mix_sample``: one eager group-count
-    aggregate (bounded |groups| rows to the driver, re-emitted as quota
-    literals), then one per-group rank-window shuffle of the corpus —
-    no join, no global window."""
+    aggregate (a BOUNDED collect — more than MIX_MAX_GROUPS distinct
+    groups raises rather than OOMing the driver; temperature mixes are
+    language/source balancing, not unbounded-key sampling), then one
+    per-group rank-window shuffle of the corpus — no join, no global
+    window."""
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("alpha must be in [0, 1]")
     import math
 
     grouped = df.where(F.col(group_col).isNotNull())
-    counts = {
-        r[group_col]: int(r["__n"])
-        for r in grouped.groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("__n")).collect()
-    }
+    counts = _mixture_counts(grouped, group_col, "temperature_mix_sample")
     if not counts:
         return grouped.where(F.lit(False))
     n_min = min(counts.values())
@@ -260,14 +293,5 @@ def temperature_mix_sample(
             math.pow(float(n), alpha) * math.pow(float(n_min), 1.0 - alpha)
         ))
 
-    quota_map = F.create_map(
-        *[F.lit(x) for k in sorted(counts) for x in (k, quota(counts[k]))]
-    )
-    bucket = hash_bucket(F.col(id_col), seed)
-    rw = Window.partitionBy(group_col).orderBy(bucket.asc(),
-                                              F.col(id_col).asc())
-    return (
-        grouped.withColumn("__rn", F.row_number().over(rw))
-        .where(F.col("__rn") <= quota_map[F.col(group_col)])
-        .drop("__rn")
-    )
+    quotas = {k: quota(n) for k, n in counts.items()}
+    return _keep_by_group_quota(grouped, group_col, id_col, quotas, seed)

@@ -476,3 +476,17 @@ def test_dedup_substrings_removes_later_occurrences(spark):
     assert out[3] == ("", 0, 8)
     assert out[4] == ("totally different words here", 4, 0)
     assert out[5] == ("tiny", 1, 0)
+
+
+def test_dedup_substrings_null_text(spark):
+    """NULL text yields ('', 0, 0) — the row is preserved, matching the
+    SQL oracle's COALESCE over an absent aggregate."""
+    from space_spark.operators.dedup import dedup_substrings
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c d e")], "doc_id long, text string")
+    out = {r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+           for r in dedup_substrings(docs, "doc_id", "text",
+                                     window=3).collect()}
+    assert out[1] == ("", 0, 0)
+    assert out[2] == ("a b c d e", 5, 0)

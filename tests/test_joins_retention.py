@@ -194,3 +194,37 @@ def test_range_partitioned_join_equals_plain_join(spark, tmp_location):
     dc.append(spark.createDataFrame([Row(k=1, lv=0.0)], clash_schema))
     with _pytest.raises(UserInputError, match="both sides"):
         range_partitioned_join(dl, dc, "k")
+
+
+def test_range_join_falls_back_without_key_stats(spark, tmp_location):
+    """A non-empty side whose key stats are unavailable (a file whose
+    key column is entirely NULL has no parquet min/max) must fall back
+    to the plain unpartitioned join — never silently return empty."""
+    from space_spark.operators.joins import range_partitioned_join
+
+    ls = T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("k", T.LongType()),
+    ])
+    rs = T.StructType([
+        T.StructField("rid", T.LongType()), T.StructField("k", T.LongType()),
+    ])
+    dl = Dataset.create(spark, tmp_location + "_nl", ls, ["id"])
+    dl.append(spark.createDataFrame(
+        [Row(id=1, k=None), Row(id=2, k=5)], ls).coalesce(1))
+    dr = Dataset.create(spark, tmp_location + "_nr", rs, ["rid"])
+    dr.append(spark.createDataFrame([Row(rid=9, k=5)], rs))
+    assert range_partitioned_join(dl, dr, "k").count() == 1
+
+
+def test_expire_older_than_validates_and_parses(spark, tmp_location):
+    from space_spark.errors import UserInputError
+
+    ds = Dataset.create(spark, tmp_location + "_ot", SIMPLE, ["id"])
+    ds.append(spark.createDataFrame([Row(id=1, val=1.0)], SIMPLE))
+    import pytest as _pytest
+
+    with _pytest.raises(UserInputError, match="ISO-8601"):
+        ds.expire_snapshots(keep_last=1, older_than="week_ago")
+    # 'Z' suffix parses (string comparison would mis-order it)
+    assert ds.expire_snapshots(
+        keep_last=1, older_than="2000-01-01T00:00:00Z") == []
