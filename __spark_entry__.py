@@ -2029,13 +2029,19 @@ WITH toks AS (
   SELECT token,
          CAST(ROUND(log10(freq / total) * 1000000) AS BIGINT) AS lp
   FROM vocab, (SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM vocab)
+), per_doc AS (
+  SELECT doc_id,
+    COUNT(*)::BIGINT AS n_tokens,
+    COUNT(lp)::BIGINT AS n_scored,
+    COALESCE(SUM(lp), 0)::BIGINT AS logprob_micro_sum
+  FROM toks LEFT JOIN scored USING (token)
+  GROUP BY doc_id
 )
-SELECT doc_id,
-  COUNT(*)::BIGINT AS n_tokens,
-  COUNT(lp)::BIGINT AS n_scored,
-  COALESCE(SUM(lp), 0)::BIGINT AS logprob_micro_sum
-FROM toks LEFT JOIN scored USING (token)
-GROUP BY doc_id
+SELECT d.doc_id,
+  COALESCE(p.n_tokens, 0)::BIGINT AS n_tokens,
+  COALESCE(p.n_scored, 0)::BIGINT AS n_scored,
+  COALESCE(p.logprob_micro_sum, 0)::BIGINT AS logprob_micro_sum
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
@@ -2802,8 +2808,9 @@ def dedup_corpus_lines(spark, sf_dir):
 DEDUP_LINES_SQL = """
 WITH docs AS (
   SELECT doc_id,
-         regexp_replace(text, ' quick ', chr(10) || 'quick' || chr(10),
-                        'g') AS text
+         COALESCE(regexp_replace(text, ' quick ',
+                                 chr(10) || 'quick' || chr(10), 'g'),
+                  '') AS text
   FROM documents
 ), split AS (
   SELECT doc_id, string_split(text, chr(10)) AS parts FROM docs

@@ -468,12 +468,17 @@ class Dataset:
                                    rec_rel, commit_mutate)
 
     def _commit_append(self, manifest_rel, files, rows, nbytes, rec_rel,
-                       commit_mutate=None) -> "Dataset":
+                       commit_mutate=None, retries=None) -> "Dataset":
         """Append-commit retry loop over already-written data files (the
         files stay valid across a conflicting head advance — only the
-        snapshot record rebuilds against the new parent)."""
+        snapshot record rebuilds against the new parent). ``retries=0``
+        lets a caller whose VALIDITY depends on the head (insert's clash
+        probe) surface the conflict and re-validate before re-committing
+        — a blind metadata retry is only sound for plain appends."""
         last_err = None
-        for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
+        if retries is None:
+            retries = self.APPEND_COMMIT_RETRIES
+        for _attempt in range(retries + 1):
             pinned = self.current_snapshot_id
             parent = self.metadata.snapshot(pinned)
             rec_manifests = list(parent.record_manifest_files)
@@ -577,30 +582,48 @@ class Dataset:
             return self  # empty insert: nothing to check or commit
         bounds = self._bounds_from_manifest(manifest_rel)
         new_keys = self._read_files(files).select(*pks)
-        old_keys = self.read(
-            filter_=self._keys_range_expr(bounds), fields=pks
-        )
+
+        def clash_branch():
+            old_keys = self.read(
+                filter_=self._keys_range_expr(bounds), fields=pks
+            )
+            return (
+                old_keys.join(self._keys_join_side(new_keys, rows),
+                              on=pks, how="left_semi")
+                .select(F.lit("clash").alias("__kind")).limit(1)
+            )
+
         dup_branch = (
             new_keys.groupBy(*pks).agg(F.count(F.lit(1)).alias("__n"))
             .where(F.col("__n") > 1)
             .select(F.lit("dup").alias("__kind")).limit(1)
         )
-        clash_branch = (
-            old_keys.join(self._keys_join_side(new_keys, rows),
-                          on=pks, how="left_semi")
-            .select(F.lit("clash").alias("__kind")).limit(1)
-        )
-        verdicts = {r["__kind"]
-                    for r in dup_branch.unionByName(clash_branch).collect()}
+        verdicts = {
+            r["__kind"]
+            for r in dup_branch.unionByName(clash_branch()).collect()
+        }
         if "dup" in verdicts:
             raise UserInputError("Input data has duplicate primary keys")
-        if "clash" in verdicts:
-            raise PrimaryKeyExistError(
-                "insert: input primary keys already exist (use upsert)"
-            )
         rec_rel = self._write_record_manifest_for(files)
-        return self._commit_append(manifest_rel, files, rows, nbytes,
-                                   rec_rel)
+        # The clash probe's validity is pinned to the head it read: a
+        # conflicting commit may have inserted one of OUR keys, so a
+        # conflict re-runs the probe against the new head before
+        # re-committing (a blind metadata retry here would let two
+        # concurrent inserts of the same key both land).
+        last_err = None
+        for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
+            if "clash" in verdicts:
+                raise PrimaryKeyExistError(
+                    "insert: input primary keys already exist (use upsert)"
+                )
+            try:
+                return self._commit_append(manifest_rel, files, rows,
+                                           nbytes, rec_rel, retries=0)
+            except TransactionConflictError as e:
+                last_err = e
+                self.reload()
+                verdicts = {r["__kind"] for r in clash_branch().collect()}
+        raise last_err
 
     def _bounds_from_manifest(self, manifest_rel: str):
         """Per-PK min/max bounds aggregated from a just-written

@@ -111,15 +111,27 @@ def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
     hash-spread across reducers instead of landing on one. NULL group
     values join null-safely (``eqNullSafe``), preserving the window
     semantics where NULL keys form a group with one winner — a plain
-    equality join-back would silently drop every NULL-keyed row."""
-    winners = df.groupBy(*cols).agg(F.min(id_col).alias(id_col)).select(
-        [F.col(c).alias(f"__w_{c}") for c in [*cols, id_col]]
+    equality join-back would silently drop every NULL-keyed row.
+
+    Rows with a NULL id pass through UNDEDUPLICATED: "keep one of the
+    NULL-id rows" has no deterministic answer (there is no tie-break),
+    and folding them into min() would either lose them (min ignores
+    NULLs) or match every NULL at once. NULL ids violate this
+    operator's unique-id contract; passing them through is the safe,
+    deterministic degradation."""
+    has_id = df.where(F.col(id_col).isNotNull())
+    winners = (
+        has_id.groupBy(*cols).agg(F.min(id_col).alias(id_col)).select(
+            [F.col(c).alias(f"__w_{c}") for c in [*cols, id_col]]
+        )
     )
     cond = None
     for c in [*cols, id_col]:
         piece = F.col(c).eqNullSafe(F.col(f"__w_{c}"))
         cond = piece if cond is None else (cond & piece)
-    return df.join(winners, on=cond, how="left_semi")
+    return has_id.join(winners, on=cond, how="left_semi").unionByName(
+        df.where(F.col(id_col).isNull())
+    )
 
 
 def duplicate_groups(df: DataFrame, cols: Sequence[str], id_col: str
@@ -759,13 +771,18 @@ def dedup_lines(
     string_agg).
 
     ``delimiter`` picks the dedup unit: "\\n" (default) deduplicates
-    lines; "\\n\\n" deduplicates paragraphs (RefinedWeb runs both)."""
+    lines; "\\n\\n" deduplicates paragraphs (RefinedWeb runs both).
+
+    NULL text coalesces to '' (one exempt empty line), so such rows
+    survive to the output instead of vanishing from the rebuild
+    aggregate — every input document yields exactly one output row."""
     import re as _re
 
     lines = df.select(
         F.col(id_col),
         F.posexplode(
-            F.split(F.col(text_col), _re.escape(delimiter))
+            F.split(F.coalesce(F.col(text_col), F.lit("")),
+                    _re.escape(delimiter))
         ).alias("pos", "line"),
     )
     exempt = (F.length("line") < min_len) | (F.col("line") == "")

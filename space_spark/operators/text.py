@@ -570,7 +570,10 @@ def unigram_logprob(
     shuffle on the token key, so "the" appearing 10^11 times costs no
     skewed exchange; the only corpus-keyed shuffle is the final
     per-document aggregate (uniform ids). Out-of-vocab tokens are
-    counted but unscored (``n_scored`` < ``n_tokens``)."""
+    counted but unscored (``n_scored`` < ``n_tokens``). Every input
+    document yields exactly one output row — documents with zero
+    non-empty tokens (empty, NULL, whitespace-only text) score
+    (0, 0, 0) instead of silently vanishing from the aggregate."""
     toks = df.select(
         F.col(id_col),
         F.explode(tokens(F.col(text_col))).alias("token"),
@@ -581,16 +584,20 @@ def unigram_logprob(
     # merge. A global row_number window here would instead sort ALL
     # distinct tokens (web corpora have 10^8+: URLs, hashes, typos) in
     # one task. Same deterministic cut (freq desc, token asc).
+    # localCheckpoint: the vocab feeds BOTH the probability denominator
+    # and the broadcast join side; without it the corpus-wide token
+    # count (the operator's most expensive stage) is embedded — and
+    # executed — twice per action.
     vocab = counts.orderBy(
         F.col("freq").desc(), F.col("token").asc()
-    ).limit(vocab_size)
+    ).limit(vocab_size).localCheckpoint(eager=True)
     total = vocab.agg(F.sum("freq").alias("__total"))
     scored_vocab = vocab.crossJoin(F.broadcast(total)).select(
         "token",
         F.round(F.log10(F.col("freq") / F.col("__total")) * 1e6)
         .cast("long").alias("__lp_micro"),
     )
-    return (
+    scored = (
         toks.join(F.broadcast(scored_vocab), on="token", how="left")
         .groupBy(id_col)
         .agg(
@@ -599,4 +606,13 @@ def unigram_logprob(
             F.coalesce(F.sum("__lp_micro"), F.lit(0)).cast("long")
             .alias("logprob_micro_sum"),
         )
+    )
+    return df.select(id_col).join(scored, on=id_col, how="left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+        .alias("n_tokens"),
+        F.coalesce(F.col("n_scored"), F.lit(0)).cast("long")
+        .alias("n_scored"),
+        F.coalesce(F.col("logprob_micro_sum"), F.lit(0)).cast("long")
+        .alias("logprob_micro_sum"),
     )

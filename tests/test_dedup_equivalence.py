@@ -490,3 +490,35 @@ def test_dedup_substrings_null_text(spark):
                                      window=3).collect()}
     assert out[1] == ("", 0, 0)
     assert out[2] == ("a b c d e", 5, 0)
+
+
+def test_exact_dedup_null_ids_pass_through(spark):
+    """NULL-id rows cannot be deterministically deduplicated (no
+    tie-break exists), so they pass through untouched instead of being
+    silently dropped or multiplied."""
+    docs = spark.createDataFrame(
+        [(None, "x"), (2, "x"), (None, "y"), (None, "y")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        [(r["doc_id"], r["text"])
+         for r in dedup.exact_dedup(docs, ["text"], "doc_id").collect()],
+        key=str,
+    )
+    # group 'x': winner 2 kept AND the null-id member passes through;
+    # group 'y' (all null ids): both pass through
+    assert got == sorted(
+        [(None, "x"), (2, "x"), (None, "y"), (None, "y")], key=str)
+
+
+def test_dedup_lines_null_text_survives(spark):
+    """A NULL-text document coalesces to one exempt empty line: every
+    input document yields exactly one output row."""
+    from space_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "hello world line")], "doc_id long, text string")
+    out = {r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+           for r in dedup_lines(docs, "doc_id", "text").collect()}
+    assert out[1] == ("", 1, 0)
+    assert out[2] == ("hello world line", 1, 0)

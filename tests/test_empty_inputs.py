@@ -64,3 +64,14 @@ def test_new_text_and_sampling_ops_empty(spark):
     assert unigram_logprob(empty_docs, "doc_id", "text").count() == 0
     empty_lang = spark.createDataFrame([], "doc_id long, lang string")
     assert temperature_mix_sample(empty_lang, "lang", "doc_id").count() == 0
+
+
+def test_unigram_logprob_zero_token_docs_survive(spark):
+    from space_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "a b a")], "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["n_scored"])
+           for r in unigram_logprob(docs, "doc_id", "text").collect()}
+    assert out[1] == (0, 0) and out[2] == (0, 0)
+    assert out[3][0] == 3
