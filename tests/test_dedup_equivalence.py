@@ -522,3 +522,47 @@ def test_dedup_lines_null_text_survives(spark):
            for r in dedup_lines(docs, "doc_id", "text").collect()}
     assert out[1] == ("", 1, 0)
     assert out[2] == ("hello world line", 1, 0)
+
+
+_word = st.sampled_from(["aa", "bb", "cc"])
+_wdoc = st.lists(_word, min_size=0, max_size=10).map(" ".join)
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts=st.lists(_wdoc, min_size=1, max_size=5),
+       window=st.integers(min_value=2, max_value=4))
+def test_dedup_substrings_matches_python_reference(spark, texts, window):
+    """The distributed ExactSubstr plan equals a sequential reference
+    for arbitrary small corpora over a tiny alphabet (maximal window
+    collisions, overlapping covered spans, whole-doc removals, docs
+    shorter than the window)."""
+    from space_spark.operators.dedup import dedup_substrings
+
+    docs = list(enumerate(texts))
+    # Sequential reference: first occurrence per window content in
+    # (doc, start) order; tokens of any later occurrence are covered.
+    first = {}
+    for doc_id, text in docs:
+        toks = text.strip().split()
+        if text.strip() == "":
+            toks = [""]
+        for s in range(max(0, len(toks) - window + 1)):
+            key = " ".join(toks[s:s + window])
+            first.setdefault(key, (doc_id, s))
+    want = {}
+    for doc_id, text in docs:
+        toks = text.strip().split()
+        if text.strip() == "":
+            toks = [""]
+        covered = set()
+        for s in range(max(0, len(toks) - window + 1)):
+            key = " ".join(toks[s:s + window])
+            if first[key] != (doc_id, s):
+                covered.update(range(s, s + window))
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        want[doc_id] = (" ".join(kept), len(kept), len(covered))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+           for r in dedup_substrings(df, "doc_id", "text",
+                                     window=window).collect()}
+    assert got == want
