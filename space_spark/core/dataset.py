@@ -1100,8 +1100,32 @@ class Dataset:
         # a live plan — a nondeterministic source (sample/limit/changing
         # view) re-evaluated after the bounds were computed could emit a
         # key OUTSIDE those bounds, which range pruning would then
-        # silently skip. localCheckpoint pins the key set.
+        # silently skip. localCheckpoint pins the key set; the blocks
+        # are released in the finally below (the commit completes inside
+        # this method, so nothing reads them afterward — without the
+        # release every CDC micro-batch would leak one persisted RDD).
+        jsc = self.spark.sparkContext._jsc
+        before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
         tagged = tagged.localCheckpoint(eager=True)
+        try:
+            return self._apply_changes_commit(
+                tagged, manifest_rel, files, rows, nbytes
+            )
+        finally:
+            try:
+                # Release the checkpoint's storage blocks by id delta:
+                # the persisted entity is an internal RDD that no public
+                # DataFrame handle reaches.
+                live = jsc.getPersistentRDDs()
+                for i in live.keySet().toArray():
+                    if int(i) not in before:
+                        live.get(i).unpersist(False)
+            except Exception:
+                pass  # block release is best-effort hygiene
+
+    def _apply_changes_commit(self, tagged, manifest_rel, files, rows,
+                              nbytes) -> "Dataset":
+        pks = self.primary_keys
         row = (
             tagged.groupBy(*pks).agg(F.sum("__new").alias("__nn"))
             .agg(

@@ -584,15 +584,18 @@ def unigram_logprob(
     # merge. A global row_number window here would instead sort ALL
     # distinct tokens (web corpora have 10^8+: URLs, hashes, typos) in
     # one task. Same deterministic cut (freq desc, token asc).
-    # localCheckpoint: the vocab feeds BOTH the probability denominator
-    # and the broadcast join side; without it the corpus-wide token
-    # count (the operator's most expensive stage) is embedded — and
-    # executed — twice per action.
     vocab = counts.orderBy(
         F.col("freq").desc(), F.col("token").asc()
-    ).limit(vocab_size).localCheckpoint(eager=True)
-    total = vocab.agg(F.sum("freq").alias("__total"))
-    scored_vocab = vocab.crossJoin(F.broadcast(total)).select(
+    ).limit(vocab_size)
+    # The denominator rides a global window OVER THE VOCAB — bounded by
+    # vocab_size (<= 65536 rows in one task, the same bounded-merge any
+    # top-K ends in), NOT the corpus. This keeps the expensive
+    # corpus-wide token-count subtree embedded exactly once; a separate
+    # agg + crossJoin would either embed it twice or need a persisted
+    # intermediate that outlives the returned lazy plan.
+    scored_vocab = vocab.withColumn(
+        "__total", F.sum("freq").over(Window.partitionBy(F.lit(1)))
+    ).select(
         "token",
         F.round(F.log10(F.col("freq") / F.col("__total")) * 1e6)
         .cast("long").alias("__lp_micro"),

@@ -566,3 +566,18 @@ def test_dedup_substrings_matches_python_reference(spark, texts, window):
            for r in dedup_substrings(df, "doc_id", "text",
                                      window=window).collect()}
     assert got == want
+
+
+def test_unigram_and_cdc_leave_no_persistent_rdds(spark):
+    """Operators whose work completes within the call must release
+    their pinned blocks: repeated invocation (a bench run, a streaming
+    sink) must not accumulate persisted RDDs (same hygiene contract as
+    minhash_lsh_pairs)."""
+    import __spark_entry__ as e
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for name in ("text_unigram_logprob", "space_stream_cdc"):
+        e.queries()[name](spark, SF_DIR).write.mode(
+            "overwrite").format("noop").save()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before, f"{after - before} persisted RDDs leaked"
