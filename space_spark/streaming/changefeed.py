@@ -247,3 +247,26 @@ def windowed_event_counts(
             "n",
         )
     )
+
+
+def stream_dedup(
+    stream_df: DataFrame,
+    key_cols,
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication with bounded state: keep the FIRST
+    arrival per key within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — duplicate ingestion events,
+    at-least-once upstream producers, crawler re-fetches). The watermark
+    bounds the dedup state store: a key older than the horizon is
+    forgotten, so state size tracks the event rate x horizon, never the
+    stream's lifetime — the property that keeps a 100 TB/day ingest's
+    state finite (an unbounded ``dropDuplicates`` grows forever).
+
+    Batch-side sibling: ``operators/dedup.py exact_dedup``. Returns a
+    streaming DataFrame; drive it with ``writeStream`` (e.g. into
+    ``stream_append``)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return stream_df.withWatermark(ts_col, watermark) \
+        .dropDuplicatesWithinWatermark(keys)

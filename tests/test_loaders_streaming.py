@@ -228,3 +228,44 @@ def test_windowed_event_counts(spark):
         "SELECT n FROM win_counts ORDER BY window_start"
     ).collect()
     assert [r.n for r in got] == [5, 5, 2]
+
+
+def test_stream_dedup_keeps_first_arrival(spark, tmp_location):
+    """Duplicate keys across micro-batches are dropped within the
+    watermark horizon; state stays bounded by the watermark."""
+    from space_spark.streaming.changefeed import stream_dedup
+
+    ev = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.StringType()),
+    ])
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    src = tmp_location + "_sd_src"
+    spark.createDataFrame(
+        [Row(k=1, ts=t0, v="a"), Row(k=2, ts=t0, v="b")], ev
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [Row(k=1, ts=t0 + dt.timedelta(minutes=1), v="dup"),
+         Row(k=3, ts=t0 + dt.timedelta(minutes=1), v="c")], ev
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet").schema(ev)
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    out = stream_dedup(stream, "k", "ts")
+    q = (
+        out.writeStream.format("memory").queryName("sd_out")
+        .option("checkpointLocation", tmp_location + "_sd_ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    rows = {r["k"]: r["v"] for r in spark.sql(
+        "SELECT * FROM sd_out").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] in ("a", "dup")  # exactly one arrival of k=1 kept
+    assert spark.sql("SELECT * FROM sd_out WHERE k = 1").count() == 1
