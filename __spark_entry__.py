@@ -3380,8 +3380,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": text_pii_scrub,
         "text_url_hosts": text_url_hosts,
         # -- NEW this round, tail-slotted (window already holds this
-        #    round's obligations; both pass the local oracle mirror):
-        #    MUST lead the round-6 window with the sitting-out entries
+        #    round's obligations; all five pass the local sf0.001 AND
+        #    sf0.01 oracle mirrors): these never-gate-checked entries
+        #    MUST lead the round-6 window together with the 35
+        #    sitting-out entries above (40 total; the remaining 10
+        #    slots go to round-6-churned core)
         "text_c4_rules": text_c4_rules,
         "text_unigram_logprob": text_unigram_logprob,
         "sample_temperature": sample_temperature,
