@@ -1509,8 +1509,11 @@ class Dataset:
         column-pruned distributed scan of the address columns yields
         both the live candidate set and the referencing index files;
         (3) bin-packing + the address mapping old_rel -> (new_rel,
-        row_offset) are computed from parquet footer row counts alone —
-        O(small blob files) driver state, never row data; (4) blobs
+        row_offset) are computed from the sizes and row counts the
+        record manifests already carry — O(small blob files) driver
+        STATE but zero per-blob driver I/O (no footer reads, no stat
+        calls: at millions of trickle blobs, per-file driver round
+        trips to object storage would serialize the plan); (4) blobs
         concatenate in a distributed map job, one task per output file,
         no shuffle; (5) only the referencing index files rewrite, with a
         literal-map address fixup."""
@@ -1532,17 +1535,22 @@ class Dataset:
             rec_tbl_paths = [self.log.abs_path(p)
                              for p in snapshot.record_manifest_files]
             field_of: Dict[str, str] = {}
+            size_of: Dict[str, int] = {}
+            rows_of: Dict[str, int] = {}
             for p in rec_tbl_paths:
                 t = pq.read_table(p)
-                for r, fld, size in zip(
+                for r, fld, size, nrows in zip(
                     t[mf.FILE_PATH_COL].to_pylist(),
                     t[mf.RECORD_FIELD_COL].to_pylist(),
                     t[mf.SIZE_BYTES_COL].to_pylist(),
+                    t[mf.NUM_ROWS_COL].to_pylist(),
                 ):
                     if (r.startswith(rec.RECORDS_DIR)
                             and r.endswith(".parquet")
                             and size < threshold):
                         field_of[r] = fld
+                        size_of[r] = size
+                        rows_of[r] = nrows
             if not field_of:
                 return self
             # (2) one pruned scan: which candidates are live NOW, and
@@ -1581,7 +1589,7 @@ class Dataset:
                 bins: List[List[str]] = [[]]
                 bin_bytes = 0
                 for r in sorted(rels):
-                    size = os.path.getsize(self.log.abs_path(r))
+                    size = size_of[r]
                     if bins[-1] and bin_bytes + size > target_bytes:
                         bins.append([])
                         bin_bytes = 0
@@ -1594,12 +1602,10 @@ class Dataset:
                         rec.RECORDS_DIR,
                         f"{fld}_compact_{_uuid.uuid4().hex[:20]}.parquet",
                     )
-                    offset, rows = 0, 0
+                    offset = 0
                     for r in group:
                         mapping[r] = (new_rel, offset)
-                        n = pq.read_metadata(
-                            self.log.abs_path(r)).num_rows
-                        offset += n
+                        offset += rows_of[r]
                     new_blobs.append((new_rel, fld, offset))
             if not mapping:
                 return self
