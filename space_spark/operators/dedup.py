@@ -833,6 +833,7 @@ def dedup_substrings(
     id_col: str,
     text_col: str,
     window: int = 50,
+    oracle_compat: bool = False,
 ) -> DataFrame:
     """Cross-document EXACT-SUBSTRING deduplication (the ExactSubstr
     pass of Lee et al. 2022, "Deduplicating Training Data Makes
@@ -846,8 +847,12 @@ def dedup_substrings(
     Returns (id_col, text, n_kept, n_dropped) with token counts.
 
     Plan (same skew discipline as ``dedup_lines`` — repeated substrings
-    ARE the hot keys): window fingerprints are md5 of the
-    space-joined token slice (cross-engine reproducible); the first
+    ARE the hot keys): window fingerprints default to ``xxhash64`` of
+    the space-joined token slice — an 8-byte LONG on the corpus-sized
+    winners exchange, 4x narrower than a 32-char md5 hex string
+    (collision odds at 10^12 windows are ~3e-8 by the birthday bound,
+    acceptable for dedup); ``oracle_compat=True`` switches to md5 for
+    bit-reproducible cross-engine (DuckDB) verification. The first
     occurrence per fingerprint is ``groupBy(hash).agg(min(struct(id,
     s)))`` — map-side partial agg collapses a fingerprint occurring
     10^9 times to one row per task — and the join-back keys on the
@@ -866,6 +871,8 @@ def dedup_substrings(
     )
     base = df.select(F.col(id_col), toks.alias("__toks"))
     n = F.size(F.col("__toks"))
+    fingerprint = F.md5 if oracle_compat else F.xxhash64
+    empty_t = "array<string>" if oracle_compat else "array<bigint>"
     win = (
         base.select(
             id_col,
@@ -877,14 +884,14 @@ def dedup_substrings(
                     n >= window,
                     F.transform(
                         F.sequence(F.lit(0), n - window),
-                        lambda s: F.md5(
+                        lambda s: fingerprint(
                             F.concat_ws(
                                 " ",
                                 F.slice(F.col("__toks"), s + 1, window),
                             )
                         ),
                     ),
-                ).otherwise(F.array().cast("array<string>"))
+                ).otherwise(F.array().cast(empty_t))
             ).alias("s", "__h"),
         )
         .select(id_col, "s", "__h")

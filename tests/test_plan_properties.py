@@ -178,3 +178,40 @@ def test_dedup_substrings_partial_agg_not_window(spark):
                                     window=12))
     assert "Window" not in plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_dedup_substrings_default_fingerprint_is_long(spark):
+    """The corpus-sized winners exchange must carry 8-byte xxhash64
+    longs by default — md5's 32-char hex strings (4x the shuffle bytes)
+    are reserved for oracle_compat cross-engine verification."""
+    from space_spark.operators.dedup import dedup_substrings
+
+    default_plan = plan_of(
+        dedup_substrings(_docs(spark), "doc_id", "text", window=12)
+    )
+    assert "xxhash64" in default_plan
+    assert "md5" not in default_plan
+    compat_plan = plan_of(
+        dedup_substrings(_docs(spark), "doc_id", "text", window=12,
+                         oracle_compat=True)
+    )
+    assert "md5" in compat_plan
+
+
+def test_dedup_substrings_fingerprint_modes_agree(spark):
+    """Fingerprint width is an encoding choice, not a semantic one:
+    both modes must rebuild identical corpora."""
+    from space_spark.operators.dedup import dedup_substrings
+
+    docs = _docs(spark)
+    key = lambda r: (r["doc_id"], r["text"], r["n_kept"], r["n_dropped"])
+    fast = sorted(
+        key(r) for r in
+        dedup_substrings(docs, "doc_id", "text", window=4).collect()
+    )
+    compat = sorted(
+        key(r) for r in
+        dedup_substrings(docs, "doc_id", "text", window=4,
+                         oracle_compat=True).collect()
+    )
+    assert fast == compat
