@@ -5,13 +5,14 @@ training pipeline needs on top — decode, feature-extract, resize,
 frame-sample — runs as Arrow-batched ``mapInPandas`` stages so each task
 handles a bounded batch of blobs (no driver involvement, no shuffle).
 
-The actual codecs (PIL/libsndfile/ffmpeg) are NOT in this container, so
-the decode kernels are stubbed: ``decode_image_real`` raises
-NotImplementedError until an image library is importable, while
-``image_features``/``audio_features`` compute DETERMINISTIC metadata from
-the raw bytes (length, md5-derived pseudo-dimensions) so the Spark-side
-plumbing — schema, batch shape, partitioning — is real and testable, and
-the same values are reproducible in the SQL oracle.
+Codecs are optional dependencies: ``image_features(decode="real")`` does
+a true PIL header decode when PIL is importable (nulls for corrupt
+payloads, NotImplementedError when the codec is absent), while the
+default ``decode="pseudo"`` computes DETERMINISTIC metadata from the raw
+bytes (length, md5-derived pseudo-dimensions) so the Spark-side plumbing
+— schema, batch shape, partitioning — is testable codec-free and the
+values are reproducible in the SQL oracle. libsndfile/ffmpeg paths
+remain pseudo-only stubs.
 """
 
 from __future__ import annotations
@@ -44,18 +45,63 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _pil_available() -> bool:
+    try:
+        from PIL import Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _real_dims(payload: bytes):
+    """PIL header decode: (width, height, channels) or all-None when the
+    bytes aren't a decodable image (a 100 TB crawl ALWAYS contains
+    corrupt blobs — a poison payload must yield nulls, not kill the
+    task). ``Image.open`` reads only the header, so this is O(bytes
+    parsed), not a full pixel decode."""
+    import io
+
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, len(im.getbands())
+    except Exception:
+        return None, None, None
+
+
 def image_features(df: DataFrame, id_col: str = "doc_id",
-                   blob_col: str = "payload") -> DataFrame:
+                   blob_col: str = "payload",
+                   decode: str = "pseudo") -> DataFrame:
     """Per-image metadata extraction over binary blobs.
 
     Arrow-batched mapInPandas: each task decodes its partition's blobs
-    independently — the shape a real decoder (PIL) would use; swap
-    ``_pseudo_dims`` for the real decode when the codec is available."""
+    independently. ``decode``:
+
+    - ``"pseudo"`` (default): deterministic byte-derived dimensions,
+      bit-reproducible in the SQL oracle — the registered-query path.
+    - ``"real"``: PIL header decode (width/height/band count; nulls for
+      undecodable payloads). Raises ``NotImplementedError`` when no
+      imaging library is importable on the driver — the executors need
+      it too (same Python env by deployment contract).
+    - ``"auto"``: ``"real"`` when PIL imports, else ``"pseudo"``.
+    """
+    if decode not in ("pseudo", "real", "auto"):
+        raise ValueError(f"decode must be pseudo|real|auto, got {decode!r}")
+    if decode == "auto":
+        decode = "real" if _pil_available() else "pseudo"
+    if decode == "real" and not _pil_available():
+        raise NotImplementedError(
+            "decode='real' requires PIL; this environment has no codec "
+            "libraries. Use decode='pseudo' (or 'auto') for the "
+            "deterministic metadata path."
+        )
+    dims_fn = _real_dims if decode == "real" else _pseudo_dims
 
     def task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[blob_col]
-            dims = [_pseudo_dims(p if p is not None else b"")
+            dims = [dims_fn(p if p is not None else b"")
                     for p in payloads]
             yield pd.DataFrame(
                 {

@@ -1,0 +1,81 @@
+"""Multimodal decode paths: the deterministic pseudo kernel (oracle
+path), the PIL-gated real decode, and the auto fallback — the suite
+passes in BOTH environments (with and without an imaging library):
+codec-present asserts real header decodes, codec-absent asserts the
+documented NotImplementedError and the pseudo fallback."""
+
+import hashlib
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from space_spark.operators.multimodal import (  # noqa: E402
+    _pil_available,
+    _pseudo_dims,
+    image_features,
+)
+
+HAS_PIL = _pil_available()
+
+
+def _blobs(spark):
+    rows = [
+        (1, b"not-an-image-at-all"),
+        (2, b"x" * 4096),
+        (3, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_pseudo_matches_kernel(spark):
+    out = {r["doc_id"]: r for r in image_features(_blobs(spark)).collect()}
+    for doc_id, payload in ((1, b"not-an-image-at-all"), (3, b"")):
+        w, h, c = _pseudo_dims(payload)
+        r = out[doc_id]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, c)
+        assert r["n_bytes"] == len(payload)
+        assert r["content_md5"] == hashlib.md5(payload).hexdigest()
+
+
+def test_real_raises_without_codec(spark):
+    if HAS_PIL:
+        pytest.skip("imaging library present; covered by test_real_decode")
+    with pytest.raises(NotImplementedError):
+        image_features(_blobs(spark), decode="real")
+
+
+def test_real_decode(spark):
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (17, 9)).save(buf, format="PNG")
+    rows = [(1, buf.getvalue()), (2, b"corrupt-bytes")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r
+           for r in image_features(df, decode="real").collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) \
+        == (17, 9, 3)
+    # corrupt payloads yield nulls, not task death
+    assert out[2]["width"] is None and out[2]["channels"] is None
+    assert out[2]["n_bytes"] == len(b"corrupt-bytes")
+
+
+def test_auto_falls_back(spark):
+    out = image_features(_blobs(spark), decode="auto").collect()
+    assert len(out) == 3
+    if not HAS_PIL:
+        pseudo = sorted(
+            tuple(r) for r in image_features(_blobs(spark)).collect()
+        )
+        assert sorted(tuple(r) for r in out) == pseudo
+
+
+def test_bad_mode_rejected(spark):
+    with pytest.raises(ValueError):
+        image_features(_blobs(spark), decode="jpeg")
