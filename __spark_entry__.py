@@ -18,6 +18,7 @@ reproducible):
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import tempfile
@@ -1810,11 +1811,14 @@ def dedup_substr(spark, sf_dir):
     """Cross-document exact-substring dedup (ExactSubstr, Lee et al.
     2022): any 12-token run already seen earlier in the corpus is
     removed from later documents token-wise; documents rebuild from
-    surviving tokens."""
+    surviving tokens. ``oracle_compat=True`` pins md5 window
+    fingerprints so DuckDB reproduces them bit-for-bit; the production
+    default is 8-byte xxhash64 (see dedup.py docstring)."""
     from space_spark.operators.dedup import dedup_substrings
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup_substrings(docs, "doc_id", "text", window=12)
+    return dedup_substrings(docs, "doc_id", "text", window=12,
+                            oracle_compat=True)
 
 
 DEDUP_SUBSTR_SQL = r"""
@@ -2129,6 +2133,110 @@ SELECT c_custkey, c_name,
   c_nationkey
 FROM customer
 WHERE c_custkey <= 250 OR c_custkey BETWEEN 301 AND 330
+"""
+
+
+def stream_dedup_events(spark, sf_dir):
+    """Streaming dedup with watermark-BOUNDED state
+    (``dropDuplicatesWithinWatermark``, changefeed.py stream_dedup),
+    exercised across four deterministic micro-batches
+    (maxFilesPerTrigger=1 over mtime-ordered files, availableNow):
+
+      b1: every event twice           -> in-batch dups dropped
+      b2: one sentinel 5 years later  -> watermark jumps; b1 state expires
+      b3: same keys 10 years later x2 -> ALL re-emitted (state was
+          evicted — the bounded-state property an unbounded
+          dropDuplicates would get wrong by dropping them)
+      b4: replay of b3's rows         -> contributes NOTHING (every row
+          either late vs the advanced watermark or still in live state)
+
+    Every decision sits far from the 63-second horizon (batches are
+    years apart), so the output is order- and timing-independent: b1 ∪
+    sentinel ∪ b3-once — which is what the SQL oracle states. Event
+    times are synthesized from event_id so both engines compute
+    identical timestamps."""
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    from space_spark.streaming.changefeed import stream_dedup
+
+    base = _space_tmp()
+    stream_dir, out_dir, ckpt = (
+        base + "/in", base + "/out", base + "/ckpt"
+    )
+    os.makedirs(stream_dir)
+    e = (
+        _events(spark, sf_dir)
+        .where(F.col("event_id") % 7 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            (
+                F.expr("timestamp'2024-01-01 00:00:00'")
+                + F.expr(
+                    "make_interval(0,0,0,0,0,0, (event_id % 1000) * 10)"
+                )
+            ).alias("ts"),
+        )
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, -1, "sentinel")],
+        "event_id long, user_id long, event_type string",
+    ).withColumn("ts", F.expr("timestamp'2029-01-01 00:00:00'"))
+    e10 = e.withColumn("ts", F.expr("ts + make_interval(10)"))
+
+    def write_one(df, name, mtime):
+        stage = base + "/stage"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(stage + "/part-*.parquet")[0]
+        dest = os.path.join(stream_dir, name)
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    now = _time.time()
+    write_one(e.unionAll(e), "batch0.parquet", now - 400)
+    write_one(sentinel, "batch1.parquet", now - 300)
+    write_one(e10.unionAll(e10), "batch2.parquet", now - 200)
+    write_one(e10, "batch3.parquet", now - 100)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    deduped = stream_dedup(stream, "event_id", "ts",
+                           watermark="63 seconds")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    q.stop()
+    return spark.read.parquet(out_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+
+
+STREAM_DEDUP_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (event_id % 1000) * INTERVAL 10 SECOND AS ts
+  FROM events WHERE event_id % 7 = 0
+)
+SELECT event_id, user_id, event_type, ts FROM e
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS event_id, CAST(-1 AS BIGINT) AS user_id,
+       'sentinel' AS event_type,
+       TIMESTAMP '2029-01-01 00:00:00' AS ts
+UNION ALL
+SELECT event_id, user_id, event_type,
+       ts + INTERVAL 10 YEAR AS ts
+FROM e
 """
 
 
@@ -3272,21 +3380,69 @@ FROM b
 
 
 # ------------------------------------------------------------------ registry
+#
+# The external correctness gate checks the FIRST 50 queries() entries
+# only, so ordering IS the rotation policy. Since round 6 the ordering
+# is MECHANICAL, not hand-maintained (the round-5 verdict found the
+# hand-kept arithmetic comment wrong — 35/40/10 vs the true 37/42/8):
+#
+#   lead    = every registry entry NOT checked in _GATE_BASIS (the
+#             previous round's CORRECTNESS file) — i.e. everything that
+#             sat out last round or is new this round — in definition
+#             order;
+#   churned = _CHURNED_THIS_ROUND entries (checked last round, operator
+#             code touched this round: re-verify immediately);
+#   rest    = the remaining last-round-checked entries (sitting out
+#             exactly one round; they become next round's lead).
+#
+# Invariants (pinned by tests/test_registry_rotation.py): with
+# len(registry) <= 100, len(lead) = len(registry) - 50 + new <= 50, so
+# the full lead set always fits the window and NO entry is ever
+# unchecked two consecutive rounds. Each round's only manual steps are
+# bumping _GATE_BASIS to the just-published CORRECTNESS file and
+# refreshing _CHURNED_THIS_ROUND.
+_GATE_BASIS = "CORRECTNESS_r05.json"
+_CHURNED_THIS_ROUND = [
+    # r6 churn: dataset.py (compact_records manifest-sourced row
+    # counts) -> the compaction + record-machinery queries re-verify;
+    # streaming flagship rides along with the new stream_dedup surface.
+    "space_compact_read",
+    "space_record_fields",
+    "space_stream_cdc",
+    # window filler up to 50 — flagship core, most-load-bearing first
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "space_insert_read",
+    "q1_pricing_summary",
+]
+
+
+def _gate_checked_keys() -> set:
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), _GATE_BASIS
+    )
+    try:
+        with open(path) as f:
+            return set(json.load(f))
+    except (OSError, ValueError):
+        return set()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the external correctness gate checks the FIRST 50
-    # entries only. Policy: (1) any entry never checked, or not checked
-    # last round, goes first; (2) entries whose operator code churned
-    # this round stay in-window; (3) everything else rotates so nothing
-    # goes unchecked for more than one consecutive round.
-    # Round 5 window (the round-4 verdict's prescribed resolution): the
-    # 5 entries that were tail-slotted in r4 lead, plus the 2 new r5
-    # queries, then ALL 30 analytics rotated out in r4 return, then the
-    # 13 core entries whose operator code churned in r4/r5 (dedup core,
-    # the space DML/compact/zorder family, cosine guard, domain-mix
-    # guard). The 35 r4-green entries with unchanged code sit out
-    # exactly one round and MUST return in round 6.
+    base = _query_registry()
+    checked = _gate_checked_keys()
+    lead = [k for k in base if k not in checked]
+    churned = [k for k in _CHURNED_THIS_ROUND
+               if k in checked and k in base]
+    rest = [k for k in base
+            if k in checked and k not in set(churned)]
+    return {k: base[k] for k in lead + churned + rest}
+
+
+def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Definition order is the stable canonical order the rotation in
+    # queries() draws from; it carries no gate meaning of its own.
     return {
-        # -- never gate-checked: r4 tail slots 51-55 + new this round
         "space_rename_read": space_rename_read,
         "text_repetition": text_repetition,
         "sample_weighted": sample_weighted,
@@ -3294,7 +3450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus_lines": dedup_corpus_lines,
         "space_zorder_string": space_zorder_string,
         "space_stream_cdc": space_stream_cdc,
-        # -- analytics unchecked in r4 (green r2+r3): all 30 return
+        # -- analytics
         "q_asof_signup": q_asof_signup,
         "q1_pricing_summary": q1_pricing_summary,
         "q_order_rollup": q_order_rollup,
@@ -3325,7 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_order_count_distribution": q13_order_count_distribution,
         "q18_large_volume_customers": q18_large_volume_customers,
         "q22_idle_rich_customers": q22_idle_rich_customers,
-        # -- core whose operator code churned in r4/r5: stays in-window
+        # -- space core + dedup/ann/sampling core
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -3339,9 +3495,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "space_zorder_pruned": space_zorder_pruned,
         "ann_cosine_topk": ann_cosine_topk,
         "sample_domain_mix": sample_domain_mix,
-        # ---- round-5 gate window ends here (50 entries) ----
-        # -- r4-green, code unchanged since: sitting out exactly one
-        #    round; MUST lead the round-6 window
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "text_stats": text_stats,
         "text_vocab_topk": text_vocab_topk,
@@ -3379,17 +3532,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_rules": text_quality_rules,
         "text_pii_scrub": text_pii_scrub,
         "text_url_hosts": text_url_hosts,
-        # -- NEW this round, tail-slotted (window already holds this
-        #    round's obligations; all five pass the local sf0.001 AND
-        #    sf0.01 oracle mirrors): these never-gate-checked entries
-        #    MUST lead the round-6 window together with the 35
-        #    sitting-out entries above (40 total; the remaining 10
-        #    slots go to round-6-churned core)
+        # -- round-5 additions
         "text_c4_rules": text_c4_rules,
         "text_unigram_logprob": text_unigram_logprob,
         "sample_temperature": sample_temperature,
         "space_range_join": space_range_join,
         "dedup_substr": dedup_substr,
+        # -- round-6 additions
+        "stream_dedup": stream_dedup_events,
     }
 
 
@@ -3461,6 +3611,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_temperature": SAMPLE_TEMPERATURE_SQL,
         "space_range_join": SPACE_RANGE_JOIN_SQL,
         "dedup_substr": DEDUP_SUBSTR_SQL,
+        "stream_dedup": STREAM_DEDUP_SQL,
         "space_sql_table": SPACE_SQL_TABLE_SQL,
         "space_rename_read": SPACE_RENAME_SQL,
         "text_repetition": TEXT_REPETITION_SQL,
