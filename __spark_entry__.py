@@ -2207,15 +2207,25 @@ def stream_dedup_events(spark, sf_dir):
     )
     deduped = stream_dedup(stream, "event_id", "ts",
                            watermark="63 seconds")
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
-    q.stop()
+    # The state-store instance count is frozen per checkpoint at the
+    # first batch = spark.sql.shuffle.partitions; 32 instances x 4
+    # micro-batches of open/commit overhead dwarf this demo's data, so
+    # size to the demo (a production stream picks ~cores). Restored
+    # right after the stream finishes.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out_dir).select(
         "event_id", "user_id", "event_type", "ts"
     )
