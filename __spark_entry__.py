@@ -3389,6 +3389,128 @@ FROM b
 """
 
 
+def space_mv_refresh(spark, sf_dir):
+    """§2.8 end-to-end: a filter->map_batches view over a space table is
+    materialized, then the SOURCE mutates (append, then a CoW delete)
+    and ``MaterializedView.refresh()`` syncs INCREMENTALLY — one MV
+    commit per source snapshot, deletes propagated by primary key,
+    adds run through the view's UDF plan (reference ray/runners.py
+    refresh loop). The oracle recomputes the view over the source's
+    net final state."""
+    from space_spark import Dataset, field
+
+    docs = _t(spark, sf_dir, "documents")
+    base = _space_tmp()
+    ds = Dataset.create(spark, base + "/mv_src", docs.schema, ["doc_id"])
+    ds.append(docs.where(F.col("doc_id") % 3 == 0))
+
+    def udf(batch):
+        return {
+            "doc_id": batch["doc_id"],
+            "score": batch["n_chars"] * 3 + batch["doc_id"],
+        }
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score", T.LongType()),
+        ]
+    )
+    view = ds.filter_view(
+        lambda row: row["n_chars"] > 400, input_fields=["n_chars"]
+    ).map_batches(udf, out_schema, input_fields=["doc_id", "n_chars"])
+    mv = view.materialize(spark, base + "/mv")
+    applied = mv.refresh()
+    assert len(applied) == 1, applied
+    ds.append(docs.where(F.col("doc_id") % 3 == 1))
+    ds.delete(field("doc_id") < 60)
+    applied = mv.refresh()
+    assert len(applied) == 2, applied  # one MV commit per source snapshot
+    return mv.read().select("doc_id", "score")
+
+
+SPACE_MV_REFRESH_SQL = """
+SELECT doc_id, n_chars * 3 + doc_id AS score
+FROM documents
+WHERE (doc_id % 3 = 0 OR doc_id % 3 = 1)
+  AND doc_id >= 60
+  AND n_chars > 400
+"""
+
+
+def space_random_access(spark, sf_dir):
+    """S12: random access point reads over a record-field table —
+    RandomAccessDataSource orders items by primary key and fetches
+    blob bytes address-by-address, coalescing reads per blob file.
+    doc_id is contiguous 0..N-1 in the testdata, so item index ==
+    doc_id and the fetched set is exactly expressible in SQL. The
+    materialized fetch is k bounded point reads (k ~ N/37) — the
+    driver-side list is the API's contract (a training loader's
+    __getitems__), not a distributed-plan collect."""
+    from space_spark import Dataset
+    from space_spark.core.random_access import RandomAccessDataSource
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    ds = Dataset.create(spark, _space_tmp() + "/ra", schema, ["doc_id"],
+                        record_fields=["payload"])
+    ds.append(docs)
+    rds = RandomAccessDataSource(ds)
+    idx = list(range(5, len(rds), 37))
+    vals = rds.__getitems__(idx)
+    rows = [(i, bytes(v).decode("utf-8")) for i, v in zip(idx, vals)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+SPACE_RANDOM_ACCESS_SQL = """
+SELECT doc_id, text FROM documents
+WHERE doc_id >= 5 AND (doc_id - 5) % 37 = 0
+"""
+
+
+def space_zero_copy_load(spark, sf_dir):
+    """S9: zero-copy Parquet load — an EXTERNAL parquet file is
+    registered into the table via manifest rows only (stats from its
+    own footer, bytes never copied), interleaved with a normal append,
+    and a filtered read plans across both internal and external files
+    with the same manifest pruning."""
+    from space_spark import Dataset, field
+    from space_spark.sources.loaders import append_parquet
+
+    nation = _t(spark, sf_dir, "nation")
+    ds = Dataset.create(spark, _space_tmp() + "/zc", nation.schema,
+                        ["n_nationkey"])
+    append_parquet(ds, os.path.join(sf_dir, "nation.parquet"))
+    ds.append(
+        nation.select(
+            (F.col("n_nationkey") + 100).cast("int").alias("n_nationkey"),
+            "n_name",
+            "n_regionkey",
+        )
+    )
+    assert len(ds.data_files()) >= 2
+    return ds.read(filter_=field("n_regionkey") <= 2).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+SPACE_ZERO_COPY_SQL = """
+SELECT n_nationkey, n_name, n_regionkey FROM (
+  SELECT n_nationkey, n_name, n_regionkey FROM nation
+  UNION ALL
+  SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey FROM nation
+)
+WHERE n_regionkey <= 2
+"""
+
+
 # ------------------------------------------------------------------ registry
 #
 # The external correctness gate checks the FIRST 50 queries() entries
@@ -3550,6 +3672,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substr": dedup_substr,
         # -- round-6 additions
         "stream_dedup": stream_dedup_events,
+        "space_mv_refresh": space_mv_refresh,
+        "space_random_access": space_random_access,
+        "space_zero_copy_load": space_zero_copy_load,
     }
 
 
@@ -3622,6 +3747,9 @@ def oracle_sql() -> dict[str, str]:
         "space_range_join": SPACE_RANGE_JOIN_SQL,
         "dedup_substr": DEDUP_SUBSTR_SQL,
         "stream_dedup": STREAM_DEDUP_SQL,
+        "space_mv_refresh": SPACE_MV_REFRESH_SQL,
+        "space_random_access": SPACE_RANDOM_ACCESS_SQL,
+        "space_zero_copy_load": SPACE_ZERO_COPY_SQL,
         "space_sql_table": SPACE_SQL_TABLE_SQL,
         "space_rename_read": SPACE_RENAME_SQL,
         "text_repetition": TEXT_REPETITION_SQL,
