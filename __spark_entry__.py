@@ -2142,16 +2142,29 @@ def stream_dedup_events(spark, sf_dir):
     exercised across four deterministic micro-batches
     (maxFilesPerTrigger=1 over mtime-ordered files, availableNow):
 
-      b1: every event twice           -> in-batch dups dropped
-      b2: one sentinel 5 years later  -> watermark jumps; b1 state expires
+      b1: every event twice, plus a BUMPER row whose event time sits
+          2010s (>> 2x the 63s delay) above every real event
+                                      -> in-batch dups dropped
+      b2: one sentinel 5 years later  -> the eviction opportunity: by
+          this batch's end, the watermark through b1 (bumper - 63s)
+          exceeds every real b1 expiry, so ALL b1 state is gone
       b3: same keys 10 years later x2 -> ALL re-emitted (state was
           evicted — the bounded-state property an unbounded
           dropDuplicates would get wrong by dropping them)
-      b4: replay of b3's rows         -> contributes NOTHING (every row
-          either late vs the advanced watermark or still in live state)
+      b4: replay of b3's rows         -> contributes NOTHING (every key
+          is live in state from b3; rows may also be late)
 
-    Every decision sits far from the 63-second horizon (batches are
-    years apart), so the output is order- and timing-independent: b1 ∪
+    The bumper makes this robust to the probed eviction/late-filter
+    batch lag (tests/test_stream_dedup_semantics.py): membership is
+    pure key-existence and batch N evicts with the watermark through
+    N-1, so WITHOUT the bumper the b1 keys within 126s of b1's max
+    event time would survive into b3, get dup-dropped there, and only
+    re-emit in b4 IF the (one-batch-lagging) late filter admits them —
+    an implementation-detail dependence. With the bumper, every real
+    b1 expiry sits far below the watermark through b1 and the whole b1
+    state is provably evicted before b3 under any conforming timing.
+    Every remaining decision sits years from the 63-second horizon, so
+    the output is order- and timing-independent: b1-once ∪ bumper ∪
     sentinel ∪ b3-once — which is what the SQL oracle states. Event
     times are synthesized from event_id so both engines compute
     identical timestamps."""
@@ -2185,6 +2198,16 @@ def stream_dedup_events(spark, sf_dir):
         [(-1, -1, "sentinel")],
         "event_id long, user_id long, event_type string",
     ).withColumn("ts", F.expr("timestamp'2029-01-01 00:00:00'"))
+    # Real event times are base + (event_id % 1000)*10s, i.e. at most
+    # base + 9990s; the bumper at base + 12000s pushes the watermark
+    # through b1 to base + 11937s > every real expiry (ts + 63s).
+    bumper = spark.createDataFrame(
+        [(-2, -2, "bumper")],
+        "event_id long, user_id long, event_type string",
+    ).withColumn(
+        "ts",
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,12000)"),
+    )
     e10 = e.withColumn("ts", F.expr("ts + make_interval(10)"))
 
     def write_one(df, name, mtime):
@@ -2196,7 +2219,7 @@ def stream_dedup_events(spark, sf_dir):
         os.utime(dest, (mtime, mtime))
 
     now = _time.time()
-    write_one(e.unionAll(e), "batch0.parquet", now - 400)
+    write_one(e.unionAll(e).unionAll(bumper), "batch0.parquet", now - 400)
     write_one(sentinel, "batch1.parquet", now - 300)
     write_one(e10.unionAll(e10), "batch2.parquet", now - 200)
     write_one(e10, "batch3.parquet", now - 100)
@@ -2239,6 +2262,10 @@ WITH e AS (
   FROM events WHERE event_id % 7 = 0
 )
 SELECT event_id, user_id, event_type, ts FROM e
+UNION ALL
+SELECT CAST(-2 AS BIGINT) AS event_id, CAST(-2 AS BIGINT) AS user_id,
+       'bumper' AS event_type,
+       TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 12000 SECOND AS ts
 UNION ALL
 SELECT CAST(-1 AS BIGINT) AS event_id, CAST(-1 AS BIGINT) AS user_id,
        'sentinel' AS event_type,
