@@ -1,0 +1,51 @@
+"""Hostile-session parity: a user's session may run in any timezone and
+with Arrow transfer disabled; registered queries must still match the
+DuckDB oracle bit-for-bit. The per-query defense is `_t()` re-pinning
+`spark.sql.session.timeZone=UTC` (timestamp literals and windowing
+otherwise shift), and engine-independent float/money construction. A
+timestamp-heavy subset runs here under a non-UTC, arrow-off session —
+backing README's hostile-session claim with an actual test."""
+
+import pytest
+
+from test_oracle import dtype_kinds, normalize, run_duck
+
+import __spark_entry__ as entry_mod
+
+HOSTILE_QUERIES = [
+    "q_tumbling_window",   # timestamp bucketing
+    "q_sessionize",        # event-time gaps
+    "q_asof_signup",       # as-of join on timestamps
+    "stream_dedup",        # streaming watermarks + timestamp literals
+    "q1_pricing_summary",  # date filters + money sums
+]
+
+
+@pytest.mark.parametrize("name", HOSTILE_QUERIES)
+def test_query_matches_oracle_under_hostile_session(spark, name):
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    prev_arrow = spark.conf.get(
+        "spark.sql.execution.arrow.pyspark.enabled"
+    )
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        spark.conf.set(
+            "spark.sql.execution.arrow.pyspark.enabled", "false"
+        )
+        import test_oracle as to
+
+        spark_raw = entry_mod.queries()[name](spark, to.SF_DIR).toPandas()
+        duck_raw = run_duck(entry_mod.oracle_sql()[name])
+        sk, dk = dtype_kinds(spark_raw), dtype_kinds(duck_raw)
+        assert sk == dk, f"{name}: dtype mismatch {sk} vs {dk}"
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            normalize(spark_raw), normalize(duck_raw),
+            check_dtype=False, check_exact=True, obj=name,
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        spark.conf.set(
+            "spark.sql.execution.arrow.pyspark.enabled", prev_arrow
+        )
