@@ -259,6 +259,53 @@ def test_compact_records_noop_cases(spark, tmp_location):
     assert plain.current_snapshot_id == pv
 
 
+def test_compact_records_no_per_blob_driver_io(
+    spark, tmp_location, monkeypatch
+):
+    """Round-6 invariant: compaction PLANNING does zero per-candidate-
+    blob driver I/O — sizes and row counts ride the record manifests.
+    Parquet footer reads of existing blobs on the driver are banned
+    outright; stat calls are allowed only for the NEW compacted blobs
+    (the record-manifest writer sizes its own output)."""
+    import pyarrow.parquet as pq_mod
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    ds = Dataset.create(
+        spark, tmp_location, schema, ["id"], record_fields=["payload"]
+    )
+    for i in range(6):
+        ds.append(spark.createDataFrame(
+            [Row(id=i, payload=f"p{i}".encode())], schema).coalesce(1))
+
+    real_read_metadata = pq_mod.read_metadata
+    real_getsize = os.path.getsize
+
+    def guarded_read_metadata(path, *a, **kw):
+        assert "/records/" not in str(path), (
+            f"driver footer read of blob {path} during compact_records"
+        )
+        return real_read_metadata(path, *a, **kw)
+
+    def guarded_getsize(path):
+        if "/records/" in str(path):
+            assert "_compact_" in str(path), (
+                f"driver stat of pre-existing blob {path} during "
+                "compact_records planning"
+            )
+        return real_getsize(path)
+
+    monkeypatch.setattr(pq_mod, "read_metadata", guarded_read_metadata)
+    monkeypatch.setattr(os.path, "getsize", guarded_getsize)
+    ds.compact_records()
+    monkeypatch.undo()
+
+    got = {r["id"]: r["payload"] for r in ds.reload().read().collect()}
+    assert got == {i: f"p{i}".encode() for i in range(6)}
+
+
 def test_compact_records_conflict_retry(spark, tmp_location):
     """A concurrent append landing between compact_records' snapshot pin
     and its commit forces TransactionConflictError; the retry re-derives
