@@ -1312,10 +1312,12 @@ def q_range_band(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber",
                                               "l_quantity")
-    bands = spark.createDataFrame(
-        [("q00", 0.0, 9.99), ("q10", 10.0, 19.99), ("q20", 20.0, 29.99),
-         ("q30", 30.0, 39.99), ("q40", 40.0, 50.0)],
-        "band string, lo double, hi double",
+    # Literal dim as a JVM-side VALUES relation (no Python-RDD plan).
+    bands = spark.sql(
+        "SELECT band, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi"
+        " FROM VALUES ('q00', 0.0, 9.99), ('q10', 10.0, 19.99),"
+        " ('q20', 20.0, 29.99), ('q30', 30.0, 39.99), ('q40', 40.0, 50.0)"
+        " AS t(band, lo, hi)"
     )
     out = range_join(li, bands, "l_quantity", "lo", "hi", bucket_size=10.0)
     return out.groupBy("band").agg(
@@ -1558,8 +1560,9 @@ def space_insert_read(spark, sf_dir):
         spark, _space_tmp() + "/region", region.schema, ["r_regionkey"]
     )
     ds.append(region)
-    new_rows = spark.createDataFrame(
-        [(100, "SPACE"), (101, "SPARK")], region.schema
+    new_rows = spark.sql(
+        "SELECT CAST(k AS INT) AS r_regionkey, n AS r_name"
+        " FROM VALUES (100, 'SPACE'), (101, 'SPARK') AS t(k, n)"
     )
     ds.insert(new_rows)
     return ds.read()
@@ -2194,19 +2197,23 @@ def stream_dedup_events(spark, sf_dir):
             ).alias("ts"),
         )
     )
-    sentinel = spark.createDataFrame(
-        [(-1, -1, "sentinel")],
-        "event_id long, user_id long, event_type string",
-    ).withColumn("ts", F.expr("timestamp'2029-01-01 00:00:00'"))
+    # One-row fixtures as pure-JVM literal SELECTs: a Python-side
+    # createDataFrame builds a defaultParallelism-partition RDD whose
+    # evaluation needs Python workers — seconds when the pool is cold,
+    # for a constant row.
+    sentinel = spark.sql(
+        "SELECT CAST(-1 AS BIGINT) AS event_id,"
+        " CAST(-1 AS BIGINT) AS user_id, 'sentinel' AS event_type,"
+        " timestamp'2029-01-01 00:00:00' AS ts"
+    )
     # Real event times are base + (event_id % 1000)*10s, i.e. at most
     # base + 9990s; the bumper at base + 12000s pushes the watermark
     # through b1 to base + 11937s > every real expiry (ts + 63s).
-    bumper = spark.createDataFrame(
-        [(-2, -2, "bumper")],
-        "event_id long, user_id long, event_type string",
-    ).withColumn(
-        "ts",
-        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,12000)"),
+    bumper = spark.sql(
+        "SELECT CAST(-2 AS BIGINT) AS event_id,"
+        " CAST(-2 AS BIGINT) AS user_id, 'bumper' AS event_type,"
+        " timestamp'2024-01-01 00:00:00'"
+        " + make_interval(0,0,0,0,0,0,12000) AS ts"
     )
     e10 = e.withColumn("ts", F.expr("ts + make_interval(10)"))
 

@@ -58,25 +58,26 @@ def build_session(cpus: int) -> SparkSession:
     )
 
 
+def warm_session(cpus: int) -> SparkSession:
+    """Fresh session with the JVM and the Python worker pool warmed, so
+    per-query numbers measure the queries, not executor/worker startup
+    (the first mapInArrow/mapInPandas or Python-RDD plan otherwise pays
+    ~cpus worker spawns)."""
+    s = build_session(cpus)
+    s.sparkContext.setLogLevel("ERROR")
+    s.range(1000).selectExpr("sum(id)").collect()
+    s.range(cpus * 2, numPartitions=cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+    return s
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
-    def fresh_session() -> SparkSession:
-        s = build_session(cpus)
-        s.sparkContext.setLogLevel("ERROR")
-        # Warm the JVM and the Python worker pool so per-query numbers
-        # measure the queries, not executor/worker startup (the first
-        # mapInArrow/mapInPandas query otherwise pays ~32 worker
-        # spawns).
-        s.range(1000).selectExpr("sum(id)").collect()
-        s.range(cpus * 2, numPartitions=cpus).mapInPandas(
-            lambda it: it, "id long"
-        ).count()
-        return s
-
-    spark = fresh_session()
+    spark = warm_session(cpus)
     warmup = os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0"
     timings: dict[str, float] = {}
     timings_cold: dict[str, float] = {}
@@ -89,7 +90,7 @@ def main() -> None:
         # set the published number.
         if i > 0 and i % 16 == 0:
             spark.stop()
-            spark = fresh_session()
+            spark = warm_session(cpus)
         spark._jvm.System.gc()
         # ContextCleaner processes the GC-discovered garbage (shuffle
         # files, broadcasts) ASYNCHRONOUSLY — give it a beat so the
