@@ -1878,9 +1878,13 @@ class Dataset:
                 raise UserInputError(
                     "List-form keys require a single-PK table"
                 )
+            # Arrow-native literal: the list-of-tuples form is a
+            # Python-RDD plan that needs worker processes to evaluate.
+            import pandas as pd
+
             keys = self.spark.createDataFrame(
-                [(k,) for k in keys],
-                T.StructType([self.schema[pks[0]]]),
+                pd.DataFrame({pks[0]: list(keys)}),
+                schema=T.StructType([self.schema[pks[0]]]),
             )
         if set(keys.columns) != set(pks):
             raise UserInputError(

@@ -21,6 +21,7 @@ that), but no task ever sees more than one partition's rows.
 
 from __future__ import annotations
 
+import pyarrow as pa
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -64,7 +65,12 @@ def pack_offsets(
     for r in totals:
         offs.append((r["__pid"], acc))
         acc += r["__tot"]
-    off_df = spark.createDataFrame(offs, "__pid int, __poff long")
+    # Arrow-native literal (a list-of-tuples createDataFrame is a
+    # Python-RDD plan needing worker processes to evaluate).
+    off_df = spark.createDataFrame(pa.table({
+        "__pid": pa.array([p for p, _ in offs], pa.int32()),
+        "__poff": pa.array([o for _, o in offs], pa.int64()),
+    }))
     return (
         local.join(F.broadcast(off_df), on="__pid")
         .withColumn(
