@@ -180,6 +180,30 @@ def test_dedup_substrings_partial_agg_not_window(spark):
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
 
 
+def test_no_python_rdd_literals_in_plans(spark):
+    """Round-6 regression guard: literal fixtures/dims must enter plans
+    as JVM-side LocalTableScan/VALUES, never as a Python-RDD-backed
+    `Scan ExistingRDD` — evaluating one needs the Python worker pool
+    (~4.6 s for a ONE-ROW DataFrame on a cold pool, a steady tax warm).
+    q_range_band's band dim and pack_offsets' prefix-sum offsets both
+    carry their literal into the returned plan."""
+    import __spark_entry__ as em
+    from space_spark.operators.packing import pack_offsets
+
+    band_plan = plan_of(em.q_range_band(spark, SF_DIR))
+    assert "ExistingRDD" not in band_plan
+
+    docs = _docs(spark).selectExpr(
+        "doc_id", "size(split(text, ' ')) AS n_tok"
+    )
+    pack_plan = plan_of(pack_offsets(docs, "doc_id", "n_tok", 512))
+    # The corpus-side localCheckpoint legitimately materializes as ONE
+    # JVM-side `Scan ExistingRDD`; the offsets literal must be the
+    # JVM-local LocalTableScan, not a second RDD scan.
+    assert pack_plan.count("Scan ExistingRDD") == 1
+    assert "LocalTableScan" in pack_plan
+
+
 def test_dedup_substrings_default_fingerprint_is_long(spark):
     """The corpus-sized winners exchange must carry 8-byte xxhash64
     longs by default — md5's 32-char hex strings (4x the shuffle bytes)
