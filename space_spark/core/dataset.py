@@ -2104,6 +2104,11 @@ class Dataset:
         live: set = set()
         for snap in self.metadata.snapshots.values():
             live.update(snap.manifest_files)
+            # Record manifests are only read back by compact_records
+            # planning, so losing them goes unnoticed until the NEXT
+            # blob compaction crashes on the missing file (caught by
+            # test_compact_records_crash_before_commit_is_recoverable).
+            live.update(snap.record_manifest_files)
             if snap.deleted_pks_file:
                 live.add(snap.deleted_pks_file)
             if snap.deleted_bitmap_file:

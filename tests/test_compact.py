@@ -306,6 +306,56 @@ def test_compact_records_no_per_blob_driver_io(
     assert got == {i: f"p{i}".encode() for i in range(6)}
 
 
+def test_compact_records_crash_before_commit_is_recoverable(
+    spark, tmp_location
+):
+    """A crash AFTER the compacted blobs are written but BEFORE the
+    commit must leave the table untouched (readers never see the new
+    blobs) and leave only orphans that vacuum() reclaims — the
+    write-then-commit ordering every CoW maintenance op follows."""
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    ds = Dataset.create(
+        spark, tmp_location, schema, ["id"], record_fields=["payload"]
+    )
+    for i in range(5):
+        ds.append(spark.createDataFrame(
+            [Row(id=i, payload=f"p{i}".encode())], schema).coalesce(1))
+    before = {r["id"]: r["payload"] for r in ds.read().collect()}
+    v = ds.current_snapshot_id
+
+    orig = ds._commit_rewrite
+
+    def crash(*a, **kw):
+        raise RuntimeError("simulated crash before compaction commit")
+
+    ds._commit_rewrite = crash
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            ds.compact_records()
+    finally:
+        ds._commit_rewrite = orig
+
+    # Orphaned compacted blobs exist on disk but the table ignores them.
+    orphans = [p for p in glob.glob(
+        os.path.join(ds.location, "records", "*.parquet"))
+        if "_compact_" in p]
+    assert orphans, "crash point did not run after the blob write"
+    fresh = Dataset.load(spark, tmp_location)
+    assert fresh.current_snapshot_id == v
+    assert {r["id"]: r["payload"] for r in fresh.read().collect()} == before
+
+    removed = fresh.vacuum()
+    assert all(not os.path.exists(p) for p in orphans)
+    assert any("_compact_" in r for r in removed)
+    # ...and a re-run compaction completes normally afterwards.
+    fresh.compact_records()
+    assert {r["id"]: r["payload"]
+            for r in fresh.read().collect()} == before
+
+
 def test_compact_records_conflict_retry(spark, tmp_location):
     """A concurrent append landing between compact_records' snapshot pin
     and its commit forces TransactionConflictError; the retry re-derives
