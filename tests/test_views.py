@@ -121,6 +121,50 @@ def test_materialized_view_refresh(spark, tmp_location):
     assert [r.int64 for r in recomputed] == [r.int64 for r in got]
 
 
+def test_mv_refresh_crash_midway_resumes_without_duplicates(
+    spark, tmp_location
+):
+    """The synced marker lands ATOMICALLY with each source snapshot's
+    final MV commit, so a refresh that dies between snapshots resumes
+    from the first unapplied snapshot — never re-appending one it
+    already applied (which would duplicate PK rows)."""
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["int64"])
+    view = ds.map_batches(make_double_udf(), DOUBLE_SCHEMA)
+    mv = view.materialize(spark, tmp_location + "_mv")
+    ds.append(simple_df(spark, range(5)))
+    assert mv.refresh() == [1]
+
+    # Two pending source snapshots; crash the MV append for the SECOND.
+    ds.append(simple_df(spark, range(10, 15)))
+    ds.append(simple_df(spark, range(20, 25)))
+    orig = mv.dataset.append
+    state = {"appends": 0}
+
+    def crashing_append(*a, **kw):
+        state["appends"] += 1
+        if state["appends"] == 2:
+            raise RuntimeError("simulated crash mid-refresh")
+        return orig(*a, **kw)
+
+    mv.dataset.append = crashing_append
+    try:
+        with pytest.raises(RuntimeError, match="mid-refresh"):
+            mv.refresh()
+    finally:
+        mv.dataset.append = orig
+
+    # A fresh process resumes: only the unapplied snapshot replays.
+    recovered = MaterializedView.load(spark, tmp_location + "_mv")
+    assert recovered.refresh() == [3]
+    got = recovered.read().orderBy("int64").collect()
+    assert [r.int64 for r in got] == (
+        list(range(5)) + list(range(10, 15)) + list(range(20, 25))
+    )
+    assert [r.double for r in got] == [i / 5.0 for i in (
+        list(range(5)) + list(range(10, 15)) + list(range(20, 25))
+    )]
+
+
 def test_join_view_cannot_materialize(spark, tmp_location):
     left = Dataset.create(spark, tmp_location + "_l2", SIMPLE, ["int64"])
     right = Dataset.create(spark, tmp_location + "_r2", RIGHT, ["int64"])
