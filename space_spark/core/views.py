@@ -486,6 +486,18 @@ class MaterializedView:
         info = self.dataset.metadata.logical_plan
         source = Dataset.load(self.spark, info["source_location"])
         start = int(info.get("source_snapshot_synced", 0))
+        if start not in source.metadata.snapshots:
+            # Retention keeps a contiguous recent suffix (+ snapshot 0
+            # and refs), so a missing sync point means the change
+            # history this MV needs is gone — fail with the remedy
+            # rather than the ancestor-walk's cryptic lineage error.
+            raise SpaceError(
+                f"Source snapshot {start} (this view's last synced "
+                f"point) has been expired from {source.location}; "
+                "incremental refresh is impossible. Re-materialize the "
+                "view, or expire the source with enough history "
+                "(keep_last/older_than) to cover its slowest consumer."
+            )
         end = source.metadata.resolve_version(target_version)
         applied: List[int] = []
         for snap in source._ancestors(start, end):

@@ -165,6 +165,25 @@ def test_mv_refresh_crash_midway_resumes_without_duplicates(
     )]
 
 
+def test_mv_refresh_after_source_expiry_fails_loudly(spark, tmp_location):
+    """If retention expired the source snapshot an MV last synced at,
+    incremental refresh is impossible — it must raise a clear error
+    naming the expired sync point (NOT silently re-apply history, which
+    would duplicate rows, and not the cryptic lineage-walk error)."""
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["int64"])
+    view = ds.map_batches(make_double_udf(), DOUBLE_SCHEMA)
+    mv = view.materialize(spark, tmp_location + "_mv")
+    ds.append(simple_df(spark, range(5)))
+    assert mv.refresh() == [1]
+    for j in range(3):
+        ds.append(simple_df(spark, range(10 + 5 * j, 15 + 5 * j)))
+    ds.expire_snapshots(keep_last=1)
+    with pytest.raises(SpaceError, match="last synced point.*expired"):
+        mv.refresh()
+    # The MV itself is untouched by the failed refresh.
+    assert mv.read().count() == 5
+
+
 def test_join_view_cannot_materialize(spark, tmp_location):
     left = Dataset.create(spark, tmp_location + "_l2", SIMPLE, ["int64"])
     right = Dataset.create(spark, tmp_location + "_r2", RIGHT, ["int64"])
