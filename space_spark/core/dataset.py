@@ -2165,8 +2165,13 @@ class Dataset:
             chain.append(snap)
             cur = snap.parent_snapshot_id
         if cur != from_id:
+            hint = (
+                " (it has been removed by snapshot retention — its "
+                "change history is no longer reconstructable)"
+                if from_id not in self.metadata.snapshots else ""
+            )
             raise UserInputError(
-                f"Version {from_id} is not an ancestor of {to_id}"
+                f"Version {from_id} is not an ancestor of {to_id}{hint}"
             )
         return list(reversed(chain))
 
