@@ -1,6 +1,7 @@
-"""Model-based DML check: a random sequence of append/insert/upsert/delete
-against a space table must agree with a plain in-memory dict model, at
-every step and for every historical snapshot (time travel).
+"""Model-based DML check: a random sequence of append/insert/upsert/
+delete/apply_changes/compact against a space table must agree with a
+plain in-memory dict model, at every step and for every historical
+snapshot (time travel).
 
 This is the storage-engine analog of the oracle queries: the model is the
 spec, hypothesis drives the op sequences.
@@ -29,7 +30,7 @@ SCHEMA = T.StructType(
 OPS = st.lists(
     st.tuples(
         st.sampled_from(["append", "insert", "upsert", "delete_lt",
-                         "delete_between"]),
+                         "delete_between", "apply_changes", "compact"]),
         st.lists(st.integers(min_value=0, max_value=30), min_size=1,
                  max_size=5, unique=True),
     ),
@@ -90,6 +91,23 @@ def test_dml_sequence_matches_model(spark, ops):
                 ds.delete((field("pk") >= lo) & (field("pk") <= hi))
                 model = {k: v for k, v in model.items()
                          if not (lo <= k <= hi)}
+            elif kind == "apply_changes":
+                # CDC merge: first half of ids are net ADDs, second half
+                # net DELETE keys — one atomic snapshot for both.
+                mid = (len(ids) + 1) // 2
+                adds, dels = ids[:mid], ids[mid:]
+                dels_df = spark.createDataFrame(
+                    [Row(pk=i) for i in dels], "pk long"
+                )
+                ds.apply_changes(df_for(adds, step), dels_df)
+                for i in dels:
+                    model.pop(i, None)
+                for i in adds:
+                    model[i] = i * 1000 + step
+            elif kind == "compact":
+                # Maintenance is a NO-CHANGE commit (or a no-op when
+                # nothing qualifies): the model must be unaffected.
+                ds.compact(target_bytes=64 * 1024 * 1024)
             # Record model state for every snapshot committed by this op
             # (upsert commits up to twice: delete then append).
             after = ds.current_snapshot_id
