@@ -63,6 +63,40 @@ def test_zorder_string_prefix_encoding_is_order_preserving(spark):
     assert got == sorted(vals)
 
 
+def test_zorder_string_prefix_sound_for_multibyte_utf8(spark):
+    """Pruning soundness over the full UTF-8 range: whenever the
+    6-byte-prefix encodings differ, their order must agree with Spark's
+    own string order (byte-wise UTF-8). Ties (shared 6-byte prefix,
+    or a prefix cut INSIDE a multi-byte sequence) only cost pruning
+    resolution, never ordering correctness."""
+    from space_spark.operators.zorder import _as_double
+
+    vals = [
+        "", " ", "0", "A", "a", "~", "\x7f",           # ASCII edges
+        "é", "éa", "é",                          # 2-byte + combining
+        "中", "中文", "中a", "日本語",                    # 3-byte CJK
+        "😀", "😀x", "🚀🚀🚀",                           # 4-byte emoji
+        "aé", "a中", "a😀", "aaaaa😀", "aaaaaa😀",      # cut inside seq
+        "zzzzzÿ", "zzzzzzÿ",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = df.select(
+        "s", _as_double(df, "s").alias("d")
+    ).collect()
+    # Spark's reference order for the same strings:
+    order = {
+        r["s"]: i for i, r in enumerate(
+            df.orderBy(F.col("s").asc()).collect()
+        )
+    }
+    for a in rows:
+        for b in rows:
+            if a["d"] < b["d"]:
+                assert order[a["s"]] < order[b["s"]], (
+                    f"{a['s']!r} encoded below {b['s']!r} but sorts after"
+                )
+
+
 def test_append_zorder_string_column_prunes(spark, tmp_location):
     """Z-order on (numeric, string): a filter on the STRING column alone
     must prune files — the string is bucketed by its byte-prefix, so
