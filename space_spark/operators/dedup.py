@@ -76,7 +76,13 @@ def _fan_out(df: DataFrame, min_bytes: int = 0) -> DataFrame:
 
 
 def _norm_tokens(text: Column) -> Column:
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    # NULL text tokenizes to NO tokens: a crawl's null rows must flow
+    # through dedup as empty documents, not as null arrays that poison
+    # the downstream Arrow kernels (np.asarray(None) raises).
+    return F.coalesce(
+        F.split(F.lower(F.trim(text)), r"\s+"),
+        F.array().cast("array<string>"),
+    )
 
 
 def _token_ngrams(text: Column, n: int) -> Column:

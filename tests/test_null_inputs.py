@@ -1,0 +1,67 @@
+"""NULL-tolerance sweep: a 100 TB crawl always contains null text /
+null embeddings; every operator must process such rows without
+crashing, treating null text as empty (the documented coalesce) and
+null vectors as absent candidates — never poisoning the whole job."""
+
+import pytest
+from pyspark.sql import types as T
+
+from space_spark.operators import dedup, sampling, similarity, text
+
+ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, None),
+    (3, ""),
+    (4, "the quick brown fox jumps over the lazy dog"),
+    (5, "   "),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def test_dedup_ops_tolerate_null_text(spark, docs):
+    assert dedup.exact_dedup(docs, ["text"], "doc_id").count() <= 5
+    assert dedup.ngram_jaccard_pairs(docs, "doc_id", "text").count() >= 1
+    assert dedup.minhash_lsh_pairs(docs, "doc_id", "text").count() >= 0
+    out = {r["doc_id"]: r for r in
+           dedup.dedup_substrings(docs, "doc_id", "text",
+                                  window=4).collect()}
+    assert len(out) == 5
+    # The null-text doc flows through the untouched branch as empty.
+    assert out[2]["text"] == "" and out[2]["n_kept"] == 0
+    # One of the two identical docs loses its duplicated window.
+    assert {out[1]["n_dropped"], out[4]["n_dropped"]} != {0}
+    lines = dedup.dedup_lines(docs, "doc_id", "text")
+    assert lines.count() == 5
+
+
+def test_text_ops_tolerate_null_text(spark, docs):
+    assert text.with_text_stats(docs, "text").count() == 5
+    assert text.gopher_quality_flags(docs, "text").count() == 5
+    assert text.c4_rules(docs, "text").count() == 5
+    assert text.repetition_stats(docs, "text", "doc_id").count() == 5
+    scored = text.unigram_logprob(docs, "doc_id", "text")
+    assert scored.count() == 5
+
+
+def test_sampling_tolerates_null_text(spark, docs):
+    out = sampling.hash_split(
+        docs, "doc_id", {"train": 0.8, "test": 0.2}
+    )
+    assert out.count() == 5
+
+
+def test_similarity_tolerates_null_embedding(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0]), (4, [1.0, 0.1])],
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]),
+    )
+    valid = emb.where("embedding IS NOT NULL")
+    out = similarity.cosine_topk(valid, valid, "vec_id", "embedding", k=2)
+    assert out.count() > 0
