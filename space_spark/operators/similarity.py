@@ -73,7 +73,13 @@ def cosine_topk(
     bound). When given, the broadcast-vs-shuffle choice is made from it
     directly instead of running the bounded ``limit(max+1).count()``
     probe job — callers that already know their query-set size (a fixed
-    probe list, a bounded filter) save one Spark job per call."""
+    probe list, a bounded filter) save one Spark job per call.
+
+    Null vectors (a crawl always has some) are EXCLUDED from both sides
+    — they have no meaningful neighbors and would otherwise surface as
+    null-scored matches."""
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).withColumn("qn", norm(F.col("qv")))
@@ -171,6 +177,8 @@ def lsh_bucket_topk(
     corpus."""
     from space_spark.operators.dedup import _fan_out
 
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     planes = _hyperplanes(dim, n_planes, seed)
     # min_bytes gate: repartitioning only pays off once the corpus is
     # big enough that per-row bucket hashing dominates the shuffle.
@@ -317,6 +325,8 @@ def ivf_topk(
     throughput for wide corpora; same lists except float-boundary ties)."""
     from space_spark.operators.dedup import _fan_out
 
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     v = _fan_out(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     )
@@ -471,7 +481,8 @@ def neardup_pairs(
     from space_spark.operators.dedup import _fan_out
 
     v = _fan_out(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     )
     if exact:
         return _neardup_exact_gemm(v, threshold)
@@ -585,7 +596,8 @@ def semantic_dedup(
     # A single-file embedding table arrives as ONE partition; every
     # in-cluster dot would then run on one core. Fan out first.
     v = _fan_out(
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     )
     cents = ivf_centroids(v, n_clusters, refine=refine)
     # Cache each vector's norm as a scalar column before any join: the

@@ -54,7 +54,10 @@ def test_sampling_tolerates_null_text(spark, docs):
     assert out.count() == 5
 
 
-def test_similarity_tolerates_null_embedding(spark):
+def test_similarity_excludes_null_embeddings(spark):
+    """Null vectors must be EXCLUDED from retrieval, not surfaced as
+    null-scored matches (the pre-fix behavior: a null-embedding query
+    emitted k neighbors with NULL scores)."""
     emb = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0]), (4, [1.0, 0.1])],
         T.StructType([
@@ -62,6 +65,13 @@ def test_similarity_tolerates_null_embedding(spark):
             T.StructField("embedding", T.ArrayType(T.FloatType())),
         ]),
     )
-    valid = emb.where("embedding IS NOT NULL")
-    out = similarity.cosine_topk(valid, valid, "vec_id", "embedding", k=2)
-    assert out.count() > 0
+    out = similarity.cosine_topk(emb, emb, "vec_id", "embedding",
+                                 k=2).collect()
+    assert out and all(r["score"] is not None for r in out)
+    assert all(r["query_id"] != 2 and r["neighbor_id"] != 2 for r in out)
+    pairs = similarity.neardup_pairs(emb, "vec_id", "embedding",
+                                     threshold=0.5).collect()
+    assert all(r["score"] is not None for r in pairs)
+    sd = similarity.semantic_dedup(emb, "vec_id", "embedding",
+                                   n_clusters=2, threshold=0.5)
+    assert 2 not in {r["vec_id"] for r in sd.collect()}
