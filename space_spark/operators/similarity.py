@@ -38,6 +38,17 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _usable_norm(nrm: Column) -> Column:
+    """A vector participates in cosine retrieval only when its norm is a
+    positive finite double: a zero vector has no direction (and the
+    score division KILLS the whole job under Spark's default ANSI mode
+    — DIVIDE_BY_ZERO), while NaN/Inf components poison rankings (NaN
+    sorts above every real score in Spark's double ordering). A 100 TB
+    crawl always contains a few of each; they must drop out, not take
+    the job down or top every result list."""
+    return (nrm > 0) & ~F.isnan(nrm) & (nrm < F.lit(float("inf")))
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
@@ -82,12 +93,12 @@ def cosine_topk(
     queries = queries.where(F.col(vec_col).isNotNull())
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
+    ).withColumn("qn", norm(F.col("qv"))).where(_usable_norm(F.col("qn")))
     from space_spark.operators.dedup import _fan_out
 
     c = _fan_out(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )).withColumn("cn", norm(F.col("cv")))
+    )).withColumn("cn", norm(F.col("cv"))).where(_usable_norm(F.col("cn")))
     if n_queries is None:
         n_queries = q.limit(broadcast_max + 1).count()
     q_side = F.broadcast(q) if n_queries <= broadcast_max else q
@@ -186,12 +197,15 @@ def lsh_bucket_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ), min_bytes=8 << 20).withColumn(
         "bucket", lsh_bucket(F.col("cv"), planes)
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm(F.col("cv"))).where(
+        _usable_norm(F.col("cn"))
+    )
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).withColumn("bucket0", lsh_bucket(F.col("qv"), planes)) \
-        .withColumn("qn", norm(F.col("qv")))
+        .withColumn("qn", norm(F.col("qv"))) \
+        .where(_usable_norm(F.col("qn")))
     # Multi-probe: enumerate buckets at hamming distance <= probes.
     probe_buckets = [F.col("bucket0")]
     if probes >= 1:
@@ -325,8 +339,10 @@ def ivf_topk(
     throughput for wide corpora; same lists except float-boundary ties)."""
     from space_spark.operators.dedup import _fan_out
 
-    corpus = corpus.where(F.col(vec_col).isNotNull())
-    queries = queries.where(F.col(vec_col).isNotNull())
+    corpus = corpus.where(F.col(vec_col).isNotNull()
+                          & _usable_norm(norm(F.col(vec_col))))
+    queries = queries.where(F.col(vec_col).isNotNull()
+                            & _usable_norm(norm(F.col(vec_col))))
     v = _fan_out(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     )
@@ -481,7 +497,8 @@ def neardup_pairs(
     from space_spark.operators.dedup import _fan_out
 
     v = _fan_out(
-        df.where(F.col(vec_col).isNotNull())
+        df.where(F.col(vec_col).isNotNull()
+                 & _usable_norm(norm(F.col(vec_col))))
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     )
     if exact:
@@ -596,7 +613,8 @@ def semantic_dedup(
     # A single-file embedding table arrives as ONE partition; every
     # in-cluster dot would then run on one core. Fan out first.
     v = _fan_out(
-        corpus.where(F.col(vec_col).isNotNull())
+        corpus.where(F.col(vec_col).isNotNull()
+                     & _usable_norm(norm(F.col(vec_col))))
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     )
     cents = ivf_centroids(v, n_clusters, refine=refine)

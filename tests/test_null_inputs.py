@@ -75,3 +75,42 @@ def test_similarity_excludes_null_embeddings(spark):
     sd = similarity.semantic_dedup(emb, "vec_id", "embedding",
                                    n_clusters=2, threshold=0.5)
     assert 2 not in {r["vec_id"] for r in sd.collect()}
+
+
+def test_similarity_excludes_zero_and_nan_vectors(spark):
+    """A zero-norm vector KILLS the whole job under Spark's default
+    ANSI mode (DIVIDE_BY_ZERO in the score division) and a NaN
+    component would rank above every real score (NaN sorts largest in
+    Spark's double ordering). Both must drop out of retrieval."""
+    nan = float("nan")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [nan, 1.0]), (3, [0.0, 1.0]),
+         (4, [0.0, 0.0]), (5, [1.0, 0.1])],
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]),
+    )
+    bad = {2, 4}
+    out = similarity.cosine_topk(emb, emb, "vec_id", "embedding",
+                                 k=2).collect()
+    assert out and all(
+        r["score"] is not None and r["score"] == r["score"] for r in out
+    )
+    assert all(r["query_id"] not in bad and r["neighbor_id"] not in bad
+               for r in out)
+    lsh = similarity.lsh_bucket_topk(emb, emb, "vec_id", "embedding",
+                                     k=2, dim=2).collect()
+    assert all(r["query_id"] not in bad and r["neighbor_id"] not in bad
+               for r in lsh)
+    pairs = similarity.neardup_pairs(emb, "vec_id", "embedding",
+                                     threshold=0.5, dim=2).collect()
+    assert all(r["id_a"] not in bad and r["id_b"] not in bad
+               for r in pairs)
+    sd = similarity.semantic_dedup(emb, "vec_id", "embedding",
+                                   n_clusters=2, threshold=0.5)
+    assert bad & {r["vec_id"] for r in sd.collect()} == set()
+    ivf = similarity.ivf_topk(emb, emb, "vec_id", "embedding", k=2,
+                              n_centroids=2, n_probe=2).collect()
+    assert all(r["query_id"] not in bad and r["neighbor_id"] not in bad
+               for r in ivf)
