@@ -2848,7 +2848,9 @@ g{n} AS (
     def top_cte(n):
         return f"""
 t{n} AS (
-  SELECT doc_id, ROUND(c * length(gram) / len, 6) AS frac
+  SELECT doc_id,
+    CASE WHEN len > 0 THEN ROUND(c * length(gram) / len, 6)
+         ELSE 0.0 END AS frac
   FROM (SELECT doc_id, gram, c, len, ROW_NUMBER() OVER (
           PARTITION BY doc_id ORDER BY c DESC, gram) AS r FROM c{n})
   WHERE r = 1
@@ -2862,7 +2864,10 @@ WITH toks AS (
 ),{gram_cte(2)},{top_cte(2)},{gram_cte(3)},{top_cte(3)},{gram_cte(4)},{top_cte(4)},{gram_cte(5)},
 d5 AS (
   SELECT doc_id,
-         ROUND(SUM((c - 1) * length(gram)) / ANY_VALUE(len), 6) AS frac
+         CASE WHEN ANY_VALUE(len) > 0
+              THEN ROUND(SUM((c - 1) * length(gram))
+                         / ANY_VALUE(len), 6)
+              ELSE 0.0 END AS frac
   FROM c5 GROUP BY doc_id
 )
 SELECT toks.doc_id,

@@ -465,8 +465,14 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         .withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") == 1)
         .withColumn(
+            # Zero-length documents have no characters to cover: frac 0,
+            # not a DIVIDE_BY_ZERO that kills the job under ANSI mode.
             "frac",
-            F.round(F.col("c") * F.length("gram") / F.col("__len"), 6),
+            F.when(
+                F.col("__len") > 0,
+                F.round(F.col("c") * F.length("gram")
+                        / F.col("__len"), 6),
+            ).otherwise(F.lit(0.0)),
         )
         .groupBy(id_col)
         .agg(*[
@@ -479,10 +485,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         counts.where(F.col("n") == 5)
         .groupBy(id_col)
         .agg(
-            F.round(
-                F.sum((F.col("c") - 1) * F.length("gram"))
-                / F.first("__len"), 6,
-            ).alias("dup5gram_char_frac")
+            F.when(
+                F.first("__len") > 0,
+                F.round(
+                    F.sum((F.col("c") - 1) * F.length("gram"))
+                    / F.first("__len"), 6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("dup5gram_char_frac")
         )
     )
     return (

@@ -39,12 +39,22 @@ def test_dedup_ops_tolerate_null_text(spark, docs):
 
 
 def test_text_ops_tolerate_null_text(spark, docs):
-    assert text.with_text_stats(docs, "text").count() == 5
-    assert text.gopher_quality_flags(docs, "text").count() == 5
-    assert text.c4_rules(docs, "text").count() == 5
-    assert text.repetition_stats(docs, "text", "doc_id").count() == 5
-    scored = text.unigram_logprob(docs, "doc_id", "text")
-    assert scored.count() == 5
+    # collect(), not count(): count() prunes computed columns, so e.g.
+    # a DIVIDE_BY_ZERO hiding in a ratio column never evaluates (the
+    # empty-doc crash in repetition_stats slipped past a count check).
+    assert len(text.with_text_stats(docs, "text").collect()) == 5
+    assert len(text.gopher_quality_flags(docs, "text").collect()) == 5
+    assert len(text.c4_rules(docs, "text").collect()) == 5
+    rep = {r["doc_id"]: r
+           for r in text.repetition_stats(docs, "text",
+                                          "doc_id").collect()}
+    assert len(rep) == 5
+    # Zero-length docs (null/empty text) score 0 everywhere.
+    for d in (2, 3):
+        assert rep[d]["dup5gram_char_frac"] == 0.0
+        assert rep[d]["top2gram_char_frac"] == 0.0
+    assert len(text.unigram_logprob(docs, "doc_id",
+                                    "text").collect()) == 5
 
 
 def test_sampling_tolerates_null_text(spark, docs):
