@@ -23,9 +23,12 @@ def docs(spark):
 
 
 def test_dedup_ops_tolerate_null_text(spark, docs):
-    assert dedup.exact_dedup(docs, ["text"], "doc_id").count() <= 5
-    assert dedup.ngram_jaccard_pairs(docs, "doc_id", "text").count() >= 1
-    assert dedup.minhash_lsh_pairs(docs, "doc_id", "text").count() >= 0
+    assert len(dedup.exact_dedup(docs, ["text"], "doc_id").collect()) <= 5
+    jac = dedup.ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+    assert len(jac) >= 1 and all(r["jaccard"] is not None for r in jac)
+    assert len(
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    ) >= 0
     out = {r["doc_id"]: r for r in
            dedup.dedup_substrings(docs, "doc_id", "text",
                                   window=4).collect()}
