@@ -462,13 +462,16 @@ def quantize_int8(
     max(|v|)/127``, ``q[i] = round(v[i]/scale)`` — 4x smaller vectors for
     ANN index storage with ~1e-2 cosine error at d=64. Pure JVM
     higher-order functions (no shuffle, no Python); all arithmetic in
-    double so results are engine-exact (oracled). Zero vectors quantize
-    to zeros with scale 0."""
+    double so results are engine-exact (oracled). Zero vectors — and
+    vectors with NaN/Inf components, which have no finite scale and
+    would otherwise die in the ANSI int cast (CAST_OVERFLOW: NaN ->
+    INT) — quantize to zeros with scale 0."""
     v = F.col(vec_col)
     amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    scale = amax / F.lit(127.0)
+    usable = (amax > 0) & ~F.isnan(amax) & (amax < F.lit(float("inf")))
+    scale = F.when(usable, amax / F.lit(127.0)).otherwise(F.lit(0.0))
     q = F.when(
-        amax > 0,
+        usable,
         F.transform(v, lambda x: F.round(x.cast("double") / scale)
                     .cast("int")),
     ).otherwise(F.transform(v, lambda x: F.lit(0)))

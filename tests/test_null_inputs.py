@@ -127,3 +127,24 @@ def test_similarity_excludes_zero_and_nan_vectors(spark):
                               n_centroids=2, n_probe=2).collect()
     assert all(r["query_id"] not in bad and r["neighbor_id"] not in bad
                for r in ivf)
+
+
+def test_quantize_survives_nonfinite_vectors(spark):
+    """NaN/Inf components have no finite quantization scale and used to
+    die in the ANSI int cast (CAST_OVERFLOW: NaN -> INT); they quantize
+    to zeros with scale 0, like zero vectors."""
+    nan, inf = float("nan"), float("inf")
+    emb = spark.createDataFrame(
+        [(1, [2.0, -4.0]), (2, [nan, 1.0]), (3, [inf, 1.0]),
+         (4, [0.0, 0.0])],
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]),
+    )
+    out = {r["id"]: r for r in
+           similarity.quantize_int8(emb, "vec_id", "embedding").collect()}
+    assert out[1]["scale"] > 0 and out[1]["q"] == [64, -127]
+    for bad_id in (2, 3, 4):
+        assert out[bad_id]["scale"] == 0.0
+        assert out[bad_id]["q"] == [0, 0]
