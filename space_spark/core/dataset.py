@@ -211,6 +211,18 @@ class Dataset:
 
         return rename_fields(expr, self.metadata.renames)
 
+    def _reject_null_pks(self, stats) -> None:
+        for k in self.primary_keys:
+            phys = self._phys_name(k)
+            n = sum(s.get("null_counts", {}).get(phys, 0) for s in stats)
+            if n:
+                raise UserInputError(
+                    f"Primary key column {k!r} contains {n} null "
+                    "value(s); space primary keys are NOT NULL — null "
+                    "keys can never be matched by upsert, "
+                    "delete-by-key, or point reads"
+                )
+
     def _stats_fields(self):
         return sc.stats_fields(
             sc.rename_struct(self.schema, self.metadata.renames),
@@ -387,6 +399,13 @@ class Dataset:
             [self.log.abs_path(f) for f in rel_files],
             stat_names,
         )
+        # Primary keys are NOT NULL (reference schema contract): a null
+        # key row can never be matched by upsert/delete-by-key/point
+        # reads, so it must be rejected loudly at ingress, not ingested
+        # as unreachable data. Detection is free — the footer stats
+        # just collected carry per-column null counts. (The written
+        # files are uncommitted orphans; vacuum reclaims them.)
+        self._reject_null_pks(stats)
         manifest_rel = self.log.new_manifest_relpath()
         rows, nbytes = mf.write_manifest(
             self.spark,

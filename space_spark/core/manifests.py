@@ -80,6 +80,7 @@ def _footer_stats(abs_path: str, stat_names: List[str]) -> dict:
         name_to_idx[meta.schema.column(i).path] = i
     mins: Dict[str, object] = {}
     maxs: Dict[str, object] = {}
+    nulls: Dict[str, int] = {}
     for rg in range(meta.num_row_groups):
         group = meta.row_group(rg)
         for name in stat_names:
@@ -87,18 +88,26 @@ def _footer_stats(abs_path: str, stat_names: List[str]) -> dict:
             if idx is None:
                 continue
             stats = group.column(idx).statistics
-            if stats is None or not stats.has_min_max:
+            if stats is None:
+                continue
+            if stats.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + stats.null_count
+            if not stats.has_min_max:
                 continue
             mn, mx = stats.min, stats.max
-            if name not in mins or mn < mins[name]:
+            # min/max can be None (e.g. all-null pages) even with
+            # has_min_max claimed by some writers; never let a None
+            # poison the driver-side comparison.
+            if mn is not None and (name not in mins or mn < mins[name]):
                 mins[name] = mn
-            if name not in maxs or mx > maxs[name]:
+            if mx is not None and (name not in maxs or mx > maxs[name]):
                 maxs[name] = mx
     return {
         "num_rows": meta.num_rows,
         "size_bytes": os.path.getsize(abs_path),
         "mins": mins,
         "maxs": maxs,
+        "null_counts": nulls,
     }
 
 

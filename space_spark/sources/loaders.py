@@ -62,6 +62,9 @@ def append_parquet(dataset, pattern: str) -> None:
     rel_paths = [os.path.relpath(p, dataset.location) for p in paths]
     stat_names = [n for n, _ in dataset._stats_fields()]
     stats = mf.collect_file_stats(dataset.spark, paths, stat_names)
+    # External files must honor the table's contract too: null primary
+    # keys are unreachable by every key-matching operation.
+    dataset._reject_null_pks(stats)
     manifest_rel = dataset.log.new_manifest_relpath()
     rows, nbytes = mf.write_manifest(
         dataset.spark, dataset.log.abs_path(manifest_rel), rel_paths, stats,

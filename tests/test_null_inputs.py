@@ -129,6 +129,42 @@ def test_similarity_excludes_zero_and_nan_vectors(spark):
                for r in ivf)
 
 
+def test_null_primary_keys_rejected_at_ingress(spark, tmp_path):
+    """Space primary keys are NOT NULL: a null key can never be matched
+    by upsert/delete-by-key/point reads, so every write path must
+    reject it loudly at ingress (detected from the footer null counts
+    the stats pass already reads — no extra job), instead of the old
+    internal TypeError from a None in driver-side stats merging."""
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from space_spark import Dataset
+    from space_spark.errors import UserInputError
+    from space_spark.sources.loaders import append_parquet
+
+    schema = T.StructType([
+        T.StructField("pk", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    ds = Dataset.create(spark, str(tmp_path / "t"), schema, ["pk"])
+    bad = spark.createDataFrame([Row(pk=None, v=1), Row(pk=2, v=2)],
+                                schema)
+    for op in (ds.append, ds.insert, ds.upsert):
+        with pytest.raises(UserInputError, match="NOT NULL"):
+            op(bad)
+    # Zero-copy ingestion enforces the same contract on foreign files.
+    ext = tempfile.mkdtemp(prefix="nullpk_ext_")
+    bad.coalesce(1).write.mode("overwrite").parquet(ext + "/f")
+    with pytest.raises(UserInputError, match="NOT NULL"):
+        append_parquet(ds, ext + "/f/part-*.parquet")
+    # The table remains clean and writable; orphans vacuum away.
+    ds.append(spark.createDataFrame([Row(pk=5, v=5)], schema))
+    assert ds.read().count() == 1
+    ds.vacuum()
+    assert ds.read().count() == 1
+
+
 def test_quantize_survives_nonfinite_vectors(spark):
     """NaN/Inf components have no finite quantization scale and used to
     die in the ANSI int cast (CAST_OVERFLOW: NaN -> INT); they quantize
