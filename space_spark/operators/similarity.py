@@ -465,17 +465,30 @@ def quantize_int8(
     double so results are engine-exact (oracled). Zero vectors — and
     vectors with NaN/Inf components, which have no finite scale and
     would otherwise die in the ANSI int cast (CAST_OVERFLOW: NaN ->
-    INT) — quantize to zeros with scale 0."""
+    INT) — quantize to zeros with scale 0.
+
+    Shape note: amax and scale materialize as NAMED intermediate
+    columns. Referencing the array_max expression inline from the
+    per-element lambda re-evaluates the O(d) fold per reference
+    (measured 1.5 s vs 0.15 s at sf0.1) — named columns evaluate
+    once per row."""
     v = F.col(vec_col)
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    usable = (amax > 0) & ~F.isnan(amax) & (amax < F.lit(float("inf")))
-    scale = F.when(usable, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    amax_expr = F.array_max(
+        F.transform(v, lambda x: F.abs(x.cast("double")))
+    )
+    staged = df.withColumn("__amax", amax_expr)
+    am = F.col("__amax")
+    usable = (am > 0) & ~F.isnan(am) & (am < F.lit(float("inf")))
+    staged = staged.withColumn(
+        "__scale", F.when(usable, am / F.lit(127.0)).otherwise(F.lit(0.0))
+    )
+    scale = F.col("__scale")
     q = F.when(
         usable,
         F.transform(v, lambda x: F.round(x.cast("double") / scale)
                     .cast("int")),
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
-    return df.select(
+    return staged.select(
         F.col(id_col).alias("id"),
         F.round(scale, 8).alias("scale"),
         q.alias("q"),
