@@ -3553,61 +3553,103 @@ WHERE n_regionkey <= 2
 # ------------------------------------------------------------------ registry
 #
 # The external correctness gate checks the FIRST 50 queries() entries
-# only, so ordering IS the rotation policy. Since round 6 the ordering
-# is MECHANICAL, not hand-maintained (the round-5 verdict found the
-# hand-kept arithmetic comment wrong — 35/40/10 vs the true 37/42/8):
+# only, so ordering IS the rotation policy. Round 7 replaced the
+# round-6 "basis file + every-other-round" scheme (which saturated at
+# 100 entries and could starve churn re-verification — round-6 verdict
+# "What's wrong #2", "Missing #1") with a STALENESS CURSOR derived
+# entirely from the CORRECTNESS_r*.json files already on disk:
 #
-#   lead    = every registry entry NOT checked in _GATE_BASIS (the
-#             previous round's CORRECTNESS file) — i.e. everything that
-#             sat out last round or is new this round — in definition
-#             order;
-#   churned = _CHURNED_THIS_ROUND entries (checked last round, operator
-#             code touched this round: re-verify immediately);
-#   rest    = the remaining last-round-checked entries (sitting out
-#             exactly one round; they become next round's lead).
+#   churned = _CHURNED_THIS_ROUND entries (operator code touched this
+#             round: re-verify immediately) — at most _CHURN_QUOTA,
+#             always first, so churn can never be capacity-starved;
+#   rest    = every other entry, least-recently-GREEN first (ties by
+#             definition order). Entries never green — new queries AND
+#             red rows, which deliberately do not count as "checked" —
+#             have staleness -inf and lead automatically.
 #
-# Invariants (pinned by tests/test_registry_rotation.py): with
-# len(registry) <= 100, len(lead) = len(registry) - 50 + new <= 50, so
-# the full lead set always fits the window and NO entry is ever
-# unchecked two consecutive rounds. Each round's only manual steps are
-# bumping _GATE_BASIS to the just-published CORRECTNESS file and
-# refreshing _CHURNED_THIS_ROUND.
-_GATE_BASIS = "CORRECTNESS_r05.json"
+# Guarantee (pinned by tests/test_registry_rotation.py via simulation):
+# with N registry entries, a W=50 window and at most Q=_CHURN_QUOTA
+# churned slots per round, every entry is green-checked at least every
+# ceil(N / (W - Q)) rounds — ceil(N/42): 2 rounds up to N=84, 3 rounds
+# up to N=126 — for ANY adversarial churn sequence. There is no
+# capacity ceiling and no _GATE_BASIS to bump: the ordering updates
+# itself when the driver writes each round's CORRECTNESS file. The only
+# per-round manual step is refreshing _CHURNED_THIS_ROUND from the
+# round's diff.
+_GATE_WINDOW = 50
+_CHURN_QUOTA = 8
 _CHURNED_THIS_ROUND = [
-    # r6 churn: dataset.py (compact_records manifest-sourced row
-    # counts) -> the compaction + record-machinery queries re-verify;
-    # streaming flagship rides along with the new stream_dedup surface.
-    "space_compact_read",
-    "space_record_fields",
-    "space_stream_cdc",
-    # window filler up to 50 — flagship core, most-load-bearing first
-    "dedup_exact_documents",
-    "dedup_minhash_lsh",
-    "space_insert_read",
-    "q1_pricing_summary",
+    # r7 churn (entries green in r6 whose executed code changes this
+    # round; the r6-churned operators — text_repetition, ann_cosine_topk,
+    # the dedup tokenizer family, insert/upsert — all sat out r6 and
+    # therefore lead by staleness, needing no slot here).
+    "space_random_access",      # Arrow-native literal return
+    "space_zero_copy_load",     # loaders null-PK stats-free fallback
+    "stream_dedup",             # awaitTermination timeout check
+    "multimodal_audio_features",  # decode= real/auto parameter added
 ]
 
 
-def _gate_checked_keys() -> set:
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), _GATE_BASIS
+def _is_green(row) -> bool:
+    """A driver row counts as a check only if it PASSED: red rows keep
+    their old staleness and thus stay at the front of next round's
+    window instead of rotating out unverified."""
+    return (
+        isinstance(row, dict)
+        and bool(row.get("rows_match"))
+        and bool(row.get("schema_match"))
+        and row.get("hash_match") is not False
+        and not row.get("err")
     )
-    try:
-        with open(path) as f:
-            return set(json.load(f))
-    except (OSError, ValueError):
-        return set()
+
+
+def _last_green_round() -> dict[str, int]:
+    """name -> newest round number whose CORRECTNESS file has a green
+    row for it (absent = never green)."""
+    import glob as _glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: dict[str, int] = {}
+    for path in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = _re.fullmatch(r"CORRECTNESS_r(\d+)\.json",
+                          os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for k, v in rows.items():
+            if _is_green(v):
+                out[k] = max(out.get(k, rnd), rnd)
+    return out
+
+
+def _rotation_order(names, last_green, churned) -> list:
+    """Pure ordering rule (driven directly by the simulation tests):
+    churned first (quota-capped), then least-recently-green, ties in
+    definition order."""
+    names = list(names)
+    idx = {k: i for i, k in enumerate(names)}
+    head = [k for k in churned if k in idx][:_CHURN_QUOTA]
+    head_set = set(head)
+    tail = sorted(
+        (k for k in names if k not in head_set),
+        key=lambda k: (last_green.get(k, -1), idx[k]),
+    )
+    return head + tail
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _query_registry()
-    checked = _gate_checked_keys()
-    lead = [k for k in base if k not in checked]
-    churned = [k for k in _CHURNED_THIS_ROUND
-               if k in checked and k in base]
-    rest = [k for k in base
-            if k in checked and k not in set(churned)]
-    return {k: base[k] for k in lead + churned + rest}
+    order = _rotation_order(base, _last_green_round(),
+                            _CHURNED_THIS_ROUND)
+    return {k: base[k] for k in order}
 
 
 def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
