@@ -411,7 +411,8 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     strategy: str = "map") -> DataFrame:
     """Gopher repetition rules (Rae et al. 2021 §A1.1) beyond the line
     rules in ``gopher_quality_flags``: per document,
 
@@ -423,19 +424,116 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
       occurrences of 5-grams (occurrences beyond each gram's first;
       non-overlap-adjusted, which upper-bounds the paper's definition).
 
-    Plan shape: the token split runs ONCE, all four n-gram families ride
-    one (doc, n, gram) explode, one per-(doc, n, gram) count aggregate
-    with map-side combine, then a per-(doc, n) top-1 window and a pivot
-    back to columns — two narrow-row shuffles total (a per-n formulation
-    costs 4 explodes and 8 shuffles; HOF-free because an in-array
-    O(grams^2) mode search would burn executor CPU on long documents)."""
+    ``strategy`` (both produce IDENTICAL values; equality is pinned by
+    tests/test_text_repetition_plan.py):
+
+    - ``"map"`` (default): the statistic is per-document, so it needs no
+      shuffle at all. Tokenize in the JVM (the same ``split(lower(trim))``
+      expression as the oracle — locale/regex semantics never enter
+      Python), then ONE Arrow-batched ``mapInPandas`` counts each doc's
+      n-grams locally and emits pure-integer stats (top count + gram
+      length per n, duplicated-5-gram chars); the fractions and rounding
+      stay in JVM expressions so cross-engine float behavior is
+      unchanged. Map-only: zero shuffles, linear in corpus size, no
+      skew surface — the previous explode + count-shuffle plan carried
+      every token ~14x (2+3+4+5 gram copies) through an exchange and
+      sorted each (doc, n) group in a window, and was the suite's
+      slowest, most variance-prone plan (round-6 verdict #4).
+    - ``"agg"``: pure built-in formulation for engines where Python
+      workers are unavailable — one (doc, n, gram) explode + count with
+      map-side combine, then a partial-aggregable
+      ``min(struct(-count, gram))`` top-1 (no row_number window, no
+      per-group sort) fused with the dup5 sum in a single pass.
+    """
     from space_spark.operators.dedup import _fan_out
 
+    if strategy not in ("map", "agg"):
+        raise ValueError(f"strategy must be map|agg, got {strategy!r}")
     base = _fan_out(df.select(id_col, text_col)).select(
         id_col,
-        F.length(F.col(text_col)).alias("__len"),
+        F.length(F.col(text_col)).cast("long").alias("__len"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
     )
+    # Zero-length documents have no characters to cover: frac 0, not a
+    # DIVIDE_BY_ZERO that kills the job under ANSI mode.
+
+    def frac(num):
+        return F.when(
+            F.col("__len") > 0, F.round(num / F.col("__len"), 6)
+        ).otherwise(F.lit(0.0))
+
+    if strategy == "map":
+        return _repetition_map(base, id_col, frac)
+    return _repetition_agg(base, id_col, frac)
+
+
+def _repetition_map(base: DataFrame, id_col: str, frac) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_type = base.schema[id_col].dataType
+    stats_schema = T.StructType(
+        [T.StructField(id_col, id_type), T.StructField("__len", T.LongType())]
+        + [
+            T.StructField(name, T.LongType())
+            for n in (2, 3, 4)
+            for name in (f"__c{n}", f"__gl{n}")
+        ]
+        + [T.StructField("__dup5", T.LongType())]
+    )
+
+    def doc_stats(toks):
+        # Mirrors the agg strategy's fam(n) exactly: indexes
+        # 0..max(len-n, 0), gram = the (clamped) n-token slice joined by
+        # one space; ties break to the smallest gram (Python str compares
+        # by code point == UTF-8 binary order in Spark and DuckDB).
+        from collections import Counter
+
+        m = len(toks)
+        out = []
+        for n in (2, 3, 4, 5):
+            cnt = Counter(
+                " ".join(toks[i:i + n]) for i in range(max(m - n, 0) + 1)
+            )
+            if n < 5:
+                g, c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+                out.extend((c, len(g)))
+            else:
+                out.append(
+                    sum((c - 1) * len(g) for g, c in cnt.items())
+                )
+        return out
+
+    def task(batches):
+        for pdf in batches:
+            rows = [
+                doc_stats([] if t is None else list(t))
+                for t in pdf["__toks"]
+            ]
+            cols = {
+                id_col: pdf[id_col],
+                "__len": pd.array(pdf["__len"], dtype="Int64"),
+            }
+            for j, name in enumerate(
+                ["__c2", "__gl2", "__c3", "__gl3", "__c4", "__gl4",
+                 "__dup5"]
+            ):
+                cols[name] = [r[j] for r in rows]
+            yield pd.DataFrame(cols)
+
+    stats = base.mapInPandas(task, stats_schema)
+    return stats.select(
+        id_col,
+        *[
+            frac(F.col(f"__c{n}") * F.col(f"__gl{n}"))
+            .alias(f"top{n}gram_char_frac")
+            for n in (2, 3, 4)
+        ],
+        frac(F.col("__dup5")).alias("dup5gram_char_frac"),
+    )
+
+
+def _repetition_agg(base: DataFrame, id_col: str, frac) -> DataFrame:
     toks = F.col("__toks")
 
     def fam(n):
@@ -457,47 +555,34 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     counts = exploded.groupBy(id_col, "n", "gram").agg(
         F.count(F.lit(1)).alias("c"), F.first("__len").alias("__len")
     )
-    w = Window.partitionBy(id_col, "n").orderBy(
-        F.col("c").desc(), F.col("gram").asc()
+    # Top-1 per (doc, n) as a partial-aggregable min(struct(-c, gram)):
+    # same winner as ORDER BY c DESC, gram ASC but with map-side combine
+    # and no per-group sort; the dup5 sum rides the same pass.
+    per_n = counts.groupBy(id_col, "n").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"),
+                       F.col("gram").alias("g"))).alias("top"),
+        F.sum((F.col("c") - 1) * F.length("gram")).alias("__dupchars"),
+        F.first("__len").alias("__len"),
     )
-    tops = (
-        counts.where(F.col("n") < 5)
-        .withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") == 1)
-        .withColumn(
-            # Zero-length documents have no characters to cover: frac 0,
-            # not a DIVIDE_BY_ZERO that kills the job under ANSI mode.
-            "frac",
-            F.when(
-                F.col("__len") > 0,
-                F.round(F.col("c") * F.length("gram")
-                        / F.col("__len"), 6),
-            ).otherwise(F.lit(0.0)),
-        )
-        .groupBy(id_col)
-        .agg(*[
-            F.max(F.when(F.col("n") == n, F.col("frac")))
+    per_n = per_n.select(
+        id_col, "n",
+        F.when(
+            F.col("n") < 5,
+            frac((-F.col("top.nc")) * F.length("top.g")),
+        ).otherwise(frac(F.col("__dupchars"))).alias("f"),
+    )
+    pivoted = per_n.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("f")))
             .alias(f"top{n}gram_char_frac")
             for n in (2, 3, 4)
-        ])
-    )
-    dup5 = (
-        counts.where(F.col("n") == 5)
-        .groupBy(id_col)
-        .agg(
-            F.when(
-                F.first("__len") > 0,
-                F.round(
-                    F.sum((F.col("c") - 1) * F.length("gram"))
-                    / F.first("__len"), 6,
-                ),
-            ).otherwise(F.lit(0.0)).alias("dup5gram_char_frac")
-        )
+        ],
+        F.max(F.when(F.col("n") == 5, F.col("f")))
+        .alias("dup5gram_char_frac"),
     )
     return (
         base.select(id_col)
-        .join(tops, on=id_col, how="left")
-        .join(dup5, on=id_col, how="left")
+        .join(pivoted, on=id_col, how="left")
         .select(
             id_col,
             *[F.coalesce(F.col(c), F.lit(0.0)).alias(c)
