@@ -2121,7 +2121,12 @@ def space_stream_cdc(spark, sf_dir):
         .load(src.location)
     )
     q = stream_apply_changes(feed, tgt, base + "/cdc_ckpt")
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "CDC replication stream did not finish within 600s — "
+            "refusing to read a partially-applied target"
+        )
     q.stop()
     return tgt.reload().read().select(
         "c_custkey", "c_name", "c_acctbal", "c_nationkey"
@@ -2252,7 +2257,16 @@ def stream_dedup_events(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        # availableNow terminates on its own; a False return means the
+        # stream is STILL RUNNING after 600s and out_dir is partial —
+        # surface a timeout, not a downstream row-count mismatch
+        # (ADVICE r6).
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming dedup did not drain its 4 micro-batches "
+                "within 600s — refusing to read a partial output"
+            )
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -3504,8 +3518,17 @@ def space_random_access(spark, sf_dir):
     rds = RandomAccessDataSource(ds)
     idx = list(range(5, len(rds), 37))
     vals = rds.__getitems__(idx)
-    rows = [(i, bytes(v).decode("utf-8")) for i, v in zip(idx, vals)]
-    return spark.createDataFrame(rows, "doc_id long, text string")
+    # Arrow-native literal for the ~N/37-row result: a list-of-tuples
+    # createDataFrame would be a Python-RDD plan needing worker
+    # processes to evaluate (the shape test_no_python_rdd_literals_in_
+    # plans bans elsewhere).
+    import pyarrow as pa
+
+    return spark.createDataFrame(pa.table({
+        "doc_id": pa.array(idx, pa.int64()),
+        "text": pa.array([bytes(v).decode("utf-8") for v in vals],
+                         pa.string()),
+    }))
 
 
 SPACE_RANDOM_ACCESS_SQL = """
@@ -3579,14 +3602,19 @@ WHERE n_regionkey <= 2
 _GATE_WINDOW = 50
 _CHURN_QUOTA = 8
 _CHURNED_THIS_ROUND = [
-    # r7 churn (entries green in r6 whose executed code changes this
-    # round; the r6-churned operators — text_repetition, ann_cosine_topk,
-    # the dedup tokenizer family, insert/upsert — all sat out r6 and
-    # therefore lead by staleness, needing no slot here).
-    "space_random_access",      # Arrow-native literal return
-    "space_zero_copy_load",     # loaders null-PK stats-free fallback
-    "stream_dedup",             # awaitTermination timeout check
-    "multimodal_audio_features",  # decode= real/auto parameter added
+    # r7 churn: entries green in r6 whose EXECUTED code changes this
+    # round. The r6-churned operators (text_repetition, ann_cosine_topk,
+    # the dedup tokenizer family, insert/upsert) all sat out r6 and lead
+    # by staleness, needing no slot here. Not listed despite module
+    # churn, with the evidence that their registered path is
+    # bit-identical: multimodal_audio_features / multimodal_image_
+    # features gain a decode= parameter whose default ("pseudo") keeps
+    # the exact prior function body — pinned by the sf0.001 oracle
+    # mirrors in tests/test_oracle.py and the decode-mode unit tests.
+    "space_random_access",   # Arrow-native literal return (plan change)
+    "space_zero_copy_load",  # footer-stats shape + stats-free PK scan
+    "stream_dedup",          # awaitTermination timeout guard
+    "space_stream_cdc",      # awaitTermination timeout guard
 ]
 
 

@@ -203,6 +203,13 @@ def test_no_python_rdd_literals_in_plans(spark):
     assert pack_plan.count("Scan ExistingRDD") == 1
     assert "LocalTableScan" in pack_plan
 
+    # space_random_access returns its contractual point-read results as
+    # a literal too — Arrow-native, not a Python-RDD plan (r6 verdict
+    # finding #3).
+    ra_plan = plan_of(em.space_random_access(spark, SF_DIR))
+    assert "ExistingRDD" not in ra_plan
+    assert "LocalTableScan" in ra_plan
+
 
 def test_dedup_substrings_default_fingerprint_is_long(spark):
     """The corpus-sized winners exchange must carry 8-byte xxhash64
