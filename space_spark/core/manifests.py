@@ -81,13 +81,20 @@ def _footer_stats(abs_path: str, stat_names: List[str]) -> dict:
     mins: Dict[str, object] = {}
     maxs: Dict[str, object] = {}
     nulls: Dict[str, int] = {}
+    # A null count is trustworthy only if EVERY row group recorded one:
+    # stats-free writers would otherwise make 0 indistinguishable from
+    # "unknown", silently admitting null primary keys on zero-copy loads.
+    complete: Dict[str, bool] = {n: True for n in stat_names}
     for rg in range(meta.num_row_groups):
         group = meta.row_group(rg)
         for name in stat_names:
             idx = name_to_idx.get(name)
             if idx is None:
+                complete[name] = False
                 continue
             stats = group.column(idx).statistics
+            if stats is None or stats.null_count is None:
+                complete[name] = False
             if stats is None:
                 continue
             if stats.null_count is not None:
@@ -108,6 +115,7 @@ def _footer_stats(abs_path: str, stat_names: List[str]) -> dict:
         "mins": mins,
         "maxs": maxs,
         "null_counts": nulls,
+        "null_counts_complete": {n for n, ok in complete.items() if ok},
     }
 
 

@@ -63,8 +63,35 @@ def append_parquet(dataset, pattern: str) -> None:
     stat_names = [n for n, _ in dataset._stats_fields()]
     stats = mf.collect_file_stats(dataset.spark, paths, stat_names)
     # External files must honor the table's contract too: null primary
-    # keys are unreachable by every key-matching operation.
+    # keys are unreachable by every key-matching operation. Internal
+    # writes always carry footer statistics, but a FOREIGN writer may
+    # omit them — then the footer check proves nothing, so fall back to
+    # a column-pruned scan of the PK columns in just those files (ADVICE
+    # r6: best-effort footer stats silently admitted null PKs).
     dataset._reject_null_pks(stats)
+    pk_phys = [dataset._phys_name(k) for k in dataset.primary_keys]
+    unproven = [
+        p for p, s in zip(paths, stats)
+        if s["num_rows"] > 0
+        and any(k not in s.get("null_counts_complete", ())
+                for k in pk_phys)
+    ]
+    if unproven:
+        row = (
+            dataset.spark.read.parquet(*unproven)
+            .select([
+                F.count(F.when(F.col(k).isNull(), 1)).alias(k)
+                for k in pk_phys
+            ])
+            .collect()[0]
+        )
+        for key, phys in zip(dataset.primary_keys, pk_phys):
+            if row[phys]:
+                raise UserInputError(
+                    f"Primary key column {key!r} contains {row[phys]} "
+                    "null value(s) in statistics-free external file(s); "
+                    "space primary keys are NOT NULL"
+                )
     manifest_rel = dataset.log.new_manifest_relpath()
     rows, nbytes = mf.write_manifest(
         dataset.spark, dataset.log.abs_path(manifest_rel), rel_paths, stats,

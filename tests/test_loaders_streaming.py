@@ -45,6 +45,41 @@ def test_append_parquet_zero_copy(spark, tmp_location):
         append_parquet(ds, ext_dir + "/nothing-*.parquet")
 
 
+def test_append_parquet_rejects_null_pks_without_footer_stats(
+    spark, tmp_location
+):
+    """A foreign writer that records NO column statistics must not
+    sneak null primary keys past the footer check: the loader falls
+    back to a column-pruned scan of the PK column (ADVICE r6)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ext_dir = tmp_location + "_ext"
+    os.makedirs(ext_dir)
+    pq.write_table(
+        pa.table({
+            "id": pa.array([1, 2, None], pa.int64()),
+            "val": pa.array([0.1, 0.2, 0.3], pa.float64()),
+        }),
+        os.path.join(ext_dir, "nostats.parquet"),
+        write_statistics=False,
+    )
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["id"])
+    with pytest.raises(UserInputError, match="[Nn]ull"):
+        append_parquet(ds, ext_dir + "/*.parquet")
+    # Stats-free but null-free files load fine (one extra scan, no error).
+    pq.write_table(
+        pa.table({
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "val": pa.array([0.1, 0.2, 0.3], pa.float64()),
+        }),
+        os.path.join(ext_dir, "nostats.parquet"),
+        write_statistics=False,
+    )
+    append_parquet(ds, ext_dir + "/*.parquet")
+    assert ds.read().count() == 3
+
+
 def test_append_binary_files_zero_copy(spark, tmp_location):
     blob_dir = tmp_location + "_blobs"
     os.makedirs(blob_dir)
