@@ -7,17 +7,24 @@ handles a bounded batch of blobs (no driver involvement, no shuffle).
 
 Codecs are optional dependencies: ``image_features(decode="real")`` does
 a true PIL header decode when PIL is importable (nulls for corrupt
-payloads, NotImplementedError when the codec is absent), while the
-default ``decode="pseudo"`` computes DETERMINISTIC metadata from the raw
-bytes (length, md5-derived pseudo-dimensions) so the Spark-side plumbing
-— schema, batch shape, partitioning — is testable codec-free and the
-values are reproducible in the SQL oracle. libsndfile/ffmpeg paths
-remain pseudo-only stubs.
+payloads, NotImplementedError when the codec is absent);
+``decode="headers"`` parses PNG/GIF/BMP/JPEG container headers in pure
+Python — a real format decode that needs no codec library, so it
+EXECUTES in codec-free environments and is pinned to agree with PIL
+wherever PIL exists. ``audio_features(decode="real")`` uses libsndfile
+(via soundfile) when importable and the stdlib ``wave`` reader for
+RIFF/WAVE PCM otherwise — always available. The default
+``decode="pseudo"`` computes DETERMINISTIC metadata from the raw bytes
+(length, md5-derived pseudo-values) so the Spark-side plumbing —
+schema, batch shape, partitioning — is testable codec-free and the
+values are reproducible in the SQL oracle; registered queries stay on
+it. The ffmpeg (video) path remains a pseudo-only stub.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -70,6 +77,50 @@ def _real_dims(payload: bytes):
         return None, None, None
 
 
+def _parse_header_dims(payload: bytes):
+    """Pure-Python container-header parse for PNG / GIF / BMP / JPEG:
+    (width, height, channels) or all-None for anything else. Channel
+    counts mirror PIL's band count for each container (PNG color types
+    0/2/3/4/6 -> L/RGB/P/LA/RGBA, GIF -> P, JPEG from the SOF component
+    count) so ``decode="headers"`` and ``decode="real"`` agree wherever
+    both can run — pinned by tests/test_multimodal_decode.py. Needs no
+    codec library, so the real-format parse path executes (not skips)
+    in codec-free environments."""
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(payload[25])
+            if channels is None:
+                return None, None, None
+            return w, h, channels
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", payload[6:10])
+            return w, h, 1  # PIL opens GIF frames palette-mode: 1 band
+        if payload[:2] == b"BM" and len(payload) >= 30:
+            w, h = struct.unpack("<ii", payload[18:26])
+            bpp = struct.unpack("<H", payload[28:30])[0]
+            channels = {8: 1, 24: 3, 32: 4}.get(bpp)
+            if channels is None:
+                return None, None, None
+            return w, abs(h), channels
+        if payload[:2] == b"\xff\xd8":
+            # Walk JFIF segments to the first SOF marker.
+            i = 2
+            while i + 4 <= len(payload) and payload[i] == 0xFF:
+                marker, seglen = payload[i + 1], struct.unpack(
+                    ">H", payload[i + 2:i + 4]
+                )[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (
+                    0xC4, 0xC8, 0xCC
+                ):
+                    h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                    return w, h, payload[i + 9]
+                i += 2 + seglen
+    except Exception:
+        pass
+    return None, None, None
+
+
 def image_features(df: DataFrame, id_col: str = "doc_id",
                    blob_col: str = "payload",
                    decode: str = "pseudo") -> DataFrame:
@@ -84,19 +135,26 @@ def image_features(df: DataFrame, id_col: str = "doc_id",
       undecodable payloads). Raises ``NotImplementedError`` when no
       imaging library is importable on the driver — the executors need
       it too (same Python env by deployment contract).
+    - ``"headers"``: pure-Python PNG/GIF/BMP/JPEG container-header
+      parse, PIL-band-compatible, no codec dependency; payloads in any
+      other format yield nulls.
     - ``"auto"``: ``"real"`` when PIL imports, else ``"pseudo"``.
     """
-    if decode not in ("pseudo", "real", "auto"):
-        raise ValueError(f"decode must be pseudo|real|auto, got {decode!r}")
+    if decode not in ("pseudo", "real", "headers", "auto"):
+        raise ValueError(
+            f"decode must be pseudo|real|headers|auto, got {decode!r}"
+        )
     if decode == "auto":
         decode = "real" if _pil_available() else "pseudo"
     if decode == "real" and not _pil_available():
         raise NotImplementedError(
             "decode='real' requires PIL; this environment has no codec "
-            "libraries. Use decode='pseudo' (or 'auto') for the "
-            "deterministic metadata path."
+            "libraries. Use decode='headers' for a dependency-free "
+            "container-header parse, or decode='pseudo' (or 'auto') "
+            "for the deterministic metadata path."
         )
-    dims_fn = _real_dims if decode == "real" else _pseudo_dims
+    dims_fn = {"real": _real_dims, "headers": _parse_header_dims,
+               "pseudo": _pseudo_dims}[decode]
 
     def task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -154,16 +212,88 @@ def _pseudo_audio(payload: bytes) -> tuple:
     return n, sample_rate, n_samples, duration, amplitude, digest
 
 
+def _soundfile_available() -> bool:
+    try:
+        import soundfile  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _real_audio(payload: bytes) -> tuple:
+    """True audio decode: libsndfile (via ``soundfile``) when importable
+    — any format it knows — else the stdlib ``wave`` reader for
+    RIFF/WAVE PCM, which needs NO optional dependency, so the real path
+    executes in codec-free environments too. Undecodable payloads yield
+    nulls for the decoded fields (a 100 TB crawl always contains
+    corrupt blobs; a poison payload must not kill the task).
+    mean_amplitude is the mean absolute sample normalized to [0, 1]
+    (PCM ints divided by full scale — the same values libsndfile's
+    float output produces for PCM16, pinned by the equivalence test in
+    soundfile-present environments)."""
+    import io
+
+    import numpy as np
+
+    n = len(payload)
+    digest = hashlib.md5(payload).hexdigest()
+    bad = (n, None, None, None, None, digest)
+    if _soundfile_available():
+        import soundfile as sf_
+
+        try:
+            data, rate = sf_.read(io.BytesIO(payload), always_2d=True)
+        except Exception:
+            return bad
+        frames = int(data.shape[0])
+        amp = float(np.abs(data).mean()) if data.size else 0.0
+        return n, int(rate), frames, frames / rate, amp, digest
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            frames = w.getnframes()
+            width = w.getsampwidth()
+            raw = w.readframes(frames)
+    except Exception:
+        return bad
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None or rate <= 0:
+        return bad
+    arr = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if width == 1:  # 8-bit WAV is unsigned, midpoint 128
+        norm = np.abs(arr - 128.0) / 128.0
+    else:
+        norm = np.abs(arr) / float(2 ** (8 * width - 1))
+    amp = float(norm.mean()) if arr.size else 0.0
+    return n, rate, frames, frames / rate, amp, digest
+
+
 def audio_features(df: DataFrame, id_col: str = "doc_id",
-                   blob_col: str = "payload") -> DataFrame:
+                   blob_col: str = "payload",
+                   decode: str = "pseudo") -> DataFrame:
     """Per-clip audio metadata over binary blobs — the audio analog of
-    ``image_features`` (same bounded-batch mapInPandas shape a real
-    libsndfile/torchaudio decode would use; swap ``_pseudo_audio`` for the
-    real decoder when the codec is available)."""
+    ``image_features``, same bounded-batch mapInPandas shape. ``decode``:
+
+    - ``"pseudo"`` (default): deterministic byte-derived values,
+      bit-reproducible in the SQL oracle — the registered-query path.
+    - ``"real"``: libsndfile via ``soundfile`` when importable, else
+      the stdlib WAV reader (always available); undecodable payloads
+      yield nulls.
+    - ``"auto"``: ``"real"`` when soundfile imports, else ``"pseudo"``
+      (mirrors the image discipline; the stdlib-WAV real path is an
+      explicit opt-in because it nulls every non-WAV payload).
+    """
+    if decode not in ("pseudo", "real", "auto"):
+        raise ValueError(f"decode must be pseudo|real|auto, got {decode!r}")
+    if decode == "auto":
+        decode = "real" if _soundfile_available() else "pseudo"
+    feat_fn = _real_audio if decode == "real" else _pseudo_audio
 
     def task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_pseudo_audio(p if p is not None else b"")
+            feats = [feat_fn(p if p is not None else b"")
                      for p in pdf[blob_col]]
             yield pd.DataFrame(
                 {
