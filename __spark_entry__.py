@@ -3602,15 +3602,16 @@ WHERE n_regionkey <= 2
 _GATE_WINDOW = 50
 _CHURN_QUOTA = 8
 _CHURNED_THIS_ROUND = [
-    # r7 churn: entries green in r6 whose EXECUTED code changes this
-    # round. The r6-churned operators (text_repetition, ann_cosine_topk,
-    # the dedup tokenizer family, insert/upsert) all sat out r6 and lead
-    # by staleness, needing no slot here. Not listed despite module
-    # churn, with the evidence that their registered path is
-    # bit-identical: multimodal_audio_features / multimodal_image_
-    # features gain a decode= parameter whose default ("pseudo") keeps
-    # the exact prior function body — pinned by the sf0.001 oracle
-    # mirrors in tests/test_oracle.py and the decode-mode unit tests.
+    # r7 churn, derived from the round's diff by tools/churn_suggest.py
+    # (function-level git-diff -> query mapping; run it before freezing
+    # this list). It flags 7 queries: text_repetition already leads by
+    # staleness (sat out r6), these 4 need slots, and the two
+    # multimodal_* queries are deliberately NOT listed — they gained a
+    # decode= parameter whose default ("pseudo") branch executes the
+    # exact prior kernel, so the registered path is bit-identical
+    # (pinned by the sf0.001 oracle mirrors in tests/test_oracle.py and
+    # the decode-mode unit tests); they re-verify next round by
+    # staleness anyway.
     "space_random_access",   # Arrow-native literal return (plan change)
     "space_zero_copy_load",  # footer-stats shape + stats-free PK scan
     "stream_dedup",          # awaitTermination timeout guard

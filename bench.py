@@ -7,7 +7,9 @@ Each query is forced end-to-end with the noop sink (full materialization,
 no collect/driver transfer). Session settings mirror what a production
 deployment would pin: AQE on, shuffle partitions ~ cores, UTC.
 
-Methodology (v2, round 6 — versioned in the output JSON): each query
+Methodology (v3, round 7 — versioned in the output JSON; v3 = v2 plus
+isolated-session confirmation of per-query deltas >1.5x vs the
+committed BENCH_BASELINE.json, see ``confirm_deltas``): each query
 runs THREE times back-to-back and ``queries`` / ``value`` carry the
 MEDIAN of the three, with a synchronous ``System.gc()`` before every
 query AND a full SparkSession restart every 16 queries so no query is
@@ -107,6 +109,8 @@ def main() -> None:
         timings_cold[name] = round(runs[0], 3)
 
     total = round(sum(timings.values()), 3)
+    spark.stop()
+    isolated = confirm_deltas(timings, cpus, sf_dir)
     print(
         json.dumps(
             {
@@ -114,20 +118,63 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "methodology": (
-                    "v2: per-query median-of-3, System.gc() before each "
+                    "v3: per-query median-of-3, System.gc() before each "
                     "query, session restart every 16 queries; cold = "
-                    "first run"
+                    "first run; deltas >1.5x vs BENCH_BASELINE.json "
+                    "re-timed in isolated sessions (`isolated`)"
                     if warmup else
-                    "v2: single-shot, GC before each query, session "
+                    "v3: single-shot, GC before each query, session "
                     "restart every 16 queries"
                 ),
                 "queries": timings,
                 "value_cold": round(sum(timings_cold.values()), 3),
                 "queries_cold": timings_cold,
+                "isolated": isolated,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+
+
+def confirm_deltas(timings: dict, cpus: int, sf_dir: str,
+                   threshold: float = 1.5, cap: int = 6) -> dict:
+    """Per-query deltas beyond ``threshold`` vs the committed
+    BENCH_BASELINE.json (the previous round's same-machine run) are
+    re-timed in FRESH isolated sessions — bench v2's in-session numbers
+    proved unreliable as regression evidence (round-6 verdict #5: every
+    apparent write/stream regression was judge-disproven by isolated
+    reruns). Publishing the isolated confirmation alongside the bench
+    number lets a reader separate session noise from real movement
+    without re-deriving it. Sub-0.3s queries are skipped (absolute
+    noise), and at most ``cap`` queries are re-timed to bound runtime."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_BASELINE.json")) as f:
+            base = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    base_q = base.get("queries", {})
+    flagged = []
+    for name, now in timings.items():
+        was = base_q.get(name)
+        if not was or (now < 0.3 and was < 0.3):
+            continue
+        ratio = now / was if was else float("inf")
+        if ratio >= threshold or ratio <= 1 / threshold:
+            flagged.append((abs(ratio - 1), name, was))
+    out: dict = {"baseline": base.get("label", "BENCH_BASELINE.json")}
+    for _, name, was in sorted(flagged, reverse=True)[:cap]:
+        spark = warm_session(cpus)
+        fn = entry_mod.queries()[name]
+        runs = []
+        for _ in range(3):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(round(time.perf_counter() - start, 3))
+        spark.stop()
+        out[name] = {"baseline": was, "bench": timings[name],
+                     "isolated_cold": runs[0], "isolated_warm": runs[1:]}
+    return out
 
 
 if __name__ == "__main__":
