@@ -329,6 +329,140 @@ def decode_image_real(payload: bytes):
     return Image.open(io.BytesIO(payload))
 
 
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", buf[i:i + 4])[0]
+        typ = buf[i + 4:i + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                return
+            size = struct.unpack(">Q", buf[i + 8:i + 16])[0]
+            hdr = 16
+        elif size == 0:  # box extends to EOF
+            size = end - i
+        if size < hdr:
+            return
+        yield typ, i + hdr, min(i + size, end)
+        i += size
+
+
+def _parse_video_header(payload: bytes) -> tuple:
+    """Pure-Python ISO-BMFF (MP4/MOV) and RIFF-AVI header parse:
+    (container, width, height, n_frames, duration_sec), all-None for
+    anything else. MP4: moov/mvhd gives timescale+duration, the first
+    moov/trak/tkhd with a nonzero 16.16-fixed width/height gives
+    dimensions (frame count is not in the movie header -> None). AVI:
+    the standard hdrl/avih chunk carries frame count, per-frame
+    microseconds, and dimensions. Needs no codec library, so the real
+    video-container parse executes in ffmpeg-free environments."""
+    none = (None, None, None, None, None)
+    try:
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            width = height = duration = None
+            for typ, a, b in _mp4_boxes(payload, 0, len(payload)):
+                if typ != b"moov":
+                    continue
+                for t2, c, d in _mp4_boxes(payload, a, b):
+                    if t2 == b"mvhd":
+                        ver = payload[c]
+                        if ver == 1:
+                            ts, = struct.unpack(">I", payload[c + 20:c + 24])
+                            dur, = struct.unpack(">Q", payload[c + 24:c + 32])
+                        else:
+                            ts, = struct.unpack(">I", payload[c + 12:c + 16])
+                            dur, = struct.unpack(">I", payload[c + 16:c + 20])
+                        if ts:
+                            duration = dur / ts
+                    elif t2 == b"trak" and width is None:
+                        for t3, e, f in _mp4_boxes(payload, c, d):
+                            if t3 == b"tkhd" and f - e >= 8:
+                                w, h = struct.unpack(
+                                    ">II", payload[f - 8:f]
+                                )
+                                if w and h:
+                                    width, height = w >> 16, h >> 16
+            if duration is None and width is None:
+                return none
+            return "mp4", width, height, None, duration
+        if (len(payload) >= 28 and payload[:4] == b"RIFF"
+                and payload[8:12] == b"AVI " and payload[12:16] == b"LIST"
+                and payload[20:24] == b"hdrl" and payload[24:28] == b"avih"):
+            o = 32  # avih payload (chunk data) offset
+            usec_pf, = struct.unpack("<I", payload[o:o + 4])
+            frames, = struct.unpack("<I", payload[o + 16:o + 20])
+            w, h = struct.unpack("<II", payload[o + 32:o + 40])
+            duration = frames * usec_pf / 1e6 if usec_pf else None
+            return "avi", w, h, frames, duration
+    except Exception:
+        pass
+    return none
+
+
+def _pseudo_video(payload: bytes) -> tuple:
+    """Deterministic fake video decode mirroring the image/audio pseudo
+    kernels (oracle-expressible: width/height as in _pseudo_dims,
+    n_frames = n % 240 + 1, duration at 24 fps)."""
+    n = len(payload)
+    frames = n % 240 + 1
+    return ("pseudo", n % 1920 + 1, (n * 7919 + 13) % 1080 + 1,
+            frames, frames / 24.0)
+
+
+def video_features(df: DataFrame, id_col: str = "doc_id",
+                   blob_col: str = "payload",
+                   decode: str = "pseudo") -> DataFrame:
+    """Per-clip video container metadata over binary blobs — the
+    modality-completing analog of image/audio features (same bounded
+    -batch mapInPandas shape). ``decode="headers"`` does a real
+    MP4/AVI container-header parse with no codec dependency (frame
+    DECODE still needs ffmpeg — that remains ``frame_sample_stub``'s
+    honest pseudo territory); ``"pseudo"`` (default) is the
+    deterministic oracle-reproducible path."""
+    if decode not in ("pseudo", "headers"):
+        raise ValueError(f"decode must be pseudo|headers, got {decode!r}")
+    feat_fn = (_parse_video_header if decode == "headers"
+               else _pseudo_video)
+
+    def task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [p if p is not None else b""
+                        for p in pdf[blob_col]]
+            feats = [feat_fn(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [len(p) for p in payloads],
+                    "container": [f[0] for f in feats],
+                    "width": [f[1] for f in feats],
+                    "height": [f[2] for f in feats],
+                    "n_frames": [f[3] for f in feats],
+                    "duration_sec": [f[4] for f in feats],
+                    "content_md5": [hashlib.md5(p).hexdigest()
+                                    for p in payloads],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        task, VIDEO_FEATURES_SCHEMA
+    )
+
+
 def frame_sample_stub(df: DataFrame, id_col: str = "doc_id",
                       blob_col: str = "payload",
                       every_n_bytes: int = 1024) -> DataFrame:

@@ -143,6 +143,79 @@ def test_audio_bad_mode_rejected(spark):
         audio_features(df, decode="flac")
 
 
+def make_mp4(w, h, timescale=600, duration=1800):
+    def box(tag, payload):
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    mvhd = box(b"mvhd", (
+        b"\x00\x00\x00\x00"                       # version/flags
+        + struct.pack(">II", 0, 0)                # ctime/mtime
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)           # rate
+        + struct.pack(">H", 0x0100) + b"\x00" * 10  # volume + reserved
+        + b"\x00" * 36 + b"\x00" * 24             # matrix + predefined
+        + struct.pack(">I", 2)                    # next track id
+    ))
+    tkhd = box(b"tkhd", (
+        b"\x00\x00\x00\x07"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1, 0)                # track id + reserved
+        + struct.pack(">I", duration)
+        + b"\x00" * 8 + struct.pack(">HHH", 0, 0, 0) + b"\x00" * 2
+        + b"\x00" * 36
+        + struct.pack(">II", w << 16, h << 16)
+    ))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    return ftyp + moov
+
+
+def make_avi(w, h, frames=240, usec_pf=41667):
+    avih = (b"avih" + struct.pack("<I", 56)
+            + struct.pack("<IIII", usec_pf, 0, 0, 0)
+            + struct.pack("<IIII", frames, 0, 1, 0)
+            + struct.pack("<II", w, h) + b"\x00" * 16)
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    return (b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI "
+            + hdrl)
+
+
+def test_video_header_parse_executes_on_real_containers():
+    from space_spark.operators.multimodal import _parse_video_header
+
+    c, w, h, nf, dur = _parse_video_header(make_mp4(1280, 720))
+    assert (c, w, h, nf) == ("mp4", 1280, 720, None)
+    assert dur == pytest.approx(1800 / 600)
+    c, w, h, nf, dur = _parse_video_header(make_avi(640, 480))
+    assert (c, w, h, nf) == ("avi", 640, 480, 240)
+    assert dur == pytest.approx(240 * 41667 / 1e6)
+    assert _parse_video_header(b"not video") == (None,) * 5
+    assert _parse_video_header(make_mp4(1, 1)[:10]) == (None,) * 5
+
+
+def test_video_features_distributed(spark):
+    from space_spark.operators.multimodal import video_features
+
+    rows = [(1, make_mp4(1280, 720)), (2, make_avi(640, 480)),
+            (3, b"junk"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r
+           for r in video_features(df, decode="headers").collect()}
+    assert (out[1]["container"], out[1]["width"], out[1]["height"]) \
+        == ("mp4", 1280, 720)
+    assert (out[2]["container"], out[2]["n_frames"]) == ("avi", 240)
+    for d in (3, 4):
+        assert out[d]["container"] is None and out[d]["width"] is None
+    assert out[3]["n_bytes"] == 4
+    # pseudo default stays deterministic and oracle-expressible
+    p = {r["doc_id"]: r for r in video_features(df).collect()}
+    n = len(make_mp4(1280, 720))
+    assert p[1]["width"] == n % 1920 + 1
+    assert p[1]["n_frames"] == n % 240 + 1
+    with pytest.raises(ValueError):
+        video_features(df, decode="real")
+
+
 def test_headers_agree_with_pil():
     """Runs only where PIL exists — the cross-check that the
     dependency-free parse mirrors the codec library's band counts."""
