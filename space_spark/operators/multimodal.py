@@ -261,6 +261,10 @@ def _real_audio(payload: bytes) -> tuple:
     dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
     if dtype is None or rate <= 0:
         return bad
+    # A truncated payload can hand back a partial trailing sample;
+    # frombuffer requires a whole number of items.
+    item = np.dtype(dtype).itemsize
+    raw = raw[: len(raw) - (len(raw) % item)]
     arr = np.frombuffer(raw, dtype=dtype).astype(np.float64)
     if width == 1:  # 8-bit WAV is unsigned, midpoint 128
         norm = np.abs(arr - 128.0) / 128.0

@@ -216,6 +216,41 @@ def test_video_features_distributed(spark):
         video_features(df, decode="real")
 
 
+def test_parsers_never_raise_on_hostile_bytes():
+    """A 100 TB crawl feeds these parsers arbitrary bytes; they must
+    return null tuples, never raise. Fuzz with random payloads AND
+    truncations/mutations of valid containers (the nastier corpus:
+    plausible magic bytes with garbage interiors)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from space_spark.operators.multimodal import _parse_video_header
+
+    valid = [make_png(9, 9), GIF_1X1, make_bmp(4, 4), make_jpeg(4, 4),
+             make_mp4(32, 32), make_avi(32, 32),
+             make_wav([1, -1, 0])]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=200))
+    def fuzz_random(payload):
+        assert len(_parse_header_dims(payload)) == 3
+        assert len(_parse_video_header(payload)) == 5
+        assert len(_real_audio(payload)) == 6
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(0, len(valid) - 1), st.integers(0, 400),
+           st.integers(0, 400), st.binary(max_size=8))
+    def fuzz_mutated(i, cut, pos, junk):
+        payload = valid[i][:cut]
+        payload = payload[:pos] + junk + payload[pos + len(junk):]
+        assert len(_parse_header_dims(payload)) == 3
+        assert len(_parse_video_header(payload)) == 5
+        assert len(_real_audio(payload)) == 6
+
+    fuzz_random()
+    fuzz_mutated()
+
+
 def test_headers_agree_with_pil():
     """Runs only where PIL exists — the cross-check that the
     dependency-free parse mirrors the codec library's band counts."""
