@@ -150,6 +150,29 @@ def test_latest_correctness_keys_are_known():
     )
 
 
+def test_last_green_round_reads_real_history():
+    """Pin the file parsing against the actual driver artifacts: a
+    query green in the newest round maps to that round; one absent
+    there but green earlier maps to the earlier round."""
+    last = entry_mod._last_green_round()
+    files = sorted(
+        int(re.fullmatch(r"CORRECTNESS_r(\d+)\.json",
+                         os.path.basename(p)).group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if re.fullmatch(r"CORRECTNESS_r\d+\.json", os.path.basename(p))
+    )
+    newest = files[-1]
+    with open(os.path.join(REPO, f"CORRECTNESS_r{newest:02d}.json")) as f:
+        rows = json.load(f)
+    greens = [k for k, v in rows.items() if entry_mod._is_green(v)]
+    assert greens, "newest round has no green rows?"
+    for k in greens:
+        assert last.get(k) == newest, (k, last.get(k), newest)
+    older = [k for k in entry_mod._query_registry()
+             if k in last and k not in rows]
+    assert all(last[k] < newest for k in older)
+
+
 def test_queries_is_permutation_of_registry():
     assert sorted(entry_mod.queries()) == sorted(entry_mod._query_registry())
     assert set(entry_mod.oracle_sql()) <= set(entry_mod._query_registry())
