@@ -1,0 +1,67 @@
+"""bench v3 delta confirmation: flag selection and isolated re-timing
+(monkeypatched sessions — no real Spark runs; the driver executes the
+real path each round)."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def test_no_flags_when_within_threshold():
+    base = json.load(open(os.path.join(bench.os.path.dirname(
+        os.path.abspath(bench.__file__)), "BENCH_BASELINE.json")))
+    timings = dict(base["queries"])  # identical -> nothing flagged
+    out = bench.confirm_deltas(timings, cpus=2, sf_dir="unused")
+    assert set(out) == {"baseline"}
+
+
+def test_sub_300ms_deltas_ignored():
+    base = json.load(open(os.path.join(bench.os.path.dirname(
+        os.path.abspath(bench.__file__)), "BENCH_BASELINE.json")))
+    timings = dict(base["queries"])
+    tiny = min(timings, key=timings.get)
+    assert timings[tiny] < 0.3, "no sub-0.3s query in baseline?"
+    timings[tiny] = 0.29  # huge ratio, tiny absolute
+    out = bench.confirm_deltas(timings, cpus=2, sf_dir="unused")
+    assert tiny not in out
+
+
+def test_flagged_queries_get_isolated_runs(monkeypatch):
+    base = json.load(open(os.path.join(bench.os.path.dirname(
+        os.path.abspath(bench.__file__)), "BENCH_BASELINE.json")))
+    timings = dict(base["queries"])
+    big = max(timings, key=timings.get)
+    timings[big] = round(timings[big] * 3, 3)
+
+    class FakeDF:
+        class write:  # noqa: N801
+            @staticmethod
+            def mode(_):
+                class S:
+                    @staticmethod
+                    def format(_):
+                        class V:
+                            @staticmethod
+                            def save():
+                                return None
+                        return V
+                return S
+
+    class FakeSession:
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(bench, "warm_session", lambda cpus: FakeSession())
+    monkeypatch.setattr(
+        bench.entry_mod, "queries",
+        lambda: {big: (lambda spark, sf: FakeDF())},
+    )
+    out = bench.confirm_deltas(timings, cpus=2, sf_dir="unused")
+    assert big in out
+    assert out[big]["baseline"] == base["queries"][big]
+    assert out[big]["bench"] == timings[big]
+    assert len(out[big]["isolated_warm"]) == 2
