@@ -110,7 +110,8 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     spark.stop()
-    isolated = confirm_deltas(timings, cpus, sf_dir)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    isolated = confirm_deltas(timings, cpus, sf_dir, sf=sf_val)
     print(
         json.dumps(
             {
@@ -137,7 +138,8 @@ def main() -> None:
 
 
 def confirm_deltas(timings: dict, cpus: int, sf_dir: str,
-                   threshold: float = 1.5, cap: int = 6) -> dict:
+                   threshold: float = 1.5, cap: int = 6,
+                   sf=None) -> dict:
     """Per-query deltas beyond ``threshold`` vs the committed
     BENCH_BASELINE.json (the previous round's same-machine run) are
     re-timed in FRESH isolated sessions — bench v2's in-session numbers
@@ -152,6 +154,10 @@ def confirm_deltas(timings: dict, cpus: int, sf_dir: str,
         with open(os.path.join(here, "BENCH_BASELINE.json")) as f:
             base = json.load(f)
     except (OSError, ValueError):
+        return {}
+    if sf is not None and base.get("sf") is not None \
+            and sf != base.get("sf"):
+        # A different scale factor is not a regression signal.
         return {}
     base_q = base.get("queries", {})
     flagged = []

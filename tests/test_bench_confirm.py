@@ -30,6 +30,14 @@ def test_sub_300ms_deltas_ignored():
     assert tiny not in out
 
 
+def test_other_scale_factor_never_compares(monkeypatch):
+    base = json.load(open(os.path.join(bench.os.path.dirname(
+        os.path.abspath(bench.__file__)), "BENCH_BASELINE.json")))
+    timings = {k: v * 10 for k, v in base["queries"].items()}
+    out = bench.confirm_deltas(timings, cpus=2, sf_dir="unused", sf=0.01)
+    assert out == {}
+
+
 def test_flagged_queries_get_isolated_runs(monkeypatch):
     base = json.load(open(os.path.join(bench.os.path.dirname(
         os.path.abspath(bench.__file__)), "BENCH_BASELINE.json")))
