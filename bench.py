@@ -111,7 +111,11 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     spark.stop()
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    isolated = confirm_deltas(timings, cpus, sf_dir, sf=sf_val)
+    # Single-shot timings (warmup off) carry first-run JIT/codegen noise
+    # that would spuriously flag queries — confirmation is only
+    # meaningful for the median-of-3 methodology the baseline used.
+    isolated = (confirm_deltas(timings, cpus, sf_dir, sf=sf_val)
+                if warmup else {})
     print(
         json.dumps(
             {
@@ -167,11 +171,14 @@ def confirm_deltas(timings: dict, cpus: int, sf_dir: str,
             continue
         ratio = now / was if was else float("inf")
         if ratio >= threshold or ratio <= 1 / threshold:
-            flagged.append((abs(ratio - 1), name, was))
+            # max(r, 1/r): symmetric magnitude, so a 3x speedup outranks
+            # a 2x slowdown instead of never making the cap.
+            flagged.append((max(ratio, 1 / ratio), name, was))
     out: dict = {"baseline": base.get("label", "BENCH_BASELINE.json")}
+    registry = entry_mod.queries()
     for _, name, was in sorted(flagged, reverse=True)[:cap]:
         spark = warm_session(cpus)
-        fn = entry_mod.queries()[name]
+        fn = registry[name]
         runs = []
         for _ in range(3):
             start = time.perf_counter()

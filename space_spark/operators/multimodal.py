@@ -90,17 +90,26 @@ def _parse_header_dims(payload: bytes):
         if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
             w, h = struct.unpack(">II", payload[16:24])
             channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(payload[25])
-            if channels is None:
+            # Dims are unsigned 32-bit on the wire but the output schema
+            # is int32; a hostile header claiming >2^31 pixels must not
+            # wrap negative (or kill the task under safe Arrow
+            # conversion). The PNG spec itself caps dims at 2^31-1.
+            if channels is None or w > 0x7FFFFFFF or h > 0x7FFFFFFF:
                 return None, None, None
             return w, h, channels
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             w, h = struct.unpack("<HH", payload[6:10])
             return w, h, 1  # PIL opens GIF frames palette-mode: 1 band
-        if payload[:2] == b"BM" and len(payload) >= 30:
+        if payload[:2] == b"BM" and len(payload) >= 34:
             w, h = struct.unpack("<ii", payload[18:26])
             bpp = struct.unpack("<H", payload[28:30])[0]
-            channels = {8: 1, 24: 3, 32: 4}.get(bpp)
-            if channels is None:
+            compression = struct.unpack("<I", payload[30:34])[0]
+            # PIL opens plain BI_RGB 32-bpp as 3-band RGB (raw mode
+            # BGRX); bitfield/alpha variants are ambiguous -> nulls.
+            channels = {8: 1, 24: 3}.get(bpp)
+            if bpp == 32 and compression == 0:
+                channels = 3
+            if channels is None or w <= 0 or h == 0:
                 return None, None, None
             return w, abs(h), channels
         if payload[:2] == b"\xff\xd8":
@@ -253,24 +262,35 @@ def _real_audio(payload: bytes) -> tuple:
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
             rate = w.getframerate()
-            frames = w.getnframes()
             width = w.getsampwidth()
-            raw = w.readframes(frames)
+            nch = w.getnchannels()
+            raw = w.readframes(w.getnframes())
     except Exception:
         return bad
-    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
-    if dtype is None or rate <= 0:
+    if rate <= 0 or nch <= 0 or width not in (1, 2, 3, 4):
         return bad
-    # A truncated payload can hand back a partial trailing sample;
-    # frombuffer requires a whole number of items.
-    item = np.dtype(dtype).itemsize
-    raw = raw[: len(raw) - (len(raw) % item)]
-    arr = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    # Truncated payloads can hand back partial samples; trim to whole
+    # samples, and derive frame count / duration from the bytes ACTUALLY
+    # present, not the header's claim — matching what libsndfile reports
+    # for the same blob (a hostile header claiming 1e9 frames must not
+    # publish a 1e9-sample duration).
+    raw = raw[: len(raw) - (len(raw) % width)]
+    if width == 3:  # 24-bit PCM: sign-extend 3-byte little-endian
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        arr = (b[:, 0].astype(np.int64)
+               | b[:, 1].astype(np.int64) << 8
+               | b[:, 2].astype(np.int64) << 16)
+        arr = np.where(arr >= 1 << 23, arr - (1 << 24), arr) \
+            .astype(np.float64)
+    else:
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+        arr = np.frombuffer(raw, dtype=dtype).astype(np.float64)
     if width == 1:  # 8-bit WAV is unsigned, midpoint 128
         norm = np.abs(arr - 128.0) / 128.0
     else:
         norm = np.abs(arr) / float(2 ** (8 * width - 1))
-    amp = float(norm.mean()) if arr.size else 0.0
+    frames = arr.size // nch
+    amp = float(norm[: frames * nch].mean()) if frames else 0.0
     return n, rate, frames, frames / rate, amp, digest
 
 
@@ -411,6 +431,8 @@ def _parse_video_header(payload: bytes) -> tuple:
             usec_pf, = struct.unpack("<I", payload[o:o + 4])
             frames, = struct.unpack("<I", payload[o + 16:o + 20])
             w, h = struct.unpack("<II", payload[o + 32:o + 40])
+            if w > 0x7FFFFFFF or h > 0x7FFFFFFF:  # uint32 vs int32 schema
+                return none
             duration = frames * usec_pf / 1e6 if usec_pf else None
             return "avi", w, h, frames, duration
     except Exception:

@@ -66,9 +66,11 @@ def make_wav(samples, rate=8000, width=2, channels=1):
         w.setnchannels(channels)
         w.setsampwidth(width)
         w.setframerate(rate)
-        w.writeframes(
-            b"".join(struct.pack("<h", s) for s in samples)
-        )
+        w.writeframes(b"".join(
+            struct.pack("<i", s)[:width] if width != 2
+            else struct.pack("<h", s)
+            for s in samples
+        ))
     return buf.getvalue()
 
 
@@ -80,10 +82,17 @@ def test_header_parse_executes_on_real_containers():
     assert _parse_header_dims(make_bmp(31, 7)) == (31, 7, 3)
     assert _parse_header_dims(make_jpeg(640, 480)) == (640, 480, 3)
     assert _parse_header_dims(make_jpeg(8, 8, ncomp=1)) == (8, 8, 1)
+    # PIL opens plain BI_RGB 32-bpp as 3-band RGB (BGRX raw mode).
+    assert _parse_header_dims(make_bmp(5, 5, bpp=32)) == (5, 5, 3)
     assert _parse_header_dims(b"random junk bytes") == (None, None, None)
     assert _parse_header_dims(b"") == (None, None, None)
     # Truncated container: magic without a complete header -> nulls.
     assert _parse_header_dims(make_png(9, 9)[:14]) == (None, None, None)
+    # Hostile dims above int32 must null out, not wrap the schema's
+    # int32 column negative.
+    evil = bytearray(make_png(1, 1))
+    evil[16:24] = b"\xff\xff\xff\xff\xff\xff\xff\xff"
+    assert _parse_header_dims(bytes(evil)) == (None, None, None)
 
 
 def test_headers_mode_distributed(spark):
@@ -125,6 +134,24 @@ def test_real_audio_executes_via_stdlib_wav(spark):
         assert out[d]["sample_rate"] is None
         assert out[d]["mean_amplitude"] is None
     assert out[2]["n_bytes"] == len(b"not-audio")
+
+
+def test_real_audio_24bit_stereo_and_truncation():
+    # 24-bit PCM: 2^22 normalizes to 0.5 of the 2^23 full scale.
+    r = _real_audio(make_wav([1 << 22, -(1 << 22)], width=3))
+    assert r[1:3] == (8000, 2)
+    assert r[4] == pytest.approx(0.5)
+    # Stereo: 4 samples = 2 frames.
+    r = _real_audio(make_wav([100, 200, 300, 400], channels=2))
+    assert r[2] == 2 and r[3] == pytest.approx(2 / 8000)
+    # A header claiming more frames than the payload holds must report
+    # the frames ACTUALLY present (what libsndfile would say), not the
+    # claim — duration comes from real bytes.
+    blob = make_wav([1000] * 10)
+    truncated = blob[:-8]  # drop 4 samples
+    r = _real_audio(truncated)
+    assert r[2] == 6
+    assert r[3] == pytest.approx(6 / 8000)
 
 
 def test_audio_auto_mirrors_image_discipline(spark):
@@ -260,7 +287,7 @@ def test_headers_agree_with_pil():
 
     for payload in (make_png(17, 9), make_png(5, 4, color_type=6),
                     make_png(3, 2, color_type=0), GIF_1X1,
-                    make_bmp(31, 7)):
+                    make_bmp(31, 7), make_bmp(5, 5, bpp=32)):
         assert _parse_header_dims(payload) == _real_dims(payload)
 
 

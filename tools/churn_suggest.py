@@ -51,7 +51,8 @@ def round_boundary() -> str:
 
 def changed_files(base: str) -> set:
     files = set(sh("git", "diff", "--name-only", f"{base}..HEAD").split())
-    files |= set(sh("git", "diff", "--name-only").split())  # uncommitted
+    files |= set(sh("git", "diff", "--name-only").split())  # unstaged
+    files |= set(sh("git", "diff", "--cached", "--name-only").split())
     return {f for f in files if f.endswith(".py")}
 
 
@@ -74,7 +75,8 @@ def changed_functions(base: str, relpath: str) -> set:
     changed = set()
     for diff_args in (("git", "diff", "-U0", f"{base}..HEAD", "--",
                        relpath),
-                      ("git", "diff", "-U0", "--", relpath)):
+                      ("git", "diff", "-U0", "--", relpath),
+                      ("git", "diff", "-U0", "--cached", "--", relpath)):
         for m in re.finditer(r"^@@ .* \+(\d+)(?:,(\d+))? @@",
                              sh(*diff_args), re.M):
             lo = int(m.group(1))
