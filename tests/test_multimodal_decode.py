@@ -254,8 +254,9 @@ def test_parsers_never_raise_on_hostile_bytes():
     from space_spark.operators.multimodal import _parse_video_header
 
     valid = [make_png(9, 9), GIF_1X1, make_bmp(4, 4), make_jpeg(4, 4),
-             make_mp4(32, 32), make_avi(32, 32),
-             make_wav([1, -1, 0])]
+             make_bmp(4, 4, bpp=32), make_mp4(32, 32), make_avi(32, 32),
+             make_wav([1, -1, 0]), make_wav([1 << 20, -1], width=3),
+             make_wav([5, 6, 7, 8], channels=2)]
 
     @settings(max_examples=300, deadline=None)
     @given(st.binary(max_size=200))
