@@ -42,6 +42,11 @@ def main() -> None:
         spark = warm_session(cpus)
         runs = []
         for _ in range(3):
+            # Mirror bench v3.1: without a GC before every run,
+            # garbage-heavy queries degrade across their own
+            # back-to-back runs and the "isolated ground truth" lies.
+            spark._jvm.System.gc()
+            time.sleep(0.3)
             start = time.perf_counter()
             registry[name](spark, sf_dir).write.mode("overwrite").format(
                 "noop"
