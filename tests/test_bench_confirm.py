@@ -59,7 +59,17 @@ def test_flagged_queries_get_isolated_runs(monkeypatch):
                         return V
                 return S
 
+    class FakeSystem:
+        @staticmethod
+        def gc():
+            pass
+
+    class FakeJvm:
+        System = FakeSystem
+
     class FakeSession:
+        _jvm = FakeJvm
+
         def stop(self):
             pass
 
