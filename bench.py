@@ -13,9 +13,11 @@ committed BENCH_BASELINE.json, see ``confirm_deltas``; v3.1 moves the
 GC from per-query to per-RUN after garbage-heavy queries were shown to
 degrade across their own trio, 1.2s -> 4.3s -> 8.7s): each query runs
 THREE times and ``queries`` / ``value`` carry the MEDIAN of the three,
-with a synchronous ``System.gc()`` before every run AND a full
-SparkSession restart every 16 queries so no run is billed for ANY
-earlier run's accumulated heap/codegen/broadcast state.
+with a synchronous ``System.gc()`` before every run AND the
+SparkSession retired after 16 queries or ~20s of timed work —
+aging is proportional to work executed, not queries counted — so no
+run is billed for ANY earlier run's accumulated heap/codegen/
+broadcast state.
 Round-5 evidence showed the v1 scheme (min-of-2, GC every 8th query,
 one JVM for all 92 queries) let in-session pressure swing individual
 warm numbers ±5x, defeating regression tracking; the judge's
@@ -85,16 +87,19 @@ def main() -> None:
     warmup = os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0"
     timings: dict[str, float] = {}
     timings_cold: dict[str, float] = {}
-    for i, (name, fn) in enumerate(entry_mod.queries().items()):
-        # v2 methodology: a full session restart every 16 queries (the
-        # round-5 evidence was that a single 92-query JVM accumulates
-        # heap/codegen/broadcast pressure no mid-run GC fully claws
-        # back), a synchronous GC BEFORE every query's timed runs, and
-        # median-of-3 so one stray safepoint/compilation stall can't
-        # set the published number.
-        if i > 0 and i % 16 == 0:
+    seg_queries = seg_work = 0
+    for name, fn in entry_mod.queries().items():
+        # Session retirement (v3.1): restart every 16 queries OR once a
+        # session has executed ~20s of timed work, whichever first.
+        # Aging is proportional to work done, not queries counted — the
+        # round-7 evidence was garbage-heavy queries landing at segment
+        # positions 14-15 publishing 3x their fresh-session numbers
+        # (text_decontaminate 5.6s in-bench vs 1.6-1.9s isolated) while
+        # cheap late-segment queries were fine. Restarts are untimed.
+        if seg_queries >= 16 or seg_work > 20.0:
             spark.stop()
             spark = warm_session(cpus)
+            seg_queries = seg_work = 0
         runs = []
         for _run in range(3 if warmup else 1):
             # GC before EVERY run, not just each query's trio (v3.1):
@@ -111,6 +116,8 @@ def main() -> None:
             runs.append(time.perf_counter() - start)
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         timings_cold[name] = round(runs[0], 3)
+        seg_queries += 1
+        seg_work += sum(runs)
 
     total = round(sum(timings.values()), 3)
     spark.stop()
@@ -128,12 +135,13 @@ def main() -> None:
                 "unit": "sec",
                 "methodology": (
                     "v3.1: per-query median-of-3, System.gc() before "
-                    "EVERY run, session restart every 16 queries; cold "
-                    "= first run; deltas >1.5x vs BENCH_BASELINE.json "
-                    "re-timed in isolated sessions (`isolated`)"
+                    "EVERY run, session retired after 16 queries or "
+                    "20s of timed work; cold = first run; deltas "
+                    ">1.5x vs BENCH_BASELINE.json re-timed in "
+                    "isolated sessions (`isolated`)"
                     if warmup else
-                    "v3.1: single-shot, GC before each query, session "
-                    "restart every 16 queries"
+                    "v3.1: single-shot, GC before each run, session "
+                    "retired after 16 queries or 20s of timed work"
                 ),
                 "queries": timings,
                 "value_cold": round(sum(timings_cold.values()), 3),
