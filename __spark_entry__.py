@@ -3604,14 +3604,12 @@ _CHURN_QUOTA = 8
 _CHURNED_THIS_ROUND = [
     # r7 churn, derived from the round's diff by tools/churn_suggest.py
     # (function-level git-diff -> query mapping; run it before freezing
-    # this list). It flags 7 queries: text_repetition already leads by
-    # staleness (sat out r6), these 4 need slots, and the two
-    # multimodal_* queries are deliberately NOT listed — they gained a
-    # decode= parameter whose default ("pseudo") branch executes the
-    # exact prior kernel, so the registered path is bit-identical
-    # (pinned by the sf0.001 oracle mirrors in tests/test_oracle.py and
-    # the decode-mode unit tests); they re-verify next round by
-    # staleness anyway.
+    # this list). It flags: text_repetition (already leads by staleness
+    # — sat out r6), these 4 (slots below), and the multimodal_*
+    # queries, deliberately NOT listed — the new decode modes/parsers
+    # leave the registered pseudo path bit-identical (pinned by the
+    # sf0.001/0.01/0.1 oracle runs this round and the decode-mode unit
+    # tests); they re-verify next round by staleness anyway.
     "space_random_access",   # Arrow-native literal return (plan change)
     "space_zero_copy_load",  # footer-stats shape + stats-free PK scan
     "stream_dedup",          # awaitTermination timeout guard
