@@ -3573,6 +3573,124 @@ WHERE n_regionkey <= 2
 """
 
 
+# ----------------------------------------------- round-8 candidates
+# Implemented and oracle-tested (tests/test_round8_candidates.py) but
+# NOT yet registered: round 7's gate window was exactly full (46 stale
+# + 4 churned), and new entries lead the window, so registering them
+# would have deferred stale re-verification. Round 8 registers each by
+# adding two dict lines.
+
+
+def space_vacuum_read(spark, sf_dir):
+    """M7+: snapshot expiry + vacuum. A CoW delete strands the original
+    file once history is expired; vacuum must remove it (the round-6
+    campaign found vacuum deleting LIVE record manifests — this query
+    is the external-evidence surface for that class of bug) and the
+    table must still read correctly afterward."""
+    from space_spark import Dataset, field
+
+    supp = _t(spark, sf_dir, "supplier")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/vac", supp.schema, ["s_suppkey"]
+    )
+    ds.append(supp.where(F.col("s_suppkey") <= 60).coalesce(1))
+    ds.delete(field("s_suppkey") <= 20)
+    ds.append(supp.where(F.col("s_suppkey") > 60))
+    ds.expire_snapshots(keep_last=1)
+    removed = ds.vacuum()
+    assert removed, "vacuum removed nothing despite expired rewrites"
+    return ds.reload().read()
+
+
+SPACE_VACUUM_SQL = """
+SELECT * FROM supplier WHERE s_suppkey > 20
+"""
+
+
+def space_branch_write(spark, sf_dir):
+    """M6: branch WRITE isolation — commits on a branch never move
+    main; both heads read back from one table."""
+    from space_spark import Dataset
+
+    nation = _t(spark, sf_dir, "nation")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/br", nation.schema, ["n_nationkey"]
+    )
+    ds.append(nation.where(F.col("n_regionkey") <= 2))
+    ds.add_branch("dev")
+    ds.set_current_branch("dev")
+    ds.append(nation.where(F.col("n_regionkey") > 2))
+    dev = ds.read(branch="dev").withColumn("branch", F.lit("dev"))
+    main = ds.read(branch="main").withColumn("branch", F.lit("main"))
+    return dev.unionByName(main).select(
+        "branch", "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+SPACE_BRANCH_SQL = """
+SELECT 'dev' AS branch, n_nationkey, n_name, n_regionkey FROM nation
+UNION ALL
+SELECT 'main', n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_regionkey <= 2
+"""
+
+
+def space_schema_evolution(spark, sf_dir):
+    """§2.6+: add_column / drop_column (both metadata-only) — old files
+    read NULL for the added column, dropped bytes project away."""
+    from space_spark import Dataset
+
+    region = _t(spark, sf_dir, "region")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/ev", region.schema, ["r_regionkey"]
+    )
+    ds.append(region)
+    ds.add_column("r_score", T.LongType())
+    ds.append(
+        region.select(
+            (F.col("r_regionkey") + 10).cast(
+                region.schema["r_regionkey"].dataType
+            ).alias("r_regionkey"),
+            "r_name",
+            (F.col("r_regionkey") * 7).cast("long").alias("r_score"),
+        )
+    )
+    ds.drop_column("r_name")
+    return ds.reload().read().select("r_regionkey", "r_score")
+
+
+SPACE_EVOLUTION_SQL = """
+SELECT r_regionkey, CAST(NULL AS BIGINT) AS r_score FROM region
+UNION ALL
+SELECT r_regionkey + 10, CAST(r_regionkey * 7 AS BIGINT) FROM region
+"""
+
+
+def multimodal_video_metadata(spark, sf_dir):
+    """Video container metadata over binary blobs (video_features pseudo
+    path — deterministic, oracle-reproducible; the headers path is the
+    real MP4/AVI parse, unit-tested against constructed containers)."""
+    from space_spark.operators.multimodal import video_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return video_features(docs, "doc_id", "payload")
+
+
+VIDEO_METADATA_SQL = """
+SELECT doc_id,
+  octet_length(encode(text))::BIGINT AS n_bytes,
+  'pseudo' AS container,
+  (octet_length(encode(text)) % 1920 + 1)::INT AS width,
+  ((octet_length(encode(text)) * 7919 + 13) % 1080 + 1)::INT AS height,
+  (octet_length(encode(text)) % 240 + 1)::BIGINT AS n_frames,
+  (octet_length(encode(text)) % 240 + 1) / 24.0 AS duration_sec,
+  md5(text) AS content_md5
+FROM documents
+"""
+
+
 # ------------------------------------------------------------------ registry
 #
 # The external correctness gate checks the FIRST 50 queries() entries
