@@ -3733,6 +3733,14 @@ _CHURNED_THIS_ROUND = [
     "stream_dedup",          # awaitTermination timeout guard
     "space_stream_cdc",      # awaitTermination timeout guard
 ]
+# The round-7 metadata-core hardening (fsync'd entrypoint swap,
+# exclusive create, vacuum metadata reclamation) churns EVERY space
+# query — far beyond the quota. Its changed code paths DO get external
+# r7 coverage: the 4 churned entries above plus the 7 space DML/read
+# queries leading by staleness (insert/upsert/mor_delete/diff/zorder*2/
+# rename) all drive create+commit+swap end-to-end; the specific
+# surfaces that sit out (sql_table, mv_refresh, compact, time_travel,
+# ...) are suite-covered now and staleness-lead next round.
 
 
 def _is_green(row) -> bool:

@@ -124,7 +124,7 @@ class Dataset:
             sc.field_id_map(schema),
             serializers=ser_registry,
         )
-        log.write_metadata(meta)
+        log.write_metadata(meta, create=True)
         return cls(spark, log, meta)
 
     def serializer(self, field_name: str):
@@ -2114,12 +2114,24 @@ class Dataset:
         self.metadata = self.log.update_refs(mutate)
         return sorted(expired)
 
-    def vacuum(self, dry_run: bool = False) -> List[str]:
+    def vacuum(self, dry_run: bool = False,
+               metadata_grace_sec: float = 3600.0) -> List[str]:
         """Delete files under the table location referenced by NO live
         snapshot: orphaned data files, manifests, change logs and record
         files (e.g. rewritten away by copy-on-write deletes after their
-        snapshots expired). External (zero-copy) files outside the table
-        location are never touched. Returns the removed relative paths."""
+        snapshots expired), plus superseded ``metadata_*.json`` versions
+        and crashed entrypoint temp files. External (zero-copy) files
+        outside the table location are never touched. Returns the
+        removed relative paths.
+
+        Every commit writes a fresh full-copy metadata file and the swap
+        orphans the previous one — a streaming sink committing once a
+        second accumulates ~86k files/day of O(snapshots) bytes each, so
+        reclamation is mandatory, not cosmetic. Only files older than
+        ``metadata_grace_sec`` are removed: a concurrent reader that
+        just loaded the entrypoint may still be about to open the
+        PREVIOUS metadata file, and metadata files are immutable and
+        never re-referenced, so an age guard is sufficient."""
         live: set = set()
         for snap in self.metadata.snapshots.values():
             live.update(snap.manifest_files)
@@ -2171,6 +2183,33 @@ class Dataset:
                     removed.append(rel)
                     if not dry_run:
                         os.remove(abs_f)
+        # Superseded metadata versions + crashed entrypoint temps. Read
+        # the entrypoint FRESH (self.metadata may be stale); an in-flight
+        # commit's new file is protected by its age, the current one by
+        # name.
+        import json as _json
+        import time as _time
+
+        with open(self.log.entrypoint_path, "r", encoding="utf-8") as f:
+            current_rel = _json.load(f)["metadata_file"]
+        cutoff = _time.time() - metadata_grace_sec
+        for name in sorted(os.listdir(self.log.log_dir)):
+            is_meta = name.startswith("metadata_") and name.endswith(".json")
+            is_tmp = name.startswith("entrypoint.json.tmp.")
+            if not (is_meta or is_tmp):
+                continue
+            rel = os.path.join("_space", name)
+            if rel == current_rel:
+                continue
+            abs_f = os.path.join(self.log.log_dir, name)
+            try:
+                if os.path.getmtime(abs_f) > cutoff:
+                    continue
+            except OSError:
+                continue  # raced with another vacuum
+            removed.append(rel)
+            if not dry_run:
+                os.remove(abs_f)
         return sorted(removed)
 
     # ------------------------------------------------------- change-data feed

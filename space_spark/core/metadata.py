@@ -20,7 +20,6 @@ portability (reference docs/design.md:24-26).
 from __future__ import annotations
 
 import contextlib
-import fcntl
 import json
 import os
 import uuid
@@ -177,6 +176,15 @@ class StorageMetadata:
     @staticmethod
     def from_json(text: str) -> "StorageMetadata":
         d = json.loads(text)
+        version = d.get("format_version", 1)
+        if version > 1:
+            # Fail fast: silently .get()-defaulting through an unknown
+            # future format would read wrong data AND destroy the newer
+            # fields on the next commit's rewrite.
+            raise SpaceError(
+                f"Table metadata is format_version {version}; this "
+                "client reads format_version 1 only"
+            )
         return StorageMetadata(
             table_type=d["type"],
             schema=T.StructType.fromJson(d["schema"]),
@@ -231,8 +239,13 @@ class MetadataLog:
         # both plain paths and file:/file:///-prefixed ones.
         if location.startswith("file:"):
             from urllib.parse import urlparse
+            from urllib.request import url2pathname
 
-            location = urlparse(location).path
+            # url2pathname percent-DECODES: Spark hands the path option
+            # back as a java.net.URI string, so '/tmp/my table' arrives
+            # as 'file:/tmp/my%20table' — keeping '%20' literally would
+            # split one table into two locations.
+            location = url2pathname(urlparse(location).path)
         self.location = os.path.abspath(location)
         self.log_dir = os.path.join(self.location, "_space")
         self.entrypoint_path = os.path.join(self.log_dir, "entrypoint.json")
@@ -276,15 +289,51 @@ class MetadataLog:
         with open(self.abs_path(entry["metadata_file"]), "r", encoding="utf-8") as f:
             return StorageMetadata.from_json(f.read())
 
-    def write_metadata(self, metadata: StorageMetadata) -> str:
-        """Write a new immutable metadata file + atomically swap entrypoint."""
+    def write_metadata(self, metadata: StorageMetadata,
+                       create: bool = False) -> str:
+        """Write a new immutable metadata file + atomically swap the
+        entrypoint.
+
+        Crash-durable, not just atomic: both files are fsync'd BEFORE
+        the swap and the directory entry after it. Without the fsyncs,
+        a power loss after the rename could leave the entrypoint
+        pointing at a zero-length metadata file (rename metadata can
+        reach the journal before file data on XFS and friends),
+        bricking the table the "atomic swap" claims to protect.
+
+        ``create=True`` publishes the entrypoint with an atomic
+        EXCLUSIVE link instead of a replace, closing the create/create
+        TOCTOU race: two concurrent ``Dataset.create`` calls on one
+        location would otherwise both pass the exists() check and the
+        last writer's schema would silently clobber the first's.
+        """
         rel = self.new_metadata_relpath()
         with open(self.abs_path(rel), "w", encoding="utf-8") as f:
             f.write(metadata.to_json())
+            f.flush()
+            os.fsync(f.fileno())
         tmp = self.entrypoint_path + f".tmp.{new_uuid()}"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump({"metadata_file": rel}, f)
-        os.replace(tmp, self.entrypoint_path)  # atomic on POSIX
+            f.flush()
+            os.fsync(f.fileno())
+        if create:
+            try:
+                os.link(tmp, self.entrypoint_path)  # atomic, fails if exists
+            except FileExistsError:
+                os.unlink(tmp)
+                raise SpaceError(
+                    f"Space table already exists at {self.location} "
+                    "(concurrent create?)"
+                ) from None
+            os.unlink(tmp)
+        else:
+            os.replace(tmp, self.entrypoint_path)  # atomic on POSIX
+        dir_fd = os.open(self.log_dir, os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
         return rel
 
     # -- optimistic concurrency ------------------------------------------------
@@ -295,6 +344,11 @@ class MetadataLog:
         Object-store port: replace with conditional-PUT on the entrypoint
         (no lock file needed); the optimistic validate stays identical.
         """
+        # Deferred import: fcntl is POSIX-only, and the read-only paths
+        # (read_metadata, resolve_version) must stay importable on
+        # platforms without it.
+        import fcntl
+
         lock_path = os.path.join(self.log_dir, ".commit.lock")
         with open(lock_path, "w", encoding="utf-8") as lf:
             fcntl.flock(lf, fcntl.LOCK_EX)
@@ -337,11 +391,21 @@ class MetadataLog:
             return meta
 
     def update_refs(self, mutate) -> StorageMetadata:
-        """Ref-only metadata update (add/remove tag or branch)."""
+        """Non-snapshot metadata update applied atomically under the
+        commit lock: refs (tags/branches), schema evolution
+        (add/drop/rename column), serializer registration, snapshot
+        expiry. Note these do NOT go through ``commit_snapshot``'s
+        pinned-head conflict check — they re-read and mutate the
+        CURRENT metadata, so they cannot conflict with a concurrent
+        append (schema changes are metadata-only by design). A mutate
+        that changes nothing skips the write — no orphan metadata file
+        per no-op call."""
         with self.commit_lock():
             meta = self.read_metadata()
+            before = meta.to_json()
             mutate(meta)
-            self.write_metadata(meta)
+            if meta.to_json() != before:
+                self.write_metadata(meta)
             return meta
 
 
@@ -363,7 +427,7 @@ def initial_metadata(
         schema=schema,
         primary_keys=list(primary_keys),
         record_fields=list(record_fields),
-        field_ids=field_ids,
+        field_ids=dict(field_ids),
         snapshots={0: snap},
         branches={MAIN_BRANCH: 0},
         tags={},

@@ -410,7 +410,7 @@ class View:
             },
             udf_registry=udf_registry,
         )
-        log.write_metadata(meta)
+        log.write_metadata(meta, create=True)
         mv_ds = Dataset(spark, log, meta)
         return MaterializedView(mv_ds, self)
 
