@@ -111,8 +111,13 @@ class Dataset:
                     raise UserInputError(
                         f"Serializer target {fname!r} is not a record field"
                     )
-                rel = os.path.join("_space", "udfs",
-                                   f"serializer_{fname}.pkl")
+                # uuid suffix: deterministic names would let the LOSER
+                # of a create/create race overwrite the winner's
+                # serializer bytes before its exclusive publish fails.
+                rel = os.path.join(
+                    "_space", "udfs",
+                    f"serializer_{fname}_{md.new_uuid()}.pkl",
+                )
                 with open(log.abs_path(rel), "wb") as f:
                     cloudpickle.dump(ser, f)
                 ser_registry[fname] = rel
@@ -2115,23 +2120,40 @@ class Dataset:
         return sorted(expired)
 
     def vacuum(self, dry_run: bool = False,
-               metadata_grace_sec: float = 3600.0) -> List[str]:
+               metadata_grace_sec: float = 3600.0,
+               data_grace_sec: float = 0.0) -> List[str]:
         """Delete files under the table location referenced by NO live
-        snapshot: orphaned data files, manifests, change logs and record
-        files (e.g. rewritten away by copy-on-write deletes after their
-        snapshots expired), plus superseded ``metadata_*.json`` versions
-        and crashed entrypoint temp files. External (zero-copy) files
-        outside the table location are never touched. Returns the
-        removed relative paths.
+        snapshot: orphaned data files, manifests, change logs, record
+        and registry (udf/serializer) files — e.g. rewritten away by
+        copy-on-write deletes after their snapshots expired — plus
+        superseded ``metadata_*.json`` versions and crashed entrypoint
+        temp files. External (zero-copy) files outside the table
+        location are never touched. Returns the removed relative paths.
 
-        Every commit writes a fresh full-copy metadata file and the swap
-        orphans the previous one — a streaming sink committing once a
-        second accumulates ~86k files/day of O(snapshots) bytes each, so
-        reclamation is mandatory, not cosmetic. Only files older than
-        ``metadata_grace_sec`` are removed: a concurrent reader that
-        just loaded the entrypoint may still be about to open the
-        PREVIOUS metadata file, and metadata files are immutable and
-        never re-referenced, so an age guard is sufficient."""
+        Liveness is computed from a FRESH reload, so files committed by
+        another writer since this handle loaded are never treated as
+        orphans. In-flight, not-yet-committed data files are a
+        different matter: appends write data before taking the commit
+        lock, so only an AGE guard can protect them — run vacuum when
+        no write is in flight, or set ``data_grace_sec`` to at least
+        the longest expected write duration (the Delta/Iceberg
+        retention model; default 0 keeps reclamation immediate for the
+        single-maintainer case).
+
+        Metadata reclamation: every commit writes a fresh full-copy
+        metadata file and the swap orphans the previous one — a
+        streaming sink committing once a second accumulates ~86k
+        files/day of O(snapshots) bytes each, so reclamation is
+        mandatory, not cosmetic. The metadata sweep runs under the
+        commit lock (a stalled in-flight commit's freshly-written file
+        must not be reaped between its fsync and its swap), and
+        ``metadata_grace_sec`` additionally protects readers that just
+        loaded the entrypoint and are about to open the PREVIOUS file;
+        metadata files are immutable and never re-referenced, so the
+        age guard suffices for them."""
+        import time as _time
+
+        self.reload()
         live: set = set()
         for snap in self.metadata.snapshots.values():
             live.update(snap.manifest_files)
@@ -2166,9 +2188,32 @@ class Dataset:
                     refs = part if refs is None else refs.union(part)
                 live.update(r[0] for r in refs.distinct().collect())
 
+        # Registry files (pickled UDFs/serializers) referenced by the
+        # current metadata; orphans come from losing create races or
+        # dropped record fields.
+        live.update(self.metadata.serializers.values())
+        live.update(self.metadata.udf_registry.values())
+
+        def reap(abs_f: str, rel: str, grace: float) -> bool:
+            try:
+                if grace > 0 and \
+                        os.path.getmtime(abs_f) > _time.time() - grace:
+                    return False
+                if not dry_run:
+                    os.remove(abs_f)
+            except OSError:
+                return False  # raced with another vacuum / in-flight op
+            removed.append(rel)
+            return True
+
         removed: List[str] = []
-        for sub in ("data", "records", os.path.join("_space", "manifests"),
-                    os.path.join("_space", "changes")):
+        for sub, grace in (
+            ("data", data_grace_sec),
+            ("records", data_grace_sec),
+            (os.path.join("_space", "manifests"), data_grace_sec),
+            (os.path.join("_space", "changes"), data_grace_sec),
+            (os.path.join("_space", "udfs"), metadata_grace_sec),
+        ):
             base = os.path.join(self.location, sub)
             if not os.path.isdir(base):
                 continue
@@ -2180,36 +2225,27 @@ class Dataset:
                     # treat membership by directory prefix too.
                     if rel in live or os.path.dirname(rel) in live:
                         continue
-                    removed.append(rel)
-                    if not dry_run:
-                        os.remove(abs_f)
-        # Superseded metadata versions + crashed entrypoint temps. Read
-        # the entrypoint FRESH (self.metadata may be stale); an in-flight
-        # commit's new file is protected by its age, the current one by
-        # name.
+                    reap(abs_f, rel, grace)
+        # Superseded metadata versions + crashed entrypoint temps, under
+        # the commit lock: a stalled commit's freshly-fsync'd metadata
+        # file must not be reaped between its write and its swap. The
+        # entrypoint is re-read INSIDE the lock for the same reason.
         import json as _json
-        import time as _time
 
-        with open(self.log.entrypoint_path, "r", encoding="utf-8") as f:
-            current_rel = _json.load(f)["metadata_file"]
-        cutoff = _time.time() - metadata_grace_sec
-        for name in sorted(os.listdir(self.log.log_dir)):
-            is_meta = name.startswith("metadata_") and name.endswith(".json")
-            is_tmp = name.startswith("entrypoint.json.tmp.")
-            if not (is_meta or is_tmp):
-                continue
-            rel = os.path.join("_space", name)
-            if rel == current_rel:
-                continue
-            abs_f = os.path.join(self.log.log_dir, name)
-            try:
-                if os.path.getmtime(abs_f) > cutoff:
+        with self.log.commit_lock():
+            with open(self.log.entrypoint_path, "r", encoding="utf-8") as f:
+                current_rel = _json.load(f)["metadata_file"]
+            for name in sorted(os.listdir(self.log.log_dir)):
+                is_meta = (name.startswith("metadata_")
+                           and name.endswith(".json"))
+                is_tmp = name.startswith("entrypoint.json.tmp.")
+                if not (is_meta or is_tmp):
                     continue
-            except OSError:
-                continue  # raced with another vacuum
-            removed.append(rel)
-            if not dry_run:
-                os.remove(abs_f)
+                rel = os.path.join("_space", name)
+                if rel == current_rel:
+                    continue
+                reap(os.path.join(self.log.log_dir, name), rel,
+                     metadata_grace_sec)
         return sorted(removed)
 
     # ------------------------------------------------------- change-data feed

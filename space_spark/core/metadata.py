@@ -290,7 +290,8 @@ class MetadataLog:
             return StorageMetadata.from_json(f.read())
 
     def write_metadata(self, metadata: StorageMetadata,
-                       create: bool = False) -> str:
+                       create: bool = False,
+                       json_text: Optional[str] = None) -> str:
         """Write a new immutable metadata file + atomically swap the
         entrypoint.
 
@@ -309,7 +310,8 @@ class MetadataLog:
         """
         rel = self.new_metadata_relpath()
         with open(self.abs_path(rel), "w", encoding="utf-8") as f:
-            f.write(metadata.to_json())
+            f.write(json_text if json_text is not None
+                    else metadata.to_json())
             f.flush()
             os.fsync(f.fileno())
         tmp = self.entrypoint_path + f".tmp.{new_uuid()}"
@@ -318,15 +320,7 @@ class MetadataLog:
             f.flush()
             os.fsync(f.fileno())
         if create:
-            try:
-                os.link(tmp, self.entrypoint_path)  # atomic, fails if exists
-            except FileExistsError:
-                os.unlink(tmp)
-                raise SpaceError(
-                    f"Space table already exists at {self.location} "
-                    "(concurrent create?)"
-                ) from None
-            os.unlink(tmp)
+            self._publish_exclusive(tmp, rel)
         else:
             os.replace(tmp, self.entrypoint_path)  # atomic on POSIX
         dir_fd = os.open(self.log_dir, os.O_RDONLY)
@@ -335,6 +329,34 @@ class MetadataLog:
         finally:
             os.close(dir_fd)
         return rel
+
+    def _publish_exclusive(self, tmp: str, rel: str) -> None:
+        """Publish the entrypoint only if none exists. os.link is the
+        atomic primitive; filesystems without hard links (CIFS, exFAT,
+        FUSE mounts) fall back to check-then-replace under the commit
+        lock. The loser's already-written files are removed — vacuum
+        never sweeps a table it lost the race to create."""
+
+        def lose():
+            os.unlink(tmp)
+            with contextlib.suppress(OSError):
+                os.unlink(self.abs_path(rel))
+            raise SpaceError(
+                f"Space table already exists at {self.location} "
+                "(concurrent create?)"
+            )
+
+        try:
+            os.link(tmp, self.entrypoint_path)
+        except FileExistsError:
+            lose()
+        except OSError:
+            with self.commit_lock():
+                if self.exists():
+                    lose()
+                os.replace(tmp, self.entrypoint_path)
+            return
+        os.unlink(tmp)
 
     # -- optimistic concurrency ------------------------------------------------
     @contextlib.contextmanager
@@ -404,8 +426,11 @@ class MetadataLog:
             meta = self.read_metadata()
             before = meta.to_json()
             mutate(meta)
-            if meta.to_json() != before:
-                self.write_metadata(meta)
+            after = meta.to_json()
+            if after != before:
+                # Hand the serialized text down — a third O(snapshots)
+                # json.dumps per maintenance call is pure waste.
+                self.write_metadata(meta, json_text=after)
             return meta
 
 

@@ -388,7 +388,11 @@ class View:
         udf_registry = {}
 
         def udf_sink(fn) -> str:
-            name = f"udf_{len(udf_registry)}"
+            # uuid in the NAME (the plan references it and the loader
+            # derives the path from it): deterministic names would let
+            # the loser of a create/create race overwrite the winner's
+            # pickled UDFs before its exclusive publish fails.
+            name = f"udf_{len(udf_registry)}_{md.new_uuid()}"
             rel = os.path.join("_space", "udfs", f"{name}.pkl")
             with open(log.abs_path(rel), "wb") as f:
                 cloudpickle.dump(fn, f)

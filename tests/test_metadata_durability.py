@@ -40,14 +40,53 @@ def test_create_publish_is_exclusive(spark, tmp_location):
     table's schema (create/create TOCTOU)."""
     ds = Dataset.create(spark, tmp_location, SIMPLE, ["id"])
     ds.append(_rows(spark, 0, 5))
+    before = _meta_files(tmp_location)
     log = md.MetadataLog(tmp_location)
     meta = md.initial_metadata(md.TYPE_DATASET, SIMPLE, ["id"], [], {})
     with pytest.raises(SpaceError, match="already exists"):
         log.write_metadata(meta, create=True)
-    # The loser must not have damaged the winner.
+    # The loser must not have damaged the winner, and must clean up its
+    # own already-written metadata file and entrypoint temp.
     assert ds.reload().read().count() == 5
+    assert _meta_files(tmp_location) == before
     assert not glob.glob(os.path.join(tmp_location, "_space",
                                       "entrypoint.json.tmp.*"))
+
+
+def test_vacuum_sees_concurrent_commits(spark, tmp_location):
+    """A stale handle's vacuum must not treat files committed by a
+    NEWER writer as orphans: liveness comes from a fresh reload, not
+    the handle's cached metadata."""
+    a = Dataset.create(spark, tmp_location, SIMPLE, ["id"])
+    a.append(_rows(spark, 0, 5))
+    b = Dataset.load(spark, tmp_location)
+    b.append(_rows(spark, 5, 10))  # a's cached metadata doesn't know this
+    removed = a.vacuum()
+    # Spark writer sidecars (_SUCCESS, .crc) are legitimate orphans;
+    # no committed DATA file may be reaped.
+    data = [r for r in removed
+            if r.endswith(".parquet")
+            and not os.path.basename(r).startswith(".")]
+    assert data == [], data
+    assert b.reload().read().count() == 10
+
+
+def test_vacuum_reclaims_orphan_registry_files(spark, tmp_location):
+    """Pickled UDF/serializer orphans (losing create races, dropped
+    fields) are age-gated reclaimed; fresh files survive — a create in
+    progress writes its pickles before publishing the entrypoint."""
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["id"])
+    ds.append(_rows(spark, 0, 3))
+    udfs = os.path.join(tmp_location, "_space", "udfs")
+    orphan = os.path.join(udfs, "serializer_ghost_deadbeef.pkl")
+    with open(orphan, "wb") as f:
+        f.write(b"stale pickle")
+    assert not any("udfs" in r for r in ds.vacuum())  # fresh: kept
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    removed = ds.vacuum()
+    assert any(r.endswith("ghost_deadbeef.pkl") for r in removed)
+    assert not os.path.exists(orphan)
 
 
 def test_vacuum_reclaims_superseded_metadata(spark, tmp_location):
