@@ -2382,7 +2382,7 @@ def dedup_exact_documents(spark, sf_dir):
 
 DEDUP_EXACT_SQL = """
 SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count, md5(text) AS text_md5
-FROM documents GROUP BY text
+FROM documents WHERE doc_id IS NOT NULL GROUP BY text
 """
 
 

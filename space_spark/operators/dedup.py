@@ -54,6 +54,8 @@ def _fan_out(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     per query."""
     sc_ = df.sparkSession.sparkContext
     target = sc_.defaultParallelism
+    if target <= 1:
+        return df  # a repartition(1) of one partition is a pure tax
     try:
         files = df.inputFiles()
     except Exception:  # non-file-based plans: leave partitioning alone
@@ -142,8 +144,13 @@ def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
 
 def duplicate_groups(df: DataFrame, cols: Sequence[str], id_col: str
                      ) -> DataFrame:
-    """(group key cols, keep_id, dup_count) per distinct value group."""
-    return df.groupBy(*cols).agg(
+    """(group key cols, keep_id, dup_count) per distinct value group.
+
+    NULL-id rows are excluded, mirroring ``exact_dedup``'s contract
+    (it passes them through undeduplicated), so ``dup_count`` counts
+    exactly the rows a dedup would consider — the two operators'
+    numbers can never contradict each other."""
+    return df.where(F.col(id_col).isNotNull()).groupBy(*cols).agg(
         F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count")
     )
 
@@ -227,7 +234,12 @@ def _ngram_jaccard_prefix(
         F.col(id_col).alias("doc"),
         F.transform(_norm_tokens(F.col(text_col)), _hash64).alias("th"),
     )
-    shingled = _with_gram_signatures(tok_hashed, n, None, 0)
+    # Four consumers read the shingling output (the document-frequency
+    # aggregate, the prefix index, and both verification sides);
+    # localCheckpoint materializes the most expensive stage ONCE and the
+    # ContextCleaner reclaims the blocks when the result is dropped — no
+    # explicit release() lifecycle for a lazy-returning operator.
+    shingled = _with_gram_signatures(tok_hashed, n, None, 0).localCheckpoint()
     exploded = shingled.select(
         "doc", "n_shingles", F.explode("shingles").alias("shingle")
     )
@@ -450,6 +462,15 @@ def minhash_lsh_pairs(
     Arrow and unpersists the cached signatures before returning;
     ``materialize=False`` returns the lazy plan for write-out-at-scale
     callers, who must call ``release(result)`` when done."""
+    if bands < 1 or num_perm % bands != 0:
+        # bands > num_perm would make every band hash an EMPTY slice —
+        # all docs share every bucket, an O(n^2) candidate explosion;
+        # a non-dividing bands silently discards trailing permutations
+        # and breaks the documented 1-(1-t^r)^b recall.
+        raise ValueError(
+            f"bands must divide num_perm (got num_perm={num_perm}, "
+            f"bands={bands})"
+        )
     rows_per_band = num_perm // bands
     # Token hashing runs JVM-side (one xxhash64 per token); gram hashes +
     # the num_perm affine permutations + mins run as ONE vectorized numpy
@@ -476,7 +497,13 @@ def minhash_lsh_pairs(
         )
         for i in range(bands)
     ]
-    buckets = sig_df.select(
+    # Empty-shingle docs (null/empty text) all carry the identical
+    # sentinel signature: banding them pairs every such doc with every
+    # other — O(k^2) candidates on a crawl's k null rows — and their
+    # verification divides 0/0 (a job-killing DIVIDE_BY_ZERO under
+    # Spark 4's default ANSI mode). They can never reach any positive
+    # threshold, so excluding them is output-equivalent.
+    buckets = sig_df.where(F.col("n_shingles") > 0).select(
         "doc", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc", "bb.band", "bb.bucket")
 
@@ -528,8 +555,12 @@ def minhash_lsh_pairs(
     # blocks, and hand back a local-backed DataFrame. No persisted
     # blocks outlive the call (round-2 leak: every invocation left
     # MEMORY_AND_DISK signature blocks on executors forever).
-    tbl = out.toArrow()
-    sig_df.unpersist()
+    try:
+        tbl = out.toArrow()
+    finally:
+        # Without the finally, a failed collect (executor OOM, interrupt)
+        # leaks the persisted signature blocks on every retry.
+        sig_df.unpersist()
     return df.sparkSession.createDataFrame(tbl)
 
 
@@ -585,6 +616,16 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    else:
+        # Returning silently would hand back labels that split one true
+        # component into several clusters — wrong keep-one decisions
+        # with no signal. Diameter > max_iter means the caller needs a
+        # bigger budget, not a wrong answer.
+        raise RuntimeError(
+            f"dedup_clusters did not converge in max_iter={max_iter} "
+            "iterations (component diameter exceeds the budget); "
+            "raise max_iter"
+        )
     return labels.select("doc", F.col("label").alias("cluster_id"))
 
 

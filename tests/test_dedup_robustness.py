@@ -1,0 +1,66 @@
+"""Dedup-operator robustness pins from the round-7 review — each of
+these reproduced a real failure before its fix."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from space_spark.operators.dedup import (
+    dedup_clusters,
+    duplicate_groups,
+    minhash_lsh_pairs,
+)
+
+
+def test_minhash_survives_multiple_null_docs_under_ansi(spark):
+    """Two+ null/empty docs share the identical sentinel signature, so
+    they bucket-collide in every band; verifying such a pair divides
+    0/0 — a job-killing DIVIDE_BY_ZERO under Spark 4's default ANSI
+    mode (the null-inputs fixture had exactly ONE null row, which is
+    why it never caught this). Empty-shingle docs are now excluded
+    from banding — output-equivalent, since they can never reach a
+    positive threshold."""
+    rows = [(1, None), (2, None), (3, ""), (4, "a b c d e f"),
+            (5, "a b c d e f")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        pairs = minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert got == {(4, 5)}, got  # real dups found; null docs pair nothing
+
+
+def test_minhash_rejects_bad_band_geometry(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(docs, "doc_id", "text", num_perm=8, bands=16)
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(docs, "doc_id", "text", num_perm=100, bands=64)
+
+
+def test_dedup_clusters_raises_when_budget_exhausted(spark):
+    """A component whose diameter exceeds max_iter must raise, not
+    silently return labels that split one true component."""
+    chain = [(i, i + 1) for i in range(8)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup_clusters(pairs, max_iter=2)
+    ok = dedup_clusters(pairs, max_iter=20)
+    assert ok.select(F.countDistinct("cluster_id")).first()[0] == 1
+
+
+def test_duplicate_groups_excludes_null_ids(spark):
+    """exact_dedup passes NULL-id rows through undeduplicated; the
+    group report must count only rows a dedup would actually consider,
+    so the two operators' numbers can never contradict."""
+    rows = [(None, "x"), (5, "x"), (None, "y")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["text"]: r for r in
+           duplicate_groups(docs, ["text"], "doc_id").collect()}
+    assert out["x"]["keep_id"] == 5 and out["x"]["dup_count"] == 1
+    assert "y" not in out  # all-null-id group: nothing dedupable
