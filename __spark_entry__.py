@@ -3740,7 +3740,12 @@ _CHURNED_THIS_ROUND = [
 # queries leading by staleness (insert/upsert/mor_delete/diff/zorder*2/
 # rename) all drive create+commit+swap end-to-end; the specific
 # surfaces that sit out (sql_table, mv_refresh, compact, time_travel,
-# ...) are suite-covered now and staleness-lead next round.
+# ...) are suite-covered now and staleness-lead next round. Likewise
+# dedup_exact_documents (r6-green, sits out): duplicate_groups now
+# excludes NULL-id rows with the oracle updated in lockstep —
+# bit-identical output on any corpus with non-null ids, verified at
+# sf0.001/0.01 this round; the minhash/jaccard/cluster hardening is
+# covered by their window-leading queries.
 
 
 def _is_green(row) -> bool:
