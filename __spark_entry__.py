@@ -2954,7 +2954,14 @@ def _rp_sql(out_dim: int = 8, seed: int = 7) -> str:
             f"CAST({inv} AS DOUBLE), 6)"
         )
     cols = ", ".join(f"{c} AS p{i}" for i, c in enumerate(comps))
-    return f"SELECT vec_id, {cols} FROM embeddings"
+    # Lockstep with random_projection's poison filter: null vectors,
+    # wrong-length vectors, and non-finite/null components are excluded
+    # (no such rows exist in the synthetic corpus, but the filter must
+    # agree between engines on any input).
+    return f"""SELECT vec_id, {cols} FROM embeddings
+WHERE embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
+  AND NOT list_bool_or(list_transform(embedding,
+        x -> x IS NULL OR isnan(x) OR isinf(x)))"""
 
 
 ANN_RP_SQL = _rp_sql()

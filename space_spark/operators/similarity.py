@@ -123,6 +123,11 @@ def cosine_topk(
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
+    if dim < 1 or n_planes < 1:
+        raise ValueError(
+            f"dim and n_planes must be >= 1 (got dim={dim}, "
+            f"n_planes={n_planes})"
+        )
     rnd = random.Random(seed)
     return [
         [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
@@ -156,6 +161,14 @@ def _plane_lit(plane: tuple) -> Column:
 
 def lsh_bucket(vec: Column, planes: List[List[float]]) -> Column:
     """Sign-bit bucket id from fixed random hyperplanes."""
+    if not planes or len(planes) > 30:
+        # >30 bits overflows the int32 bucket id (CAST_OVERFLOW kills the
+        # job under ANSI; silent wraparound merges unrelated buckets
+        # otherwise) — same geometry-validation class as dedup.py's LSH
+        # band check.
+        raise ValueError(
+            f"lsh_bucket needs 1..30 planes, got {len(planes)}"
+        )
     bits = [
         F.when(
             dot(vec, _plane_lit(tuple(plane))) >= 0, F.lit(1 << i)
@@ -182,14 +195,21 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates limited to LSH bucket neighborhoods.
 
-    ``probes`` > 0 also probes buckets within that hamming distance of the
-    query's bucket (multi-probe LSH), trading compute for recall. The join
-    is a hash shuffle on bucket id — at 100 TB no task ever sees the whole
-    corpus."""
+    ``probes`` >= 1 additionally probes every bucket at hamming
+    distance EXACTLY 1 from the query's bucket (all single-bit flips —
+    the standard multi-probe step; deeper probe rings are not
+    implemented, so values above 1 behave like 1). The join is a hash
+    shuffle on bucket id — at 100 TB no task ever sees the whole
+    corpus. Vectors whose length differs from ``dim`` are EXCLUDED:
+    zip_with null-pads a mismatched dot product, which would otherwise
+    silently send every row to bucket 0 — one reducer scoring the full
+    cross product."""
     from space_spark.operators.dedup import _fan_out
 
-    corpus = corpus.where(F.col(vec_col).isNotNull())
-    queries = queries.where(F.col(vec_col).isNotNull())
+    corpus = corpus.where(F.col(vec_col).isNotNull()
+                          & (F.size(F.col(vec_col)) == dim))
+    queries = queries.where(F.col(vec_col).isNotNull()
+                            & (F.size(F.col(vec_col)) == dim))
     planes = _hyperplanes(dim, n_planes, seed)
     # min_bytes gate: repartitioning only pays off once the corpus is
     # big enough that per-row bucket hashing dominates the shuffle.
@@ -267,6 +287,11 @@ def ivf_centroids(
     list. Better recall on clustered corpora; opt-in because float-mean
     partial-aggregation order is engine-dependent, so refined centroids
     are not bit-for-bit SQL-oracle-able like the deterministic sample."""
+    # NULL ids would sort NULLS FIRST into every centroid slot (and tie
+    # nondeterministically among themselves, breaking bit-for-bit
+    # reproducibility); these operators take arbitrary DataFrames, not
+    # just tables the null-PK ingress check guards.
+    corpus_v = corpus_v.where(F.col("id").isNotNull())
     key = _knuth_key(F.col("id"))
     chosen = corpus_v.orderBy(key.asc(), F.col("id").asc()).limit(n_centroids)
     w = Window.orderBy(_knuth_key(F.col("id")).asc(), F.col("id").asc())
@@ -280,8 +305,20 @@ def ivf_centroids(
     # (broadcast cross join + per-id top-1 window), then an element-wise
     # mean via posexplode + (list, position) aggregate — two hash
     # shuffles, no driver state, scales with the corpus.
-    scored = corpus_v.crossJoin(F.broadcast(seeds)).withColumn(
-        "csim", F.round(cosine(F.col("v"), F.col("cent_v")), 6)
+    # Cached norms (same discipline as every other join in this file):
+    # the inline cosine() helper would re-fold both norms per pair,
+    # tripling the sweep's dominant cost; the rounded quotient is built
+    # from the same doubles either way.
+    scored = (
+        corpus_v.withColumn("__nrm", norm(F.col("v")))
+        .crossJoin(F.broadcast(
+            seeds.withColumn("__cnrm", norm(F.col("cent_v")))
+        ))
+        .withColumn(
+            "csim",
+            F.round(dot(F.col("v"), F.col("cent_v"))
+                    / (F.col("__nrm") * F.col("__cnrm")), 6),
+        )
     )
     aw = Window.partitionBy("id").orderBy(
         F.col("csim").desc(), F.col("cent_id").asc()
@@ -402,9 +439,12 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
+    # No dropDuplicates: each corpus vector lives in exactly ONE list
+    # (assign(v, 1)) and a query probes n_probe DISTINCT lists, so a
+    # (query_id, neighbor_id) pair arises at most once — the dedup was a
+    # provably-empty full extra shuffle of the scored candidates.
     return (
-        scored.dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
@@ -465,7 +505,10 @@ def quantize_int8(
     double so results are engine-exact (oracled). Zero vectors — and
     vectors with NaN/Inf components, which have no finite scale and
     would otherwise die in the ANSI int cast (CAST_OVERFLOW: NaN ->
-    INT) — quantize to zeros with scale 0.
+    INT) — quantize to zeros with scale 0, as do vectors containing
+    NULL components (no finite scale either). Rows whose vector is
+    NULL are excluded entirely (there is no length to emit zeros at),
+    matching every other operator in this module.
 
     Shape note: amax and scale materialize as NAMED intermediate
     columns. Referencing the array_max expression inline from the
@@ -476,9 +519,14 @@ def quantize_int8(
     amax_expr = F.array_max(
         F.transform(v, lambda x: F.abs(x.cast("double")))
     )
-    staged = df.withColumn("__amax", amax_expr)
+    staged = df.where(v.isNotNull()).withColumn("__amax", amax_expr)
     am = F.col("__amax")
-    usable = (am > 0) & ~F.isnan(am) & (am < F.lit(float("inf")))
+    # array_max SKIPS null elements, so a vector like [NULL, 5.0] would
+    # otherwise count as usable and emit a NULL inside q.
+    usable = (
+        (am > 0) & ~F.isnan(am) & (am < F.lit(float("inf")))
+        & ~F.exists(v, lambda x: x.isNull())
+    )
     staged = staged.withColumn(
         "__scale", F.when(usable, am / F.lit(127.0)).otherwise(F.lit(0.0))
     )
@@ -514,6 +562,7 @@ def neardup_pairs(
 
     v = _fan_out(
         df.where(F.col(vec_col).isNotNull()
+                 & (F.size(F.col(vec_col)) == dim)
                  & _usable_norm(norm(F.col(vec_col))))
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     )
@@ -711,7 +760,13 @@ def random_projection(
 
     Pure per-row projection: no shuffle, whole-row JVM folds against
     memoized literal plane columns (see ``_plane_lit``), deterministic
-    and SQL-oracle-able (rounded elements, fixed fold order)."""
+    and SQL-oracle-able (rounded elements, fixed fold order).
+
+    Rows with NULL vectors, wrong-length vectors (zip_with would
+    null-pad the dot), or non-finite/NULL components are EXCLUDED —
+    the module's standard poison discipline; a NaN projection fed to a
+    downstream ANN index would reintroduce exactly the
+    NaN-tops-every-ranking poison retrieval filters out."""
     import math
 
     from space_spark.operators.dedup import _fan_out
@@ -719,10 +774,18 @@ def random_projection(
     planes = _hyperplanes(in_dim, out_dim, seed)
     inv = 1.0 / math.sqrt(float(out_dim))
     v = F.col(vec_col)
+    finite_comps = ~F.exists(
+        v,
+        lambda x: (
+            x.isNull() | F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == F.lit(float("inf")))
+        ),
+    )
     comps = [
         F.round(dot(v, _plane_lit(tuple(p))) * F.lit(inv), round_digits)
         for p in planes
     ]
-    return _fan_out(df.select(id_col, vec_col)).select(
-        F.col(id_col), F.array(*comps).alias(out_col)
-    )
+    return _fan_out(
+        df.where(v.isNotNull() & (F.size(v) == in_dim) & finite_comps)
+        .select(id_col, vec_col)
+    ).select(F.col(id_col), F.array(*comps).alias(out_col))

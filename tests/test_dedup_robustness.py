@@ -64,3 +64,39 @@ def test_duplicate_groups_excludes_null_ids(spark):
            duplicate_groups(docs, ["text"], "doc_id").collect()}
     assert out["x"]["keep_id"] == 5 and out["x"]["dup_count"] == 1
     assert "y" not in out  # all-null-id group: nothing dedupable
+
+
+def test_similarity_geometry_and_poison_guards(spark):
+    """similarity.py analogs of the LSH geometry/poison class (round-7
+    review): bad plane counts raise; wrong-length vectors are excluded
+    instead of silently collapsing every row into bucket 0; quantize
+    handles null vectors/components; random_projection drops poison."""
+    from space_spark.operators.similarity import (
+        lsh_bucket_topk,
+        quantize_int8,
+        random_projection,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [1.0, 0.0, 5.0]),
+         (4, None), (5, [float("nan"), 1.0]), (6, [None, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="planes"):
+        lsh_bucket_topk(emb, emb, dim=2, n_planes=31).collect()
+    with pytest.raises(ValueError, match=">= 1"):
+        lsh_bucket_topk(emb, emb, dim=2, n_planes=0).collect()
+    out = lsh_bucket_topk(emb, emb, dim=2, n_planes=4, k=2).collect()
+    ids = {r["query_id"] for r in out} | {r["neighbor_id"] for r in out}
+    assert 3 not in ids and 4 not in ids  # wrong-length + null excluded
+
+    q = {r["id"]: r for r in quantize_int8(emb, "vec_id").collect()}
+    assert 4 not in q  # null vector: no length to quantize at
+    assert q[6]["scale"] == 0.0 and q[6]["q"] == [0, 0]  # null component
+    assert q[1]["q"] == [127, 0]
+
+    p = {r["vec_id"]: r
+         for r in random_projection(emb, "vec_id", "embedding",
+                                    out_dim=3, in_dim=2).collect()}
+    assert set(p) == {1, 2}  # poison/mismatch rows dropped
+    assert all(x is not None for x in p[1]["proj"])
