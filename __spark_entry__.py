@@ -3752,7 +3752,12 @@ _CHURNED_THIS_ROUND = [
 # excludes NULL-id rows with the oracle updated in lockstep —
 # bit-identical output on any corpus with non-null ids, verified at
 # sf0.001/0.01 this round; the minhash/jaccard/cluster hardening is
-# covered by their window-leading queries.
+# covered by their window-leading queries. The similarity.py hardening
+# (geometry checks, poison filters, ivf shuffle removal) is likewise
+# output-identical on well-formed inputs — ann_lsh/ivf/quantize/
+# neardup/semantic (r6-green, sit out) re-verified against their
+# oracles at sf0.001/0.01 locally; ann_cosine_topk and
+# ann_random_projection verify externally in this round's window.
 
 
 def _is_green(row) -> bool:
