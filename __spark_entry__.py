@@ -3698,6 +3698,119 @@ FROM documents
 """
 
 
+def ann_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: per query vector, the top-5
+    most-similar corpus vectors with a DIFFERENT label — the offline
+    negatives a SimCSE/DPR/CLIP-style trainer mines at corpus scale.
+    Same broadcast-probe plan as ann_cosine_topk with the
+    label-inequality predicate fused into the join condition."""
+    from space_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return hard_negatives(
+        emb, queries_df, "vec_id", "embedding", "label", k=5, n_queries=5
+    ).select(
+        "query_id", "neighbor_id", "neighbor_label", "score",
+        F.col("rank").cast("long").alias("rnk"),
+    )
+
+
+ANN_HARDNEG_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+           FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                  label AS neighbor_label
+           FROM embeddings),
+     scored AS (
+       SELECT query_id, neighbor_id, neighbor_label,
+         ROUND({_cosine_sql('qv', 'cv')}, 4) AS score
+       FROM q, c
+       WHERE query_id != neighbor_id AND qlabel <> neighbor_label
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, neighbor_label, score, rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+def sample_quality_mix(spark, sf_dir):
+    """CCNet-style perplexity-bucket mixing: unigram-LM score ->
+    head/middle/tail label from corpus-level integer cut points (scalar
+    aggregate, NO ntile/global sort) -> per-bucket md5-hash keep rates
+    (1.0 / 0.5 / 0.1). The quality-weighted thinning step of a crawl
+    pipeline, bit-identical across engines."""
+    from space_spark.operators.sampling import quality_mix_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_mix_sample(docs, "doc_id", "text").select(
+        "doc_id", "bucket", "mean_lp_micro"
+    )
+
+
+SAMPLE_QUALITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+             AS token
+    FROM documents)
+  WHERE token <> ''
+), counts AS (
+  SELECT token, COUNT(*)::BIGINT AS freq FROM toks GROUP BY token
+), vocab AS (
+  SELECT token, freq FROM (
+    SELECT token, freq,
+           ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS r
+    FROM counts)
+  WHERE r <= 65536
+), lp_scored AS (
+  SELECT token,
+         CAST(ROUND(log10(freq / total) * 1000000) AS BIGINT) AS lp
+  FROM vocab, (SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM vocab)
+), per_doc AS (
+  SELECT doc_id,
+    COUNT(lp)::BIGINT AS n_scored,
+    COALESCE(SUM(lp), 0)::BIGINT AS s
+  FROM toks LEFT JOIN lp_scored USING (token)
+  GROUP BY doc_id
+), means AS (
+  SELECT d.doc_id,
+    CASE WHEN COALESCE(p.n_scored, 0) > 0
+         THEN CAST(FLOOR(CAST(p.s AS DOUBLE) / p.n_scored) AS BIGINT)
+    END AS mean_lp_micro
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+), stats AS (
+  SELECT COUNT(mean_lp_micro)::BIGINT AS cnt,
+         SUM(mean_lp_micro) AS ssum,
+         MIN(mean_lp_micro) AS smin
+  FROM means
+), labeled AS (
+  SELECT m.doc_id, m.mean_lp_micro,
+    CASE
+      WHEN m.mean_lp_micro IS NULL THEN 'tail'
+      WHEN m.mean_lp_micro >=
+           CAST(FLOOR(CAST(ssum AS DOUBLE) / cnt) AS BIGINT) THEN 'head'
+      WHEN m.mean_lp_micro >= CAST(FLOOR(CAST(
+             CAST(FLOOR(CAST(ssum AS DOUBLE) / cnt) AS BIGINT) + smin
+           AS DOUBLE) / 2.0) AS BIGINT) THEN 'middle'
+      ELSE 'tail'
+    END AS bucket
+  FROM means m, stats
+)
+SELECT doc_id, bucket, mean_lp_micro
+FROM labeled
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+      % 10000
+      < CASE bucket WHEN 'head' THEN 10000
+                    WHEN 'middle' THEN 5000
+                    ELSE 1000 END
+"""
+
+
 # ------------------------------------------------------------------ registry
 #
 # The external correctness gate checks the FIRST 50 queries() entries

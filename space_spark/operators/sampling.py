@@ -243,6 +243,94 @@ def weighted_sample(
     )
 
 
+def quality_mix_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rates: Sequence[float] = (1.0, 0.5, 0.1),
+    vocab_size: int = 65536,
+    seed: int = 42,
+) -> DataFrame:
+    """CCNet-style perplexity-bucket mixing: score every document with
+    the corpus-unigram LM (``text.unigram_logprob`` — the KenLM stand-in),
+    label it head / middle / tail by its mean per-token log-probability
+    relative to corpus-level cut points, and keep each bucket at its
+    ``rates`` fraction (head, middle, tail) by the deterministic md5
+    bucket hash. This is the quality-mixing step of a crawl pipeline:
+    fluent text trains at full weight, the murky middle is thinned, the
+    perplexity tail (boilerplate, gibberish, wrong-language shards) is
+    nearly dropped — without a hard cliff that would delete every
+    informal document.
+
+    Cut points are CORPUS-LEVEL statistics in exact integer micro-units,
+    not data-independent constants and not quantiles: head starts at the
+    corpus mean of per-document means, tail below the midpoint between
+    that mean and the corpus minimum. Both derive from one scalar
+    aggregate (count / sum / min — all combinable, map-side partial),
+    so the bucketing needs NO global sort or NTILE window: an NTILE
+    tercile — the textbook formulation — funnels every row through one
+    task at 100 TB, while this plan's only corpus-keyed exchanges are
+    the ones already inside ``unigram_logprob``. Every arithmetic step
+    is integer-exact or a single IEEE double divide + floor, so bucket
+    membership — and therefore the kept set — is bit-identical across
+    engines.
+
+    Documents the LM could not score at all (empty / NULL / whitespace
+    text: ``n_scored == 0``) have no fluency evidence and land in the
+    tail bucket with a NULL mean.
+
+    Returns kept rows only: (id, bucket, mean_lp_micro). Join back to
+    the corpus on the id to materialize surviving text. The scoring
+    subtree is embedded twice (once under the stats aggregate, once on
+    the labeling side) — at real scale persist/checkpoint the score
+    table first; the operator itself stays a pure lazy plan."""
+    if len(rates) != 3:
+        raise ValueError("rates must be (head, middle, tail)")
+    if not all(0.0 <= r <= 1.0 for r in rates):
+        raise ValueError("rates must be fractions in [0, 1]")
+    from space_spark.operators.text import unigram_logprob
+
+    scores = unigram_logprob(df, id_col, text_col, vocab_size)
+    scored = scores.withColumn(
+        "mean_lp_micro",
+        F.when(
+            F.col("n_scored") > 0,
+            F.floor(
+                F.col("logprob_micro_sum").cast("double")
+                / F.col("n_scored")
+            ),
+        ).cast("long"),
+    )
+    stats = scored.where(F.col("mean_lp_micro").isNotNull()).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum("mean_lp_micro").alias("__sum"),
+        F.min("mean_lp_micro").alias("__min"),
+    )
+    mean_mu = F.floor(
+        F.col("__sum").cast("double") / F.col("__cnt")
+    ).cast("long")
+    tail_cut = F.floor(
+        (mean_mu + F.col("__min")).cast("double") / F.lit(2.0)
+    ).cast("long")
+    labeled = scored.crossJoin(F.broadcast(stats)).withColumn(
+        "bucket",
+        F.when(F.col("mean_lp_micro").isNull(), F.lit("tail"))
+        .when(F.col("mean_lp_micro") >= mean_mu, F.lit("head"))
+        .when(F.col("mean_lp_micro") >= tail_cut, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    head_t, mid_t, tail_t = (int(round(r * BUCKETS)) for r in rates)
+    keep_thresh = (
+        F.when(F.col("bucket") == "head", F.lit(head_t))
+        .when(F.col("bucket") == "middle", F.lit(mid_t))
+        .otherwise(F.lit(tail_t))
+    )
+    return (
+        labeled.where(hash_bucket(F.col(id_col), seed) < keep_thresh)
+        .select(id_col, "bucket", "mean_lp_micro")
+    )
+
+
 def temperature_mix_sample(
     df: DataFrame,
     group_col: str,

@@ -122,6 +122,80 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    round_digits: int = 4,
+    broadcast_max: int = COSINE_TOPK_BROADCAST_MAX,
+    n_queries: Optional[int] = None,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every query row, the ``k``
+    corpus vectors MOST similar to it whose ``label_col`` DIFFERS from
+    the query's — the candidates a contrastive/embedding trainer wants
+    as negatives precisely because the encoder currently confuses them
+    with the anchor (SimCSE / DPR / CLIP-style batch construction mines
+    these offline at corpus scale).
+
+    Output: (query_id, neighbor_id, neighbor_label, score, rank); rank
+    orders by rounded score desc, neighbor id asc — deterministic across
+    engines, same contract as ``cosine_topk``.
+
+    Plan shape is ``cosine_topk``'s (broadcast query side vs streamed
+    corpus, norms cached per row, one per-query top-k window) with the
+    label-inequality predicate fused into the JOIN condition, so
+    same-label candidates are discarded at the broadcast probe — before
+    the score fold and the top-k exchange — not filtered afterwards.
+    Rows with a NULL label are excluded from BOTH sides: NULL <> x is
+    unknowable, and a trainer cannot use a negative whose class it
+    cannot certify."""
+    corpus = corpus.where(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    queries = queries.where(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("qlabel"),
+    ).withColumn("qn", norm(F.col("qv"))).where(_usable_norm(F.col("qn")))
+    from space_spark.operators.dedup import _fan_out
+
+    c = _fan_out(corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("neighbor_label"),
+    )).withColumn("cn", norm(F.col("cv"))).where(_usable_norm(F.col("cn")))
+    if n_queries is None:
+        n_queries = q.limit(broadcast_max + 1).count()
+    q_side = F.broadcast(q) if n_queries <= broadcast_max else q
+    scored = (
+        c.join(
+            q_side,
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("qlabel") != F.col("neighbor_label")),
+        )
+        .withColumn(
+            "score",
+            F.round(dot(F.col("qv"), F.col("cv"))
+                    / (F.col("qn") * F.col("cn")), round_digits),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "score",
+                "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
     if dim < 1 or n_planes < 1:
         raise ValueError(

@@ -22,6 +22,10 @@ CANDIDATES = {
         entry_mod.space_schema_evolution, entry_mod.SPACE_EVOLUTION_SQL),
     "multimodal_video_metadata": (
         entry_mod.multimodal_video_metadata, entry_mod.VIDEO_METADATA_SQL),
+    "ann_hard_negatives": (
+        entry_mod.ann_hard_negatives, entry_mod.ANN_HARDNEG_SQL),
+    "sample_quality_mix": (
+        entry_mod.sample_quality_mix, entry_mod.SAMPLE_QUALITY_SQL),
 }
 
 
