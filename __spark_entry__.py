@@ -3698,6 +3698,174 @@ FROM documents
 """
 
 
+def stream_session_agg(spark, sf_dir):
+    """Streaming gap-based sessionization (streaming/changefeed.py
+    session_agg: F.session_window + watermark) across three
+    deterministic micro-batches (maxFilesPerTrigger=1 over mtime-ordered
+    files, availableNow):
+
+      b1: real events with synthesized time offset < 5640s
+      b2: the rest of the real events, plus a BUMPER (user -2) at
+          base+13000s — sessions straddling the b1/b2 time boundary
+          (offset 5593 in b1, 5640 in b2: 47s < the 100s gap) exercise
+          the cross-batch state-store session MERGE, and every b2 row
+          sits above the post-b1 watermark (5593-63), so nothing is
+          late-dropped under any conforming watermark timing
+      b3: FLUSHER (user -3) at base+20000s — processed with the
+          watermark through b2 (13000-63 = 12937s), which exceeds every
+          real session end (max 11233+100), so ALL real sessions
+          finalize and emit in b3
+      b4: a second flusher row (user -3, base+20001s) — processed with
+          the watermark through b3 (19937s > 13100), which flushes the
+          BUMPER's own session; it merges into the flusher session
+          itself (1s apart)
+
+    Every session's emission is decided in a REAL batch, so the output
+    does not depend on whether the availableNow drain appends a
+    trailing no-data micro-batch: the bumper session (in the oracle)
+    emits in b4, and the flusher session (excluded) can NEVER emit —
+    its last event is the stream's global maximum event time, so the
+    watermark (max - 63s) is forever below its end (max + 100s). No
+    sink-side row filter is involved: a predicate on the grouping key
+    would be pushed below the watermark operator and silently remove
+    the sentinels from watermark tracking (observed: the two
+    highest-ending real sessions never flush). Session bounds return
+    as epoch SECONDS (long): integer arithmetic both engines compute
+    identically. Event times are synthesized from event_id (offset =
+    (event_id % 240) * 47s), and 47 ∤ 100 keeps every inter-event gap
+    strictly off the merge-boundary equality case."""
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    from space_spark.streaming.changefeed import session_agg
+
+    base = _space_tmp()
+    stream_dir, out_dir, ckpt = (
+        base + "/in", base + "/out", base + "/ckpt"
+    )
+    os.makedirs(stream_dir)
+    e = (
+        _events(spark, sf_dir)
+        .where(F.col("event_id") % 11 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            (
+                F.expr("timestamp'2024-01-01 00:00:00'")
+                + F.expr(
+                    "make_interval(0,0,0,0,0,0, (event_id % 240) * 47)"
+                )
+            ).alias("ts"),
+        )
+    )
+    bumper = spark.sql(
+        "SELECT CAST(-2 AS BIGINT) AS event_id,"
+        " CAST(-2 AS BIGINT) AS user_id,"
+        " timestamp'2024-01-01 00:00:00'"
+        " + make_interval(0,0,0,0,0,0,13000) AS ts"
+    )
+    flusher = spark.sql(
+        "SELECT CAST(-3 AS BIGINT) AS event_id,"
+        " CAST(-3 AS BIGINT) AS user_id,"
+        " timestamp'2024-01-01 00:00:00'"
+        " + make_interval(0,0,0,0,0,0,20000) AS ts"
+    )
+    flusher2 = spark.sql(
+        "SELECT CAST(-4 AS BIGINT) AS event_id,"
+        " CAST(-3 AS BIGINT) AS user_id,"
+        " timestamp'2024-01-01 00:00:00'"
+        " + make_interval(0,0,0,0,0,0,20001) AS ts"
+    )
+
+    def write_one(df, name, mtime):
+        stage = base + "/stage"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(stage + "/part-*.parquet")[0]
+        dest = os.path.join(stream_dir, name)
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    now = _time.time()
+    lo = e.where((F.col("event_id") % 240) * 47 < 5640)
+    hi = e.where((F.col("event_id") % 240) * 47 >= 5640)
+    write_one(lo, "batch0.parquet", now - 400)
+    write_one(hi.unionAll(bumper), "batch1.parquet", now - 300)
+    write_one(flusher, "batch2.parquet", now - 200)
+    write_one(flusher2, "batch3.parquet", now - 100)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    sessions = session_agg(
+        stream, "user_id", "ts", gap="100 seconds",
+        watermark="63 seconds",
+        extra_aggs=[
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("last_event_id"),
+        ],
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming sessionization did not drain its 4 "
+                "micro-batches within 600s — refusing to read a "
+                "partial output"
+            )
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out_dir).select(
+        "user_id",
+        F.col("session_start").cast("long").alias("session_start_es"),
+        F.col("session_end").cast("long").alias("session_end_es"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "first_event_id",
+        "last_event_id",
+    )
+
+
+STREAM_SESSION_SQL = """
+WITH e AS (
+  SELECT event_id, user_id,
+         1704067200 + (event_id % 240) * 47 AS es
+  FROM events WHERE event_id % 11 = 0
+), g AS (
+  SELECT event_id, user_id, es,
+    CASE WHEN LAG(es) OVER w IS NULL
+           OR es - LAG(es) OVER w >= 100
+    THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY es, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+  MIN(es)::BIGINT AS session_start_es,
+  (MAX(es) + 100)::BIGINT AS session_end_es,
+  COUNT(*)::BIGINT AS n_events,
+  MIN(event_id)::BIGINT AS first_event_id,
+  MAX(event_id)::BIGINT AS last_event_id
+FROM s GROUP BY user_id, sid
+UNION ALL
+SELECT CAST(-2 AS BIGINT), CAST(1704067200 + 13000 AS BIGINT),
+       CAST(1704067200 + 13100 AS BIGINT), CAST(1 AS BIGINT),
+       CAST(-2 AS BIGINT), CAST(-2 AS BIGINT)
+"""
+
+
 def ann_hard_negatives(spark, sf_dir):
     """Contrastive hard-negative mining: per query vector, the top-5
     most-similar corpus vectors with a DIFFERENT label — the offline

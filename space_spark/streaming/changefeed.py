@@ -249,6 +249,51 @@ def windowed_event_counts(
     )
 
 
+def session_agg(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    extra_aggs=None,
+) -> DataFrame:
+    """Streaming gap-based sessionization with watermark-BOUNDED state
+    (``F.session_window`` — the event-time session operator behind user
+    journeys, crawl-visit grouping, interaction-log windowing). A
+    session is the maximal run of a key's events where each event
+    arrives within ``gap`` of the previous one; the emitted window spans
+    [first event, last event + gap). Sessions MERGE across micro-batches
+    while open (an event landing between two open sessions fuses them —
+    state-store session merge, not something a batch window can do
+    incrementally), and a session finalizes — emits exactly once, in
+    append mode — when the watermark passes its end, which also evicts
+    its state: state size tracks concurrently-OPEN sessions (rate x
+    gap + watermark horizon), never stream lifetime.
+
+    Returns (key, session_start, session_end, n_events, *extra_aggs) as
+    a streaming DataFrame; drive it with ``writeStream``. ``extra_aggs``
+    are additional aggregate Columns (each must carry an alias); the
+    batch-side sibling of the whole operator is the gaps-and-islands
+    cumulative-sum plan (``__spark_entry__.q_sessionize``)."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    aggs += list(extra_aggs or [])
+    grouped = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(*aggs)
+    )
+    rest = [c for c in grouped.columns
+            if c not in (key_col, "session_window")]
+    return grouped.select(
+        key_col,
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *rest,
+    )
+
+
 def stream_dedup(
     stream_df: DataFrame,
     key_cols,

@@ -26,6 +26,8 @@ CANDIDATES = {
         entry_mod.ann_hard_negatives, entry_mod.ANN_HARDNEG_SQL),
     "sample_quality_mix": (
         entry_mod.sample_quality_mix, entry_mod.SAMPLE_QUALITY_SQL),
+    "stream_session_agg": (
+        entry_mod.stream_session_agg, entry_mod.STREAM_SESSION_SQL),
 }
 
 
