@@ -135,7 +135,9 @@ def _simhash_sql() -> str:
     return f"""
   toks AS (
     SELECT doc_id AS doc,
-           UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+           UNNEST(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\\s+'),
+             x -> x <> '')) AS tok
     FROM documents
   ), th AS (
     SELECT doc, {_hash60_sql('tok')} AS h FROM toks
@@ -149,16 +151,18 @@ def _jaccard_sql(threshold: float) -> str:
     oracle for the exact inverted-index operator and — by recall-sufficient
     construction — the MinHash-LSH operator)."""
     return f"""
-WITH sh AS (
+WITH tw AS (
   SELECT doc_id AS doc,
-    list_distinct(list_transform(
-      generate_series(0,
-        GREATEST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 3,
-                 0)),
-      i -> array_to_string(
-        regexp_split_to_array(lower(trim(text)), '\\s+')[i+1:i+3], ' ')
-    )) AS shingles
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS w
   FROM documents
+), sh AS (
+  SELECT doc,
+    list_filter(list_distinct(list_transform(
+      generate_series(0, GREATEST(len(w) - 3, 0)),
+      i -> array_to_string(w[i+1:i+3], ' ')
+    )), x -> x <> '') AS shingles
+  FROM tw
 ), ex AS (
   SELECT doc, len(shingles) AS n_shingles, UNNEST(shingles) AS shingle
   FROM sh
@@ -1826,7 +1830,8 @@ def dedup_substr(spark, sf_dir):
 
 DEDUP_SUBSTR_SQL = r"""
 WITH docs AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
   FROM documents
 ), w AS (
   SELECT doc_id, unnest(generate_series(0, len(toks) - 12)) AS s, toks
@@ -2729,12 +2734,14 @@ def text_decontaminate(spark, sf_dir):
 
 TEXT_DECONTAM_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  SELECT doc_id, list_filter(
+    regexp_split_to_array(lower(trim(text)), '\s+'),
+    x -> x <> '') AS w
   FROM documents
 ), grams AS (
-  SELECT doc_id, list_distinct(list_transform(
+  SELECT doc_id, list_filter(list_distinct(list_transform(
     generate_series(0, GREATEST(len(w) - 8, 0)),
-    i -> array_to_string(w[i+1:i+8], ' '))) AS g
+    i -> array_to_string(w[i+1:i+8], ' '))), x -> x <> '') AS g
   FROM toks
 ), bench AS (
   SELECT DISTINCT UNNEST(g) AS gram FROM grams WHERE doc_id % 11 = 0
@@ -4010,16 +4017,29 @@ _CHURN_QUOTA = 8
 _CHURNED_THIS_ROUND = [
     # r7 churn, derived from the round's diff by tools/churn_suggest.py
     # (function-level git-diff -> query mapping; run it before freezing
-    # this list). It flags: text_repetition (already leads by staleness
-    # — sat out r6), these 4 (slots below), and the multimodal_*
-    # queries, deliberately NOT listed — the new decode modes/parsers
-    # leave the registered pseudo path bit-identical (pinned by the
-    # sf0.001/0.01/0.1 oracle runs this round and the decode-mode unit
-    # tests); they re-verify next round by staleness anyway.
+    # this list). Beyond these 7, it flags: text_repetition (already
+    # leads by staleness — sat out r6); the multimodal_* queries
+    # (decode modes/parsers leave the registered pseudo path
+    # bit-identical, pinned by all-SF oracle runs + decode-mode unit
+    # tests); sample_temperature (diff-adjacency only — the new
+    # quality_mix_sample candidate was inserted above it, its own body
+    # is untouched); and the dataset.py/similarity.py hardening churn
+    # rationalized in the block comment below.
     "space_random_access",   # Arrow-native literal return (plan change)
     "space_zero_copy_load",  # footer-stats shape + stats-free PK scan
     "stream_dedup",          # awaitTermination timeout guard
     "space_stream_cdc",      # awaitTermination timeout guard
+    # Tokenization-semantics fixes (the two SCALE.md "deferred to
+    # round 8" defects, landed late in round 7 with oracles updated in
+    # lockstep and re-verified at sf0.001/0.01/0.1): phantom ""-edge
+    # tokens filtered, empty docs yield no grams / NULL simhash. These
+    # three are r6-green with operator code changed THIS round, so
+    # they re-verify immediately; the fix's other consumers
+    # (dedup_ngram_jaccard, dedup_minhash_lsh, dedup_cluster_labels)
+    # already lead the window by staleness.
+    "dedup_simhash_pairs",
+    "text_decontaminate",
+    "dedup_substr",
 ]
 # The round-7 metadata-core hardening (fsync'd entrypoint swap,
 # exclusive create, vacuum metadata reclamation) churns EVERY space

@@ -80,21 +80,35 @@ def _fan_out(df: DataFrame, min_bytes: int = 0) -> DataFrame:
 def _norm_tokens(text: Column) -> Column:
     # NULL text tokenizes to NO tokens: a crawl's null rows must flow
     # through dedup as empty documents, not as null arrays that poison
-    # the downstream Arrow kernels (np.asarray(None) raises).
-    return F.coalesce(
-        F.split(F.lower(F.trim(text)), r"\s+"),
-        F.array().cast("array<string>"),
+    # the downstream Arrow kernels (np.asarray(None) raises). Empty
+    # tokens are filtered: F.trim strips ASCII spaces only, so text
+    # with leading/trailing \n or \t would otherwise grow phantom ""
+    # edge tokens — two crawl docs identical but for a trailing newline
+    # (ubiquitous) scored Jaccard 0.75 instead of 1.0 and escaped
+    # near-dedup at realistic thresholds.
+    return F.filter(
+        F.coalesce(
+            F.split(F.lower(F.trim(text)), r"\s+"),
+            F.array().cast("array<string>"),
+        ),
+        lambda t: t != "",
     )
 
 
 def _token_ngrams(text: Column, n: int) -> Column:
-    """Distinct token n-gram shingles as strings."""
+    """Distinct token n-gram shingles as strings. A document with NO
+    tokens yields NO grams (the sequence(0, 0) lower bound would emit
+    one empty-string gram, which made ``decontaminate`` flag every
+    null/empty corpus doc as contaminated whenever the benchmark side
+    contained any null/empty row)."""
     toks = _norm_tokens(text)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return F.array_distinct(grams)
+    return F.when(
+        F.size(toks) == 0, F.array().cast("array<string>")
+    ).otherwise(F.array_distinct(grams))
 
 
 def _hash64(col: Column) -> Column:
@@ -317,10 +331,17 @@ def minhash_signature(
 
 def _signature_from_hashes(hashes: Column, num_perm: int, seed: int
                            ) -> Column:
+    # A gram-less doc (empty/null text) min's over an empty array ->
+    # NULL; coalesce to the MERSENNE_P sentinel the Arrow kernel path
+    # uses, so both signature APIs agree that "no content" is a
+    # signature that matches only other no-content docs.
     parts = [
-        F.array_min(
-            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b))
-                        % MERSENNE_P)
+        F.coalesce(
+            F.array_min(
+                F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b))
+                            % MERSENNE_P)
+            ),
+            F.lit(MERSENNE_P),
         )
         for a, b in _perm_constants(num_perm, seed)
     ]
@@ -669,7 +690,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             for row in batch.column(1).to_pylist():
                 h = np.asarray(row, dtype=np.int64)
                 if h.size == 0:
-                    sigs.append(0)
+                    # A content-free doc (null/empty/whitespace text)
+                    # has no signature: sig 0 would pair every such doc
+                    # with every other at hamming 0 — and with any doc
+                    # whose real signature is near-zero. NULL keeps the
+                    # row in the output but out of pairing (the SQL
+                    # oracle's GROUP BY over exploded tokens drops
+                    # token-less docs the same way).
+                    sigs.append(None)
                     continue
                 # (n_tok x 60) bit matrix; votes = sum(2*bit - 1); a bit
                 # is set iff its vote is strictly positive (ties -> 0,
@@ -698,7 +726,11 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     bit_count SQL."""
     n_chunks = max_hamming + 1
     width = (SIMHASH_BITS + n_chunks - 1) // n_chunks
-    sh = simhash(_fan_out(df), id_col, text_col)
+    # Content-free docs carry a NULL signature (see simhash) and must
+    # not enter candidate generation.
+    sh = simhash(_fan_out(df), id_col, text_col).where(
+        F.col("simhash").isNotNull()
+    )
     chunks = sh.select(
         "doc", "simhash",
         F.explode(
@@ -911,10 +943,17 @@ def dedup_substrings(
     span — the untouched majority passes through as a projection."""
     # NULL text tokenizes to NULL; coalesce to an empty array so such
     # docs flow through the untouched branch as ('', 0, 0) — matching
-    # the SQL oracle's COALESCE over an absent aggregate row.
-    toks = F.coalesce(
-        F.split(F.trim(F.col(text_col)), r"\s+"),
-        F.array().cast("array<string>"),
+    # the SQL oracle's COALESCE over an absent aggregate row. Empty
+    # tokens filtered: trim strips spaces only, so a trailing \n would
+    # otherwise add a phantom "" token that shifts every window
+    # fingerprint and inflates n_kept (same defect class as
+    # _norm_tokens; the rebuild would also emit doubled spaces).
+    toks = F.filter(
+        F.coalesce(
+            F.split(F.trim(F.col(text_col)), r"\s+"),
+            F.array().cast("array<string>"),
+        ),
+        lambda t: t != "",
     )
     base = df.select(F.col(id_col), toks.alias("__toks"))
     n = F.size(F.col("__toks"))

@@ -543,17 +543,19 @@ def test_dedup_substrings_matches_python_reference(spark, texts, window):
     # (doc, start) order; tokens of any later occurrence are covered.
     first = {}
     for doc_id, text in docs:
-        toks = text.strip().split()
-        if text.strip() == "":
-            toks = [""]
+        # str.split() drops empty tokens everywhere — exactly the fixed
+        # operator semantics (phantom "" edge tokens were a real defect,
+        # see SCALE.md round-7 tokenization fixes).
+        toks = text.split()
         for s in range(max(0, len(toks) - window + 1)):
             key = " ".join(toks[s:s + window])
             first.setdefault(key, (doc_id, s))
     want = {}
     for doc_id, text in docs:
-        toks = text.strip().split()
-        if text.strip() == "":
-            toks = [""]
+        # str.split() drops empty tokens everywhere — exactly the fixed
+        # operator semantics (phantom "" edge tokens were a real defect,
+        # see SCALE.md round-7 tokenization fixes).
+        toks = text.split()
         covered = set()
         for s in range(max(0, len(toks) - window + 1)):
             key = " ".join(toks[s:s + window])

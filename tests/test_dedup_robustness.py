@@ -100,3 +100,75 @@ def test_similarity_geometry_and_poison_guards(spark):
                                     out_dim=3, in_dim=2).collect()}
     assert set(p) == {1, 2}  # poison/mismatch rows dropped
     assert all(x is not None for x in p[1]["proj"])
+
+
+def test_trailing_whitespace_docs_are_exact_near_duplicates(spark):
+    """Round-7 tokenization fix: F.trim strips ASCII spaces only, so a
+    trailing \\n/\\t used to add a phantom '' edge token — two docs
+    identical but for a trailing newline scored Jaccard 0.75 and
+    escaped near-dedup at realistic thresholds. Fixed: empty tokens
+    are filtered, the pair scores exactly 1.0, and every tokenizing
+    operator (jaccard, minhash, simhash, substr) sees identical token
+    streams for the two docs."""
+    from space_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "alpha beta gamma delta\n"),
+         (3, "alpha beta gamma delta\t\n"),
+         (4, "\n alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(
+               docs, "doc_id", "text", threshold=0.9).collect()}
+    assert jac == {(a, b): 1.0
+                   for a in (1, 2, 3) for b in (2, 3, 4) if a < b}
+    mh = dedup.minhash_lsh_pairs(docs, "doc_id", "text",
+                                 threshold=0.9).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in mh} == set(jac)
+    sim = dedup.simhash_pairs(docs, "doc_id", "text").collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in sim} >= set(jac)
+    assert all(r["hamming"] == 0 for r in sim)
+    sub = {r["doc_id"]: r for r in dedup.dedup_substrings(
+        docs, "doc_id", "text", window=4).collect()}
+    # Doc 1 owns the only 4-token window; 2-4 lose all four tokens.
+    assert sub[1]["n_dropped"] == 0
+    assert all(sub[d]["n_dropped"] == 4 and sub[d]["text"] == ""
+               for d in (2, 3, 4))
+
+
+def test_decontaminate_ignores_content_free_docs(spark):
+    """Round-7 tokenization fix: the empty-token-array gram used to be
+    [''], so any null/empty benchmark row marked EVERY null/empty
+    corpus doc contaminated. Fixed: no tokens -> no grams -> content-
+    free docs never match."""
+    from space_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "the secret eval answer is forty two exactly today ok"),
+         (2, ""), (3, None), (4, "   \n")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the secret eval answer is forty two exactly today ok"),
+         (101, ""), (102, None)],
+        "doc_id long, text string",
+    )
+    hits = {r["doc_id"]: r["n_shared_grams"]
+            for r in decontaminate(corpus, bench, "doc_id", "text",
+                                   n=8).collect()}
+    assert set(hits) == {1} and hits[1] >= 1
+
+
+def test_simhash_empty_docs_carry_null_signature(spark):
+    from space_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(1, "real content here"), (2, ""), (3, None), (4, " \n ")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc"]: r["simhash"] for r in
+            simhash(docs, "doc_id", "text").collect()}
+    assert sigs[1] is not None
+    assert sigs[2] is None and sigs[3] is None and sigs[4] is None
