@@ -634,8 +634,12 @@ def neardup_pairs(
     probability, so candidates co-locate in one shuffle."""
     from space_spark.operators.dedup import _fan_out
 
+    # NULL ids are excluded up front (same rationale as ivf_centroids):
+    # the a<b pair predicate silently drops them SQL-side anyway, and
+    # the GEMM kernel's vectorized comparison would choke on None.
     v = _fan_out(
-        df.where(F.col(vec_col).isNotNull()
+        df.where(F.col(id_col).isNotNull()
+                 & F.col(vec_col).isNotNull()
                  & (F.size(F.col(vec_col)) == dim)
                  & _usable_norm(norm(F.col(vec_col))))
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -680,26 +684,34 @@ def _neardup_exact_gemm(v: DataFrame, threshold: float) -> DataFrame:
 
     spark = v.sparkSession
     pdf = v.toPandas()
-    ids = np.asarray(pdf["id"], dtype=np.int64)
+    # Ids keep their INPUT type (round-7 fix: this path hardcoded
+    # int64 while the LSH sibling it oracles accepts any orderable id
+    # — string doc ids crashed here). numpy compares int64 and <U
+    # string arrays elementwise just the same.
+    id_type = v.schema["id"].dataType
+    out_schema_early = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    if len(pdf) == 0:
+        # np.stack over zero rows raises; an empty corpus has no pairs.
+        return spark.createDataFrame([], out_schema_early)
+    ids = np.asarray(pdf["id"])
     mat = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
-
-    out_schema = T.StructType(
-        [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
-            T.StructField("score", T.DoubleType()),
-        ]
-    )
+    out_schema = out_schema_early
 
     def task(batches):
         all_ids, all_mat = b_ids.value, b_mat.value
         for pdf_block in batches:
             if len(pdf_block) == 0:
                 continue
-            blk_ids = np.asarray(pdf_block["id"], dtype=np.int64)
+            blk_ids = np.asarray(pdf_block["id"])
             blk = np.stack(
                 [np.asarray(x, dtype=np.float64) for x in pdf_block["v"]]
             )
@@ -735,7 +747,10 @@ def semantic_dedup(
 
     Returns (id_col, list_id, dup_of, is_dup); filtering ``NOT is_dup``
     yields the semantically-deduplicated corpus, and ``dup_of`` gives the
-    retained representative (min-id winner — deterministic).
+    RETAINED representative: min-winner pointers are chased through
+    duplicate chains to the surviving row (deterministic — see the
+    pointer-doubling pass below), so ``dup_of`` always names a row with
+    ``is_dup = false``.
 
     Scale design: the pairwise comparison is confined to clusters — the
     whole point of SemDeDup at corpus scale is that ``n_clusters`` grows
@@ -804,7 +819,44 @@ def semantic_dedup(
         )
         .select(F.col("b.id").alias("id"), F.col("a.id").alias("winner"))
     )
-    dups = pairs.groupBy("id").agg(F.min("winner").alias("dup_of"))
+    dups = (
+        pairs.groupBy("id").agg(F.min("winner").alias("dup_of"))
+        .localCheckpoint()
+    )
+    # Representative chase (round-7 fix): min-winner pointers can form
+    # chains — A(1)~B(5), B~C(9), A!~C gives C.dup_of = 5, but 5 is
+    # itself a duplicate, violating the documented contract that
+    # ``dup_of`` names the RETAINED representative. Pointer-double the
+    # (id -> dup_of) map until every pointer lands on a non-dup row:
+    # each iteration squares the chase depth (2^k after k rounds), and
+    # pointers strictly decrease, so the fixpoint test is exact. The
+    # map is bounded by duplicate volume, not corpus size;
+    # localCheckpoint truncates the per-iteration lineage (same
+    # discipline as dedup_clusters).
+    for _ in range(20):
+        x, y = dups.alias("x"), dups.alias("y")
+        jumped = (
+            x.join(y, F.col("x.dup_of") == F.col("y.id"), "left")
+            .select(
+                F.col("x.id").alias("id"),
+                F.coalesce(F.col("y.dup_of"), F.col("x.dup_of"))
+                .alias("dup_of"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n").join(dups.alias("o"), on="id")
+            .where(F.col("n.dup_of") < F.col("o.dup_of"))
+            .count()
+        )
+        dups = jumped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            "semantic_dedup: dup_of chains deeper than 2^20 — "
+            "pathological duplicate structure; raise the chase budget"
+        )
     return (
         assigned.join(dups, on="id", how="left")
         .select(

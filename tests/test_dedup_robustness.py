@@ -172,3 +172,55 @@ def test_simhash_empty_docs_carry_null_signature(spark):
             simhash(docs, "doc_id", "text").collect()}
     assert sigs[1] is not None
     assert sigs[2] is None and sigs[3] is None and sigs[4] is None
+
+
+def test_semantic_dedup_chases_duplicate_chains(spark):
+    """Round-7 fix: dup_of must name the RETAINED representative, not
+    the nearest smaller similar row. Chain: 1~2 and 2~3 but 1!~3
+    (unit vectors at 0/40/80 degrees, threshold cos45 ~ 0.707) — row 3's
+    min winner is 2, which is itself a duplicate; the pointer chase must
+    resolve 3 -> 1."""
+    import math
+
+    from space_spark.operators.similarity import semantic_dedup
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    emb = spark.createDataFrame(
+        [(1, vec(0)), (2, vec(40)), (3, vec(80))],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        emb, "vec_id", "embedding", n_clusters=1, threshold=0.7
+    ).collect()}
+    assert out[1]["is_dup"] is False and out[1]["dup_of"] is None
+    assert out[2]["dup_of"] == 1
+    assert out[3]["dup_of"] == 1  # chased through 2
+    # Contract: every dup_of points at a surviving (non-dup) row.
+    survivors = {k for k, r in out.items() if not r["is_dup"]}
+    assert all(r["dup_of"] in survivors
+               for r in out.values() if r["is_dup"])
+
+
+def test_neardup_exact_gemm_accepts_string_ids(spark):
+    """Round-7 fix: the exact-GEMM path hardcoded int64 ids while the
+    LSH path it oracles accepts any orderable id; both must agree on a
+    string-keyed corpus (and on an empty one)."""
+    from space_spark.operators.similarity import neardup_pairs
+
+    emb = spark.createDataFrame(
+        [("docA", [1.0, 0.0]), ("docB", [0.999, 0.01]),
+         ("docC", [0.0, 1.0]), (None, [1.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    exact = neardup_pairs(emb, "vec_id", "embedding", threshold=0.95,
+                          dim=2, exact=True).collect()
+    assert [(r["id_a"], r["id_b"]) for r in exact] == [("docA", "docB")]
+    lsh = neardup_pairs(emb, "vec_id", "embedding", threshold=0.95,
+                        dim=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in lsh} <= {("docA", "docB")}
+    empty = emb.where("vec_id = 'nope'")
+    assert neardup_pairs(empty, "vec_id", "embedding", threshold=0.9,
+                         dim=2, exact=True).count() == 0
