@@ -3598,11 +3598,14 @@ WHERE n_regionkey <= 2
 
 
 # ----------------------------------------------- round-8 candidates
-# Implemented and oracle-tested (tests/test_round8_candidates.py) but
-# NOT yet registered: round 7's gate window was exactly full (46 stale
-# + 4 churned), and new entries lead the window, so registering them
-# would have deferred stale re-verification. Round 8 registers each by
-# adding two dict lines.
+# Implemented and oracle-tested (tests/test_round8_candidates.py, at
+# sf0.001 AND sf0.01) but NOT yet registered: round 7's gate window is
+# full (stale re-verification + the 8-slot churn quota), and new
+# entries lead the window, so registering them would displace entries
+# the round-6 verdict asked to see green. Round 8 registers each by
+# adding two dict lines. Seven candidates: vacuum-read, branch-write,
+# schema-evolution, video-metadata, hard-negative mining,
+# perplexity-bucket quality mix, streaming session aggregation.
 
 
 def space_vacuum_read(spark, sf_dir):
