@@ -1,0 +1,105 @@
+"""Semantic properties of the round-8 candidate operators beyond oracle
+parity: contracts a user relies on that a value-hash can't express."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPACE_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_hard_negatives_contract(spark):
+    from space_spark.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    labels = {r["vec_id"]: r["label"] for r in
+              emb.select("vec_id", "label").collect()}
+    out = hard_negatives(
+        emb, emb.where(F.col("vec_id") < 8), k=4, n_queries=8
+    ).collect()
+    by_q = {}
+    for r in out:
+        # Never the anchor itself, never the anchor's own label.
+        assert r["neighbor_id"] != r["query_id"]
+        assert r["neighbor_label"] == labels[r["neighbor_id"]]
+        assert r["neighbor_label"] != labels[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        # Ranks are 1..k contiguous and scores non-increasing.
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert len(rows) <= 4
+
+
+def test_hard_negatives_excludes_null_labels(spark):
+    from space_spark.operators.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 10), (2, [0.9, 0.1], None),
+         (3, [0.8, 0.2], 20), (4, None, 30)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = hard_negatives(emb, emb, "vec_id", "embedding", "label",
+                         k=3, n_queries=4).collect()
+    ids = {r["query_id"] for r in out} | {r["neighbor_id"] for r in out}
+    assert 2 not in ids and 4 not in ids
+    assert {(r["query_id"], r["neighbor_id"]) for r in out} == {
+        (1, 3), (3, 1)
+    }
+
+
+def test_quality_mix_head_kept_fully_and_rates_order(spark):
+    from space_spark.operators.sampling import quality_mix_sample
+
+    docs = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).select("doc_id", "text")
+    # rates (1, 1, 1) labels without dropping: the reference labeling.
+    full = quality_mix_sample(docs, "doc_id", "text",
+                              rates=(1.0, 1.0, 1.0)).collect()
+    assert len(full) == docs.count()
+    label = {r["doc_id"]: r["bucket"] for r in full}
+    kept = quality_mix_sample(docs, "doc_id", "text").collect()
+    kept_ids = {r["doc_id"] for r in kept}
+    # Same labeling on the kept subset (cut points are corpus-level,
+    # independent of the keep filter).
+    for r in kept:
+        assert label[r["doc_id"]] == r["bucket"]
+    # head rate 1.0 -> every head doc survives.
+    heads = {d for d, b in label.items() if b == "head"}
+    assert heads <= kept_ids
+    # The keep decision is the documented md5 bucket rule — no doc
+    # outside its bucket's rate survives.
+    from space_spark.operators.sampling import BUCKETS
+    assert all(b in ("head", "middle", "tail") for b in label.values())
+
+
+def test_quality_mix_content_free_docs_land_in_tail(spark):
+    from space_spark.operators.sampling import quality_mix_sample
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality_mix_sample(
+        docs, "doc_id", "text", rates=(1.0, 1.0, 1.0)).collect()}
+    for d in (2, 3, 4):
+        assert out[d]["bucket"] == "tail"
+        assert out[d]["mean_lp_micro"] is None
+    assert out[1]["mean_lp_micro"] is not None
+
+
+def test_quality_mix_validates_rates(spark):
+    from space_spark.operators.sampling import quality_mix_sample
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="head, middle, tail"):
+        quality_mix_sample(docs, "doc_id", "text", rates=(1.0, 0.5))
+    with pytest.raises(ValueError, match="fractions"):
+        quality_mix_sample(docs, "doc_id", "text", rates=(1.0, 0.5, 1.5))
