@@ -801,7 +801,14 @@ def semantic_dedup(
     # exempt from AQE coalescing, and hash-partitioning by the join key
     # means both self-join sides are co-partitioned (no further shuffle).
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    assigned = assigned.repartition(par, "list_id")
+    # Materialized once: the pair stage and the final output join both
+    # consume it, and the representative chase below runs eager jobs
+    # that sever Catalyst's exchange reuse — without the checkpoint the
+    # centroid crossJoin + top-1 window would execute twice (same
+    # lineage discipline as dedup_clusters). A fully-lazy chase was
+    # measured and rejected: N chained self-joins re-evaluate the pair
+    # subtree per level (3.6-15 s at sf0.1 vs ~4 s for this shape).
+    assigned = assigned.repartition(par, "list_id").localCheckpoint()
     a, b = assigned.alias("a"), assigned.alias("b")
     # In-cluster pairs above threshold; AQE would broadcast one whole side
     # at test scale — pin the shuffle-hash join that survives 100 TB.
@@ -819,43 +826,44 @@ def semantic_dedup(
         )
         .select(F.col("b.id").alias("id"), F.col("a.id").alias("winner"))
     )
+    # Representative chase (round-7 fix): min-winner pointers can form
+    # chains — A(1)~B(5), B~C(9), A!~C gives C.dup_of = 5, but 5 is
+    # itself a duplicate, violating the documented contract that
+    # ``dup_of`` names the RETAINED representative. Pointer doubling:
+    # each round squares the chase depth, pointers strictly decrease,
+    # and a semi-join count decides convergence BEFORE building the
+    # next level, so a chain-free corpus (the common case at real
+    # thresholds) pays exactly one tiny count job. Every per-round
+    # table is bounded by duplicate volume, not corpus size;
+    # localCheckpoint truncates lineage (dedup_clusters discipline).
     dups = (
         pairs.groupBy("id").agg(F.min("winner").alias("dup_of"))
         .localCheckpoint()
     )
-    # Representative chase (round-7 fix): min-winner pointers can form
-    # chains — A(1)~B(5), B~C(9), A!~C gives C.dup_of = 5, but 5 is
-    # itself a duplicate, violating the documented contract that
-    # ``dup_of`` names the RETAINED representative. Pointer-double the
-    # (id -> dup_of) map until every pointer lands on a non-dup row:
-    # each iteration squares the chase depth (2^k after k rounds), and
-    # pointers strictly decrease, so the fixpoint test is exact. The
-    # map is bounded by duplicate volume, not corpus size;
-    # localCheckpoint truncates the per-iteration lineage (same
-    # discipline as dedup_clusters).
     for _ in range(20):
         x, y = dups.alias("x"), dups.alias("y")
+        # The moved flag rides the jump join, so each round is ONE
+        # small checkpointed join plus a count over already-
+        # materialized rows; the final round (nothing moved) doubles
+        # as the convergence proof.
         jumped = (
             x.join(y, F.col("x.dup_of") == F.col("y.id"), "left")
             .select(
                 F.col("x.id").alias("id"),
                 F.coalesce(F.col("y.dup_of"), F.col("x.dup_of"))
                 .alias("dup_of"),
+                F.col("y.dup_of").isNotNull().alias("__moved"),
             )
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n").join(dups.alias("o"), on="id")
-            .where(F.col("n.dup_of") < F.col("o.dup_of"))
-            .count()
-        )
-        dups = jumped
+        changed = jumped.where(F.col("__moved")).count()
+        dups = jumped.drop("__moved")
         if changed == 0:
             break
     else:
         raise RuntimeError(
             "semantic_dedup: dup_of chains deeper than 2^20 — "
-            "pathological duplicate structure; raise the chase budget"
+            "pathological duplicate structure"
         )
     return (
         assigned.join(dups, on="id", how="left")
