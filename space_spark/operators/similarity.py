@@ -732,36 +732,20 @@ def _neardup_exact_gemm(v: DataFrame, threshold: float) -> DataFrame:
     return v.mapInPandas(task, out_schema)
 
 
-def semantic_dedup(
+def _semantic_assign(
     corpus: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_clusters: int = 16,
-    threshold: float = 0.9,
-    refine: bool = False,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int,
+    refine: bool,
 ) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
-    deduplication of an embedding corpus — cluster, then mark every vector
-    whose cosine similarity to a higher-priority vector IN THE SAME
-    cluster exceeds ``threshold`` as a duplicate of the smallest such id.
-
-    Returns (id_col, list_id, dup_of, is_dup); filtering ``NOT is_dup``
-    yields the semantically-deduplicated corpus, and ``dup_of`` gives the
-    RETAINED representative: min-winner pointers are chased through
-    duplicate chains to the surviving row (deterministic — see the
-    pointer-doubling pass below), so ``dup_of`` always names a row with
-    ``is_dup = false``.
-
-    Scale design: the pairwise comparison is confined to clusters — the
-    whole point of SemDeDup at corpus scale is that ``n_clusters`` grows
-    with the corpus (the paper uses 50k clusters for LAION), keeping each
-    cluster's pair count tractable. Assignment is a broadcast join against
-    the centroid set (centroids are small at any corpus size); the
-    in-cluster self-join is a hash shuffle on list_id, so each task sees
-    one cluster, never the corpus. Deterministic centroid choice (Knuth
-    sample, see ``ivf_centroids``) keeps the default bit-for-bit
-    reproducible in ANSI SQL; ``refine=True`` trades that for one Lloyd
-    sweep of centroid quality."""
+    """The LAZY cluster-assignment subplan of ``semantic_dedup``:
+    (id, v, nrm, list_id), fanned out, centroid-broadcast-joined,
+    top-1-windowed, repartitioned on list_id. Factored out so the
+    plan-property suite can pin its shape (broadcast NL join against
+    the bounded centroid set, no cartesian) — ``semantic_dedup``
+    checkpoints this subplan, so its RETURNED plan only shows the
+    checkpoint scan."""
     from space_spark.operators.dedup import _fan_out
 
     # A single-file embedding table arrives as ONE partition; every
@@ -801,6 +785,39 @@ def semantic_dedup(
     # exempt from AQE coalescing, and hash-partitioning by the join key
     # means both self-join sides are co-partitioned (no further shuffle).
     par = corpus.sparkSession.sparkContext.defaultParallelism
+    return assigned.repartition(par, "list_id")
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    refine: bool = False,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus — cluster, then mark every vector
+    whose cosine similarity to a higher-priority vector IN THE SAME
+    cluster exceeds ``threshold`` as a duplicate of the smallest such id.
+
+    Returns (id_col, list_id, dup_of, is_dup); filtering ``NOT is_dup``
+    yields the semantically-deduplicated corpus, and ``dup_of`` gives the
+    RETAINED representative: min-winner pointers are chased through
+    duplicate chains to the surviving row (deterministic — see the
+    pointer-doubling pass below), so ``dup_of`` always names a row with
+    ``is_dup = false``.
+
+    Scale design: the pairwise comparison is confined to clusters — the
+    whole point of SemDeDup at corpus scale is that ``n_clusters`` grows
+    with the corpus (the paper uses 50k clusters for LAION), keeping each
+    cluster's pair count tractable. Assignment is a broadcast join against
+    the centroid set (centroids are small at any corpus size); the
+    in-cluster self-join is a hash shuffle on list_id, so each task sees
+    one cluster, never the corpus. Deterministic centroid choice (Knuth
+    sample, see ``ivf_centroids``) keeps the default bit-for-bit
+    reproducible in ANSI SQL; ``refine=True`` trades that for one Lloyd
+    sweep of centroid quality."""
     # Materialized once: the pair stage and the final output join both
     # consume it, and the representative chase below runs eager jobs
     # that sever Catalyst's exchange reuse — without the checkpoint the
@@ -808,7 +825,9 @@ def semantic_dedup(
     # lineage discipline as dedup_clusters). A fully-lazy chase was
     # measured and rejected: N chained self-joins re-evaluate the pair
     # subtree per level (3.6-15 s at sf0.1 vs ~4 s for this shape).
-    assigned = assigned.repartition(par, "list_id").localCheckpoint()
+    assigned = _semantic_assign(
+        corpus, id_col, vec_col, n_clusters, refine
+    ).localCheckpoint()
     a, b = assigned.alias("a"), assigned.alias("b")
     # In-cluster pairs above threshold; AQE would broadcast one whole side
     # at test scale — pin the shuffle-hash join that survives 100 TB.

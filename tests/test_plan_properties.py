@@ -48,15 +48,25 @@ def test_decontaminate_broadcasts_benchmark(spark):
 
 
 def test_semantic_dedup_no_cartesian_and_pinned_shuffle(spark):
-    """In-cluster pairs join on list_id (shuffle or sort-merge), never a
-    cartesian product; the centroid assignment is a broadcast NL join
-    (bounded centroid set)."""
-    from space_spark.operators.similarity import semantic_dedup
+    """The centroid assignment is a broadcast NL join (bounded centroid
+    set), never a cartesian product. semantic_dedup checkpoints this
+    subplan before the representative chase (its returned plan shows
+    only the checkpoint scan), so the assignment shape is pinned on the
+    factored-out lazy subplan, and the final plan is separately checked
+    cartesian-free."""
+    from space_spark.operators.similarity import (
+        _semantic_assign,
+        semantic_dedup,
+    )
 
+    assign_plan = plan_of(
+        _semantic_assign(_emb(spark), "vec_id", "embedding", 4, False)
+    )
+    assert "CartesianProduct" not in assign_plan
+    assert "BroadcastNestedLoopJoin" in assign_plan  # centroid assignment
     plan = plan_of(semantic_dedup(_emb(spark), "vec_id", "embedding",
                                   n_clusters=4, threshold=0.4))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # centroid assignment
 
 
 def test_exact_jaccard_pins_shuffle_hash(spark):
