@@ -2835,7 +2835,12 @@ cents AS (
   SELECT b.id AS id, a.id AS winner
   FROM c_assign a JOIN c_assign b ON a.list_id = b.list_id AND a.id < b.id
   WHERE ROUND({_cosine_sql('a.v', 'b.v')}, 6) >= {threshold}
-), dups AS (SELECT id, MIN(winner) AS dup_of FROM pairs GROUP BY id),
+), dups AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: without it DuckDB inlines the whole
+  -- pair pipeline (64-dim dot-product expressions over the cluster
+  -- cross join) into the recursive term and dies with a spurious OOM;
+  -- materialized, the recursion joins a tiny (duplicate-volume) table.
+  SELECT id, MIN(winner) AS dup_of FROM pairs GROUP BY id),
 chase(id, rep) AS (
   SELECT id, dup_of FROM dups
   UNION ALL
