@@ -3608,9 +3608,10 @@ WHERE n_regionkey <= 2
 # full (stale re-verification + the 8-slot churn quota), and new
 # entries lead the window, so registering them would displace entries
 # the round-6 verdict asked to see green. Round 8 registers each by
-# adding two dict lines. Seven candidates: vacuum-read, branch-write,
+# adding two dict lines. Eight candidates: vacuum-read, branch-write,
 # schema-evolution, video-metadata, hard-negative mining,
-# perplexity-bucket quality mix, streaming session aggregation.
+# perplexity-bucket quality mix, streaming session aggregation,
+# bucketed co-located join.
 
 
 def space_vacuum_read(spark, sf_dir):
@@ -4001,6 +4002,53 @@ WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
       < CASE bucket WHEN 'head' THEN 10000
                     WHEN 'middle' THEN 5000
                     ELSE 1000 END
+"""
+
+
+def space_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join: orders and customer are both written
+    as bucketed tables on the join key (8 buckets, bucket-sorted), so
+    the sort-merge join runs with NO exchange on either side — the
+    bucketing discipline that turns a repeated big-table join into a
+    scan-local merge at any scale (tests/test_plan_properties.py pins
+    the exchange-free join shape). The only shuffle in the whole plan
+    is the final segment aggregate. Money sums ride integer cents, the
+    cross-engine money discipline every q* query uses."""
+    import uuid
+
+    base = _space_tmp()
+    o_t = "bk_orders_" + uuid.uuid4().hex[:8]
+    c_t = "bk_cust_" + uuid.uuid4().hex[:8]
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    (orders.write.format("parquet").bucketBy(8, "o_custkey")
+     .sortBy("o_custkey").option("path", base + "/o").saveAsTable(o_t))
+    (cust.write.format("parquet").bucketBy(8, "c_custkey")
+     .sortBy("c_custkey").option("path", base + "/c").saveAsTable(c_t))
+    # hint("merge") pins the sort-merge strategy: at bench scale the
+    # customer side fits the broadcast threshold and AQE would pick a
+    # broadcast join, hiding exactly the property this query exists to
+    # demonstrate — at 100 TB neither side broadcasts, and the bucketed
+    # SMJ is the plan that needs no exchange on either side.
+    return (
+        spark.table(o_t).hint("merge")
+        .join(spark.table(c_t),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("revenue_cents"),
+        )
+    )
+
+
+SPACE_BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*)::BIGINT AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
 """
 
 

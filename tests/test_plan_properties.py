@@ -256,3 +256,33 @@ def test_dedup_substrings_fingerprint_modes_agree(spark):
                          oracle_compat=True).collect()
     )
     assert fast == compat
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """The space_bucketed_join candidate's JOIN must consume bucket
+    layout: sort-merge over bucketed scans with NO exchange on either
+    join side — the co-located-join discipline that survives 100x. The
+    only exchange in the full candidate plan is the final aggregate's."""
+    import uuid
+
+    import __spark_entry__ as entry_mod
+
+    base = entry_mod._space_tmp()
+    o_t = "bkp_orders_" + uuid.uuid4().hex[:8]
+    c_t = "bkp_cust_" + uuid.uuid4().hex[:8]
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    (orders.write.format("parquet").bucketBy(8, "o_custkey")
+     .sortBy("o_custkey").option("path", base + "/o").saveAsTable(o_t))
+    (cust.write.format("parquet").bucketBy(8, "c_custkey")
+     .sortBy("c_custkey").option("path", base + "/c").saveAsTable(c_t))
+    # merge hint mirrors the registered candidate: without it the tiny
+    # test-scale customer side broadcasts and the bucket property never
+    # shows in the plan.
+    joined = spark.table(o_t).hint("merge").join(
+        spark.table(c_t), F.col("o_custkey") == F.col("c_custkey")
+    )
+    plan = plan_of(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # bucket layout feeds the join directly
+    assert "SelectedBucketsCount" in plan

@@ -28,6 +28,8 @@ CANDIDATES = {
         entry_mod.sample_quality_mix, entry_mod.SAMPLE_QUALITY_SQL),
     "stream_session_agg": (
         entry_mod.stream_session_agg, entry_mod.STREAM_SESSION_SQL),
+    "space_bucketed_join": (
+        entry_mod.space_bucketed_join, entry_mod.SPACE_BUCKETED_JOIN_SQL),
 }
 
 
