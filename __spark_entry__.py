@@ -3608,10 +3608,10 @@ WHERE n_regionkey <= 2
 # full (stale re-verification + the 8-slot churn quota), and new
 # entries lead the window, so registering them would displace entries
 # the round-6 verdict asked to see green. Round 8 registers each by
-# adding two dict lines. Eight candidates: vacuum-read, branch-write,
+# adding two dict lines. Nine candidates: vacuum-read, branch-write,
 # schema-evolution, video-metadata, hard-negative mining,
 # perplexity-bucket quality mix, streaming session aggregation,
-# bucketed co-located join.
+# bucketed co-located join, incremental fingerprint dedup.
 
 
 def space_vacuum_read(spark, sf_dir):
@@ -4049,6 +4049,66 @@ SELECT c_mktsegment, COUNT(*)::BIGINT AS n_orders,
          AS revenue_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
+"""
+
+
+def space_incremental_dedup(spark, sf_dir):
+    """Incremental batch dedup against a SPACE-table fingerprint
+    history — the daily-crawl pattern: yesterday's corpus is never
+    rescanned; its md5 content fingerprints (text.fingerprint, the
+    cross-engine md5 of whitespace-normalized lowercase text) live in a
+    fingerprint-PK space table, and each new batch (1) dedups within
+    itself (first doc_id wins — partial-aggregable groupBy-min, the
+    audited exact_dedup discipline), (2) anti-joins the history table
+    (a hash shuffle bounded by batch + history fingerprints, never
+    document bytes), and (3) appends its surviving fingerprints back,
+    so tomorrow's batch sees today's. The history append is verified
+    inside the query (reload row count == history + survivors) and the
+    survivors are returned."""
+    from space_spark import Dataset
+    from space_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    hist_src = docs.where(F.col("doc_id") % 3 == 0)
+    batch = docs.where(F.col("doc_id") % 3 != 0)
+    hist_fps = hist_src.groupBy("fp").agg(
+        F.min("doc_id").alias("first_doc_id")
+    )
+    ds = Dataset.create(
+        spark, _space_tmp() + "/fph",
+        hist_fps.schema, ["fp"],
+    )
+    ds.append(hist_fps)
+    n_hist = ds.reload().read().count()
+    firsts = batch.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = firsts.join(
+        ds.read().select("fp"), on="fp", how="left_anti"
+    )
+    ds.append(
+        survivors.select("fp", F.col("doc_id").alias("first_doc_id"))
+    )
+    n_after = ds.reload().read().count()
+    n_surv = survivors.count()
+    assert n_after == n_hist + n_surv, (n_after, n_hist, n_surv)
+    return survivors.select("doc_id", F.col("fp").alias("fingerprint"))
+
+
+SPACE_INCR_DEDUP_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+  FROM documents
+), hist AS (
+  SELECT DISTINCT f FROM fp WHERE doc_id % 3 = 0
+), firsts AS (
+  SELECT f, MIN(doc_id) AS doc_id
+  FROM fp WHERE doc_id % 3 != 0 GROUP BY f
+)
+SELECT s.doc_id, s.f AS fingerprint
+FROM firsts s LEFT JOIN hist h ON s.f = h.f
+WHERE h.f IS NULL
 """
 
 

@@ -30,6 +30,8 @@ CANDIDATES = {
         entry_mod.stream_session_agg, entry_mod.STREAM_SESSION_SQL),
     "space_bucketed_join": (
         entry_mod.space_bucketed_join, entry_mod.SPACE_BUCKETED_JOIN_SQL),
+    "space_incremental_dedup": (
+        entry_mod.space_incremental_dedup, entry_mod.SPACE_INCR_DEDUP_SQL),
 }
 
 
