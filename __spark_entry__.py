@@ -3602,16 +3602,15 @@ WHERE n_regionkey <= 2
 """
 
 
-# ----------------------------------------------- round-8 candidates
-# Implemented and oracle-tested (tests/test_round8_candidates.py, at
-# sf0.001 AND sf0.01) but NOT yet registered: round 7's gate window is
-# full (stale re-verification + the 8-slot churn quota), and new
-# entries lead the window, so registering them would displace entries
-# the round-6 verdict asked to see green. Round 8 registers each by
-# adding two dict lines. Nine candidates: vacuum-read, branch-write,
+# ----------------------------------------------- round-8 additions
+# The nine queries below were implemented and locally oracle-verified
+# in round 7 (at sf0.001 AND sf0.01) and REGISTERED in round 8 per the
+# round-7 verdict ("Next round #1"): vacuum-read, branch-write,
 # schema-evolution, video-metadata, hard-negative mining,
 # perplexity-bucket quality mix, streaming session aggregation,
-# bucketed co-located join, incremental fingerprint dedup.
+# bucketed co-located join, incremental fingerprint dedup. Never-green
+# entries have staleness -inf, so all nine lead the round-8 gate
+# window automatically.
 
 
 def space_vacuum_read(spark, sf_dir):
@@ -4139,67 +4138,32 @@ WHERE h.f IS NULL
 # per-round manual step is refreshing _CHURNED_THIS_ROUND from the
 # round's diff.
 _GATE_WINDOW = 50
-# 9 this round (8 is the steady-state default): the late tokenization/
-# semantics fixes churned four r6-green queries, and ann_cosine_topk —
-# churned in ROUND 6 and named by the round-6 verdict for r7
-# re-verification — must not be displaced by them. Staleness bound is
-# unchanged: ceil(96 / (50 - 9)) = 3 rounds, same as with quota 8.
-_CHURN_QUOTA = 9
+# Steady-state quota. The staleness bound is enforced on the LIVE
+# registry size and quota by tests/test_registry_rotation.py
+# (test_live_registry_staleness_bound, round-7 verdict "What's wrong
+# #3"): ceil(N / (_GATE_WINDOW - _CHURN_QUOTA)) <= 3, i.e.
+# ceil(105 / 42) = 3 with the current 105-entry registry.
+_CHURN_QUOTA = 8
 _CHURNED_THIS_ROUND = [
-    # r7 churn, derived from the round's diff by tools/churn_suggest.py
-    # (function-level git-diff -> query mapping; run it before freezing
-    # this list). Beyond these 9, it flags: text_repetition (already
-    # leads by staleness — sat out r6); the multimodal_* queries
-    # (decode modes/parsers leave the registered pseudo path
-    # bit-identical, pinned by all-SF oracle runs + decode-mode unit
-    # tests); sample_temperature (diff-adjacency only — the new
-    # quality_mix_sample candidate was inserted above it, its own body
-    # is untouched); and the dataset.py/similarity.py hardening churn
-    # rationalized in the block comment below.
-    "space_random_access",   # Arrow-native literal return (plan change)
-    "space_zero_copy_load",  # footer-stats shape + stats-free PK scan
-    "stream_dedup",          # awaitTermination timeout guard
-    "space_stream_cdc",      # awaitTermination timeout guard
-    # Tokenization-semantics fixes (the two SCALE.md "deferred to
-    # round 8" defects, landed late in round 7 with oracles updated in
-    # lockstep and re-verified at sf0.001/0.01/0.1): phantom ""-edge
-    # tokens filtered, empty docs yield no grams / NULL simhash. These
-    # three are r6-green with operator code changed THIS round, so
-    # they re-verify immediately; the fix's other consumers
-    # (dedup_ngram_jaccard, dedup_minhash_lsh, dedup_cluster_labels)
-    # already lead the window by staleness.
-    "dedup_simhash_pairs",
-    "text_decontaminate",
-    "dedup_substr",
-    # dup_of representative-chasing fix (pointer doubling + recursive-
-    # CTE oracle) — r6-green, operator changed this round.
+    # r8 churn, derived from the round's diff by tools/churn_suggest.py
+    # (function-level git-diff -> query mapping; refreshed before the
+    # round freezes).
+    # dup_of chain-chase fixed-cost shave + checkpoint unpersist
+    # (similarity.py, ADVICE r7) — operator code changed this round.
     "dedup_semantic",
-    # Churned in ROUND 6 (zero-norm/NaN exclusion) and named by the
-    # round-6 verdict for r7 re-verification; listed so the four
-    # round-7 semantics-fix entries above cannot displace it.
-    "ann_cosine_topk",
+    # Churned in ROUND 7 past that round's quota (null-id exclusion +
+    # GEMM id-type fix, externally unverified since r6); the round-7
+    # verdict ("Next round #6") names it for r8 — a churn slot
+    # guarantees it cannot be displaced by the nine new entries.
+    "embedding_neardup",
 ]
-# Quota (8) is full: embedding_neardup also churned (null-id exclusion
-# + GEMM id-type fix — output-identical on the null-free gate corpus,
-# all-SF parity re-run locally) and re-verifies r8 by staleness.
-# The round-7 metadata-core hardening (fsync'd entrypoint swap,
-# exclusive create, vacuum metadata reclamation) churns EVERY space
-# query — far beyond the quota. Its changed code paths DO get external
-# r7 coverage: the 4 churned entries above plus the 7 space DML/read
-# queries leading by staleness (insert/upsert/mor_delete/diff/zorder*2/
-# rename) all drive create+commit+swap end-to-end; the specific
-# surfaces that sit out (sql_table, mv_refresh, compact, time_travel,
-# ...) are suite-covered now and staleness-lead next round. Likewise
-# dedup_exact_documents (r6-green, sits out): duplicate_groups now
-# excludes NULL-id rows with the oracle updated in lockstep —
-# bit-identical output on any corpus with non-null ids, verified at
-# sf0.001/0.01 this round; the minhash/jaccard/cluster hardening is
-# covered by their window-leading queries. The similarity.py hardening
-# (geometry checks, poison filters, ivf shuffle removal) is likewise
-# output-identical on well-formed inputs — ann_lsh/ivf/quantize/
-# neardup/semantic (r6-green, sit out) re-verified against their
-# oracles at sf0.001/0.01 locally; ann_cosine_topk and
-# ann_random_projection verify externally in this round's window.
+# The round-8 window composition is mechanical: the nine never-green
+# registrations lead with staleness -inf, the four r5-green entries
+# (space_mor_delete, space_diff_changes, space_zorder_pruned,
+# sample_domain_mix — at the 3-round limit) follow, and the remaining
+# slots go to r6-green entries in definition order. r6-green entries
+# that sit out this round are the most stale in round 9 and lead its
+# window, inside the proven bound.
 
 
 def _is_green(row) -> bool:
@@ -4368,6 +4332,16 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "space_mv_refresh": space_mv_refresh,
         "space_random_access": space_random_access,
         "space_zero_copy_load": space_zero_copy_load,
+        # -- round-8 additions (round-7 candidates, registered r8)
+        "space_vacuum_read": space_vacuum_read,
+        "space_branch_write": space_branch_write,
+        "space_schema_evolution": space_schema_evolution,
+        "multimodal_video_metadata": multimodal_video_metadata,
+        "ann_hard_negatives": ann_hard_negatives,
+        "sample_quality_mix": sample_quality_mix,
+        "stream_session_agg": stream_session_agg,
+        "space_bucketed_join": space_bucketed_join,
+        "space_incremental_dedup": space_incremental_dedup,
     }
 
 
@@ -4469,4 +4443,14 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_features": MULTIMODAL_SQL,
         "multimodal_frame_sample": FRAME_SAMPLE_SQL,
         "multimodal_audio_features": AUDIO_FEATURES_SQL,
+        # -- round-8 additions
+        "space_vacuum_read": SPACE_VACUUM_SQL,
+        "space_branch_write": SPACE_BRANCH_SQL,
+        "space_schema_evolution": SPACE_EVOLUTION_SQL,
+        "multimodal_video_metadata": VIDEO_METADATA_SQL,
+        "ann_hard_negatives": ANN_HARDNEG_SQL,
+        "sample_quality_mix": SAMPLE_QUALITY_SQL,
+        "stream_session_agg": STREAM_SESSION_SQL,
+        "space_bucketed_join": SPACE_BUCKETED_JOIN_SQL,
+        "space_incremental_dedup": SPACE_INCR_DEDUP_SQL,
     }

@@ -56,13 +56,38 @@ def test_staleness_bound_holds_for_large_registries():
         assert got <= bound, (n, got, bound)
 
 
-def test_no_churn_gives_every_other_round_at_current_size():
-    """With an empty churn list, N <= 2W keeps the old every-other-round
-    guarantee."""
+def test_live_registry_staleness_bound():
+    """Round-7 verdict 'What's wrong #3': the quota/registry arithmetic
+    was hand-derived in a comment twice; make it CI-checked instead.
+    With the LIVE registry size and LIVE churn quota, every entry must
+    be green-checked at least every 3 rounds — any future quota bump or
+    registry growth that silently breaks the re-verification guarantee
+    fails here, not in prose. (The comment above _CHURN_QUOTA in
+    __spark_entry__.py cites this test.)"""
     n = len(entry_mod._query_registry())
-    assert n <= 2 * WINDOW  # informational; the policy no longer caps N
+    bound = math.ceil(n / (WINDOW - QUOTA))
+    assert bound <= 3, (
+        f"live staleness bound ceil({n}/({WINDOW}-{QUOTA})) = {bound} "
+        "exceeds the documented 3-round guarantee; shrink _CHURN_QUOTA "
+        "or grow the window before registering more queries"
+    )
+
+    def adversary(rnd, last):
+        fresh_first = sorted(last, key=lambda k: -last[k])
+        return fresh_first[:QUOTA]
+
+    got = _simulate(n, rounds=4 * bound + 8, churn_fn=adversary)
+    assert got <= bound, (n, got, bound)
+
+
+def test_no_churn_bound_at_current_size():
+    """With an empty churn list the gap is exactly ceil(N/W) — 2 rounds
+    up to N=100, 3 from the round-8 registration (N=105). Asserted on
+    the live size so the guarantee in force is always the printed one."""
+    n = len(entry_mod._query_registry())
+    bound = math.ceil(n / WINDOW)
     got = _simulate(n, rounds=12, churn_fn=lambda rnd, last: [])
-    assert got <= 2
+    assert got <= bound, (n, got, bound)
 
 
 def test_churned_entries_always_inside_window():
