@@ -4029,7 +4029,7 @@ def space_bucketed_join(spark, sf_dir):
     # broadcast join, hiding exactly the property this query exists to
     # demonstrate — at 100 TB neither side broadcasts, and the bucketed
     # SMJ is the plan that needs no exchange on either side.
-    return (
+    agg = (
         spark.table(o_t).hint("merge")
         .join(spark.table(c_t),
               F.col("o_custkey") == F.col("c_custkey"))
@@ -4040,6 +4040,18 @@ def space_bucketed_join(spark, sf_dir):
             .alias("revenue_cents"),
         )
     )
+    # Materialize (bounded: one row per market segment at ANY data
+    # scale), then DROP the catalog entries — saveAsTable over a temp
+    # path otherwise accumulates metastore tables pointing at vanished
+    # dirs across gate runs (ADVICE r7). External-table DROP removes
+    # only metadata; the temp files go with _space_tmp's lifecycle.
+    # Arrow literal return, same discipline as space_random_access.
+    try:
+        result = agg.toArrow()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {o_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {c_t}")
+    return spark.createDataFrame(result)
 
 
 SPACE_BUCKETED_JOIN_SQL = """

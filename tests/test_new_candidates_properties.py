@@ -74,10 +74,29 @@ def test_quality_mix_head_kept_fully_and_rates_order(spark):
     # head rate 1.0 -> every head doc survives.
     heads = {d for d, b in label.items() if b == "head"}
     assert heads <= kept_ids
-    # The keep decision is the documented md5 bucket rule — no doc
-    # outside its bucket's rate survives.
-    from space_spark.operators.sampling import BUCKETS
     assert all(b in ("head", "middle", "tail") for b in label.values())
+    # The keep decision is EXACTLY the documented md5 bucket rule, for
+    # every bucket (ADVICE r7: head-only coverage would let a keep-
+    # filter bug in middle/tail pass): recompute hash_bucket(doc_id)
+    # independently in Python and check membership both ways.
+    import hashlib
+
+    from space_spark.operators.sampling import BUCKETS
+
+    def py_bucket(doc_id, seed=42):
+        h = hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()
+        return int(h[:15], 16) % BUCKETS
+
+    rates = {"head": 1.0, "middle": 0.5, "tail": 0.1}
+    for doc_id, bucket in label.items():
+        thresh = int(round(rates[bucket] * BUCKETS))
+        should_keep = py_bucket(doc_id) < thresh
+        assert (doc_id in kept_ids) == should_keep, (
+            doc_id, bucket, py_bucket(doc_id), thresh
+        )
+    # Sanity: the corpus actually exercises drops in middle AND tail.
+    dropped_by_bucket = {label[d] for d in label if d not in kept_ids}
+    assert {"middle", "tail"} <= dropped_by_bucket
 
 
 def test_quality_mix_content_free_docs_land_in_tail(spark):

@@ -272,17 +272,21 @@ def test_bucketed_join_is_exchange_free(spark):
     c_t = "bkp_cust_" + uuid.uuid4().hex[:8]
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
-    (orders.write.format("parquet").bucketBy(8, "o_custkey")
-     .sortBy("o_custkey").option("path", base + "/o").saveAsTable(o_t))
-    (cust.write.format("parquet").bucketBy(8, "c_custkey")
-     .sortBy("c_custkey").option("path", base + "/c").saveAsTable(c_t))
-    # merge hint mirrors the registered candidate: without it the tiny
-    # test-scale customer side broadcasts and the bucket property never
-    # shows in the plan.
-    joined = spark.table(o_t).hint("merge").join(
-        spark.table(c_t), F.col("o_custkey") == F.col("c_custkey")
-    )
-    plan = plan_of(joined)
-    assert "SortMergeJoin" in plan
-    assert "Exchange" not in plan  # bucket layout feeds the join directly
-    assert "SelectedBucketsCount" in plan
+    try:
+        (orders.write.format("parquet").bucketBy(8, "o_custkey")
+         .sortBy("o_custkey").option("path", base + "/o").saveAsTable(o_t))
+        (cust.write.format("parquet").bucketBy(8, "c_custkey")
+         .sortBy("c_custkey").option("path", base + "/c").saveAsTable(c_t))
+        # merge hint mirrors the registered query: without it the tiny
+        # test-scale customer side broadcasts and the bucket property
+        # never shows in the plan.
+        joined = spark.table(o_t).hint("merge").join(
+            spark.table(c_t), F.col("o_custkey") == F.col("c_custkey")
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout feeds the join
+        assert "SelectedBucketsCount" in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {o_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {c_t}")
