@@ -3520,6 +3520,74 @@ WHERE (doc_id % 3 = 0 OR doc_id % 3 = 1)
 """
 
 
+def space_stream_mv(spark, sf_dir):
+    """§2.8 x §2.9 end-to-end (round 8): a filter->map_batches view is
+    materialized, the SOURCE mutates (two appends, an upsert that flips
+    rows OUT of the filter, a CoW delete), and ``stream_refresh`` drives
+    the MV off the source's CDC readStream — one availableNow micro-batch
+    nets the whole feed per primary key and lands adds+deletes+synced
+    marker as ONE MV commit (streaming/changefeed.py stream_refresh; the
+    batch sibling is space_mv_refresh). The oracle recomputes the view
+    over the source's net final state; the returned MV is RELOADED from
+    disk so the result proves committed storage, not driver state."""
+    from space_spark import Dataset, MaterializedView, field
+    from space_spark.sources.datasource import register_space_source
+    from space_spark.streaming.changefeed import stream_refresh
+
+    register_space_source(spark)
+    docs = _t(spark, sf_dir, "documents")
+    base = _space_tmp()
+    ds = Dataset.create(spark, base + "/smv_src", docs.schema, ["doc_id"])
+
+    def udf(batch):
+        return {
+            "doc_id": batch["doc_id"],
+            "score": batch["n_chars"] * 3 + batch["doc_id"],
+        }
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score", T.LongType()),
+        ]
+    )
+    view = ds.filter_view(
+        lambda row: row["n_chars"] > 400, input_fields=["n_chars"]
+    ).map_batches(udf, out_schema, input_fields=["doc_id", "n_chars"])
+    mv = view.materialize(spark, base + "/smv")
+    ds.append(docs.where(F.col("doc_id") % 3 == 0))
+    ds.append(docs.where(F.col("doc_id") % 3 == 1))
+    # Update some rows to FAIL the filter: their MV rows must vanish
+    # even though the view transform emits nothing for them.
+    ds.upsert(
+        docs.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 90))
+        .withColumn("n_chars", F.lit(0).cast(
+            docs.schema["n_chars"].dataType))
+    )
+    ds.delete(field("doc_id") >= 400)
+    q = stream_refresh(mv, base + "/smv_ckpt")
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "stream_refresh did not drain the CDC catch-up within "
+            "600s — refusing to read a partially-maintained MV"
+        )
+    q.stop()
+    return MaterializedView.load(spark, base + "/smv").read().select(
+        "doc_id", "score"
+    )
+
+
+SPACE_STREAM_MV_SQL = """
+SELECT doc_id, n_chars * 3 + doc_id AS score
+FROM documents
+WHERE (doc_id % 3 = 0 OR doc_id % 3 = 1)
+  AND NOT (doc_id % 3 = 0 AND doc_id < 90)
+  AND doc_id < 400
+  AND n_chars > 400
+"""
+
+
 def space_random_access(spark, sf_dir):
     """S12: random access point reads over a record-field table —
     RandomAccessDataSource orders items by primary key and fetches
@@ -4354,6 +4422,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_agg": stream_session_agg,
         "space_bucketed_join": space_bucketed_join,
         "space_incremental_dedup": space_incremental_dedup,
+        "space_stream_mv": space_stream_mv,
     }
 
 
@@ -4465,4 +4534,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_session_agg": STREAM_SESSION_SQL,
         "space_bucketed_join": SPACE_BUCKETED_JOIN_SQL,
         "space_incremental_dedup": SPACE_INCR_DEDUP_SQL,
+        "space_stream_mv": SPACE_STREAM_MV_SQL,
     }

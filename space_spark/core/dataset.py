@@ -1092,7 +1092,8 @@ class Dataset:
         return deletes_rel, affected
 
     def apply_changes(self, adds: DataFrame,
-                      delete_keys: DataFrame) -> "Dataset":
+                      delete_keys: DataFrame,
+                      commit_mutate=None) -> "Dataset":
         """CDC merge as ONE snapshot commit: rows whose primary keys
         appear in ``delete_keys`` or in ``adds`` are removed and ``adds``
         appends — the atomic form of ``delete_by_keys`` + ``upsert``
@@ -1106,7 +1107,12 @@ class Dataset:
         keys unioned with the delete keys (map-side combined), one
         range-pruned probe, one survivor rewrite inside the commit —
         about half the actions of running the two operations separately,
-        and one snapshot instead of two."""
+        and one snapshot instead of two.
+
+        ``commit_mutate`` (optional) mutates the table metadata inside
+        the SAME commit — the hook streaming MV maintenance uses to
+        land the source-synced marker atomically with the data change
+        (the same crash-safety argument as ``refresh``'s sync_mut)."""
         adds = self._align(adds)
         self.reload()
         pks = self.primary_keys
@@ -1133,7 +1139,8 @@ class Dataset:
         tagged = tagged.localCheckpoint(eager=True)
         try:
             return self._apply_changes_commit(
-                tagged, manifest_rel, files, rows, nbytes
+                tagged, manifest_rel, files, rows, nbytes,
+                commit_mutate=commit_mutate,
             )
         finally:
             try:
@@ -1148,7 +1155,7 @@ class Dataset:
                 pass  # block release is best-effort hygiene
 
     def _apply_changes_commit(self, tagged, manifest_rel, files, rows,
-                              nbytes) -> "Dataset":
+                              nbytes, commit_mutate=None) -> "Dataset":
         pks = self.primary_keys
         row = (
             tagged.groupBy(*pks).agg(F.sum("__new").alias("__nn"))
@@ -1178,6 +1185,7 @@ class Dataset:
                     append_manifest=manifest_rel, append_files=files,
                     append_rows=rows, append_bytes=nbytes,
                     append_record_manifest=rec_rel,
+                    mutate=commit_mutate,
                 )
                 return self
             except TransactionConflictError as e:

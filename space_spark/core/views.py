@@ -161,10 +161,16 @@ class _MapBatchesNode(_Node):
         return df
 
     def eval(self):
-        return self.apply_to(self.parent.eval())
+        # _apply_self on the parent's EVALUATED output: routing through
+        # apply_to here would re-apply every intermediate transform (it
+        # recurses the whole parent chain itself) — the chained-view
+        # read() defect the stream_refresh tests exposed.
+        return self._apply_self(self.parent.eval())
 
     def apply_to(self, df):
-        df = self.parent.apply_to(df)
+        return self._apply_self(self.parent.apply_to(df))
+
+    def _apply_self(self, df):
         task = _arrow_batches_adapter(self.fn, self.output_schema,
                                       self.batch_size)
         return self._project(df).mapInArrow(task, self.output_schema)
@@ -200,10 +206,17 @@ class _FilterNode(_Node):
         return self.parent.sources()
 
     def eval(self):
-        return self.apply_to(self.parent.eval())
+        # See _MapBatchesNode.eval: single application of THIS node on
+        # the parent's evaluated output. This is also what lets a
+        # filter/map chain sit ON TOP OF a join view for lazy reads
+        # (apply_to still rejects joins — they can't refresh
+        # incrementally — but eval never needs apply_to).
+        return self._apply_self(self.parent.eval())
 
     def apply_to(self, df):
-        df = self.parent.apply_to(df)
+        return self._apply_self(self.parent.apply_to(df))
+
+    def _apply_self(self, df):
         fn = self.fn
         visible = self.input_fields or df.columns
         out_schema = df.schema

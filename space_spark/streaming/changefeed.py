@@ -214,6 +214,124 @@ def stream_apply_changes(
     return writer.start()
 
 
+def stream_refresh(
+    mv,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    query_name: Optional[str] = None,
+    starting_version: Optional[int] = None,
+):
+    """Drive a MaterializedView's incremental maintenance off the
+    source's CDC readStream END-TO-END: mutate the source table, and a
+    running ``stream_refresh`` converges the MV — the streaming form of
+    ``MaterializedView.refresh()`` (which walks snapshots in a batch
+    loop). One micro-batch = one MV commit.
+
+    Per micro-batch (which may span several source snapshots under an
+    ``availableNow`` catch-up):
+
+    1. net the change rows to the LATEST change per primary key
+       (``max(struct(_snapshot_id, _change_order, ...))`` — the same
+       partial-aggregable reduction ``stream_apply_changes`` uses; an
+       upsert's delete+add nets to the add);
+    2. push the net ADD rows through the view's transformation
+       (``view.process_source`` — the map_batches/filter pipeline);
+    3. apply in ONE commit: delete keys = net DELETEs plus ALL net-ADD
+       keys (pre-transform — a row UPDATED to fail a filter view must
+       vanish from the MV even though the transform emits nothing for
+       it), adds = the transformed rows (``Dataset.apply_changes``);
+    4. the MV's ``source_snapshot_synced`` marker lands via
+       ``commit_mutate`` INSIDE that same commit, so a later BATCH
+       ``refresh()`` never re-applies what the stream already did —
+       the two maintenance modes interleave safely.
+
+    Exactly-once-by-idempotence under replay (crash before the stream
+    checkpoint advances): re-applying the same net changes converges to
+    the same MV state, and the marker is monotone (``max`` guard).
+
+    Scale: each micro-batch costs one netting shuffle bounded by the
+    batch's change volume plus one range-pruned probe/commit on the MV
+    — a trickle of source commits maintains a petabyte MV by touching
+    only overlapping files. Record-field (blob) sources are not
+    supported on this path — use batch ``refresh()`` (the CDC stream
+    carries physical address structs, not resolved blobs).
+    """
+    from pyspark.sql import functions as F
+
+    from space_spark.core.dataset import Dataset
+    from space_spark.errors import SpaceError
+
+    info = mv.dataset.metadata.logical_plan
+    source = Dataset.load(mv.spark, info["source_location"])
+    if source.record_fields:
+        raise SpaceError(
+            "stream_refresh does not support record-field sources; "
+            "use MaterializedView.refresh()"
+        )
+    pks = list(source.primary_keys)
+    cdf_cols = ("_change_type", "_snapshot_id", "_change_order")
+    start = (int(info.get("source_snapshot_synced", 0))
+             if starting_version is None else int(starting_version))
+
+    feed = (
+        mv.spark.readStream.format("space")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(start))
+        .load(source.location)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cols = [c for c in batch_df.columns if c not in cdf_cols]
+        non_pk = [c for c in cols if c not in pks]
+        latest = batch_df.groupBy(*pks).agg(
+            F.max(
+                F.struct("_snapshot_id", "_change_order", "_change_type",
+                         *non_pk)
+            ).alias("__c"),
+        ).persist()  # consumed by three branches: reduce the batch once
+        try:
+            max_sid = latest.agg(
+                F.max("__c._snapshot_id").alias("m")
+            ).collect()[0]["m"]
+            dels = latest.where(
+                F.col("__c._change_type") == CHANGE_DELETE
+            ).select(*pks)
+            raw_adds = latest.where(
+                F.col("__c._change_type") == CHANGE_ADD
+            ).select(
+                *[F.col(c) if c in pks else F.col(f"__c.{c}").alias(c)
+                  for c in cols]
+            )
+            out_adds = mv.view.process_source(raw_adds)
+            # Net-ADD keys ride the delete set so a transformed-away
+            # row (filter view) is removed, and an updated row is
+            # replaced, in the one commit.
+            delete_keys = dels.unionByName(raw_adds.select(*pks))
+
+            def sync_mut(meta, _sid=int(max_sid)):
+                prev = int(meta.logical_plan.get(
+                    "source_snapshot_synced", 0))
+                meta.logical_plan["source_snapshot_synced"] = max(
+                    prev, _sid)
+
+            mv.dataset.apply_changes(out_adds, delete_keys,
+                                     commit_mutate=sync_mut)
+        finally:
+            latest.unpersist()
+
+    writer = (
+        feed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     spark,
     events_dir: str,

@@ -220,6 +220,34 @@ def test_chained_transforms_materialize_and_refresh(spark, tmp_location):
     assert [r.int64 for r in got] == [5, 6, 7, 8, 9, 20]
 
 
+def test_chained_view_lazy_read_applies_each_node_once(spark, tmp_location):
+    """Regression (round 8): a chained view's LAZY read (eval) used to
+    route through apply_to, which recursively re-applies the whole
+    parent chain — so map -> filter read() fed the map's OWN OUTPUT
+    back through the map (KeyError on the consumed input column). Only
+    visible on a non-empty source; the materialize/refresh path was
+    always correct."""
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["int64"])
+    ds.append(simple_df(spark, range(10)))
+    view = (
+        ds.map_batches(make_double_udf(), DOUBLE_SCHEMA)
+        .filter(lambda row: row["double"] >= 1.0, input_fields=["double"])
+    )
+    got = view.read().orderBy("int64").collect()
+    assert [r.int64 for r in got] == [5, 6, 7, 8, 9]
+    assert [r.double for r in got] == [i / 5.0 for i in (5, 6, 7, 8, 9)]
+    # filter UNDER map: both orders must read lazily.
+    from space_spark.core.views import View
+
+    view2 = (
+        View.source(ds)
+        .filter(lambda row: row["int64"] % 2 == 0, input_fields=["int64"])
+        .map_batches(make_double_udf(), DOUBLE_SCHEMA)
+    )
+    got2 = view2.read().orderBy("int64").collect()
+    assert [r.int64 for r in got2] == [0, 2, 4, 6, 8]
+
+
 def test_reference_read_join(spark, tmp_location):
     """J3: joining on record ADDRESSES instead of blob values (reference
     views.py:183-224) — builds joined training indexes without copying
