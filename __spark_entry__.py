@@ -3588,6 +3588,79 @@ WHERE (doc_id % 3 = 0 OR doc_id % 3 = 1)
 """
 
 
+def text_bpe_tokens(spark, sf_dir):
+    """Real BPE tokenization (round 8): per-document token count AND
+    the full piece sequence under the frozen 64-merge table learned
+    from this corpus (operators/bpe.py; tools/learn_bpe.py regenerates
+    it). Pure JVM expression — framed-symbol sequential replace, proven
+    equivalent to the priority-queue BPE encoder (tests/test_bpe.py) —
+    so the whole encoding is a map-only projection with no Python
+    worker, and the oracle (generated from the SAME merge table) checks
+    the complete piece strings cross-engine, not just counts."""
+    from space_spark.operators.bpe import bpe_pieces, bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.array_join(bpe_pieces(F.col("text")), "|").alias("pieces"),
+    )
+
+
+def _bpe_tokens_sql() -> str:
+    from space_spark.operators.bpe import (
+        bpe_count_sql, bpe_pieces_sql,
+    )
+
+    word_pieces = bpe_pieces_sql("w")
+    return f"""
+SELECT doc_id,
+  {bpe_count_sql('text')} AS n_bpe_tokens,
+  COALESCE(array_to_string(list_transform(
+    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                w -> w <> ''),
+    w -> CASE WHEN regexp_matches(w, '^[\\x21-\\x7e]+$')
+              THEN {word_pieces} ELSE w END), '|'), '') AS pieces
+FROM documents
+"""
+
+
+def text_bpe_pack(spark, sf_dir):
+    """Tokenizer-aware sequence packing (round 8): documents laid into
+    512-token context bins by REAL BPE token counts (not whitespace
+    estimates — the packing a trainer actually consumes), via the same
+    distributed two-phase prefix sum as text_pack_sequences (the
+    oracle's global window would single-partition at scale; the count
+    itself is a map-only JVM expression)."""
+    from space_spark.operators.bpe import bpe_token_count
+    from space_spark.operators.packing import pack_offsets
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n_tokens"),
+    )
+    return pack_offsets(docs, "doc_id", "n_tokens", context_len=512)
+
+
+def _bpe_pack_sql() -> str:
+    from space_spark.operators.bpe import bpe_count_sql
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {bpe_count_sql('text')} AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  (SUM(n_tokens) OVER (ORDER BY doc_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::BIGINT
+    AS offset,
+  FLOOR(((SUM(n_tokens) OVER (ORDER BY doc_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens))
+     / 512)::BIGINT AS bin_id
+FROM toks
+"""
+
+
 def space_random_access(spark, sf_dir):
     """S12: random access point reads over a record-field table —
     RandomAccessDataSource orders items by primary key and fetches
@@ -4423,6 +4496,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "space_bucketed_join": space_bucketed_join,
         "space_incremental_dedup": space_incremental_dedup,
         "space_stream_mv": space_stream_mv,
+        "text_bpe_tokens": text_bpe_tokens,
+        "text_bpe_pack": text_bpe_pack,
     }
 
 
@@ -4535,4 +4610,6 @@ def oracle_sql() -> dict[str, str]:
         "space_bucketed_join": SPACE_BUCKETED_JOIN_SQL,
         "space_incremental_dedup": SPACE_INCR_DEDUP_SQL,
         "space_stream_mv": SPACE_STREAM_MV_SQL,
+        "text_bpe_tokens": _bpe_tokens_sql(),
+        "text_bpe_pack": _bpe_pack_sql(),
     }

@@ -1,0 +1,306 @@
+"""Byte-pair-encoding tokenization as pure JVM expressions — real BPE
+token counts for training-data pipelines (sequence packing, length
+filtering, cost estimation) without a Python UDF in the hot path.
+
+Two pieces, mirroring how production tokenizers are built and used:
+
+- ``bpe_learn_merges``: TRAIN a merge table from a corpus — a
+  distributed word-frequency aggregate (bounded to the top
+  ``max_words`` forms, the same vocab-cap discipline as
+  ``unigram_logprob``) collected to the driver, then the classic
+  Sennrich et al. 2016 greedy pair-merge loop over the (word, freq)
+  dict. The collect is O(max_words), never corpus-sized.
+- ``bpe_token_count`` / ``bpe_pieces``: ENCODE with a FIXED merge
+  table (the production mode: tokenizers ship as frozen artifacts) as
+  a pure column expression — per word, space-delimit its characters
+  and apply each merge in rank order as one string ``replace``.
+
+Why sequential replace is exact BPE: the reference encoder repeatedly
+merges the lowest-ranked pair present. Merging pair (a,b) -> ab only
+creates NEW adjacencies that involve ab, and any learned merge
+consuming ab must have been learned after ab existed, i.e. carries a
+HIGHER rank — so a single pass through the table in rank order can
+never miss a lower-ranked opportunity (new opportunities only appear
+further down the table). Within one merge, a global left-to-right
+non-overlapping replace is exactly the encoder's merge-all-occurrences
+step ("a a a" + merge (a,a) -> "aa a", leftmost-greedy). Both Spark's
+``replace`` and ANSI/DuckDB ``replace`` implement that scan, which is
+what makes the encoding bit-identical across engines and lets the
+driver gate oracle-verify real BPE output.
+
+Symbol framing: a bare space-delimited representation is AMBIGUOUS —
+searching 'a s' inside 'f a st' matches the 's' PREFIX of symbol
+'st' (found by the corpus equivalence test), and any one-sided marker
+fails symmetrically on suffixes or breaks adjacent-run greediness by
+sharing the boundary character. Each symbol is therefore framed as
+``US + symbol + SP`` (US = \\x1f, outside the printable-ASCII symbol
+alphabet): a merge pattern ``US a SP US b SP -> US ab SP`` can only
+match two whole adjacent symbols, and neighbouring matches share no
+characters, so "a a a a" merges to "aa aa" exactly like the encoder.
+
+Scope: words are whitespace-split, lowercased, and BPE applies to
+printable-ASCII words (the regex class both engines' regex dialects
+treat identically); any other word counts as ONE token (UNK) — the
+usual byte-fallback is a vocab detail, not a pipeline-shape one.
+
+Scale: encoding is a per-row projection — no shuffle, no Python
+workers, whole-stage codegen; training is one word-count shuffle
+(partial-aggregable) plus a bounded driver loop.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import List, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Printable ASCII, no space — identical semantics in Java regex (Spark)
+# and RE2 (DuckDB).
+ASCII_WORD_RE = r"^[\x21-\x7e]+$"
+
+# Frozen default merge table: learned ONCE by bpe_learn_merges over
+# /root/testdata/sf0.01 documents (n_merges=64, max_words=65536) and
+# vendored here, the way production tokenizers ship a fixed merges.txt.
+# Rank order matters; see module docstring for why sequential
+# application is exact.
+DEFAULT_MERGES: List[Tuple[str, str]] = [
+    ('e', 'r'),
+    ('i', 'n'),
+    ('o', 'w'),
+    ('o', 'r'),
+    ('s', 't'),
+    ('m', 'er'),
+    ('a', 't'),
+    ('l', 'u'),
+    ('a', 'r'),
+    ('p', 'ar'),
+    ('j', 'o'),
+    ('jo', 'in'),
+    ('a', 's'),
+    ('as', 'h'),
+    ('h', 'ash'),
+    ('r', 'ow'),
+    ('at', 'c'),
+    ('atc', 'h'),
+    ('b', 'atch'),
+    ('a', 'n'),
+    ('c', 'an'),
+    ('s', 'can'),
+    ('c', 'o'),
+    ('c', 'u'),
+    ('co', 'lu'),
+    ('colu', 'm'),
+    ('colum', 'n'),
+    ('cu', 'st'),
+    ('cust', 'o'),
+    ('custo', 'mer'),
+    ('f', 'i'),
+    ('fi', 'l'),
+    ('fil', 't'),
+    ('filt', 'er'),
+    ('a', 'l'),
+    ('al', 'l'),
+    ('m', 'all'),
+    ('s', 'mall'),
+    ('g', 'e'),
+    ('l', 'ow'),
+    ('mer', 'ge'),
+    ('s', 'low'),
+    ('c', 't'),
+    ('ct', 'or'),
+    ('d', 'er'),
+    ('e', 'ctor'),
+    ('or', 'der'),
+    ('v', 'ector'),
+    ('in', 'e'),
+    ('l', 'ine'),
+    ('a', 'b'),
+    ('ab', 'l'),
+    ('abl', 'e'),
+    ('at', 'a'),
+    ('d', 'ata'),
+    ('t', 'able'),
+    ('u', 'p'),
+    ('a', 'g'),
+    ('ag', 'g'),
+    ('a', 'lu'),
+    ('alu', 'e'),
+    ('v', 'alue'),
+    ('e', 'y'),
+    ('k', 'ey'),
+]
+
+
+# Unit separator: frames every symbol's START. Cannot occur inside a
+# symbol (symbols are printable ASCII \x21-\x7e).
+US = "\x1f"
+
+
+def _framed_chars(word: Column) -> Column:
+    """'fast' -> '<US>f <US>a <US>s <US>t ' — one framed symbol per
+    character (the initial BPE state)."""
+    return F.regexp_replace(word, "(.)", US + "$1 ")
+
+
+def _apply_merges(sym: Column, merges: Sequence[Tuple[str, str]]) -> Column:
+    for a, b in merges:
+        sym = F.replace(
+            sym, F.lit(f"{US}{a} {US}{b} "), F.lit(f"{US}{a}{b} ")
+        )
+    return sym
+
+
+def _words(text: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != F.lit("")
+    )
+
+
+def bpe_pieces_for_word(word: Column,
+                        merges: Sequence[Tuple[str, str]]) -> Column:
+    """Array of BPE symbols for one (lowercased, ASCII) word column."""
+    merged = _apply_merges(_framed_chars(word), merges)
+    # Strip the trailing-space frame, split on the US symbol starts,
+    # drop the leading empty element.
+    return F.filter(
+        F.split(F.replace(merged, F.lit(" "), F.lit("")), US),
+        lambda p: p != F.lit(""),
+    )
+
+
+def bpe_piece_count_for_word(word: Column,
+                             merges: Sequence[Tuple[str, str]]) -> Column:
+    """Symbol count without materializing the array: one US per symbol,
+    so count = length delta after deleting them."""
+    merged = _apply_merges(_framed_chars(word), merges)
+    return (
+        F.length(merged)
+        - F.length(F.replace(merged, F.lit(US), F.lit("")))
+    )
+
+
+def bpe_token_count(text: Column,
+                    merges: Sequence[Tuple[str, str]] = None) -> Column:
+    """Exact BPE token count of a document under ``merges`` (long; 0
+    for empty/NULL-ish text). Non-ASCII words count 1 (UNK)."""
+    merges = DEFAULT_MERGES if merges is None else merges
+    counts = F.transform(
+        _words(text),
+        lambda w: F.when(
+            w.rlike(ASCII_WORD_RE), bpe_piece_count_for_word(w, merges)
+        ).otherwise(F.lit(1)),
+    )
+    return F.coalesce(
+        F.aggregate(
+            counts, F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        ),
+        F.lit(0).cast("long"),  # NULL text -> 0, like empty text
+    )
+
+
+def bpe_pieces(text: Column,
+               merges: Sequence[Tuple[str, str]] = None) -> Column:
+    """Full piece sequence for a document (array<string>): per-word BPE
+    symbols concatenated in document order; non-ASCII words pass
+    through whole (UNK-as-itself)."""
+    merges = DEFAULT_MERGES if merges is None else merges
+    return F.coalesce(
+        F.flatten(
+            F.transform(
+                _words(text),
+                lambda w: F.when(
+                    w.rlike(ASCII_WORD_RE), bpe_pieces_for_word(w, merges)
+                ).otherwise(F.array(w)),
+            )
+        ),
+        F.array().cast("array<string>"),  # NULL text -> no pieces
+    )
+
+
+def _merged_sql(word_sql: str, merges: Sequence[Tuple[str, str]]) -> str:
+    """DuckDB expression: the framed-and-merged symbol string for one
+    word expression — same US+SP framing as the Spark side, generated
+    from the SAME merge table so oracles can never drift."""
+    base = rf"regexp_replace({word_sql}, '(.)', '{US}\1 ', 'g')"
+    for a, b in merges:
+        base = (f"replace({base}, '{US}{a} {US}{b} ', "
+                f"'{US}{a}{b} ')")
+    return base
+
+
+def bpe_count_sql(text_sql: str,
+                  merges: Sequence[Tuple[str, str]] = None) -> str:
+    """DuckDB expression computing ``bpe_token_count`` for the SQL
+    expression ``text_sql``."""
+    merges = DEFAULT_MERGES if merges is None else merges
+    m = _merged_sql("w", merges)
+    return (
+        "COALESCE(list_sum(list_transform("
+        f"list_filter(regexp_split_to_array(lower(trim({text_sql})), "
+        r"'\s+'), w -> w <> ''), "
+        "w -> CASE WHEN regexp_matches(w, '^[\\x21-\\x7e]+$') "
+        f"THEN length({m}) - length(replace({m}, '{US}', '')) "
+        "ELSE 1 END)), 0)::BIGINT"
+    )
+
+
+def bpe_pieces_sql(word_sql: str,
+                   merges: Sequence[Tuple[str, str]] = None) -> str:
+    """DuckDB expression: '|'-joined BPE pieces of one word expression
+    (assumed already lowercased ASCII)."""
+    merges = DEFAULT_MERGES if merges is None else merges
+    m = _merged_sql(word_sql, merges)
+    return (f"trim(replace(replace({m}, ' ', ''), '{US}', '|'), '|')")
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 64,
+    max_words: int = 65536,
+) -> List[Tuple[str, str]]:
+    """Learn a BPE merge table from a corpus (Sennrich et al. 2016,
+    arXiv:1508.07909). Distributed part: lowercase/split/filter to
+    ASCII words, count frequencies, keep the ``max_words`` most
+    frequent (ties by word) — a bounded collect, like every vocab
+    broadcast in this repo. Driver part: greedily merge the most
+    frequent adjacent symbol pair (ties: lexicographically smallest
+    pair) ``n_merges`` times. Deterministic end to end."""
+    wf = (
+        df.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .where(F.col("w").rlike(ASCII_WORD_RE))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.col("f").desc(), F.col("w").asc())
+        .limit(max_words)
+        .collect()
+    )
+    vocab = {tuple(r["w"]): int(r["f"]) for r in wf}
+    merges: List[Tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, freq in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freq
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        merged = a + b
+        new_vocab = {}
+        for syms, freq in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+        vocab = new_vocab
+    return merges
