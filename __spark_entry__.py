@@ -3661,6 +3661,45 @@ FROM toks
 """
 
 
+def export_shards_manifest(spark, sf_dir):
+    """Training-shard export end-to-end (round 8): the corpus (with
+    real BPE token counts) is written as 8 parquet shards in a
+    deterministic md5-keyed shuffle order (operators/export.py), and
+    the returned manifest — per-shard row count, token budget, key
+    range, and the id at each shard's first shuffle position — is
+    aggregated from the files JUST WRITTEN, so the oracle checking it
+    also proves the sink executed correctly."""
+    from space_spark.operators.bpe import bpe_token_count
+    from space_spark.operators.export import export_training_shards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_tokens")
+    )
+    return export_training_shards(
+        docs, "doc_id", _space_tmp() + "/shards", n_shards=8
+    )
+
+
+def _export_shards_sql() -> str:
+    from space_spark.operators.bpe import bpe_count_sql
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, {bpe_count_sql('text')} AS n_tokens,
+    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
+      ::BIGINT AS k
+  FROM documents
+)
+SELECT (k % 8)::INT AS shard_id,
+  COUNT(*)::BIGINT AS n_rows,
+  MIN(k)::BIGINT AS min_key,
+  MAX(k)::BIGINT AS max_key,
+  min_by(doc_id, k)::BIGINT AS first_id,
+  SUM(n_tokens)::BIGINT AS n_tokens
+FROM t GROUP BY 1
+"""
+
+
 def space_random_access(spark, sf_dir):
     """S12: random access point reads over a record-field table —
     RandomAccessDataSource orders items by primary key and fetches
@@ -4498,6 +4537,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "space_stream_mv": space_stream_mv,
         "text_bpe_tokens": text_bpe_tokens,
         "text_bpe_pack": text_bpe_pack,
+        "export_shards_manifest": export_shards_manifest,
     }
 
 
@@ -4612,4 +4652,5 @@ def oracle_sql() -> dict[str, str]:
         "space_stream_mv": SPACE_STREAM_MV_SQL,
         "text_bpe_tokens": _bpe_tokens_sql(),
         "text_bpe_pack": _bpe_pack_sql(),
+        "export_shards_manifest": _export_shards_sql(),
     }
