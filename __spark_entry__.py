@@ -3597,13 +3597,21 @@ def text_bpe_tokens(spark, sf_dir):
     so the whole encoding is a map-only projection with no Python
     worker, and the oracle (generated from the SAME merge table) checks
     the complete piece strings cross-engine, not just counts."""
-    from space_spark.operators.bpe import bpe_pieces, bpe_token_count
+    from space_spark.operators.bpe import (
+        bpe_count_from_merged, bpe_merged, bpe_pieces_from_merged,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    # Two consumers of the merge chain share ONE evaluation: a
+    # separate withColumn keeps the 64-replace chain out of reach of
+    # CollapseProject's inlining (it treats the chain as non-cheap).
+    return docs.withColumn(
+        "__m", bpe_merged(F.col("text"))
+    ).select(
         "doc_id",
-        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
-        F.array_join(bpe_pieces(F.col("text")), "|").alias("pieces"),
+        bpe_count_from_merged(F.col("__m")).alias("n_bpe_tokens"),
+        F.array_join(bpe_pieces_from_merged(F.col("__m")), "|")
+        .alias("pieces"),
     )
 
 
