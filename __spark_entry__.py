@@ -3708,6 +3708,47 @@ FROM t GROUP BY 1
 """
 
 
+def space_bloom_point_read(spark, sf_dir):
+    """P6 at scale (round 8): point reads pruned by per-file primary-key
+    BLOOM filters (core/blooms.py), the index for tables NOT clustered
+    on the probed key — four interleaved appends give every file a key
+    range spanning the whole domain, so min/max stats prune nothing,
+    and only key membership can skip files. The query asserts the
+    bloom probe actually pruned (< all files survive) before returning
+    the exact point-read rows."""
+    from space_spark import Dataset
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    ds = Dataset.create(
+        spark, _space_tmp() + "/blm", cust.schema, ["c_custkey"],
+        bloom_filters=True,
+    )
+    for r in range(4):
+        ds.append(cust.where(F.col("c_custkey") % 4 == r).coalesce(1))
+    ds = ds.reload()
+    keys = [3, 41, 97]
+    all_files = ds.data_files()
+    snapshot = ds.metadata.snapshot(ds.current_snapshot_id)
+    import pandas as pd
+
+    keys_df = spark.createDataFrame(pd.DataFrame({"c_custkey": keys}))
+    survived = ds._bloom_prune(all_files, snapshot, keys_df)
+    assert len(survived) < len(all_files), (
+        "bloom probe pruned nothing on an unclustered table"
+    )
+    return ds.read_by_keys(keys).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+SPACE_BLOOM_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer WHERE c_custkey IN (3, 41, 97)
+"""
+
+
 def space_random_access(spark, sf_dir):
     """S12: random access point reads over a record-field table —
     RandomAccessDataSource orders items by primary key and fetches
@@ -4546,6 +4587,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": text_bpe_tokens,
         "text_bpe_pack": text_bpe_pack,
         "export_shards_manifest": export_shards_manifest,
+        "space_bloom_point_read": space_bloom_point_read,
     }
 
 
@@ -4661,4 +4703,5 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_tokens": _bpe_tokens_sql(),
         "text_bpe_pack": _bpe_pack_sql(),
         "export_shards_manifest": _export_shards_sql(),
+        "space_bloom_point_read": SPACE_BLOOM_SQL,
     }

@@ -89,11 +89,19 @@ class Dataset:
         primary_keys: Sequence[str],
         record_fields: Sequence[str] = (),
         serializers=None,
+        bloom_filters: bool = False,
     ) -> "Dataset":
         """``serializers``: optional {record_field: FieldSerializer} —
         persisted (cloudpickled) with the table and applied by
         RandomAccessDataSource(deserialize=True) / deserialize_udf
-        (TfFeatures-analog, reference tf_features.py:29-64)."""
+        (TfFeatures-analog, reference tf_features.py:29-64).
+
+        ``bloom_filters=True``: every data-file write also builds a
+        per-PK-column Bloom filter into the manifest (core/blooms.py),
+        and ``read_by_keys`` prunes files by key MEMBERSHIP, not just
+        range — the point-read index for tables not clustered on the
+        probed key. Opt-in: each append pays one extra columnar read of
+        the PK columns of the files it just wrote."""
         sc.validate(schema, primary_keys, record_fields)
         schema = sc.assign_field_ids(schema)
         log = md.MetadataLog(location)
@@ -128,6 +136,10 @@ class Dataset:
             list(record_fields),
             sc.field_id_map(schema),
             serializers=ser_registry,
+            # PK names at create time ARE the immutable physical names;
+            # blooms are built/probed under physical names so renames
+            # never desync the index.
+            bloom={"pks": list(primary_keys)} if bloom_filters else None,
         )
         log.write_metadata(meta, create=True)
         return cls(spark, log, meta)
@@ -399,10 +411,12 @@ class Dataset:
             if name.endswith(".parquet")
         )
         stat_names = [n for n, _ in self._stats_fields()]
+        bloom_pks = tuple((self.metadata.bloom or {}).get("pks", ()))
         stats = mf.collect_file_stats(
             self.spark,
             [self.log.abs_path(f) for f in rel_files],
             stat_names,
+            bloom_pks=bloom_pks,
         )
         # Primary keys are NOT NULL (reference schema contract): a null
         # key row can never be matched by upsert/delete-by-key/point
@@ -418,6 +432,7 @@ class Dataset:
             rel_files,
             stats,
             self._stats_fields(),
+            bloom_pks=bloom_pks,
         )
         return manifest_rel, rel_files, rows, nbytes
 
@@ -1929,8 +1944,17 @@ class Dataset:
             *[F.max(k).alias(f"mx_{k}") for k in pks],
         ).collect()[0]
         prune = self._keys_range_expr(bounds)
-        df = self.read(filter_=prune, fields=fields, version=version,
-                       reference_read=True)
+        snap_id = self.metadata.resolve_version(version, self.branch)
+        snapshot = self.metadata.snapshot(snap_id)
+        files = mf.prune_files(
+            self.spark,
+            self._manifest_abs_paths(snapshot),
+            self._phys_expr(prune),
+            self._stats_fields(),
+        )
+        files = self._bloom_prune(files, snapshot, keys)
+        df = self.read_files(files, filter_=prune, fields=fields,
+                             reference_read=True, snapshot=snapshot)
         out = df.join(F.broadcast(keys), on=pks, how="left_semi")
         resolve = [
             f for f in (fields or self.schema.fieldNames())
@@ -1941,6 +1965,39 @@ class Dataset:
                 out, self.location, resolve, self.schema
             )
         return out
+
+    # Bloom probing collects the key set to the driver; beyond this many
+    # keys the probe is skipped (the broadcast semi-join alone handles
+    # large key sets, and a huge key set hits most files anyway).
+    BLOOM_PROBE_MAX_KEYS = 10_000
+
+    def _bloom_prune(self, rel_files, snapshot, keys: DataFrame):
+        """Drop range-surviving files whose per-PK Bloom filters prove no
+        probed key can be present (core/blooms.py). No-op for tables
+        without the index, oversized key sets, and files whose manifests
+        predate the index (None blooms never prune)."""
+        bloom_meta = self.metadata.bloom
+        if not bloom_meta or not rel_files:
+            return rel_files
+        key_rows = keys.limit(self.BLOOM_PROBE_MAX_KEYS + 1).collect()
+        if len(key_rows) > self.BLOOM_PROBE_MAX_KEYS:
+            return rel_files
+        from space_spark.core import blooms as bl
+
+        # Blooms are stored under immutable PHYSICAL names; probe values
+        # arrive under logical names.
+        phys = {pk: self.metadata.renames.get(pk, pk)
+                for pk in self.primary_keys}
+        rows = [{phys[pk]: r[pk] for pk in self.primary_keys}
+                for r in key_rows]
+        by_file = mf.read_file_blooms(
+            self._manifest_abs_paths(snapshot), list(phys.values())
+        )
+        return [
+            f for f in rel_files
+            if bl.file_matches_any(by_file.get(f, {}), rows,
+                                   list(phys.values()))
+        ]
 
     # -------------------------------------------------------- schema evolution
     def add_column(self, name: str, dtype: T.DataType) -> "Dataset":

@@ -35,6 +35,7 @@ FILE_PATH_COL = "_FILE_PATH"
 NUM_ROWS_COL = "_NUM_ROWS"
 SIZE_BYTES_COL = "_SIZE_BYTES"
 STATS_PREFIX = "_STATS_"
+BLOOM_PREFIX = "_BLOOM_"
 MIN_COL = "_MIN"
 MAX_COL = "_MAX"
 
@@ -49,7 +50,8 @@ def _to_arrow_schema(spark_schema: T.StructType) -> pa.Schema:
 
 
 def manifest_spark_schema(
-    stats_fields: Sequence[Tuple[str, T.DataType]]
+    stats_fields: Sequence[Tuple[str, T.DataType]],
+    bloom_pks: Sequence[str] = (),
 ) -> T.StructType:
     fields = [
         T.StructField(FILE_PATH_COL, T.StringType(), False),
@@ -69,11 +71,20 @@ def manifest_spark_schema(
                 True,
             )
         )
+    for pk in bloom_pks:
+        fields.append(
+            T.StructField(BLOOM_PREFIX + pk, T.BinaryType(), True)
+        )
     return T.StructType(fields)
 
 
-def _footer_stats(abs_path: str, stat_names: List[str]) -> dict:
-    """Merge row-group footer stats of one Parquet file (index.py:145-179)."""
+def _footer_stats(abs_path: str, stat_names: List[str],
+                  bloom_pks: Sequence[str] = ()) -> dict:
+    """Merge row-group footer stats of one Parquet file (index.py:145-179).
+
+    ``bloom_pks``: additionally build a per-PK-column Bloom filter from
+    the file's actual key values (one columnar read of just those
+    columns — the opt-in point-read index, core/blooms.py)."""
     meta = pq.ParquetFile(abs_path).metadata
     name_to_idx: Dict[str, int] = {}
     for i in range(meta.num_columns):
@@ -109,7 +120,7 @@ def _footer_stats(abs_path: str, stat_names: List[str]) -> dict:
                 mins[name] = mn
             if mx is not None and (name not in maxs or mx > maxs[name]):
                 maxs[name] = mx
-    return {
+    out = {
         "num_rows": meta.num_rows,
         "size_bytes": os.path.getsize(abs_path),
         "mins": mins,
@@ -117,22 +128,33 @@ def _footer_stats(abs_path: str, stat_names: List[str]) -> dict:
         "null_counts": nulls,
         "null_counts_complete": {n for n, ok in complete.items() if ok},
     }
+    if bloom_pks:
+        from space_spark.core import blooms as bl
+
+        tbl = pq.read_table(abs_path, columns=list(bloom_pks))
+        out["blooms"] = {
+            pk: bl.build(tbl.column(pk).to_pylist(), n_keys=meta.num_rows)
+            for pk in bloom_pks
+        }
+    return out
 
 
 def collect_file_stats(
     spark: SparkSession,
     abs_paths: List[str],
     stat_names: List[str],
+    bloom_pks: Sequence[str] = (),
 ) -> List[dict]:
     """Footer stats for each file; distributed when the file list is large."""
     if len(abs_paths) <= _DRIVER_STATS_MAX_FILES:
-        return [_footer_stats(p, stat_names) for p in abs_paths]
+        return [_footer_stats(p, stat_names, bloom_pks) for p in abs_paths]
     sc_ = spark.sparkContext
     n_slices = max(1, len(abs_paths) // 16)
     names = list(stat_names)
+    bpks = tuple(bloom_pks)
     return (
         sc_.parallelize(abs_paths, n_slices)
-        .map(lambda p: _footer_stats(p, names))
+        .map(lambda p: _footer_stats(p, names, bpks))
         .collect()
     )
 
@@ -143,13 +165,14 @@ def write_manifest(
     rel_paths: List[str],
     stats: List[dict],
     stats_fields: Sequence[Tuple[str, T.DataType]],
+    bloom_pks: Sequence[str] = (),
 ) -> Tuple[int, int]:
     """Write one manifest Parquet file; returns (total_rows, total_bytes).
 
     Manifests are small (one row per data file) and immutable, so the driver
     writes them directly with pyarrow — no Spark job, no temp-dir dance.
     """
-    spark_schema = manifest_spark_schema(stats_fields)
+    spark_schema = manifest_spark_schema(stats_fields, bloom_pks)
     arrow_schema = _to_arrow_schema(spark_schema)
     columns: Dict[str, list] = {
         FILE_PATH_COL: rel_paths,
@@ -160,6 +183,10 @@ def write_manifest(
         columns[STATS_PREFIX + name] = [
             {MIN_COL: s["mins"].get(name), MAX_COL: s["maxs"].get(name)}
             for s in stats
+        ]
+    for pk in bloom_pks:
+        columns[BLOOM_PREFIX + pk] = [
+            s.get("blooms", {}).get(pk) for s in stats
         ]
     table = pa.Table.from_pydict(columns, schema=arrow_schema)
     os.makedirs(os.path.dirname(manifest_abs_path), exist_ok=True)
@@ -231,6 +258,36 @@ def read_manifest_paths(manifest_abs_paths: List[str]) -> List[str]:
     return out
 
 
+def read_file_blooms(
+    manifest_abs_paths: List[str],
+    pks: Sequence[str],
+) -> Dict[str, Dict[str, Optional[bytes]]]:
+    """rel data-file path -> {pk: bloom bytes or None}. Manifests written
+    before the table (or this version of the format) had Bloom filters
+    simply lack the columns; their files map to None blooms, which the
+    prober never prunes. Driver-side pyarrow read of just the path +
+    bloom columns — manifests are one row per data file."""
+    out: Dict[str, Dict[str, Optional[bytes]]] = {}
+    want = [BLOOM_PREFIX + pk for pk in pks]
+    for path in manifest_abs_paths:
+        pf = pq.ParquetFile(path)
+        have = [c for c in want if c in pf.schema_arrow.names]
+        tbl = pf.read(columns=[FILE_PATH_COL] + have)
+        files = tbl.column(FILE_PATH_COL).to_pylist()
+        cols = {c: tbl.column(c).to_pylist() for c in have}
+        for i, f in enumerate(files):
+            out[f] = {
+                pk: (
+                    bytes(cols[BLOOM_PREFIX + pk][i])
+                    if BLOOM_PREFIX + pk in cols
+                    and cols[BLOOM_PREFIX + pk][i] is not None
+                    else None
+                )
+                for pk in pks
+            }
+    return out
+
+
 def read_manifests(
     spark: SparkSession,
     manifest_abs_paths: List[str],
@@ -297,9 +354,17 @@ def _prune_files_arrow(
 
     # "permissive": manifests written before a schema-evolution add_column
     # lack the new _STATS_ column; concat unifies them with nulls (null
-    # stats never prune — safe).
+    # stats never prune — safe). Bloom columns are skipped — stats
+    # pruning never reads them, and they dominate manifest bytes on
+    # bloom-enabled tables.
+    def _read_no_bloom(p):
+        pf = pq.ParquetFile(p)
+        cols = [c for c in pf.schema_arrow.names
+                if not c.startswith(BLOOM_PREFIX)]
+        return pf.read(columns=cols)
+
     tbl = pa.concat_tables(
-        [pq.read_table(p) for p in manifest_abs_paths],
+        [_read_no_bloom(p) for p in manifest_abs_paths],
         promote_options="permissive",
     )
     if exclude_files:

@@ -147,6 +147,11 @@ class StorageMetadata:
     # replayed micro-batch (restart between sink commit and checkpoint
     # advance) is detected and skipped.
     stream_progress: Dict[str, int] = dc_field(default_factory=dict)
+    # Per-file primary-key Bloom filters (core/blooms.py), opt-in at
+    # create: {"pks": [...]} — every data-file write also builds one
+    # filter per listed PK column into the manifest, and read_by_keys
+    # prunes files by key membership. None = table has no Bloom index.
+    bloom: Optional[dict] = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -169,6 +174,7 @@ class StorageMetadata:
                 "retired_columns": self.retired_columns,
                 "renames": self.renames,
                 "stream_progress": self.stream_progress,
+                "bloom": self.bloom,
             },
             indent=1,
         )
@@ -206,6 +212,7 @@ class StorageMetadata:
                 k: int(v)
                 for k, v in d.get("stream_progress", {}).items()
             },
+            bloom=d.get("bloom"),
         )
 
     # -- version resolution (core/storage.py:224-236) -----------------------
@@ -443,6 +450,7 @@ def initial_metadata(
     logical_plan: Optional[dict] = None,
     udf_registry: Optional[Dict[str, str]] = None,
     serializers: Optional[Dict[str, str]] = None,
+    bloom: Optional[dict] = None,
 ) -> StorageMetadata:
     snap = Snapshot(
         snapshot_id=0, parent_snapshot_id=None, created_at=_now_iso()
@@ -460,4 +468,5 @@ def initial_metadata(
         logical_plan=logical_plan,
         udf_registry=dict(udf_registry or {}),
         serializers=dict(serializers or {}),
+        bloom=bloom,
     )

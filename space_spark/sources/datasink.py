@@ -156,15 +156,18 @@ def _commit_append(location: str, branch: str, rel_files: List[str],
         [ren.get(f, f) for f in meta.record_fields],
     )
     stat_names = [n for n, _ in stat_fields]
+    bloom_pks = tuple((getattr(meta, "bloom", None) or {}).get("pks", ()))
     stats = [
-        mf._footer_stats(log.abs_path(f), stat_names) for f in rel_files
+        mf._footer_stats(log.abs_path(f), stat_names, bloom_pks)
+        for f in rel_files
     ]
     rows = sum(s["num_rows"] for s in stats)
     manifest_rel = None
     if rows > 0:
         manifest_rel = log.new_manifest_relpath()
         rows, nbytes = mf.write_manifest(
-            None, log.abs_path(manifest_rel), rel_files, stats, stat_fields
+            None, log.abs_path(manifest_rel), rel_files, stats, stat_fields,
+            bloom_pks=bloom_pks,
         )
     else:
         if mutate is None:

@@ -61,7 +61,9 @@ def append_parquet(dataset, pattern: str) -> None:
 
     rel_paths = [os.path.relpath(p, dataset.location) for p in paths]
     stat_names = [n for n, _ in dataset._stats_fields()]
-    stats = mf.collect_file_stats(dataset.spark, paths, stat_names)
+    bloom_pks = tuple((dataset.metadata.bloom or {}).get("pks", ()))
+    stats = mf.collect_file_stats(dataset.spark, paths, stat_names,
+                                  bloom_pks=bloom_pks)
     # External files must honor the table's contract too: null primary
     # keys are unreachable by every key-matching operation. Internal
     # writes always carry footer statistics, but a FOREIGN writer may
@@ -95,7 +97,7 @@ def append_parquet(dataset, pattern: str) -> None:
     manifest_rel = dataset.log.new_manifest_relpath()
     rows, nbytes = mf.write_manifest(
         dataset.spark, dataset.log.abs_path(manifest_rel), rel_paths, stats,
-        dataset._stats_fields(),
+        dataset._stats_fields(), bloom_pks=bloom_pks,
     )
     snap = md.Snapshot(
         snapshot_id=-1,

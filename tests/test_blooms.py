@@ -1,0 +1,140 @@
+"""Per-file primary-key Bloom filters (core/blooms.py): unit properties
+plus the read_by_keys point-read pruning path end-to-end."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from space_spark import Dataset, field
+from space_spark.core import blooms as bl
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("v", T.StringType()),
+])
+
+
+def _df(spark, ids):
+    return spark.createDataFrame(
+        [Row(k=i, v=f"v{i}") for i in ids], SCHEMA
+    )
+
+
+def test_no_false_negatives_and_sane_fpp():
+    vals = list(range(0, 5000, 3)) + [f"s{i}" for i in range(500)]
+    bm = bl.build(vals)
+    for v in vals:
+        assert bl.might_contain(bm, v)
+    absent = [f"absent{i}" for i in range(2000)]
+    fpp = sum(bl.might_contain(bm, v) for v in absent) / len(absent)
+    assert fpp < 0.05, fpp  # ~0.8% expected at 10 bits/key, k=7
+
+
+def test_empty_or_missing_bloom_never_prunes():
+    assert bl.might_contain(b"", 1)
+    assert bl.file_matches_any({"k": None}, [{"k": 1}], ["k"])
+    assert bl.file_matches_any({}, [{"k": 1}], ["k"])
+
+
+def test_composite_key_semantics():
+    bma = bl.build([1, 2, 3])
+    bmb = bl.build(["x", "y"])
+    blooms = {"a": bma, "b": bmb}
+    assert bl.file_matches_any(blooms, [{"a": 1, "b": "x"}], ["a", "b"])
+    # Component-wise misses kill the tuple.
+    assert not bl.file_matches_any(
+        blooms, [{"a": 99, "b": "x"}], ["a", "b"])
+    # Any matching tuple keeps the file.
+    assert bl.file_matches_any(
+        blooms, [{"a": 99, "b": "zz"}, {"a": 2, "b": "y"}], ["a", "b"])
+
+
+def test_read_by_keys_prunes_unclustered_files(spark, tmp_location):
+    """The case range stats can't help: every file's key range spans the
+    whole domain (interleaved appends), so only Bloom membership can
+    skip files. 4 appends x interleaved ids; a 2-key probe must touch
+    far fewer than all files and still return exact rows."""
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["k"],
+                        bloom_filters=True)
+    for r in range(4):
+        # Stride-4 interleave: file r holds keys r, r+4, r+8, ... —
+        # every file's (min, max) spans ~the whole domain.
+        ds.append(_df(spark, range(r, 400, 4)).coalesce(1))
+    ds = ds.reload()
+    all_files = ds.data_files()
+    assert len(all_files) == 4
+    keys = _df(spark, [17, 17 + 4]).select("k")  # both in file 1
+    snapshot = ds.metadata.snapshot(ds.current_snapshot_id)
+    survivors = ds._bloom_prune(all_files, snapshot, keys)
+    assert len(survivors) < 4, "bloom pruned nothing"
+    got = sorted(r["k"] for r in ds.read_by_keys([17, 21]).collect())
+    assert got == [17, 21]
+
+
+def test_read_by_keys_correct_after_delete_and_rename(spark, tmp_location):
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["k"],
+                        bloom_filters=True)
+    ds.append(_df(spark, range(0, 100, 2)).coalesce(1))
+    ds.append(_df(spark, range(1, 100, 2)).coalesce(1))
+    ds.delete(field("k") == 21)  # CoW rewrite must rebuild blooms
+    ds.rename_column("k", "key")  # blooms live under the physical name
+    ds = Dataset.load(spark, tmp_location)
+    got = sorted(r["key"] for r in ds.read_by_keys([20, 21, 22]).collect())
+    assert got == [20, 22]
+    got2 = {r["key"]: r["v"] for r in ds.read_by_keys([7]).collect()}
+    assert got2 == {7: "v7"}
+
+
+def test_bloom_skipped_for_oversized_key_sets(spark, tmp_location):
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["k"],
+                        bloom_filters=True)
+    ds.append(_df(spark, range(50)))
+    ds.BLOOM_PROBE_MAX_KEYS = 3
+    keys = _df(spark, [1, 2, 3, 4, 5]).select("k")
+    snapshot = ds.metadata.snapshot(ds.current_snapshot_id)
+    files = ds.data_files()
+    assert ds._bloom_prune(files, snapshot, keys) == files
+    got = sorted(r["k"] for r in ds.read_by_keys([1, 2, 3, 4, 5]).collect())
+    assert got == [1, 2, 3, 4, 5]
+
+
+def test_default_tables_unchanged(spark, tmp_location):
+    """bloom_filters defaults OFF: no bloom metadata, no manifest
+    columns, read_by_keys identical to before."""
+    from space_spark.core import manifests as mf
+
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["k"])
+    ds.append(_df(spark, range(20)))
+    assert ds.metadata.bloom is None
+    snapshot = ds.metadata.snapshot(ds.current_snapshot_id)
+    blooms = mf.read_file_blooms(
+        ds._manifest_abs_paths(snapshot), ["k"])
+    assert all(v["k"] is None for v in blooms.values())
+    assert sorted(r["k"] for r in ds.read_by_keys([3, 7]).collect()) \
+        == [3, 7]
+
+
+def test_zero_copy_load_builds_blooms(spark, tmp_location):
+    """External (zero-copy) file loads on a bloom table must index the
+    foreign files too, or the index silently degrades to never-prune."""
+    from space_spark.core import manifests as mf
+    from space_spark.sources.loaders import append_parquet
+
+    ext = tmp_location + "_ext"
+    _df(spark, range(30)).coalesce(1).write.parquet(ext)
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["k"],
+                        bloom_filters=True)
+    append_parquet(ds, ext + "/*.parquet")
+    ds = ds.reload()
+    snapshot = ds.metadata.snapshot(ds.current_snapshot_id)
+    blooms = mf.read_file_blooms(
+        ds._manifest_abs_paths(snapshot), ["k"])
+    assert blooms and all(v["k"] for v in blooms.values())
+    assert sorted(r["k"] for r in ds.read_by_keys([5, 29]).collect()) \
+        == [5, 29]
