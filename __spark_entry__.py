@@ -3708,6 +3708,85 @@ FROM t GROUP BY 1
 """
 
 
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (round 8): corpus compressed to 8x4-bit
+    codes (16-entry codebooks per subspace, deterministic Knuth-sample
+    codebooks), queries scan CODES via additive integer-micro lookup
+    tables — the memory-bound regime that makes a 100 TB embedding
+    corpus scannable (operators/similarity.py pq_topk; see the
+    integer-micro distance discipline there for why this float-geometry
+    operator is exactly hash-verifiable against ANSI SQL)."""
+    from space_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, emb.where(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=5, dim=EMB_DIM, m=8, n_codes=16,
+    ).select(
+        "query_id", "neighbor_id", "adist_micro",
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+def _ann_pq_sql(m: int = 8, n_codes: int = 16, k: int = 5,
+                n_queries: int = 5) -> str:
+    from space_spark.operators.similarity import (
+        KNUTH_ID_MOD,
+        KNUTH_MOD,
+        KNUTH_MULT,
+    )
+
+    sub = EMB_DIM // m
+    # Left-to-right chain, same fold order as the Spark expression.
+    chain = " + ".join(
+        f"(CAST(a.v[s*{sub}+{j}+1] AS DOUBLE) - "
+        f"CAST(b.v[s*{sub}+{j}+1] AS DOUBLE))"
+        f"*(CAST(a.v[s*{sub}+{j}+1] AS DOUBLE) - "
+        f"CAST(b.v[s*{sub}+{j}+1] AS DOUBLE))"
+        for j in range(sub)
+    )
+    knuth = f"((id % {KNUTH_ID_MOD}) * {KNUTH_MULT}) % {KNUTH_MOD}"
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, embedding AS v FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) = {EMB_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL
+          OR isnan(CAST(x AS DOUBLE))
+          OR abs(CAST(x AS DOUBLE)) = CAST('infinity' AS DOUBLE))) = 0
+), cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY {knuth}, id) - 1 AS c, v
+  FROM v ORDER BY {knuth}, id LIMIT {n_codes}
+), subs AS (SELECT UNNEST(range({m})) AS s),
+dists AS (
+  SELECT a.id, subs.s, b.c,
+         CAST(ROUND(({chain}) * 1000000) AS BIGINT) AS d
+  FROM v a, subs, cb b
+), encoded AS (
+  SELECT id, s, c FROM (
+    SELECT id, s, c,
+           ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY d, c) AS r
+    FROM dists) WHERE r = 1
+), lut AS (
+  SELECT id AS query_id, s, c, d
+  FROM dists WHERE id < {n_queries}
+), scored AS (
+  SELECT l.query_id, e.id AS neighbor_id,
+         SUM(l.d)::BIGINT AS adist_micro
+  FROM encoded e JOIN lut l USING (s, c)
+  WHERE e.id != l.query_id
+  GROUP BY l.query_id, e.id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adist_micro ASC, neighbor_id ASC
+  ) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, adist_micro, rnk
+FROM ranked WHERE rnk <= {k}
+"""
+
+
 def space_bloom_point_read(spark, sf_dir):
     """P6 at scale (round 8): point reads pruned by per-file primary-key
     BLOOM filters (core/blooms.py), the index for tables NOT clustered
@@ -4588,6 +4667,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_pack": text_bpe_pack,
         "export_shards_manifest": export_shards_manifest,
         "space_bloom_point_read": space_bloom_point_read,
+        "ann_pq_topk": ann_pq_topk,
     }
 
 
@@ -4704,4 +4784,5 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_pack": _bpe_pack_sql(),
         "export_shards_manifest": _export_shards_sql(),
         "space_bloom_point_read": SPACE_BLOOM_SQL,
+        "ann_pq_topk": _ann_pq_sql(),
     }

@@ -122,3 +122,56 @@ def test_quality_mix_validates_rates(spark):
         quality_mix_sample(docs, "doc_id", "text", rates=(1.0, 0.5))
     with pytest.raises(ValueError, match="fractions"):
         quality_mix_sample(docs, "doc_id", "text", rates=(1.0, 0.5, 1.5))
+
+
+def test_pq_topk_contract_and_recall(spark):
+    """PQ is approximate, but it must (a) be deterministic, (b) exclude
+    poisoned vectors, (c) rank by true ADC distance, and (d) retrieve a
+    sane fraction of the exact squared-L2 top-k on real embeddings."""
+    import numpy as np
+
+    from space_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.where(F.col("vec_id") < 8)
+    out = pq_topk(emb, queries, k=10).collect()
+    again = pq_topk(emb, queries, k=10).collect()
+    key = lambda r: (r["query_id"], r["rnk"])  # noqa: E731
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    recalls = []
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rnk"])
+        dists = [r["adist_micro"] for r in rows]
+        assert dists == sorted(dists)
+        assert all(r["neighbor_id"] != qid for r in rows)
+        exact = sorted(
+            ((np.sum((vecs[qid] - v) ** 2), i)
+             for i, v in vecs.items() if i != qid)
+        )[:10]
+        exact_ids = {i for _, i in exact}
+        got_ids = {r["neighbor_id"] for r in rows}
+        recalls.append(len(exact_ids & got_ids) / 10)
+    # Sampled (non-k-means) 16-code codebooks on near-isotropic 64-d
+    # embeddings give rough recall@10 (~0.25 measured) — the assertion
+    # is "an order of magnitude above random" (random ~ 10/N = 2%), not
+    # production recall, which needs trained codebooks.
+    assert sum(recalls) / len(recalls) > 0.15, recalls
+
+
+def test_pq_excludes_poisoned_vectors(spark):
+    from space_spark.operators.similarity import pq_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.1] * 8), (3, None),
+         (4, [float("nan")] * 8), (5, [1.0] * 7), (6, [0.9] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    out = pq_topk(emb, emb, dim=8, m=2, n_codes=2, k=3).collect()
+    ids = {r["query_id"] for r in out} | {r["neighbor_id"] for r in out}
+    assert ids <= {1, 2, 6}
+    assert {r["query_id"] for r in out} == {1, 2, 6}
