@@ -34,11 +34,19 @@ def shuffle_key(id_col: Column, seed: int = 42) -> Column:
 
 def with_shards(df: DataFrame, id_col: str, n_shards: int,
                 seed: int = 42) -> DataFrame:
-    """Add ``__key`` (shuffle position) and ``shard_id`` columns."""
+    """Add ``__key`` (shuffle position) and ``shard_id`` columns.
+
+    NULL-id rows are EXCLUDED (the ``exact_dedup`` discipline): their
+    md5 key would collapse to one identical value (``concat_ws`` skips
+    NULL), silently piling every such row at one position of one shard
+    — and a training example without an id can't be accounted for in a
+    manifest anyway."""
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
     k = shuffle_key(F.col(id_col), seed)
-    return df.withColumn("__key", k).withColumn(
+    return df.where(F.col(id_col).isNotNull()).withColumn(
+        "__key", k
+    ).withColumn(
         "shard_id", (F.col("__key") % n_shards).cast("int")
     )
 

@@ -94,3 +94,19 @@ def test_export_is_deterministic(spark, tmp_location):
 def test_n_shards_validated(spark):
     with pytest.raises(ValueError, match="positive"):
         with_shards(_docs(spark), "doc_id", 0)
+
+
+def test_null_ids_excluded(spark, tmp_location):
+    """A NULL id's md5 key would collapse to one shared value (concat_ws
+    skips NULLs) — such rows are excluded, not silently piled into one
+    shard position."""
+    docs = spark.createDataFrame(
+        [(1, 10), (None, 11), (2, 12), (None, 13)],
+        "doc_id long, n_tokens long",
+    )
+    manifest = export_training_shards(
+        docs, "doc_id", tmp_location + "/sh", n_shards=2
+    ).collect()
+    assert sum(r["n_rows"] for r in manifest) == 2
+    written = spark.read.parquet(tmp_location + "/sh")
+    assert sorted(r["doc_id"] for r in written.collect()) == [1, 2]
