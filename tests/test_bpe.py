@@ -166,3 +166,38 @@ def test_trainer_encoder_roundtrip_compresses(spark):
             lambda w: w != F.lit("")))).alias("ws"),
     ).collect()[0]
     assert row["ws"] <= row["bpe"] < row["chars"]
+
+
+def test_property_random_tables_and_words_match_reference(spark):
+    """Hypothesis-style sweep without per-example Spark jobs: train merge
+    tables from RANDOM tiny corpora (training guarantees the topological
+    rank order the sequential-replace equivalence relies on), then check
+    the expression encoder against the reference priority encoder over
+    random words — one Spark job per table, hundreds of words each."""
+    rng = random.Random(42)
+    alphabet = "abcdef"
+    for trial in range(4):
+        corpus_words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+            for _ in range(60)
+        ]
+        cdf = spark.createDataFrame(
+            [(1, " ".join(corpus_words))], "i long, text string"
+        )
+        merges = bpe_learn_merges(cdf, "text",
+                                  n_merges=rng.randint(1, 24))
+        words = ["".join(rng.choice(alphabet)
+                         for _ in range(rng.randint(1, 16)))
+                 for _ in range(250)] + corpus_words
+        wdf = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "i long, text string"
+        )
+        got = {r["i"]: (r["n"], list(r["p"])) for r in wdf.select(
+            "i",
+            bpe_token_count(F.col("text"), merges).alias("n"),
+            bpe_pieces(F.col("text"), merges).alias("p"),
+        ).collect()}
+        for i, w in enumerate(words):
+            exp = ref_bpe(w, merges)
+            assert got[i][1] == exp, (trial, w, merges, got[i][1], exp)
+            assert got[i][0] == len(exp)
