@@ -4466,24 +4466,47 @@ _GATE_WINDOW = 50
 _CHURN_QUOTA = 8
 _CHURNED_THIS_ROUND = [
     # r8 churn, derived from the round's diff by tools/churn_suggest.py
-    # (function-level git-diff -> query mapping; refreshed before the
-    # round freezes).
-    # dup_of chain-chase fixed-cost shave + checkpoint unpersist
-    # (similarity.py, ADVICE r7) — operator code changed this round.
+    # against base 29b0e6f (function-level git-diff -> query mapping).
+    # dup_of chain-chase: persist/unpersist generations + empty-dups
+    # short-circuit (similarity.py) — operator changed this round.
     "dedup_semantic",
     # Churned in ROUND 7 past that round's quota (null-id exclusion +
     # GEMM id-type fix, externally unverified since r6); the round-7
     # verdict ("Next round #6") names it for r8 — a churn slot
-    # guarantees it cannot be displaced by the nine new entries.
+    # guarantees it cannot be displaced by the fifteen new entries.
     "embedding_neardup",
+    # views.py transform-node refactor (the chained-view lazy-read fix
+    # split apply_to into per-node _apply_self) sits directly under MV
+    # refresh's process_source path.
+    "space_mv_refresh",
+    # apply_changes gained the commit_mutate hook (plumbed through
+    # _apply_changes_commit -> _commit_rewrite) for stream_refresh;
+    # this is its r7-green direct consumer.
+    "space_stream_cdc",
+    # loaders.py append_parquet now builds blooms for bloom tables
+    # (empty bloom_pks for default tables, but the code path changed).
+    "space_zero_copy_load",
+    # insert/upsert ride _write_data_files, which gained the bloom_pks
+    # stats pass; re-verify the write-path pair externally.
+    "space_insert_read",
+    "space_upsert_read",
+    # Renames interact with the new bloom index (filters live under
+    # immutable physical names; read_by_keys maps logical -> physical).
+    "space_rename_read",
 ]
-# The round-8 window composition is mechanical: the nine never-green
-# registrations lead with staleness -inf, the four r5-green entries
-# (space_mor_delete, space_diff_changes, space_zorder_pruned,
-# sample_domain_mix — at the 3-round limit) follow, and the remaining
-# slots go to r6-green entries in definition order. r6-green entries
-# that sit out this round are the most stale in round 9 and lead its
-# window, inside the proven bound.
+# Quota (8) is full. churn_suggest also flags space_random_access,
+# space_range_join and space_zorder_string (OUTSIDE the window) plus
+# every other space query — all solely via the Dataset CLASS diff: the
+# opt-in bloom plumbing is inert for existing/default tables (empty
+# bloom_pks writes byte-identical manifests, pinned by
+# test_blooms.test_default_tables_unchanged and the full suite), and
+# the read_by_keys rewrite's own query (space_read_by_keys) re-verifies
+# in this window by staleness. The three sit-outs are r6/r7-green and
+# lead the round-9 window mechanically. Window composition: fifteen
+# never-green round-8 registrations lead with staleness -inf, then the
+# four r5-green entries at the 3-round limit (space_mor_delete,
+# space_diff_changes, space_zorder_pruned, sample_domain_mix), then
+# r6-green entries in definition order.
 
 
 def _is_green(row) -> bool:
