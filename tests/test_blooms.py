@@ -138,3 +138,29 @@ def test_zero_copy_load_builds_blooms(spark, tmp_location):
     assert blooms and all(v["k"] for v in blooms.values())
     assert sorted(r["k"] for r in ds.read_by_keys([5, 29]).collect()) \
         == [5, 29]
+
+
+def test_distributed_stats_path_builds_blooms(spark, tmp_location):
+    """Appends writing more than _DRIVER_STATS_MAX_FILES files collect
+    footer stats via a distributed parallelize map — the bloom build
+    must survive that executor-side path too (closure pickling, the
+    in-function blooms import), not just the driver loop."""
+    from space_spark.core import manifests as mf
+
+    n_files = mf._DRIVER_STATS_MAX_FILES + 4
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["k"],
+                        bloom_filters=True)
+    ds.append(_df(spark, range(720)).repartition(n_files))
+    ds = ds.reload()
+    assert len(ds.data_files()) >= n_files - 1
+    snapshot = ds.metadata.snapshot(ds.current_snapshot_id)
+    blooms = mf.read_file_blooms(
+        ds._manifest_abs_paths(snapshot), ["k"])
+    assert len(blooms) >= n_files - 1
+    assert all(v["k"] for v in blooms.values())
+    got = sorted(r["k"] for r in ds.read_by_keys([5, 700]).collect())
+    assert got == [5, 700]
+    # And the probe actually prunes: two keys live in at most two files.
+    keys = _df(spark, [5, 700]).select("k")
+    survivors = ds._bloom_prune(ds.data_files(), snapshot, keys)
+    assert len(survivors) <= 4  # 2 true files + tolerated fp margin
