@@ -3787,6 +3787,135 @@ FROM ranked WHERE rnk <= {k}
 """
 
 
+def pipeline_pretrain_filter(spark, sf_dir):
+    """End-to-end pretraining-filter CASCADE (round 8 capstone): the
+    composed pipeline a real corpus runs through, as one query —
+    normalize -> C4 document rules -> Gopher quality rules -> benchmark
+    decontamination (8-gram overlap vs the held-out doc_id%11 slice) ->
+    per-survivor REAL BPE token accounting. Each stage is an existing
+    audited operator; this query exists to prove they COMPOSE: flags
+    filter lazily (no materialization between stages, Catalyst fuses
+    the three projection stages into one pass over the text), the only
+    exchanges are decontamination's bounded hit-count aggregate and its
+    broadcast bench-gram set. Attrition on this corpus: 500 docs ->
+    ~236 after C4 -> ~182 after Gopher -> minus contaminated -> BPE
+    budget for the rest."""
+    from space_spark.operators.bpe import bpe_token_count
+    from space_spark.operators.dedup import decontaminate
+    from space_spark.operators.text import c4_rules, gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        # Same normalization as text_c4_rules: the word-soup corpus
+        # gains sentence/line structure via ' table ' -> '.\n'.
+        F.regexp_replace("text", " table ", ".\n").alias("text"),
+    )
+    bench = docs.where(F.col("doc_id") % 11 == 0)
+    corpus = docs.where(F.col("doc_id") % 11 != 0)
+    kept = (
+        gopher_quality_flags(
+            c4_rules(corpus, "text").where("c4_keep"), "text"
+        )
+        .where("gopher_pass")
+        .select("doc_id", "text")
+    )
+    contaminated = decontaminate(kept, bench, "doc_id", "text", n=8)
+    clean = kept.join(contaminated.select("doc_id"), "doc_id",
+                      "left_anti")
+    return clean.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def _pipeline_filter_sql() -> str:
+    from space_spark.operators.bpe import bpe_count_sql
+
+    c4_keep = """
+  (n_sentences >= 3
+   AND NOT contains(lower(t), '{')
+   AND NOT contains(lower(t), 'lorem ipsum')
+   AND punct_line_frac >= 0.5)"""
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         regexp_replace(text, ' table ', '.' || chr(10), 'g') AS t
+  FROM documents
+), c4s AS (
+  SELECT doc_id, t,
+    CAST(len(list_filter(regexp_split_to_array(t, '[.!?]'),
+                         x -> length(trim(x)) > 0)) AS BIGINT)
+      AS n_sentences,
+    list_filter(string_split(t, chr(10)),
+                x -> length(trim(x)) > 0) AS nelines
+  FROM docs WHERE doc_id % 11 != 0
+), c4f AS (
+  SELECT doc_id, t, n_sentences,
+    ROUND(CASE WHEN len(nelines) > 0
+          THEN CAST(len(list_filter(nelines,
+                 x -> regexp_matches(trim(x), '[.!?"'']$'))) AS DOUBLE)
+               / len(nelines)
+          ELSE 0.0 END, 6) AS punct_line_frac
+  FROM c4s
+), c4 AS (
+  SELECT doc_id, t FROM c4f WHERE {c4_keep}
+), gs AS (
+  SELECT doc_id, t,
+    regexp_split_to_array(trim(t), '\\s+') AS words,
+    string_split(t, chr(10)) AS lines,
+    length(t) - length(replace(t, '#', '')) AS hash_cnt,
+    (length(t) - length(replace(t, '...', ''))) / 3 AS ell_cnt
+  FROM c4
+), gm AS (
+  SELECT doc_id, t, hash_cnt, ell_cnt,
+    len(words) AS nw, len(lines) AS nl,
+    list_sum(list_transform(words, x -> length(x))) AS wchars,
+    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+      AS alpha_w,
+    len(list_distinct(lines)) AS dlines,
+    len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]')))
+      AS bullets,
+    len(list_filter(lines, x -> regexp_matches(x, '\\.\\.\\.$'))) AS ells
+  FROM gs
+), kept AS (
+  SELECT doc_id, t FROM gm
+  WHERE nw >= 50 AND nw <= 100000
+    AND ROUND(CASE WHEN nw > 0 THEN wchars / nw ELSE 0.0 END, 6)
+          BETWEEN 3 AND 10
+    AND ROUND(CASE WHEN nw > 0 THEN alpha_w / nw ELSE 0.0 END, 6) > 0.8
+    AND ROUND(CASE WHEN nl > 0 THEN 1 - dlines / nl ELSE 0.0 END, 6)
+          < 0.3
+    AND ROUND(CASE WHEN nl > 0 THEN bullets / nl ELSE 0.0 END, 6) < 0.9
+    AND ROUND(CASE WHEN nl > 0 THEN ells / nl ELSE 0.0 END, 6) < 0.3
+    AND ROUND(CASE WHEN nw > 0 THEN (hash_cnt + ell_cnt) / nw
+              ELSE 0.0 END, 6) < 0.1
+), kt AS (
+  SELECT doc_id, list_filter(
+    regexp_split_to_array(lower(trim(t)), '\\s+'), x -> x <> '') AS w
+  FROM kept
+), bt AS (
+  SELECT doc_id, list_filter(
+    regexp_split_to_array(lower(trim(t)), '\\s+'), x -> x <> '') AS w
+  FROM docs WHERE doc_id % 11 = 0
+), kg AS (
+  SELECT doc_id, UNNEST(list_filter(list_distinct(list_transform(
+    generate_series(0, GREATEST(len(w) - 8, 0)),
+    i -> array_to_string(w[i+1:i+8], ' '))), x -> x <> '')) AS gram
+  FROM kt
+), bg AS (
+  SELECT DISTINCT UNNEST(list_filter(list_distinct(list_transform(
+    generate_series(0, GREATEST(len(w) - 8, 0)),
+    i -> array_to_string(w[i+1:i+8], ' '))), x -> x <> '')) AS gram
+  FROM bt
+), contaminated AS (
+  SELECT DISTINCT kg.doc_id FROM kg JOIN bg USING (gram)
+)
+SELECT doc_id, {bpe_count_sql('t')} AS n_bpe_tokens
+FROM kept
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
 def space_bloom_point_read(spark, sf_dir):
     """P6 at scale (round 8): point reads pruned by per-file primary-key
     BLOOM filters (core/blooms.py), the index for tables NOT clustered
@@ -4691,6 +4820,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards_manifest": export_shards_manifest,
         "space_bloom_point_read": space_bloom_point_read,
         "ann_pq_topk": ann_pq_topk,
+        "pipeline_pretrain_filter": pipeline_pretrain_filter,
     }
 
 
@@ -4808,4 +4938,5 @@ def oracle_sql() -> dict[str, str]:
         "export_shards_manifest": _export_shards_sql(),
         "space_bloom_point_read": SPACE_BLOOM_SQL,
         "ann_pq_topk": _ann_pq_sql(),
+        "pipeline_pretrain_filter": _pipeline_filter_sql(),
     }
