@@ -290,3 +290,52 @@ def test_bucketed_join_is_exchange_free(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {o_t}")
         spark.sql(f"DROP TABLE IF EXISTS {c_t}")
+
+
+def test_bpe_count_is_pure_jvm(spark):
+    """The BPE encoder's whole point is staying inside whole-stage
+    codegen — any Python evaluation node (a regression to a UDF
+    implementation) is a 10-100x tax on the hot path."""
+    from space_spark.operators.bpe import bpe_token_count
+
+    plan = plan_of(_docs(spark).select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n")))
+    for marker in ("PythonUDF", "ArrowEval", "MapInPandas", "FlatMapIn",
+                   "BatchEvalPython"):
+        assert marker not in plan, marker
+    # '*(n)' prefixes mark whole-stage-codegen'd operators in the
+    # compact plan string.
+    assert "*(" in plan or "WholeStageCodegen" in plan
+
+
+def test_export_never_global_sorts(spark):
+    """Shard layout sorts WITHIN partitions only; a global sort
+    (rangepartitioning exchange) would funnel the corpus through a
+    range-boundary sample + skew on hot shards."""
+    from space_spark.operators.export import with_shards
+
+    sharded = (
+        with_shards(_docs(spark).select("doc_id"), "doc_id", 8)
+        .repartition(8, F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "__key")
+    )
+    plan = plan_of(sharded)
+    assert "rangepartitioning" not in plan.lower()
+    assert "Sort " in plan  # the local (non-global) sort is present
+
+
+def test_pipeline_cascade_single_text_pass(spark):
+    """The cascade's three flag stages must FUSE — no exchange between
+    C4, Gopher and the survivors projection (the only exchanges in the
+    full query belong to decontamination, tested separately)."""
+    from space_spark.operators.text import c4_rules, gopher_quality_flags
+
+    docs = _docs(spark).select(
+        "doc_id", F.regexp_replace("text", " table ", ".\n").alias("text"))
+    kept = (
+        gopher_quality_flags(c4_rules(docs, "text").where("c4_keep"),
+                             "text")
+        .where("gopher_pass").select("doc_id")
+    )
+    plan = plan_of(kept)
+    assert "Exchange" not in plan
