@@ -247,14 +247,20 @@ def bpe_pieces(text: Column,
     return bpe_pieces_from_merged(bpe_merged(text, merges))
 
 
+def _sq(s: str) -> str:
+    """SQL single-quote escape: symbols are corpus-derived printable
+    ASCII, which includes the quote character itself."""
+    return s.replace("'", "''")
+
+
 def _merged_sql(word_sql: str, merges: Sequence[Tuple[str, str]]) -> str:
     """DuckDB expression: the framed-and-merged symbol string for one
     word expression — same US+SP framing as the Spark side, generated
     from the SAME merge table so oracles can never drift."""
     base = rf"regexp_replace({word_sql}, '(.)', '{US}\1 ', 'g')"
     for a, b in merges:
-        base = (f"replace({base}, '{US}{a} {US}{b} ', "
-                f"'{US}{a}{b} ')")
+        base = (f"replace({base}, '{US}{_sq(a)} {US}{_sq(b)} ', "
+                f"'{US}{_sq(a)}{_sq(b)} ')")
     return base
 
 

@@ -201,3 +201,22 @@ def test_property_random_tables_and_words_match_reference(spark):
             exp = ref_bpe(w, merges)
             assert got[i][1] == exp, (trial, w, merges, got[i][1], exp)
             assert got[i][0] == len(exp)
+
+
+def test_sql_mirror_survives_quote_symbols(spark):
+    """Learned merges can contain the single-quote character (it's
+    printable ASCII and appears in contractions); the generated oracle
+    SQL must escape it — and agree with the Spark side."""
+    merges = [("'", "s"), ("e", "'")]
+    text = "''s e' x"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT '''''s e'' x' AS text")
+    n = con.execute(
+        f"SELECT {bpe_count_sql('text', merges)} AS n FROM documents"
+    ).fetchone()[0]
+    # words: ''s -> [' , 's] = 2;  e' -> [e'] = 1;  x -> 1
+    assert n == 4
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(
+        bpe_token_count(F.col("text"), merges).alias("n")).collect()[0]["n"]
+    assert got == n
