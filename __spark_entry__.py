@@ -2325,12 +2325,21 @@ def space_sql_table(spark, sf_dir):
         f"INSERT INTO `{tbl}` VALUES (990, 'ATLANTIS', 0), "
         f"(991, 'LEMURIA', 1)"
     )
-    return (
+    out = (
         spark.table(tbl)
         .where(F.col("n_regionkey") <= 1)
         .select("n_nationkey", "n_name")
         .orderBy("n_nationkey")
     )
+    # Materialize (bounded: nation is a fixed 25-row table at every SF)
+    # then DROP the catalog entry — repeated gate runs otherwise
+    # accumulate metastore tables pointing at vanished tmp dirs (the
+    # same leak class ADVICE r7 flagged on the bucketed join).
+    try:
+        result = out.toArrow()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+    return spark.createDataFrame(result)
 
 
 SPACE_SQL_TABLE_SQL = """
