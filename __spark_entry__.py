@@ -3796,6 +3796,110 @@ FROM ranked WHERE rnk <= {k}
 """
 
 
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-pruned PQ scanning (round 8): the FAISS-IVFPQ production
+    shape — coarse quantizer prunes to n_probe of n_lists inverted
+    lists, PQ/ADC integer lookups score only the probed lists'
+    CODES. Composes the two audited quantizers; every distance rides
+    the exact integer-micro pipeline, so the composed index is
+    hash-verified against ANSI SQL like its parts
+    (operators/similarity.py ivfpq_topk)."""
+    from space_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, emb.where(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=5, dim=EMB_DIM, m=8, n_codes=16, n_lists=16, n_probe=4,
+    ).select(
+        "query_id", "neighbor_id", "adist_micro",
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+def _ann_ivfpq_sql(m: int = 8, n_codes: int = 16, n_lists: int = 16,
+                   n_probe: int = 4, k: int = 5,
+                   n_queries: int = 5) -> str:
+    from space_spark.operators.similarity import (
+        KNUTH_ID_MOD,
+        KNUTH_MOD,
+        KNUTH_MULT,
+    )
+
+    sub = EMB_DIM // m
+    pq_chain = " + ".join(
+        f"(CAST(a.v[s*{sub}+{j}+1] AS DOUBLE) - "
+        f"CAST(b.v[s*{sub}+{j}+1] AS DOUBLE))"
+        f"*(CAST(a.v[s*{sub}+{j}+1] AS DOUBLE) - "
+        f"CAST(b.v[s*{sub}+{j}+1] AS DOUBLE))"
+        for j in range(sub)
+    )
+    coarse_chain = " + ".join(
+        f"(CAST(a.v[{j + 1}] AS DOUBLE) - CAST(b.v[{j + 1}] AS DOUBLE))"
+        f"*(CAST(a.v[{j + 1}] AS DOUBLE) - CAST(b.v[{j + 1}] AS DOUBLE))"
+        for j in range(EMB_DIM)
+    )
+    knuth = f"((id % {KNUTH_ID_MOD}) * {KNUTH_MULT}) % {KNUTH_MOD}"
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, embedding AS v FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) = {EMB_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL
+          OR isnan(CAST(x AS DOUBLE))
+          OR abs(CAST(x AS DOUBLE)) = CAST('infinity' AS DOUBLE))) = 0
+), cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY {knuth}, id) - 1 AS c, v
+  FROM v ORDER BY {knuth}, id LIMIT {n_codes}
+), cl AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY {knuth}, id) - 1 AS list_id, v
+  FROM v ORDER BY {knuth}, id LIMIT {n_lists}
+), coarse AS (
+  SELECT a.id, b.list_id,
+         CAST(ROUND(({coarse_chain}) * 1000000) AS BIGINT) AS d
+  FROM v a, cl b
+), c_assign AS (
+  SELECT id, list_id FROM (
+    SELECT id, list_id,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, list_id) AS r
+    FROM coarse) WHERE r = 1
+), q_probe AS (
+  SELECT id AS query_id, list_id FROM (
+    SELECT id, list_id,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, list_id) AS r
+    FROM coarse WHERE id < {n_queries}) WHERE r <= {n_probe}
+), subs AS (SELECT UNNEST(range({m})) AS s),
+dists AS (
+  SELECT a.id, subs.s, b.c,
+         CAST(ROUND(({pq_chain}) * 1000000) AS BIGINT) AS d
+  FROM v a, subs, cb b
+), encoded AS (
+  SELECT id, s, c FROM (
+    SELECT id, s, c,
+           ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY d, c) AS r
+    FROM dists) WHERE r = 1
+), lut AS (
+  SELECT id AS query_id, s, c, d
+  FROM dists WHERE id < {n_queries}
+), scored AS (
+  SELECT q.query_id, e.id AS neighbor_id,
+         SUM(l.d)::BIGINT AS adist_micro
+  FROM encoded e
+  JOIN c_assign ca USING (id)
+  JOIN q_probe q ON ca.list_id = q.list_id
+  JOIN lut l ON l.query_id = q.query_id AND l.s = e.s AND l.c = e.c
+  WHERE e.id != q.query_id
+  GROUP BY q.query_id, e.id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adist_micro ASC, neighbor_id ASC
+  ) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, adist_micro, rnk
+FROM ranked WHERE rnk <= {k}
+"""
+
+
 def pipeline_pretrain_filter(spark, sf_dir):
     """End-to-end pretraining-filter CASCADE (round 8 capstone): the
     composed pipeline a real corpus runs through, as one query —
@@ -4835,6 +4939,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "space_bloom_point_read": space_bloom_point_read,
         "ann_pq_topk": ann_pq_topk,
         "pipeline_pretrain_filter": pipeline_pretrain_filter,
+        "ann_ivfpq_topk": ann_ivfpq_topk,
     }
 
 
@@ -4953,4 +5058,5 @@ def oracle_sql() -> dict[str, str]:
         "space_bloom_point_read": SPACE_BLOOM_SQL,
         "ann_pq_topk": _ann_pq_sql(),
         "pipeline_pretrain_filter": _pipeline_filter_sql(),
+        "ann_ivfpq_topk": _ann_ivfpq_sql(),
     }

