@@ -3630,11 +3630,14 @@ def _bpe_tokens_sql() -> str:
     )
 
     word_pieces = bpe_pieces_sql("w")
+    # replace(..., \x1f, '') mirrors the Spark side's US-sentinel strip
+    # (operators/bpe.py _framed_doc, ADVICE r8).
     return f"""
 SELECT doc_id,
   {bpe_count_sql('text')} AS n_bpe_tokens,
   COALESCE(array_to_string(list_transform(
-    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+    list_filter(regexp_split_to_array(
+        replace(lower(trim(text)), '\x1f', ''), '\\s+'),
                 w -> w <> ''),
     w -> CASE WHEN regexp_matches(w, '^[\\x21-\\x7e]+$')
               THEN {word_pieces} ELSE w END), '|'), '') AS pieces

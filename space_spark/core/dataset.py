@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from space_spark.core import blooms as _bl
 from space_spark.core import manifests as mf
 from space_spark.core import metadata as md
 from space_spark.core import records as rec
@@ -138,8 +139,12 @@ class Dataset:
             serializers=ser_registry,
             # PK names at create time ARE the immutable physical names;
             # blooms are built/probed under physical names so renames
-            # never desync the index.
-            bloom={"pks": list(primary_keys)} if bloom_filters else None,
+            # never desync the index. "v" pins the hash scheme: probes
+            # of any other version never prune (blooms.BLOOM_VERSION).
+            bloom=(
+                {"pks": list(primary_keys), "v": _bl.BLOOM_VERSION}
+                if bloom_filters else None
+            ),
         )
         log.write_metadata(meta, create=True)
         return cls(spark, log, meta)
@@ -411,7 +416,7 @@ class Dataset:
             if name.endswith(".parquet")
         )
         stat_names = [n for n, _ in self._stats_fields()]
-        bloom_pks = tuple((self.metadata.bloom or {}).get("pks", ()))
+        bloom_pks = self._bloom_pks()
         stats = mf.collect_file_stats(
             self.spark,
             [self.log.abs_path(f) for f in rel_files],
@@ -1929,9 +1934,21 @@ class Dataset:
             # Python-RDD plan that needs worker processes to evaluate.
             import pandas as pd
 
+            pdf = pd.DataFrame({pks[0]: list(keys)})
+            if isinstance(self.schema[pks[0]].dataType, T.TimestampType):
+                # Arrow interprets NAIVE pandas timestamps in system-local
+                # time, but tuple-form/table writes use the SESSION
+                # timezone — under a non-UTC session the instants diverge
+                # and the semi-join silently misses. Localize explicitly.
+                ser = pd.to_datetime(pdf[pks[0]])
+                if ser.dt.tz is None:
+                    tz = self.spark.conf.get("spark.sql.session.timeZone")
+                    ser = ser.dt.tz_localize(
+                        tz, ambiguous="raise", nonexistent="raise"
+                    )
+                pdf[pks[0]] = ser
             keys = self.spark.createDataFrame(
-                pd.DataFrame({pks[0]: list(keys)}),
-                schema=T.StructType([self.schema[pks[0]]]),
+                pdf, schema=T.StructType([self.schema[pks[0]]]),
             )
         if set(keys.columns) != set(pks):
             raise UserInputError(
@@ -1971,19 +1988,35 @@ class Dataset:
     # large key sets, and a huge key set hits most files anyway).
     BLOOM_PROBE_MAX_KEYS = 10_000
 
+    def _bloom_pks(self) -> tuple:
+        """Physical PK columns to build filters for on writes: empty
+        unless the table opted in AND its pinned hash version matches
+        this code (a version-mismatched table stops building AND stops
+        probing — filters degrade to inert, never to wrong)."""
+        meta = self.metadata.bloom
+        if not meta or meta.get("v") != _bl.BLOOM_VERSION:
+            return ()
+        return tuple(meta.get("pks", ()))
+
     def _bloom_prune(self, rel_files, snapshot, keys: DataFrame):
         """Drop range-surviving files whose per-PK Bloom filters prove no
         probed key can be present (core/blooms.py). No-op for tables
-        without the index, oversized key sets, and files whose manifests
-        predate the index (None blooms never prune)."""
-        bloom_meta = self.metadata.bloom
-        if not bloom_meta or not rel_files:
+        without the index (or with a different filter version),
+        oversized key sets, unsupported PK types, and files whose
+        manifests predate the index (None blooms never prune)."""
+        if not self._bloom_pks() or not rel_files:
             return rel_files
-        key_rows = keys.limit(self.BLOOM_PROBE_MAX_KEYS + 1).collect()
+        # Canonicalize IN SPARK (timestamps -> unix_micros, dates ->
+        # unix_date) so the collected probe values are the exact int64
+        # domain the arrow-side build hashed — never a naive datetime
+        # whose str() depends on the session timezone (the v1 bug).
+        exprs = _bl.probe_exprs(self.primary_keys, self.schema)
+        if exprs is None:
+            return rel_files  # unsupported PK type: build wrote no filter
+        key_rows = (keys.select(*exprs)
+                    .limit(self.BLOOM_PROBE_MAX_KEYS + 1).collect())
         if len(key_rows) > self.BLOOM_PROBE_MAX_KEYS:
             return rel_files
-        from space_spark.core import blooms as bl
-
         # Blooms are stored under immutable PHYSICAL names; probe values
         # arrive under logical names.
         phys = {pk: self.metadata.renames.get(pk, pk)
@@ -1995,8 +2028,8 @@ class Dataset:
         )
         return [
             f for f in rel_files
-            if bl.file_matches_any(by_file.get(f, {}), rows,
-                                   list(phys.values()))
+            if _bl.file_matches_any(by_file.get(f, {}), rows,
+                                    list(phys.values()))
         ]
 
     # -------------------------------------------------------- schema evolution

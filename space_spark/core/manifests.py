@@ -131,9 +131,12 @@ def _footer_stats(abs_path: str, stat_names: List[str],
     if bloom_pks:
         from space_spark.core import blooms as bl
 
+        # Vectorized: canonical int64 columns hash in numpy, no per-row
+        # Python loop (v1 built via str()+md5 per value — both slow and,
+        # for timestamps, probe-divergent; see blooms.py docstring).
         tbl = pq.read_table(abs_path, columns=list(bloom_pks))
         out["blooms"] = {
-            pk: bl.build(tbl.column(pk).to_pylist(), n_keys=meta.num_rows)
+            pk: bl.build_arrow(tbl.column(pk), n_keys=meta.num_rows)
             for pk in bloom_pks
         }
     return out

@@ -53,6 +53,7 @@ from __future__ import annotations
 from collections import Counter
 from typing import List, Sequence, Tuple
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -134,14 +135,41 @@ DEFAULT_MERGES: List[Tuple[str, str]] = [
 
 
 # Unit separator: frames every symbol's START. Cannot occur inside a
-# symbol (symbols are printable ASCII \x21-\x7e).
+# symbol (symbols are printable ASCII \x21-\x7e), and is STRIPPED from
+# input text before framing — an embedded US in a document would
+# otherwise inflate the count-by-US trick while the SQL oracle's CASE
+# counts the word once (ADVICE r8). Both engines strip it identically.
 US = "\x1f"
+
+
+def validate_merges(merges: Sequence[Tuple[str, str]]) -> None:
+    """Reject merge tables the sequential-replace encoder is not exact
+    for. The proof in the module docstring needs the table to be
+    TRAINED-ORDERED (topological in rank): every merge's components must
+    be single characters or the outputs of EARLIER merges. An arbitrary
+    table (e.g. [('ab','c'), ('a','b')]) would silently encode
+    differently from the reference priority-queue encoder, so it raises
+    instead (ADVICE r8)."""
+    known = set()
+    for i, (a, b) in enumerate(merges):
+        for part in (a, b):
+            if len(part) != 1 and part not in known:
+                raise ValueError(
+                    f"merges[{i}] = ({a!r}, {b!r}): component {part!r} is "
+                    "neither a single character nor the output of an "
+                    "earlier merge — sequential-replace encoding is only "
+                    "exact for trained (rank-ordered) merge tables"
+                )
+        known.add(a + b)
 
 
 def _framed_chars(word: Column) -> Column:
     """'fast' -> '<US>f <US>a <US>s <US>t ' — one framed symbol per
-    character (the initial BPE state)."""
-    return F.regexp_replace(word, "(.)", US + "$1 ")
+    character (the initial BPE state). Strips any embedded US first —
+    the frame marker must count symbols, not input bytes."""
+    return F.regexp_replace(
+        F.replace(word, F.lit(US), F.lit("")), "(.)", US + "$1 "
+    )
 
 
 def _apply_merges(sym: Column, merges: Sequence[Tuple[str, str]]) -> Column:
@@ -199,7 +227,14 @@ _FRAME_RE = r"(\S*[^\s\x21-\x7e]\S*|\S)"
 
 
 def _framed_doc(text: Column) -> Column:
-    return F.regexp_replace(F.lower(F.trim(text)), _FRAME_RE, US + "$1 ")
+    # Strip embedded US FIRST: it is the symbol-count sentinel, so input
+    # bytes equal to it would inflate bpe_count_from_merged (and diverge
+    # from the SQL oracle, whose CASE counts the word once). The SQL
+    # generator strips identically, so both engines see the same words.
+    return F.regexp_replace(
+        F.replace(F.lower(F.trim(text)), F.lit(US), F.lit("")),
+        _FRAME_RE, US + "$1 ",
+    )
 
 
 def bpe_merged(text: Column,
@@ -209,8 +244,12 @@ def bpe_merged(text: Column,
     needing both count and pieces should materialize THIS once (e.g.
     ``withColumn``) and derive both via ``bpe_count_from_merged`` /
     ``bpe_pieces_from_merged``; Spark's CollapseProject does not
-    de-duplicate two independent copies of the chain."""
+    de-duplicate two independent copies of the chain.
+
+    ``merges`` must be a TRAINED (rank-ordered) table — see
+    ``validate_merges``; arbitrary orderings raise."""
     merges = DEFAULT_MERGES if merges is None else merges
+    validate_merges(merges)
     return _apply_merges(_framed_doc(text), merges)
 
 
@@ -235,7 +274,8 @@ def bpe_pieces_from_merged(merged: Column) -> Column:
 def bpe_token_count(text: Column,
                     merges: Sequence[Tuple[str, str]] = None) -> Column:
     """Exact BPE token count of a document under ``merges`` (long; 0
-    for empty/NULL-ish text). Non-ASCII words count 1 (UNK)."""
+    for empty/NULL-ish text). Non-ASCII words count 1 (UNK).
+    ``merges`` must be trained-ordered (``validate_merges``)."""
     return bpe_count_from_merged(bpe_merged(text, merges))
 
 
@@ -243,8 +283,119 @@ def bpe_pieces(text: Column,
                merges: Sequence[Tuple[str, str]] = None) -> Column:
     """Full piece sequence for a document (array<string>): per-word BPE
     symbols concatenated in document order; non-ASCII words pass
-    through whole (UNK-as-itself)."""
+    through whole (UNK-as-itself). ``merges`` must be trained-ordered
+    (``validate_merges``)."""
     return bpe_pieces_from_merged(bpe_merged(text, merges))
+
+
+# ----------------------------------------------------------------- batched
+# Production-vocab encoder. The JVM framed-replace chain materializes
+# ONE string `replace` expression per merge — exact and shuffle-free,
+# but plan size (and Catalyst analysis time) scales linearly with the
+# merge count: fine at the vendored 64-merge table, implausible at a
+# production 32k-100k-merge vocabulary (measured in
+# tests/test_bpe_batched.py; SCALE.md records the sweep). Past ~1k
+# merges, encode with THIS: an Arrow-batched mapInPandas-style
+# pandas_udf holding the merge-rank table once per executor (shipped
+# inside the serialized UDF — Spark broadcasts large task binaries),
+# running the classic lowest-rank-first merge loop per DISTINCT word
+# with an in-batch cache. Proven bit-equivalent to the JVM path on the
+# frozen table and on trained tables (tests/test_bpe_batched.py); the
+# JVM path stays the registered oracle-verified query.
+
+# Java semantics mirrored exactly (the JVM path is the spec): Spark's
+# `trim` is SQL trim — SPACES only, and spaces are already in the \s
+# split class, so the Python side needs no trim at all. Java regex \s
+# is [ \t\n\x0B\f\r] (NOT unicode-aware like Python's \s).
+
+
+def _make_text_encoder(merges: Sequence[Tuple[str, str]]):
+    """Pure-Python closure: text -> list of BPE pieces, byte-equivalent
+    to the JVM framed-replace path (same trim/lower/split/UNK rules)."""
+    import re as _re
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    pairs = list(merges)
+    ascii_re = _re.compile(ASCII_WORD_RE)
+    ws_re = _re.compile(r"[ \t\n\x0b\f\r]+")
+    cache: dict = {}
+
+    def encode_word(word: str) -> list:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word)
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            a, b = pairs[best]
+            merged = a + b
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[word] = syms
+        return syms
+
+    def encode_text(text) -> list:
+        if text is None:
+            return []
+        t = text.lower().replace(US, "")
+        out: list = []
+        for w in ws_re.split(t):
+            if not w:
+                continue
+            if ascii_re.match(w):
+                out.extend(encode_word(w))
+            else:
+                out.append(w)  # UNK-as-itself, like the JVM frame
+        return out
+
+    return encode_text
+
+
+def bpe_pieces_batched(text: Column,
+                       merges: Sequence[Tuple[str, str]] = None) -> Column:
+    """``bpe_pieces`` for production-size merge tables: Arrow-batched
+    pandas UDF (one Python call per batch, merge table resident per
+    executor) instead of a per-merge JVM replace chain. Use when
+    ``len(merges)`` is in the thousands; bit-equivalent to the JVM
+    path. ``merges`` must be trained-ordered (``validate_merges``)."""
+    merges = DEFAULT_MERGES if merges is None else list(merges)
+    validate_merges(merges)
+
+    @F.pandas_udf("array<string>")
+    def _enc(s: pd.Series) -> pd.Series:
+        encode = _make_text_encoder(merges)
+        return s.map(encode)
+
+    return _enc(text)
+
+
+def bpe_token_count_batched(
+        text: Column, merges: Sequence[Tuple[str, str]] = None) -> Column:
+    """``bpe_token_count`` via the Arrow-batched encoder (long; 0 for
+    empty/NULL text). ``merges`` must be trained-ordered."""
+    merges = DEFAULT_MERGES if merges is None else list(merges)
+    validate_merges(merges)
+
+    @F.pandas_udf("long")
+    def _cnt(s: pd.Series) -> pd.Series:
+        encode = _make_text_encoder(merges)
+        return s.map(lambda t: len(encode(t)))
+
+    return _cnt(text)
 
 
 def _sq(s: str) -> str:
@@ -269,10 +420,13 @@ def bpe_count_sql(text_sql: str,
     """DuckDB expression computing ``bpe_token_count`` for the SQL
     expression ``text_sql``."""
     merges = DEFAULT_MERGES if merges is None else merges
+    validate_merges(merges)
     m = _merged_sql("w", merges)
+    # replace(..., US, '') mirrors _framed_doc's sentinel strip.
     return (
         "COALESCE(list_sum(list_transform("
-        f"list_filter(regexp_split_to_array(lower(trim({text_sql})), "
+        f"list_filter(regexp_split_to_array(replace(lower(trim("
+        f"{text_sql})), '{US}', ''), "
         r"'\s+'), w -> w <> ''), "
         "w -> CASE WHEN regexp_matches(w, '^[\\x21-\\x7e]+$') "
         f"THEN length({m}) - length(replace({m}, '{US}', '')) "
@@ -283,8 +437,10 @@ def bpe_count_sql(text_sql: str,
 def bpe_pieces_sql(word_sql: str,
                    merges: Sequence[Tuple[str, str]] = None) -> str:
     """DuckDB expression: '|'-joined BPE pieces of one word expression
-    (assumed already lowercased ASCII)."""
+    (assumed already lowercased ASCII). ``merges`` must be
+    trained-ordered (``validate_merges``)."""
     merges = DEFAULT_MERGES if merges is None else merges
+    validate_merges(merges)
     m = _merged_sql(word_sql, merges)
     return (f"trim(replace(replace({m}, ' ', ''), '{US}', '|'), '|')")
 

@@ -61,7 +61,7 @@ def append_parquet(dataset, pattern: str) -> None:
 
     rel_paths = [os.path.relpath(p, dataset.location) for p in paths]
     stat_names = [n for n, _ in dataset._stats_fields()]
-    bloom_pks = tuple((dataset.metadata.bloom or {}).get("pks", ()))
+    bloom_pks = dataset._bloom_pks()
     stats = mf.collect_file_stats(dataset.spark, paths, stat_names,
                                   bloom_pks=bloom_pks)
     # External files must honor the table's contract too: null primary

@@ -164,3 +164,94 @@ def test_distributed_stats_path_builds_blooms(spark, tmp_location):
     keys = _df(spark, [5, 700]).select("k")
     survivors = ds._bloom_prune(ds.data_files(), snapshot, keys)
     assert len(survivors) <= 4  # 2 true files + tolerated fp margin
+
+
+def test_build_arrow_equals_scalar_build():
+    """The vectorized arrow build and the scalar build must produce
+    BIT-IDENTICAL filters — the probe hashes scalar-side."""
+    import pyarrow as pa
+
+    ints = list(range(-500, 500, 7)) + [0, 2**62, -(2**62)]
+    assert bl.build_arrow(pa.chunked_array([pa.array(ints)])) \
+        == bl.build(ints)
+    strs = [f"doc-{i}" for i in range(300)]
+    assert bl.build_arrow(pa.chunked_array([pa.array(strs)])) \
+        == bl.build(strs)
+    # Nulls skipped identically.
+    assert bl.build_arrow(pa.array([1, None, 2]), n_keys=2) \
+        == bl.build([1, None, 2], n_keys=2)
+
+
+def test_canonical_temporal_hashing():
+    """date/datetime values hash as their epoch integers, so arrow
+    (tz-aware UTC) and Spark (unix_micros/unix_date longs) agree."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    ts = [dt.datetime(2024, 3, 1, 12, 30, 0, 250, tzinfo=dt.timezone.utc),
+          dt.datetime(1969, 12, 31, 23, 59, 59, tzinfo=dt.timezone.utc)]
+    micros = [int((t - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc))
+                  / dt.timedelta(microseconds=1)) for t in ts]
+    bm = bl.build_arrow(pa.array(ts, pa.timestamp("us", tz="UTC")))
+    for m in micros:
+        assert bl.might_contain(bm, m)
+    days = [19000, 0, -365]
+    bmd = bl.build_arrow(pa.array(days, pa.int32()).cast(pa.date32()))
+    for d in days:
+        assert bl.might_contain(bmd, d)
+
+
+def test_timestamp_pk_bloom_no_false_negatives(spark, tmp_location):
+    """ADVICE r8 (medium): v1 hashed str(value) — build-side tz-aware
+    pyarrow timestamps vs probe-side naive session-tz Spark timestamps
+    rendered differently, so bloom-enabled timestamp-PK tables silently
+    DROPPED matching rows. v2 canonicalizes both sides to epoch micros;
+    this must hold even under a non-UTC session timezone."""
+    import datetime as dt
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.StringType()),
+    ])
+    # tz-AWARE instants: naive datetimes are themselves ambiguous in
+    # Spark (tuple-form createDataFrame localizes in system tz, the
+    # Arrow path in session tz) — aware values pin the instant so this
+    # test isolates the bloom hash divergence, not literal semantics.
+    base = dt.datetime(2024, 5, 1, 0, 0, 0, tzinfo=dt.timezone.utc)
+    rows = [Row(ts=base + dt.timedelta(minutes=i), v=f"v{i}")
+            for i in range(40)]
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        ds = Dataset.create(spark, tmp_location, schema, ["ts"],
+                            bloom_filters=True)
+        # Two interleaved files so ranges overlap and only blooms prune.
+        ds.append(spark.createDataFrame(rows[0::2], schema).coalesce(1))
+        ds.append(spark.createDataFrame(rows[1::2], schema).coalesce(1))
+        ds = ds.reload()
+        probe = [rows[3].ts, rows[7].ts]  # both in file 2
+        got = sorted(r["v"] for r in ds.read_by_keys(probe).collect())
+        assert got == ["v3", "v7"], got  # v1 bug: [] (false negatives)
+        keys = spark.createDataFrame([(p,) for p in probe], ["ts"])
+        snapshot = ds.metadata.snapshot(ds.current_snapshot_id)
+        survivors = ds._bloom_prune(ds.data_files(), snapshot, keys)
+        assert len(survivors) == 1, "bloom should prune the even file"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_version_gate_makes_old_filters_inert(spark, tmp_location):
+    """A table whose pinned bloom version differs from this code's must
+    neither build nor probe filters — degrade to semi-join, never to a
+    wrong (false-negative) prune."""
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["k"],
+                        bloom_filters=True)
+    ds.append(_df(spark, range(20)).coalesce(1))
+    assert ds.metadata.bloom["v"] == bl.BLOOM_VERSION
+    ds.metadata.bloom["v"] = bl.BLOOM_VERSION - 1  # simulate old table
+    assert ds._bloom_pks() == ()
+    snapshot = ds.metadata.snapshot(ds.current_snapshot_id)
+    keys = _df(spark, [999999]).select("k")  # absent key: v2 would prune
+    assert ds._bloom_prune(ds.data_files(), snapshot, keys) \
+        == ds.data_files()
