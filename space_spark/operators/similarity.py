@@ -1310,3 +1310,51 @@ def ivfpq_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
     )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int = 5,
+    approx_rank: Optional[str] = None,
+    exact_rank: str = "rank",
+) -> DataFrame:
+    """Retrieval quality of an ANN method against the exact baseline:
+    per query, ``hits_at_k`` = |approx top-k ∩ exact top-k| and
+    ``recall`` = hits/k (rounded to 4 digits — exact integer counting
+    over deterministic inputs, so the whole report is SQL-oracleable).
+
+    ``approx``/``exact``: (query_id, neighbor_id, <rank col>) frames as
+    returned by ``cosine_topk`` (the exact GEMM/broadcast baseline) and
+    the approximate methods (``lsh_bucket_topk``, ``ivf_topk``,
+    ``pq_topk``, ``ivfpq_topk``). ``approx_rank=None`` means the frame
+    is already cut to its top-k (pq/ivfpq return only rnk<=k rows).
+
+    Every query in the EXACT baseline appears in the output (an ANN
+    method whose probes miss every true neighbor scores 0.0 rather than
+    vanishing — the failure mode the report exists to surface).
+
+    Scale: two column-pruned projections joined on (query_id,
+    neighbor_id) and a groupBy on query_id — all bounded by
+    n_queries*k rows, nothing corpus-sized."""
+    a = approx
+    if approx_rank is not None:
+        a = a.where(F.col(approx_rank) <= k)
+    a = a.select("query_id", "neighbor_id")
+    e = exact.where(F.col(exact_rank) <= k).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"], "inner")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    qs = e.select("query_id").distinct()
+    return qs.join(hits, ["query_id"], "left").select(
+        "query_id",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long")
+        .alias("hits_at_k"),
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(k)), 4
+        ).alias("recall"),
+    )

@@ -1,0 +1,131 @@
+"""ANN retrieval-quality harness (round-9 verdict #2): recall@k of the
+approximate indexes against the exact broadcast baseline. The ANN
+suite's oracles prove determinism; these tests prove the indexes
+RETRIEVE — with structural invariants (full-probe IVF is exact;
+full-probe IVFPQ degenerates to PQ exactly) and measured floors pinned
+on the deterministic embeddings fixture. The recall-vs-knob trade is
+recorded in SCALE.md; the registered `ann_recall_report` query
+hash-verifies the same arithmetic against DuckDB."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from space_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    ivfpq_topk,
+    lsh_bucket_topk,
+    pq_topk,
+    recall_at_k,
+)
+
+SF_DIR = os.environ.get("SPACE_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def exact5(spark, emb):
+    q = emb.where(F.col("vec_id") < 5)
+    df = cosine_topk(emb, q, "vec_id", "embedding", k=5, n_queries=5)
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+def _mean_recall(approx, exact, rk):
+    rows = recall_at_k(approx, exact, k=5, approx_rank=rk).collect()
+    assert len(rows) == 5  # every exact query appears, even at 0 hits
+    return sum(r["recall"] for r in rows) / len(rows)
+
+
+def test_recall_arithmetic_exact(spark):
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 99, 3),   # 2/3 hit
+         (2, 55, 1), (2, 56, 2), (2, 57, 3)],  # 0/3 hit
+        "query_id long, neighbor_id long, rank long",
+    )
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2), (2, 22, 3),
+         (3, 30, 1), (3, 31, 2), (3, 32, 3)],  # q3 absent from approx
+        "query_id long, neighbor_id long, rank long",
+    )
+    got = {r["query_id"]: (r["hits_at_k"], r["recall"])
+           for r in recall_at_k(approx, exact, k=3,
+                                approx_rank="rank").collect()}
+    assert got == {1: (2, 0.6667), 2: (0, 0.0), 3: (0, 0.0)}
+
+
+def test_rank_cut_respected(spark):
+    """approx_rank cuts deeper rows; exact is always cut at k."""
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 12, 2), (1, 11, 3)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 99, 3)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    got = recall_at_k(approx, exact, k=2, approx_rank="rank").collect()[0]
+    assert (got["hits_at_k"], got["recall"]) == (1, 0.5)  # 11 cut at k=2
+
+
+def test_full_probe_ivf_is_exact(spark, emb, exact5):
+    """Probing every IVF list scans the whole corpus with the same
+    rounded-cosine ranking as the exact baseline: recall must be 1.0
+    for EVERY query, not just on average."""
+    q = emb.where(F.col("vec_id") < 5)
+    full = ivf_topk(emb, q, "vec_id", "embedding", k=5,
+                    n_centroids=16, n_probe=16)
+    rows = recall_at_k(full, exact5, k=5, approx_rank="rank").collect()
+    assert all(r["recall"] == 1.0 for r in rows), rows
+
+
+def test_full_probe_ivfpq_equals_pq(spark, emb):
+    """n_probe == n_lists means IVF prunes nothing: the composed index
+    must return EXACTLY the PQ/ADC scan's rows (same integer-micro
+    distances, same ranks) — the structural seam between the two
+    quantizers."""
+    q = emb.where(F.col("vec_id") < 5)
+    pq = pq_topk(emb, q, "vec_id", "embedding", k=5, dim=DIM,
+                 m=8, n_codes=16)
+    full = ivfpq_topk(emb, q, "vec_id", "embedding", k=5, dim=DIM,
+                      m=8, n_codes=16, n_lists=16, n_probe=16)
+    a = sorted(map(tuple, pq.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b
+
+
+def test_recall_floors_on_fixture(spark, emb, exact5):
+    """Measured floors on the deterministic sf0.001 fixture (isotropic
+    random embeddings — the HARD case for pruned indexes; SCALE.md
+    records the knob trade). Everything is deterministic, so these are
+    regressions-only floors, margin ~0.05 under the measured values:
+    ivf@8/16 = 0.96, pq(16 codes) = 0.28, ivfpq@4/16 = 0.20,
+    lsh(8 planes, 1 probe) = 0.16."""
+    q = emb.where(F.col("vec_id") < 5)
+    ivf = ivf_topk(emb, q, "vec_id", "embedding", k=5,
+                   n_centroids=16, n_probe=8)
+    assert _mean_recall(ivf, exact5, "rank") >= 0.90
+    pq = pq_topk(emb, q, "vec_id", "embedding", k=5, dim=DIM,
+                 m=8, n_codes=16)
+    assert _mean_recall(pq, exact5, None) >= 0.22
+    ivfpq = ivfpq_topk(emb, q, "vec_id", "embedding", k=5, dim=DIM,
+                       m=8, n_codes=16, n_lists=16, n_probe=4)
+    assert _mean_recall(ivfpq, exact5, None) >= 0.15
+    lsh = lsh_bucket_topk(emb, q, "vec_id", "embedding", k=5, dim=DIM,
+                          n_planes=8, probes=1)
+    assert _mean_recall(lsh, exact5, "rank") >= 0.10

@@ -82,8 +82,8 @@ def test_live_registry_staleness_bound():
 
 def test_no_churn_bound_at_current_size():
     """With an empty churn list the gap is exactly ceil(N/W) — 2 rounds
-    up to N=100, 3 from the round-8 registration (N=105). Asserted on
-    the live size so the guarantee in force is always the printed one."""
+    up to N=100, 3 above that. Asserted on the live registry size so
+    the guarantee in force tracks every registration automatically."""
     n = len(entry_mod._query_registry())
     bound = math.ceil(n / WINDOW)
     got = _simulate(n, rounds=12, churn_fn=lambda rnd, last: [])
