@@ -252,22 +252,18 @@ def stream_refresh(
     Scale: each micro-batch costs one netting shuffle bounded by the
     batch's change volume plus one range-pruned probe/commit on the MV
     — a trickle of source commits maintains a petabyte MV by touching
-    only overlapping files. Record-field (blob) sources are not
-    supported on this path — use batch ``refresh()`` (the CDC stream
-    carries physical address structs, not resolved blobs).
+    only overlapping files. Record-field (blob) sources work too: the
+    CDC stream carries physical address structs, which the sink
+    resolves to blob bytes (``records.resolve_record_fields`` — one
+    blob-file read per file per batch, exactly the batch ``refresh()``
+    discipline, views.py) before the view transformation runs.
     """
     from pyspark.sql import functions as F
 
     from space_spark.core.dataset import Dataset
-    from space_spark.errors import SpaceError
 
     info = mv.dataset.metadata.logical_plan
     source = Dataset.load(mv.spark, info["source_location"])
-    if source.record_fields:
-        raise SpaceError(
-            "stream_refresh does not support record-field sources; "
-            "use MaterializedView.refresh()"
-        )
     pks = list(source.primary_keys)
     cdf_cols = ("_change_type", "_snapshot_id", "_change_order")
     start = (int(info.get("source_snapshot_synced", 0))
@@ -304,7 +300,18 @@ def stream_refresh(
                 *[F.col(c) if c in pks else F.col(f"__c.{c}").alias(c)
                   for c in cols]
             )
-            out_adds = mv.view.process_source(raw_adds)
+            view_in = raw_adds
+            if source.record_fields:
+                # The feed carries address STRUCTS for blob columns;
+                # resolve to bytes exactly like batch refresh does
+                # (views.py refresh) so the view sees logical blobs.
+                from space_spark.core import records as rec_mod
+
+                view_in = rec_mod.resolve_record_fields(
+                    raw_adds, source.location, source.record_fields,
+                    source.schema,
+                )
+            out_adds = mv.view.process_source(view_in)
             # Net-ADD keys ride the delete set so a transformed-away
             # row (filter view) is removed, and an updated row is
             # replaced, in the one commit.

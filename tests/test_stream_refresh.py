@@ -3,12 +3,10 @@ off the source's CDC readStream end-to-end (the streaming form of
 MaterializedView.refresh — round-8 capability, beyond the batch-only
 reference change feed, SURVEY.md §2.8/§2.9)."""
 
-import pytest
 from pyspark.sql import Row
 from pyspark.sql import types as T
 
 from space_spark import Dataset, MaterializedView
-from space_spark.errors import SpaceError
 from space_spark.sources.datasource import register_space_source
 from space_spark.streaming.changefeed import stream_refresh
 
@@ -123,7 +121,11 @@ def test_stream_refresh_replayed_batch_converges(spark, tmp_location):
     assert _mv_state(mv_b) == state_once == _expected(view)
 
 
-def test_stream_refresh_rejects_record_sources(spark, tmp_location):
+def test_stream_refresh_resolves_record_sources(spark, tmp_location):
+    """Round-9 verdict #5: blob-column sources stream too. The CDC feed
+    carries address structs; the sink must resolve them to BYTES before
+    the view runs — proven by a view that computes over the blob
+    content itself, converging to the batch-refresh result."""
     register_space_source(spark)
     schema = T.StructType([
         T.StructField("k", T.LongType()),
@@ -131,11 +133,42 @@ def test_stream_refresh_rejects_record_sources(spark, tmp_location):
     ])
     ds = Dataset.create(spark, tmp_location, schema, ["k"],
                         record_fields=["payload"])
-    view = ds.map_batches(
-        lambda b: {"k": b["k"]},
-        T.StructType([T.StructField("k", T.LongType())]),
-        input_fields=["k"],
-    )
+
+    def blob_len_udf():
+        def fn(batch):
+            return {"k": batch["k"],
+                    "n": [len(b) if b is not None else -1
+                          for b in batch["payload"]]}
+        return fn
+
+    out_schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ])
+    view = ds.map_batches(blob_len_udf(), out_schema)
     mv = view.materialize(spark, tmp_location + "_mv")
-    with pytest.raises(SpaceError, match="record-field"):
-        stream_refresh(mv, tmp_location + "_ckpt")
+
+    def rows(ids):
+        return spark.createDataFrame(
+            [Row(k=i, payload=bytes([i % 250] * (i + 1))) for i in ids],
+            schema,
+        )
+
+    ds.append(rows(range(6)))
+    # Upsert id 2 with a 2-byte blob: the MV must see the NEW bytes.
+    ds.upsert(spark.createDataFrame([Row(k=2, payload=b"xx")], schema))
+    from space_spark import field
+
+    ds.delete(field("k") == 5)
+
+    _drain(stream_refresh(mv, tmp_location + "_ckpt"))
+
+    got = sorted(
+        (r["k"], r["n"])
+        for r in MaterializedView.load(spark, mv.dataset.location)
+        .read().collect()
+    )
+    assert got == [(0, 1), (1, 2), (2, 2), (3, 4), (4, 5)], got
+    # Marker atomic with the commit: batch refresh has nothing left.
+    assert MaterializedView.load(spark, mv.dataset.location).refresh() \
+        == []
