@@ -320,10 +320,71 @@ class Dataset:
             self._phys_expr(filter_),
             self._stats_fields(),
         )
+        if len(files) >= self.DATASOURCE_READ_MIN_FILES:
+            # Metadata-scale escape hatch (SCALE.md "100k-file step"):
+            # spark.read.parquet(*paths) builds an InMemoryFileIndex —
+            # ~100 bytes of driver JVM per path plus listing RPCs, and a
+            # plan that embeds the whole file list. Above the threshold,
+            # route through the space DataSource instead: partitions are
+            # planned from the MANIFESTS (datasource.partitions()), the
+            # plan is one DataSourceV2 node, and each task ships only
+            # its own file group. Filters re-push into the source's
+            # manifest pruning, so the survivor set is the same.
+            return self._datasource_read(
+                snap_id, filter_, fields, reference_read, deserialize
+            )
         return self.read_files(
             files, filter_=filter_, fields=fields,
             reference_read=reference_read, deserialize=deserialize,
             snapshot=snapshot,
+        )
+
+    # Post-prune survivor count above which read() plans through the
+    # space DataSource instead of an explicit parquet path list (the
+    # path list is Catalyst InMemoryFileIndex territory: linear driver
+    # memory and plan size — SCALE.md "The 100k-file step").
+    DATASOURCE_READ_MIN_FILES = 10_000
+
+    def _datasource_read(
+        self,
+        snap_id: int,
+        filter_: FilterType,
+        fields: Optional[Sequence[str]],
+        reference_read: bool,
+        deserialize: bool,
+    ) -> DataFrame:
+        """``read()`` via ``format("space")``: manifest-driven partition
+        planning, no driver-side path-list materialization. Semantics
+        identical to the path-list read (same pruning expression, same
+        MoR masks — the reader pins them from the same snapshot id)."""
+        from space_spark.sources.datasource import register_space_source
+
+        register_space_source(self.spark)
+        reader = (
+            self.spark.read.format("space")
+            .option("table_path", self.location)
+            .option("version", str(snap_id))
+        )
+        if fields is not None:
+            unknown = set(fields) - set(self.schema.fieldNames())
+            if unknown:
+                raise UserInputError(f"Unknown fields: {sorted(unknown)}")
+            if filter_ is None:
+                # Column pruning must be declared up-front (the Python
+                # data source API has no required-columns pushdown).
+                # With a filter present, scan full columns (the filter
+                # may reference unselected ones) and select after.
+                reader = reader.option("fields", ",".join(fields))
+        df = reader.load()
+        if filter_ is not None:
+            # Catalyst re-pushes the comparable conjuncts into the
+            # source's manifest pruning; the full predicate still runs
+            # row-level here.
+            df = df.where(filter_.to_spark())
+        if fields is not None:
+            df = df.select(*fields)
+        return self._resolve_read_tail(
+            df, fields, reference_read, deserialize
         )
 
     def read_files(
@@ -358,6 +419,20 @@ class Dataset:
             if unknown:
                 raise UserInputError(f"Unknown fields: {sorted(unknown)}")
             df = df.select(*fields)
+        return self._resolve_read_tail(
+            df, fields, reference_read, deserialize
+        )
+
+    def _resolve_read_tail(
+        self,
+        df: DataFrame,
+        fields: Optional[Sequence[str]],
+        reference_read: bool,
+        deserialize: bool,
+    ) -> DataFrame:
+        """Shared tail of both read paths: record-field address structs
+        -> blob bytes (unless ``reference_read``), then persisted
+        serializers (``deserialize``)."""
         resolve = [
             f
             for f in (fields or self.schema.fieldNames())

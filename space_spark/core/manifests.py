@@ -352,7 +352,12 @@ def _prune_files_arrow(
     filter_: Optional[Expr],
     stat_names: set,
     exclude_files: Optional[Sequence[str]] = None,
+    with_sizes: bool = False,
 ) -> List[str]:
+    """``with_sizes=True`` returns (paths, size_bytes) pairs so planners
+    can size partitions from MANIFEST metadata — zero per-file stat/HEAD
+    calls, the difference between O(1) and O(files) round-trips on an
+    object store (SCALE.md "The 100k-file step")."""
     import pyarrow.compute as pc
 
     # "permissive": manifests written before a schema-evolution add_column
@@ -381,4 +386,7 @@ def _prune_files_arrow(
             # Keep when the falsifiable predicate is NULL (missing stats)
             # or FALSE — only a provable TRUE prunes.
             tbl = tbl.filter(fals.is_null() | ~fals)
+    if with_sizes:
+        return list(zip(tbl[FILE_PATH_COL].to_pylist(),
+                        tbl[SIZE_BYTES_COL].to_pylist()))
     return tbl[FILE_PATH_COL].to_pylist()

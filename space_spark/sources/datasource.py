@@ -110,9 +110,12 @@ def _filters_to_expr(filters: List[Filter],
     return expr
 
 
-def _prune(log, meta, snapshot_id: int, expr: Optional[Expr]) -> List[str]:
+def _prune(log, meta, snapshot_id: int, expr: Optional[Expr],
+           with_sizes: bool = False) -> List:
     """Manifest pruning without a SparkSession (pyarrow backend; falls back
-    to the unpruned list rather than failing planning)."""
+    to the unpruned list rather than failing planning). ``with_sizes``
+    returns (rel_path, size_bytes) pairs straight from the manifests so
+    partition planning never stats data files."""
     snap = meta.snapshot(snapshot_id)
     paths = [log.abs_path(p) for p in snap.manifest_files]
     if not paths:
@@ -125,9 +128,11 @@ def _prune(log, meta, snapshot_id: int, expr: Optional[Expr]) -> List[str]:
         )
     }
     try:
-        return mf._prune_files_arrow(paths, expr, stat_names)
+        return mf._prune_files_arrow(paths, expr, stat_names,
+                                     with_sizes=with_sizes)
     except Exception:
-        return mf._prune_files_arrow(paths, None, stat_names)
+        return mf._prune_files_arrow(paths, None, stat_names,
+                                     with_sizes=with_sizes)
 
 
 def _split_row_groups(path: str, max_bytes: int) -> List[tuple]:
@@ -150,12 +155,37 @@ def _split_row_groups(path: str, max_bytes: int) -> List[tuple]:
     return units if len(units) > 1 else [path]
 
 
+def _group_sized(sized_paths, max_bytes: int) -> Iterator[List[object]]:
+    """``_group_files`` with KNOWN sizes (from manifest rows): planning
+    makes zero filesystem stat/HEAD calls — at 100k surviving files
+    that's the difference between one manifest scan and 100k object-
+    store round-trips. Only an over-sized file (> max_bytes) opens its
+    footer, to split on row-group boundaries."""
+    group, size = [], 0
+    for p, b in sized_paths:
+        if b is None:
+            b = max_bytes
+        if b > max_bytes:
+            for unit in _split_row_groups(p, max_bytes):
+                yield [unit]
+            continue
+        if group and size + b > max_bytes:
+            yield group
+            group, size = [], 0
+        group.append(p)
+        size += b
+    if group:
+        yield group
+
+
 def _group_files(abs_paths: List[str], max_bytes: int
                  ) -> Iterator[List[object]]:
     """Size-bounded partition units: small files coalesce into one
     partition; a file larger than ``max_bytes`` splits into row-group
     ranges so a 10 GB file does not serialize onto one task. A unit is a
-    path (whole file) or ``(path, [row-group indices])``."""
+    path (whole file) or ``(path, [row-group indices])``. Sizes come
+    from os.stat — use ``_group_sized`` when manifest sizes are in hand
+    (the batch reader does)."""
     group, size = [], 0
     for p in abs_paths:
         try:
@@ -398,9 +428,11 @@ class SpaceBatchReader(DataSourceReader):
 
     def partitions(self) -> List[InputPartition]:
         log, meta = _load(self.location)
-        rel = _prune(log, meta, self.snap_id, self._expr)
-        abs_paths = [log.abs_path(p) for p in rel]
-        groups = list(_group_files(abs_paths, self.max_bytes))
+        sized = _prune(log, meta, self.snap_id, self._expr,
+                       with_sizes=True)
+        groups = list(_group_sized(
+            ((log.abs_path(p), b) for p, b in sized), self.max_bytes
+        ))
         return [InputPartition(g) for g in groups] or [InputPartition([])]
 
     def read(self, partition: InputPartition) -> Iterator[pa.RecordBatch]:
