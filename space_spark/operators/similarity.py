@@ -974,27 +974,68 @@ def random_projection(
 # --------------------------------------------------------------- PQ / ADC
 
 
+# k-means codebook training set ceiling: the Knuth-ordered TakeOrdered
+# collect is bounded by this no matter the corpus size (FAISS trains on
+# samples for the same reason — Lloyd over 100 TB buys nothing).
+PQ_TRAIN_MAX = 16_384
+
+
 def pq_codebooks(
-    corpus_v: DataFrame, dim: int, m: int, n_codes: int
+    corpus_v: DataFrame, dim: int, m: int, n_codes: int,
+    kmeans_iters: int = 0, train_max: int = PQ_TRAIN_MAX,
 ) -> list:
-    """Deterministic product-quantization codebooks: the ``n_codes``
+    """Deterministic product-quantization codebooks. Returns
+    ``codebooks[s][c]`` = list of ``dim/m`` floats.
+
+    ``kmeans_iters=0`` (default, the SQL-oracle path): the ``n_codes``
     Knuth-smallest corpus vectors (the ``ivf_centroids`` sampling
     discipline — bit-for-bit SQL-replicable, unlike k-means), each
-    chopped into ``m`` subvectors. Returns ``codebooks[s][c]`` = list of
-    ``dim/m`` floats. Bounded driver collect: n_codes rows, ever."""
+    chopped into ``m`` subvectors. Bounded driver collect: n_codes rows.
+
+    ``kmeans_iters>0`` (the recall upgrade, SCALE.md round-9): per
+    subspace, run that many Lloyd iterations over a Knuth-ordered
+    training sample (≤ ``train_max`` rows — bounded collect), seeded
+    with the sampled codebook. Fully deterministic (fixed iterations,
+    argmin ties break to the lowest code, empty clusters keep their old
+    centroid) but the centroids are float MEANS — not expressible as a
+    finite SQL constant table, so the oracle-verified registered query
+    stays on the sampled path; measured recall impact is pinned in
+    tests/test_ann_recall.py."""
+    import numpy as np
+
     sub = dim // m
+    n_take = n_codes if kmeans_iters <= 0 else max(n_codes, train_max)
     rows = (
         corpus_v.orderBy(_knuth_key(F.col("id")).asc(), F.col("id").asc())
-        .limit(n_codes)
+        .limit(n_take)
         .collect()
     )
-    return [
-        [
-            [float(x) for x in r["v"][s * sub:(s + 1) * sub]]
-            for r in rows
+    if kmeans_iters <= 0:
+        return [
+            [
+                [float(x) for x in r["v"][s * sub:(s + 1) * sub]]
+                for r in rows
+            ]
+            for s in range(m)
         ]
-        for s in range(m)
-    ]
+    train = np.array([[float(x) for x in r["v"]] for r in rows],
+                     dtype=np.float64)
+    if train.shape[0] < n_codes:
+        return [[list(r) for r in train[:, s * sub:(s + 1) * sub]]
+                for s in range(m)]  # degenerate: sampled path shape
+    out = []
+    for s in range(m):
+        X = train[:, s * sub:(s + 1) * sub]
+        C = X[:n_codes].copy()  # same seed as the sampled codebook
+        for _ in range(kmeans_iters):
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)  # ties -> lowest code id
+            for c in range(n_codes):
+                pts = X[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(axis=0)
+        out.append([list(map(float, row)) for row in C])
+    return out
 
 
 def _half_up_micros(arr):
@@ -1040,6 +1081,7 @@ def pq_topk(
     dim: int = 64,
     m: int = 8,
     n_codes: int = 16,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """Product-quantization ANN (Jegou et al. 2011): corpus vectors are
     compressed to ``m`` sub-space code ids (here m x log2(n_codes) bits
@@ -1083,7 +1125,9 @@ def pq_topk(
 
     cv, qv = _clean(corpus), _clean(queries)
     sub = dim // m
-    cb = np.array(pq_codebooks(cv, dim, m, n_codes), dtype=np.float64)
+    cb = np.array(pq_codebooks(cv, dim, m, n_codes,
+                               kmeans_iters=kmeans_iters),
+                  dtype=np.float64)
     if cb.shape != (m, n_codes, sub):
         raise ValueError(
             f"corpus has fewer than n_codes={n_codes} usable vectors"
@@ -1176,6 +1220,7 @@ def ivfpq_topk(
     n_codes: int = 16,
     n_lists: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF-pruned PQ scanning — the production ANN shape (FAISS
     IVFPQ): a coarse quantizer assigns every corpus vector to one of
@@ -1218,8 +1263,12 @@ def ivfpq_topk(
 
     cv, qv = _clean(corpus), _clean(queries)
     sub = dim // m
-    cb = np.array(pq_codebooks(cv, dim, m, n_codes), dtype=np.float64)
-    coarse = np.array(pq_codebooks(cv, dim, 1, n_lists), dtype=np.float64)
+    cb = np.array(pq_codebooks(cv, dim, m, n_codes,
+                               kmeans_iters=kmeans_iters),
+                  dtype=np.float64)
+    coarse = np.array(pq_codebooks(cv, dim, 1, n_lists,
+                                   kmeans_iters=kmeans_iters),
+                      dtype=np.float64)
     if cb.shape != (m, n_codes, sub) or coarse.shape != (1, n_lists, dim):
         raise ValueError("corpus smaller than the requested quantizers")
     sc_ = corpus.sparkSession.sparkContext
