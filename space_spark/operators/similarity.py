@@ -1023,11 +1023,21 @@ def pq_codebooks(
     if train.shape[0] < n_codes:
         return [[list(r) for r in train[:, s * sub:(s + 1) * sub]]
                 for s in range(m)]  # degenerate: sampled path shape
+    return _train_pq(train, m, sub, n_codes, kmeans_iters)
+
+
+def _train_pq(train, m: int, sub: int, n_codes: int, iters: int) -> list:
+    """Per-subspace deterministic Lloyd over a training matrix
+    (n, m*sub): seeded with the first n_codes rows, argmin ties to the
+    lowest code, empty clusters keep their centroid. ``iters=0`` =
+    the seed itself (sampled codebook)."""
+    import numpy as np
+
     out = []
     for s in range(m):
         X = train[:, s * sub:(s + 1) * sub]
-        C = X[:n_codes].copy()  # same seed as the sampled codebook
-        for _ in range(kmeans_iters):
+        C = X[:n_codes].copy()
+        for _ in range(iters):
             d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             assign = np.argmin(d, axis=1)  # ties -> lowest code id
             for c in range(n_codes):
@@ -1221,6 +1231,7 @@ def ivfpq_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     kmeans_iters: int = 0,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-pruned PQ scanning — the production ANN shape (FAISS
     IVFPQ): a coarse quantizer assigns every corpus vector to one of
@@ -1234,9 +1245,18 @@ def ivfpq_topk(
     codebooks = the n_codes Knuth-smallest), and every distance rides
     the exact integer-micro pipeline (``_pq_dists_micro``), so the
     composed index is hash-verifiable against ANSI SQL like its two
-    parts. This is the non-residual variant (codes quantize raw
-    vectors); residual encoding is the recall upgrade when bit-parity
-    with a SQL oracle is not required.
+    parts. ``kmeans_iters`` trains both quantizers (see
+    ``pq_codebooks``).
+
+    ``residual=True`` is FAISS's default encoding and the recall
+    upgrade when bit-parity with a SQL oracle is not required: codes
+    quantize ``v - C_list`` (what remains AFTER the coarse quantizer,
+    a much tighter distribution than raw vectors), the codebooks train
+    on residuals of a bounded Knuth sample, and each query builds one
+    ADC lookup table PER PROBED LIST over ``q - C_list`` — n_probe
+    LUTs instead of one, same bounded broadcast shape. Deterministic
+    end to end; measured recall in SCALE.md, pinned in
+    tests/test_ann_recall.py.
 
     Output: (query_id, neighbor_id, adist_micro, rnk) — candidates a
     probe never reaches simply don't appear, the IVF trade."""
@@ -1263,13 +1283,35 @@ def ivfpq_topk(
 
     cv, qv = _clean(corpus), _clean(queries)
     sub = dim // m
-    cb = np.array(pq_codebooks(cv, dim, m, n_codes,
-                               kmeans_iters=kmeans_iters),
-                  dtype=np.float64)
     coarse = np.array(pq_codebooks(cv, dim, 1, n_lists,
                                    kmeans_iters=kmeans_iters),
                       dtype=np.float64)
-    if cb.shape != (m, n_codes, sub) or coarse.shape != (1, n_lists, dim):
+    if coarse.shape != (1, n_lists, dim):
+        raise ValueError("corpus smaller than the requested quantizers")
+    if residual:
+        # Codebooks train on RESIDUALS of a bounded Knuth sample:
+        # assign each training vector to its coarse list, subtract the
+        # centroid, Lloyd per subspace (iters=0 keeps the first
+        # n_codes residuals — the sampled-seed discipline).
+        rows = (
+            cv.orderBy(_knuth_key(F.col("id")).asc(), F.col("id").asc())
+            .limit(max(n_codes, PQ_TRAIN_MAX if kmeans_iters > 0
+                       else 4 * n_codes))
+            .collect()
+        )
+        train = np.array([[float(x) for x in r["v"]] for r in rows],
+                         dtype=np.float64)
+        if train.shape[0] < n_codes:
+            raise ValueError("corpus smaller than the requested quantizers")
+        cd = ((train[:, None, :] - coarse[0][None, :, :]) ** 2).sum(axis=2)
+        res = train - coarse[0][np.argmin(cd, axis=1)]
+        cb = np.array(_train_pq(res, m, sub, n_codes, kmeans_iters),
+                      dtype=np.float64)
+    else:
+        cb = np.array(pq_codebooks(cv, dim, m, n_codes,
+                                   kmeans_iters=kmeans_iters),
+                      dtype=np.float64)
+    if cb.shape != (m, n_codes, sub):
         raise ValueError("corpus smaller than the requested quantizers")
     sc_ = corpus.sparkSession.sparkContext
     b_cb, b_coarse = sc_.broadcast(cb), sc_.broadcast(coarse)
@@ -1285,11 +1327,13 @@ def ivfpq_topk(
                 [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
             )
             cd = _pq_dists_micro(mat, crs)[:, 0, :]   # (n, n_lists)
-            dists = _pq_dists_micro(mat, cbv)
+            # argmin ties to the smallest list id (int compare).
+            lists = np.argmin(cd, axis=1)
+            enc_in = mat - crs[0][lists] if residual else mat
+            dists = _pq_dists_micro(enc_in, cbv)
             yield pd.DataFrame({
                 "id": pdf["id"].values,
-                # argmin ties to the smallest list id (int compare).
-                "list_id": np.argmin(cd, axis=1).astype(np.int32),
+                "list_id": lists.astype(np.int32),
                 "codes": list(np.argmin(dists, axis=2).astype(np.int32)),
             })
 
@@ -1307,13 +1351,18 @@ def ivfpq_topk(
             # stable sort: coarse-distance ties probe the smaller list
             # id first — the SQL oracle's ORDER BY d, list.
             probes = np.argsort(cd, axis=1, kind="stable")[:, :n_probe]
-            dists = _pq_dists_micro(mat, cbv).reshape(len(pdf), -1)
+            idx = np.arange(len(pdf)).repeat(probes.shape[1])
+            if residual:
+                # One ADC table per probed list: ||(q - C_l)_s - cb||².
+                rvec = mat[idx] - crs[0][probes.ravel()]
+                luts = _pq_dists_micro(rvec, cbv).reshape(len(idx), -1)
+            else:
+                dists = _pq_dists_micro(mat, cbv).reshape(len(pdf), -1)
+                luts = dists[idx]
             yield pd.DataFrame({
-                "query_id": pdf["id"].values[
-                    np.arange(len(pdf)).repeat(probes.shape[1])],
+                "query_id": pdf["id"].values[idx],
                 "list_id": probes.ravel().astype(np.int32),
-                "lut": list(dists[np.arange(len(pdf))
-                                  .repeat(probes.shape[1])]),
+                "lut": list(luts),
             })
 
     encoded = cv.mapInPandas(

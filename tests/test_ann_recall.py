@@ -173,3 +173,29 @@ def test_kmeans_codebooks_lift_recall(spark, emb):
         assert iv_k >= 0.28 and iv_k > iv_s + 0.05, (iv_s, iv_k)
     finally:
         exact.unpersist()
+
+
+def test_residual_ivfpq_deterministic_and_valid(spark, emb):
+    """residual=True (FAISS-default encoding: codes quantize v - C_list,
+    per-probed-list ADC tables) must be deterministic and structurally
+    valid. No recall-lift pin: on THIS isotropic fixture residual does
+    not beat non-residual (SCALE.md round-9 records why); the knob
+    exists for clustered embedding spaces."""
+    q = emb.where(F.col("vec_id") < 5)
+
+    def run():
+        return sorted(map(tuple, ivfpq_topk(
+            emb, q, "vec_id", "embedding", k=5, dim=DIM, m=8,
+            n_codes=16, n_lists=16, n_probe=4, kmeans_iters=3,
+            residual=True,
+        ).collect()))
+
+    a, b = run(), run()
+    assert a == b and len(a) > 0
+    by_q = {}
+    for query_id, neighbor_id, adist, rnk in a:
+        assert query_id != neighbor_id and adist >= 0
+        by_q.setdefault(query_id, []).append(rnk)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
