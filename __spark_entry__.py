@@ -4787,53 +4787,49 @@ _GATE_WINDOW = 50
 # "What's wrong #1": hand-written counts here went stale twice).
 _CHURN_QUOTA = 8
 _CHURNED_THIS_ROUND = [
-    # r8 churn, derived from the round's diff by tools/churn_suggest.py
-    # against base 29b0e6f (function-level git-diff -> query mapping).
-    # dup_of chain-chase: persist/unpersist generations + empty-dups
-    # short-circuit (similarity.py) — operator changed this round.
-    "dedup_semantic",
-    # Churned in ROUND 7 past that round's quota (null-id exclusion +
-    # GEMM id-type fix, externally unverified since r6); the round-7
-    # verdict ("Next round #6") names it for r8 — a churn slot
-    # guarantees it cannot be displaced by the fifteen new entries.
-    "embedding_neardup",
-    # views.py transform-node refactor (the chained-view lazy-read fix
-    # split apply_to into per-node _apply_self) sits directly under MV
-    # refresh's process_source path.
-    "space_mv_refresh",
-    # apply_changes gained the commit_mutate hook (plumbed through
-    # _apply_changes_commit -> _commit_rewrite) for stream_refresh;
-    # this is its r7-green direct consumer.
-    "space_stream_cdc",
-    # loaders.py append_parquet now builds blooms for bloom tables
-    # (empty bloom_pks for default tables, but the code path changed).
-    "space_zero_copy_load",
-    # insert/upsert ride _write_data_files, which gained the bloom_pks
-    # stats pass; re-verify the write-path pair externally.
-    "space_insert_read",
-    "space_upsert_read",
-    # Its query BODY changed (materialize + DROP of the attached
-    # catalog table, the ADVICE metastore-leak fix) and it would
-    # otherwise sit outside the window.
-    "space_sql_table",
+    # r9 churn, derived from the round's diff by tools/churn_suggest.py
+    # against base dc79368 (function-level git-diff -> query mapping).
+    # Bloom filters v2: the HASH changed (canonical int64 domains,
+    # vectorized build, version pin) — the bloom point-read query is
+    # the highest-risk change of the round.
+    "space_bloom_point_read",
+    # stream_refresh's sink was edited (record-field address resolution
+    # before process_source); this is its registered consumer.
+    "space_stream_mv",
+    # BPE _framed_doc gained the US-sentinel strip and its oracle SQL
+    # changed in lockstep — re-verify the piece-string hash externally.
+    "text_bpe_tokens",
+    # pq_codebooks/pq_topk/ivfpq_topk bodies changed (kmeans_iters and
+    # residual parameters; registered behavior is the defaults, but the
+    # code paths they run through moved).
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    # read() gained the DataSource routing branch and read_files' tail
+    # was refactored into _resolve_read_tail; these two are the
+    # registered representatives of the plain-read and record-field
+    # read paths.
+    "space_filter_project",
+    "space_record_fields",
+    # The round-8 verdict names this sit-out for r9 re-verification and
+    # it loses the r7 definition-order tiebreak without a slot; its
+    # point-read path also sits beside this round's Dataset refactors.
+    "space_random_access",
 ]
-# Quota (8) is full. churn_suggest also flags space_rename_read
-# (renames interact with the bloom index, but filters live under
-# immutable PHYSICAL names and the interplay is unit-pinned by
-# test_read_by_keys_correct_after_delete_and_rename; r7-green, leads
-# r9 by staleness), space_random_access,
-# space_range_join and space_zorder_string (OUTSIDE the window) plus
-# every other space query — all solely via the Dataset CLASS diff: the
-# opt-in bloom plumbing is inert for existing/default tables (empty
-# bloom_pks writes byte-identical manifests, pinned by
-# test_blooms.test_default_tables_unchanged and the full suite), and
-# the read_by_keys rewrite's own query (space_read_by_keys) re-verifies
-# in this window by staleness. The three sit-outs are r6/r7-green and
-# lead the round-9 window mechanically. Window composition: fifteen
-# never-green round-8 registrations lead with staleness -inf, then the
-# four r5-green entries at the 3-round limit (space_mor_delete,
-# space_diff_changes, space_zorder_pruned, sample_domain_mix), then
-# r6-green entries in definition order.
+# Quota (8) is full. churn_suggest also flags most other space queries
+# — solely via the Dataset CLASS diff (the routing branch is inert
+# below DATASOURCE_READ_MIN_FILES=10k files, unit-pinned by
+# tests/test_metadata_scale.py parity tests; bloom build/probe is
+# gated off for non-bloom tables by _bloom_pks() == ()) — plus
+# text_bpe_pack / export_shards_manifest / pipeline_pretrain_filter
+# via bpe_token_count (the same lockstep sentinel change
+# text_bpe_tokens's churn slot covers, piece-strings included, and
+# every registered oracle re-verifies at sf0.001 in tests/
+# test_oracle.py each run). read_by_keys' own tz fix re-verifies via
+# space_read_by_keys, already in-window by staleness (r6-green), as
+# are the whole r6 cohort and the other two r7 sit-outs
+# (space_rename_read, space_zorder_string). Window composition beyond
+# churn: ann_recall_report (never green, staleness -inf) leads, then
+# the r6-green entries, then r7-green in definition order.
 
 
 def _is_green(row) -> bool:
