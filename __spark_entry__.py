@@ -3916,34 +3916,56 @@ def ann_recall_report(spark, sf_dir):
     in SCALE.md."""
     from space_spark.operators.similarity import (
         cosine_topk, ivf_topk, ivfpq_topk, lsh_bucket_topk, pq_topk,
-        recall_at_k,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
-    exact = cosine_topk(emb, q, "vec_id", "embedding", k=5, n_queries=5)
+    exact = (
+        cosine_topk(emb, q, "vec_id", "embedding", k=5, n_queries=5)
+        .where(F.col("rank") <= 5).select("query_id", "neighbor_id")
+    )
     methods = [
         ("lsh", lsh_bucket_topk(emb, q, "vec_id", "embedding", k=5,
-                                dim=EMB_DIM, n_planes=8, probes=1),
-         "rank"),
+                                dim=EMB_DIM, n_planes=8, probes=1)
+         .where(F.col("rank") <= 5)),
         ("ivf", ivf_topk(emb, q, "vec_id", "embedding", k=5,
-                         n_centroids=16, n_probe=8), "rank"),
+                         n_centroids=16, n_probe=8)
+         .where(F.col("rank") <= 5)),
         ("pq", pq_topk(emb, q, "vec_id", "embedding", k=5, dim=EMB_DIM,
-                       m=8, n_codes=16), None),
+                       m=8, n_codes=16)),
         ("ivfpq", ivfpq_topk(emb, q, "vec_id", "embedding", k=5,
                              dim=EMB_DIM, m=8, n_codes=16, n_lists=16,
-                             n_probe=4), None),
+                             n_probe=4)),
     ]
-    parts = [
-        recall_at_k(df, exact, k=5, approx_rank=rk)
-        .select(F.lit(name).alias("method"), "query_id",
-                F.col("hits_at_k").alias("hits_at_5"), "recall")
-        for name, df, rk in methods
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # One tagged union joined ONCE against the exact top-5 — per-method
+    # recall_at_k calls would embed (and recompute) the exact plan in
+    # every union branch (8 evaluations); this shape evaluates each ANN
+    # plan once and the exact baseline twice (hit join + base grid) —
+    # same arithmetic as recall_at_k, same oracle.
+    tagged = None
+    for name, df in methods:
+        part = df.select(F.lit(name).alias("method"), "query_id",
+                         "neighbor_id")
+        tagged = part if tagged is None else tagged.unionByName(part)
+    hits = (
+        tagged.join(exact, ["query_id", "neighbor_id"], "inner")
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    # Base grid from EXACT's query set (norm-filtered, like the oracle's
+    # base): a zero-hit (method, query) must appear as recall 0.0.
+    grid = exact.select("query_id").distinct().select(
+        "query_id",
+        F.explode(F.array(*[F.lit(n) for n, _ in methods]))
+        .alias("method"),
+    )
+    return grid.join(hits, ["method", "query_id"], "left").select(
+        "method", "query_id",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long")
+        .alias("hits_at_5"),
+        F.round(F.coalesce(F.col("hits"), F.lit(0)) / F.lit(5.0), 4)
+        .alias("recall"),
+    )
 
 
 def _ann_recall_sql() -> str:
