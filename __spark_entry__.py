@@ -1555,6 +1555,64 @@ FROM customer
 """
 
 
+def space_merge_read(spark, sf_dir):
+    """MERGE INTO (round 9, core/dataset.py merge): conditional
+    reconcile in ONE commit — matched rows update only when the source
+    balance is HIGHER (the idempotent-ingest guard, here true exactly
+    for even keys), unmatched source rows insert, matched-but-stale
+    rows stay untouched. Matched probe rides read_by_keys (range+bloom
+    pruned); the net change lands through apply_changes (write-first,
+    fused dup check, single snapshot)."""
+    from space_spark import Dataset
+
+    cust = _t(spark, sf_dir, "customer")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/customer", cust.schema, ["c_custkey"]
+    )
+    ds.append(cust)
+    updates = cust.where(F.col("c_custkey") < 200).select(
+        "c_custkey",
+        F.lit("MERGED").alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal")
+         + F.when(F.col("c_custkey") % 2 == 0, F.lit(1000.0))
+         .otherwise(F.lit(-1000.0))).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    inserts = cust.where(F.col("c_custkey") < 50).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("INSERTED").alias("c_name"),
+        "c_nationkey",
+        F.lit(1.5).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    ds.merge(
+        updates.unionByName(inserts),
+        matched_condition=lambda s, t: s["c_acctbal"] > t["c_acctbal"],
+    )
+    return ds.read(fields=["c_custkey", "c_name", "c_acctbal"])
+
+
+SPACE_MERGE_SQL = """
+WITH upd AS (
+  SELECT c_custkey,
+         c_acctbal + CASE WHEN c_custkey % 2 = 0
+                          THEN 1000.0 ELSE -1000.0 END AS new_bal
+  FROM customer WHERE c_custkey < 200
+)
+SELECT t.c_custkey,
+       CASE WHEN u.c_custkey IS NOT NULL AND u.new_bal > t.c_acctbal
+            THEN 'MERGED' ELSE t.c_name END AS c_name,
+       CASE WHEN u.c_custkey IS NOT NULL AND u.new_bal > t.c_acctbal
+            THEN u.new_bal ELSE t.c_acctbal END AS c_acctbal
+FROM customer t LEFT JOIN upd u ON t.c_custkey = u.c_custkey
+UNION ALL
+SELECT c_custkey + 1000000 AS c_custkey, 'INSERTED' AS c_name,
+       1.5 AS c_acctbal
+FROM customer WHERE c_custkey < 50
+"""
+
+
 def space_insert_read(spark, sf_dir):
     """M2: insert fails on existing PKs, appends new ones."""
     from space_spark import Dataset
@@ -4967,6 +5025,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "space_record_fields": space_record_fields,
         "space_insert_read": space_insert_read,
         "space_upsert_read": space_upsert_read,
+        "space_merge_read": space_merge_read,
         "space_mor_delete": space_mor_delete,
         "space_diff_changes": space_diff_changes,
         "space_zorder_pruned": space_zorder_pruned,
@@ -5092,6 +5151,7 @@ def oracle_sql() -> dict[str, str]:
         "space_bitmap_changelog": SPACE_BITMAP_SQL,
         "space_mor_delete": SPACE_MOR_SQL,
         "space_upsert_read": SPACE_UPSERT_SQL,
+        "space_merge_read": SPACE_MERGE_SQL,
         "space_insert_read": SPACE_INSERT_SQL,
         "space_compact_read": SPACE_COMPACT_SQL,
         "space_time_travel": SPACE_TIME_TRAVEL_SQL,

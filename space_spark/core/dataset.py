@@ -822,6 +822,80 @@ class Dataset:
                 self.reload()
         raise last_err
 
+    def merge(
+        self,
+        source: DataFrame,
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+        matched_condition=None,
+    ) -> "Dataset":
+        """Lakehouse MERGE INTO (Delta/Iceberg surface the reference
+        lacks): reconcile ``source`` (full table schema) against the
+        table by primary key in ONE snapshot commit.
+
+        - ``when_matched``: ``"update"`` (replace the target row with
+          the source row), ``"delete"`` (drop the target row), or
+          ``"ignore"``.
+        - ``when_not_matched``: ``"insert"`` the source row or
+          ``"ignore"``.
+        - ``matched_condition``: optional ``lambda s, t: Column`` over
+          the matched pair — ``s[col]``/``t[col]`` reference the source
+          and current-target values (e.g. the idempotent-ingest guard
+          ``lambda s, t: s["ts"] > t["ts"]``). Matched rows failing the
+          condition are left untouched.
+
+        Plan shape: the matched set comes from ``read_by_keys`` over the
+        source's keys (manifest range + bloom pruned — O(matched files),
+        never a table scan), one LEFT join source→target tags each
+        source row matched/new, and the net change applies through
+        ``apply_changes`` (write-first, fused dup-check — duplicate PKs
+        in the source raise there — one range-pruned survivor rewrite,
+        marker-capable single commit). A reader never observes a
+        half-merged state; replaying the same merge converges."""
+        if when_matched not in ("update", "delete", "ignore"):
+            raise UserInputError(
+                f"when_matched must be update|delete|ignore, "
+                f"got {when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise UserInputError(
+                f"when_not_matched must be insert|ignore, "
+                f"got {when_not_matched!r}")
+        source = self._align(source)
+        pks = self.primary_keys
+        cols = self.schema.fieldNames()
+        non_pk = [c for c in cols if c not in pks]
+        # Target side of matched pairs, renamed so the condition can see
+        # both rows; __m tags existence (left join below).
+        cand = self.read_by_keys(source.select(*pks)).select(
+            *pks,
+            *[F.col(c).alias(f"__t_{c}") for c in non_pk],
+            F.lit(1).alias("__m"),
+        )
+        j = source.join(cand, on=list(pks), how="left")
+        matched = F.col("__m").isNotNull()
+        if matched_condition is not None:
+            s_acc = {c: F.col(c) for c in cols}
+            t_acc = {c: (F.col(c) if c in pks else F.col(f"__t_{c}"))
+                     for c in cols}
+            matched = matched & matched_condition(s_acc, t_acc)
+        parts_adds = []
+        if when_matched == "update":
+            parts_adds.append(j.where(matched).select(*cols))
+        if when_not_matched == "insert":
+            parts_adds.append(j.where(F.col("__m").isNull())
+                              .select(*cols))
+        if when_matched in ("update", "delete"):
+            delete_keys = j.where(matched).select(*pks)
+        else:
+            delete_keys = source.limit(0).select(*pks)
+        if parts_adds:
+            adds = parts_adds[0]
+            for p in parts_adds[1:]:
+                adds = adds.unionByName(p)
+        else:
+            adds = source.limit(0)
+        return self.apply_changes(adds, delete_keys)
+
     def _keys_range_expr(self, bounds) -> FilterType:
         """Falsifiable manifest-prune expression from a key set's min/max
         bounds (conjunction of per-PK ranges). Shared by ``read_by_keys``
