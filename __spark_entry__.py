@@ -4908,8 +4908,9 @@ _CHURNED_THIS_ROUND = [
 # space_read_by_keys, already in-window by staleness (r6-green), as
 # are the whole r6 cohort and the other two r7 sit-outs
 # (space_rename_read, space_zorder_string). Window composition beyond
-# churn: ann_recall_report (never green, staleness -inf) leads, then
-# the r6-green entries, then r7-green in definition order.
+# churn: the never-green round-9 registrations (ann_recall_report,
+# space_merge_read — staleness -inf) lead, then the r6-green entries,
+# then r7-green in definition order.
 
 
 def _is_green(row) -> bool:
