@@ -160,10 +160,11 @@ def build(values, n_keys: Optional[int] = None) -> bytes:
     """Bloom bitmap over ``values`` (NULLs skipped — PKs reject nulls at
     ingress anyway). Scalar path; the write path uses the vectorized
     ``build_arrow``."""
-    vals = values if isinstance(values, (list, tuple)) else list(values)
+    vals = [v for v in values if v is not None]  # size AFTER null-drop,
     bits = sized_bits(n_keys if n_keys is not None else len(vals))
+    # matching build_arrow's drop_null-first sizing bit for bit.
     bitmap = bytearray(bits // 8)
-    pairs = [_hash_pair(v) for v in vals if v is not None]
+    pairs = [_hash_pair(v) for v in vals]
     if pairs:
         arr = np.asarray(pairs, dtype=np.uint64)
         _fold(bitmap, arr[:, 0], arr[:, 1], bits)
@@ -192,6 +193,13 @@ def build_arrow(col, n_keys: Optional[int] = None) -> Optional[bytes]:
     if pa.types.is_boolean(t) or pa.types.is_integer(t):
         ints = col.cast(pa.int64())
     elif pa.types.is_timestamp(t):
+        if t.tz is None:
+            # isAdjustedToUTC=false (a foreign writer's wall-clock
+            # timestamps): the stored micros are NOT an instant, while
+            # the probe hashes session-resolved UTC micros — hashing
+            # them would build filters that FALSE-NEGATIVE under any
+            # non-UTC session. No filter: degrade to the semi-join.
+            return None
         # Arrow stores instants as epoch offsets; normalize to micros.
         # (Spark writes isAdjustedToUTC micros, so this IS unix_micros.)
         ints = col.cast(pa.timestamp("us", tz=t.tz)).cast(pa.int64())
@@ -248,6 +256,12 @@ def probe_exprs(pks: Sequence[str], schema) -> Optional[list]:
 
 
 def might_contain(bitmap: bytes, value) -> bool:
+    if value is None:
+        # PKs are NOT NULL, so a NULL probe component can never be
+        # present in any file. v1 hashed str(None) to the same effect;
+        # raising here would crash read_by_keys on a key set with one
+        # null row (e.g. derived from an outer join).
+        return False
     if not bitmap:
         return True  # absent/empty filter: never prune
     bits = len(bitmap) * 8

@@ -365,6 +365,22 @@ class Dataset:
             .option("table_path", self.location)
             .option("version", str(snap_id))
         )
+        phys = self._phys_expr(filter_)
+        if phys is not None:
+            # Forward the FULL falsifiable pruning expression — Catalyst
+            # re-pushes only simple comparison conjuncts (and none at
+            # all on sessions where the pushdown conf is static), so an
+            # OR/IN predicate would otherwise degrade this path to a
+            # whole-snapshot scan at exactly the file counts it exists
+            # for. The source ANDs this with whatever Spark pushes.
+            import base64
+
+            from pyspark import cloudpickle
+
+            reader = reader.option(
+                "prune_expr",
+                base64.b64encode(cloudpickle.dumps(phys)).decode("ascii"),
+            )
         if fields is not None:
             unknown = set(fields) - set(self.schema.fieldNames())
             if unknown:
@@ -864,6 +880,17 @@ class Dataset:
         pks = self.primary_keys
         cols = self.schema.fieldNames()
         non_pk = [c for c in cols if c not in pks]
+        clash = [c for c in cols
+                 if c == "__m" or c.startswith("__t_")]
+        if clash:
+            # The matched join renames target columns to __t_<name> and
+            # tags matches as __m; a real column with one of those names
+            # would make the references ambiguous mid-plan — fail loudly
+            # up front instead.
+            raise UserInputError(
+                f"merge() reserves column names '__m' and '__t_*'; "
+                f"table has {clash}"
+            )
         # Target side of matched pairs, renamed so the condition can see
         # both rows; __m tags existence (left join below).
         cand = self.read_by_keys(source.select(*pks)).select(
@@ -2092,8 +2119,14 @@ class Dataset:
                 ser = pd.to_datetime(pdf[pks[0]])
                 if ser.dt.tz is None:
                     tz = self.spark.conf.get("spark.sql.session.timeZone")
+                    # Resolve DST edge wall-times the way Java's ZoneId
+                    # (and therefore Spark's own write path) does —
+                    # overlap -> the EARLIER offset (DST still active),
+                    # gap -> shift forward — so a key that Spark
+                    # accepted on write stays reachable on lookup
+                    # instead of raising AmbiguousTimeError.
                     ser = ser.dt.tz_localize(
-                        tz, ambiguous="raise", nonexistent="raise"
+                        tz, ambiguous=True, nonexistent="shift_forward"
                     )
                 pdf[pks[0]] = ser
             keys = self.spark.createDataFrame(

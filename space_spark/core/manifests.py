@@ -35,7 +35,13 @@ FILE_PATH_COL = "_FILE_PATH"
 NUM_ROWS_COL = "_NUM_ROWS"
 SIZE_BYTES_COL = "_SIZE_BYTES"
 STATS_PREFIX = "_STATS_"
-BLOOM_PREFIX = "_BLOOM_"
+# Version-suffixed: the filter HASH scheme is pinned per manifest
+# COLUMN, not just per table — a writer running older code appends
+# filters under its own prefix, which this code's probe simply never
+# reads (None filters never prune), instead of mis-probing v2 hashes
+# against v1 bitmaps (false negatives under writer version skew).
+# Keep in lockstep with blooms.BLOOM_VERSION.
+BLOOM_PREFIX = "_BLOOM2_"
 MIN_COL = "_MIN"
 MAX_COL = "_MAX"
 
@@ -368,7 +374,7 @@ def _prune_files_arrow(
     def _read_no_bloom(p):
         pf = pq.ParquetFile(p)
         cols = [c for c in pf.schema_arrow.names
-                if not c.startswith(BLOOM_PREFIX)]
+                if not c.startswith("_BLOOM")]  # any filter version
         return pf.read(columns=cols)
 
     tbl = pa.concat_tables(

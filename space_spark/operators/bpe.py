@@ -309,6 +309,27 @@ def bpe_pieces(text: Column,
 # is [ \t\n\x0B\f\r] (NOT unicode-aware like Python's \s).
 
 
+# Per-worker-process encoder memo: the pandas UDF body runs once per
+# Arrow BATCH, and rebuilding a 32k-100k-entry rank dict (plus losing
+# the distinct-word cache) per batch would repeat exactly the work the
+# batched path exists to avoid. Keyed on the merge table itself.
+_ENCODER_MEMO: dict = {}
+# The distinct-word cache survives across batches AND tasks in a
+# long-lived worker; cap it so a high-cardinality corpus (random ids,
+# hashes) cannot grow it without bound.
+_WORD_CACHE_MAX = 1_000_000
+
+
+def _encoder_for(merges) -> "callable":
+    key = tuple(merges)
+    enc = _ENCODER_MEMO.get(key)
+    if enc is None:
+        if len(_ENCODER_MEMO) > 8:  # pathological many-table caller
+            _ENCODER_MEMO.clear()
+        enc = _ENCODER_MEMO[key] = _make_text_encoder(key)
+    return enc
+
+
 def _make_text_encoder(merges: Sequence[Tuple[str, str]]):
     """Pure-Python closure: text -> list of BPE pieces, byte-equivalent
     to the JVM framed-replace path (same trim/lower/split/UNK rules)."""
@@ -345,6 +366,8 @@ def _make_text_encoder(merges: Sequence[Tuple[str, str]]):
                     out.append(syms[i])
                     i += 1
             syms = out
+        if len(cache) >= _WORD_CACHE_MAX:
+            cache.clear()
         cache[word] = syms
         return syms
 
@@ -377,7 +400,7 @@ def bpe_pieces_batched(text: Column,
 
     @F.pandas_udf("array<string>")
     def _enc(s: pd.Series) -> pd.Series:
-        encode = _make_text_encoder(merges)
+        encode = _encoder_for(merges)
         return s.map(encode)
 
     return _enc(text)
@@ -392,7 +415,7 @@ def bpe_token_count_batched(
 
     @F.pandas_udf("long")
     def _cnt(s: pd.Series) -> pd.Series:
-        encode = _make_text_encoder(merges)
+        encode = _encoder_for(merges)
         return s.map(lambda t: len(encode(t)))
 
     return _cnt(text)

@@ -180,29 +180,16 @@ def _group_sized(sized_paths, max_bytes: int) -> Iterator[List[object]]:
 
 def _group_files(abs_paths: List[str], max_bytes: int
                  ) -> Iterator[List[object]]:
-    """Size-bounded partition units: small files coalesce into one
-    partition; a file larger than ``max_bytes`` splits into row-group
-    ranges so a 10 GB file does not serialize onto one task. A unit is a
-    path (whole file) or ``(path, [row-group indices])``. Sizes come
-    from os.stat — use ``_group_sized`` when manifest sizes are in hand
-    (the batch reader does)."""
-    group, size = [], 0
-    for p in abs_paths:
+    """``_group_sized`` with sizes from os.stat — for callers holding
+    bare paths (stream readers over per-snapshot file lists); the batch
+    reader passes manifest sizes instead and never stats."""
+    def stat_size(p):
         try:
-            b = os.path.getsize(p)
+            return os.path.getsize(p)
         except OSError:
-            b = max_bytes
-        if b > max_bytes:
-            for unit in _split_row_groups(p, max_bytes):
-                yield [unit]
-            continue
-        if group and size + b > max_bytes:
-            yield group
-            group, size = [], 0
-        group.append(p)
-        size += b
-    if group:
-        yield group
+            return None  # _group_sized's one-file-per-partition default
+
+    return _group_sized(((p, stat_size(p)) for p in abs_paths), max_bytes)
 
 
 # Spark types whose comparison semantics match pyarrow's exactly — safe to
@@ -406,6 +393,19 @@ class SpaceBatchReader(DataSourceReader):
         self.read_schema = read_schema
         self._expr: Optional[Expr] = None
         self._arrow_filter_src: List[Filter] = []
+        # Full falsifiable pruning expression forwarded by
+        # Dataset._datasource_read (option("prune_expr", b64(pickle))):
+        # Catalyst re-pushes only simple comparison conjuncts, so
+        # OR/IN predicates would otherwise prune nothing on this path.
+        # ANDed with whatever pushFilters later recognizes.
+        self._base_expr: Optional[Expr] = None
+        raw = options.get("prune_expr")
+        if raw:
+            import base64
+
+            from pyspark import cloudpickle
+
+            self._base_expr = cloudpickle.loads(base64.b64decode(raw))
         # Pin the snapshot AND load its merge-on-read delete-vector blobs
         # HERE: Spark pickles the reader at construction, so state set in
         # partitions() (which runs on a driver-side copy) never reaches
@@ -428,7 +428,10 @@ class SpaceBatchReader(DataSourceReader):
 
     def partitions(self) -> List[InputPartition]:
         log, meta = _load(self.location)
-        sized = _prune(log, meta, self.snap_id, self._expr,
+        expr = self._base_expr
+        if self._expr is not None:
+            expr = self._expr if expr is None else (expr & self._expr)
+        sized = _prune(log, meta, self.snap_id, expr,
                        with_sizes=True)
         groups = list(_group_sized(
             ((log.abs_path(p), b) for p, b in sized), self.max_bytes

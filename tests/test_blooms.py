@@ -255,3 +255,61 @@ def test_version_gate_makes_old_filters_inert(spark, tmp_location):
     keys = _df(spark, [999999]).select("k")  # absent key: v2 would prune
     assert ds._bloom_prune(ds.data_files(), snapshot, keys) \
         == ds.data_files()
+
+
+def test_null_probe_key_never_matches_never_crashes(spark, tmp_location):
+    """Review r9: a NULL row in the probe key set (e.g. from an outer
+    join) must not crash the bloom probe — PKs are NOT NULL, so a null
+    component simply matches nothing."""
+    assert bl.might_contain(bl.build([1, 2, 3]), None) is False
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["k"],
+                        bloom_filters=True)
+    ds.append(_df(spark, range(10)).coalesce(1))
+    keys = spark.createDataFrame([(3,), (None,)], "k long")
+    got = sorted(r["k"] for r in ds.read_by_keys(keys).collect())
+    assert got == [3]
+
+
+def test_tz_naive_timestamp_builds_no_filter():
+    """Review r9: isAdjustedToUTC=false parquet timestamps are
+    wall-clock, not instants — hashing them would false-negative under
+    a non-UTC session. No filter (None) -> never prunes."""
+    import pyarrow as pa
+
+    naive = pa.array([1000000, 2000000], pa.int64()).cast(
+        pa.timestamp("us"))  # tz=None
+    assert bl.build_arrow(naive) is None
+    aware = pa.array([1000000], pa.int64()).cast(
+        pa.timestamp("us", tz="UTC"))
+    assert bl.build_arrow(aware) is not None
+
+
+def test_old_writer_bloom_columns_are_invisible(tmp_path):
+    """Review r9: the manifest column name is version-suffixed
+    (_BLOOM2_) — filters written by a previous release (under _BLOOM_)
+    read back as None, so version-skewed writers degrade the index to
+    never-prune instead of mis-probing v1 bitmaps with v2 hashes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from space_spark.core import manifests as mf
+
+    assert mf.BLOOM_PREFIX == "_BLOOM2_"
+    path = str(tmp_path / "manifest-old.parquet")
+    pq.write_table(pa.table({
+        mf.FILE_PATH_COL: ["data/f1.parquet"],
+        mf.NUM_ROWS_COL: pa.array([10], pa.int64()),
+        mf.SIZE_BYTES_COL: pa.array([100], pa.int64()),
+        "_BLOOM_k": pa.array([b"\xff" * 16], pa.binary()),
+    }), path)
+    blooms = mf.read_file_blooms([path], ["k"])
+    assert blooms["data/f1.parquet"]["k"] is None
+
+
+def test_build_arrow_default_sizing_matches_scalar():
+    """Review r9: both builders size AFTER dropping nulls, keeping the
+    bit-identical contract for the default n_keys argument too."""
+    import pyarrow as pa
+
+    vals = list(range(200)) + [None] * 50
+    assert bl.build(vals) == bl.build_arrow(pa.array(vals, pa.int64()))

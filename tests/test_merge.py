@@ -103,3 +103,14 @@ def test_merge_rejects_bad_clauses(spark, table):
         table.merge(_df(spark, []), when_matched="upsert")
     with pytest.raises(UserInputError):
         table.merge(_df(spark, []), when_not_matched="update")
+
+
+def test_merge_rejects_reserved_column_names(spark, tmp_location):
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("__m", T.StringType()),
+    ])
+    ds = Dataset.create(spark, tmp_location, schema, ["k"])
+    src = spark.createDataFrame([Row(k=1, __m="x")], schema)
+    with pytest.raises(UserInputError, match="reserves"):
+        ds.merge(src)
