@@ -30,7 +30,8 @@ SCHEMA = T.StructType(
 OPS = st.lists(
     st.tuples(
         st.sampled_from(["append", "insert", "upsert", "delete_lt",
-                         "delete_between", "apply_changes", "compact"]),
+                         "delete_between", "apply_changes", "compact",
+                         "merge_upd", "merge_del"]),
         st.lists(st.integers(min_value=0, max_value=30), min_size=1,
                  max_size=5, unique=True),
     ),
@@ -104,6 +105,29 @@ def test_dml_sequence_matches_model(spark, ops):
                     model.pop(i, None)
                 for i in adds:
                     model[i] = i * 1000 + step
+            elif kind == "merge_upd":
+                # MERGE with a condition exercising BOTH branches:
+                # matched rows update only when the incoming v is even
+                # (step parity varies), unmatched rows insert.
+                ds.merge(
+                    df_for(ids, step),
+                    matched_condition=lambda s, t: s["v"] % 2 == 0,
+                )
+                for i in ids:
+                    nv = i * 1000 + step
+                    if i not in model or nv % 2 == 0:
+                        model[i] = nv
+            elif kind == "merge_del":
+                # Conditional expiry: drop matched rows whose CURRENT
+                # value is odd; new keys are ignored.
+                ds.merge(
+                    df_for(ids, step),
+                    when_matched="delete", when_not_matched="ignore",
+                    matched_condition=lambda s, t: t["v"] % 2 == 1,
+                )
+                for i in ids:
+                    if i in model and model[i] % 2 == 1:
+                        del model[i]
             elif kind == "compact":
                 # Maintenance is a NO-CHANGE commit (or a no-op when
                 # nothing qualifies): the model must be unaffected.
