@@ -114,3 +114,36 @@ def test_merge_rejects_reserved_column_names(spark, tmp_location):
     src = spark.createDataFrame([Row(k=1, __m="x")], schema)
     with pytest.raises(UserInputError, match="reserves"):
         ds.merge(src)
+
+
+def test_merge_timestamp_pk_bloom_table_non_utc_session(spark,
+                                                        tmp_location):
+    """Compose the round's two riskiest changes: merge's matched probe
+    rides read_by_keys over a bloom-enabled TIMESTAMP-PK table under a
+    non-UTC session — a bloom false negative would silently turn an
+    update into a duplicate-key insert attempt."""
+    import datetime as dt
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.StringType()),
+    ])
+    base = dt.datetime(2024, 5, 1, tzinfo=dt.timezone.utc)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        ds = Dataset.create(spark, tmp_location, schema, ["ts"],
+                            bloom_filters=True)
+        rows = [Row(ts=base + dt.timedelta(minutes=i), v=f"v{i}")
+                for i in range(10)]
+        ds.append(spark.createDataFrame(rows, schema).coalesce(1))
+        src = spark.createDataFrame(
+            [Row(ts=rows[3].ts, v="UPDATED"),
+             Row(ts=base + dt.timedelta(days=9), v="NEW")], schema)
+        ds.merge(src)
+        got = {r["v"] for r in ds.reload().read().collect()}
+        assert "UPDATED" in got and "NEW" in got
+        assert "v3" not in got  # the matched row was replaced, not duped
+        assert len(got) == 11
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
