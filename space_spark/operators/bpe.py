@@ -322,11 +322,16 @@ _WORD_CACHE_MAX = 1_000_000
 
 def _encoder_for(merges) -> "callable":
     key = tuple(merges)
-    enc = _ENCODER_MEMO.get(key)
+    # LRU: pop+reinsert moves the hit to the most-recent end, and a
+    # pathological many-table caller evicts the LEAST-recent entry —
+    # never the one about to be returned (clearing the whole memo made
+    # an alternating-table caller rebuild a 32k-rank dict per batch).
+    enc = _ENCODER_MEMO.pop(key, None)
     if enc is None:
-        if len(_ENCODER_MEMO) > 8:  # pathological many-table caller
-            _ENCODER_MEMO.clear()
-        enc = _ENCODER_MEMO[key] = _make_text_encoder(key)
+        enc = _make_text_encoder(key)
+        while len(_ENCODER_MEMO) >= 8:
+            _ENCODER_MEMO.pop(next(iter(_ENCODER_MEMO)))
+    _ENCODER_MEMO[key] = enc
     return enc
 
 

