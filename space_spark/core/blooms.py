@@ -171,7 +171,8 @@ def build(values, n_keys: Optional[int] = None) -> bytes:
     return bytes(bitmap)
 
 
-def build_arrow(col, n_keys: Optional[int] = None) -> Optional[bytes]:
+def build_arrow(col, n_keys: Optional[int] = None,
+                naive_is_utc: bool = False) -> Optional[bytes]:
     """Vectorized build from a pyarrow (Chunked)Array, as read straight
     off the just-written Parquet file in the footer-stats pass.
 
@@ -179,7 +180,16 @@ def build_arrow(col, n_keys: Optional[int] = None) -> Optional[bytes]:
     arrow-side and hash fully vectorized in numpy (the v1 per-row
     Python md5 loop is gone). String/binary columns still md5 per value
     but fold positions vectorized. Returns None (= no filter, never
-    prunes) for unsupported types, so probes stay exact."""
+    prunes) for unsupported types, so probes stay exact.
+
+    ``naive_is_utc``: the caller has proven from the Parquet footer
+    that a tz-naive arrow timestamp column actually stores UTC
+    INSTANTS — the INT96 case: Spark's DEFAULT
+    ``spark.sql.parquet.outputTimestampType`` is INT96, whose epoch
+    nanos are UTC by the format spec, but pyarrow surfaces them as
+    ``timestamp[ns]`` with ``tz=None``. Without the flag those columns
+    would silently build no filter (every append pays the PK re-read
+    for zero pruning — ADVICE r9 medium)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -193,12 +203,36 @@ def build_arrow(col, n_keys: Optional[int] = None) -> Optional[bytes]:
     if pa.types.is_boolean(t) or pa.types.is_integer(t):
         ints = col.cast(pa.int64())
     elif pa.types.is_timestamp(t):
-        if t.tz is None:
+        if t.tz is None and naive_is_utc:
+            # INT96 epoch nanos read back tz-naive; the values ARE UTC
+            # instants, so epoch micros = the probe's unix_micros.
+            # Spark writes micro-precision instants (ns % 1000 == 0);
+            # a foreign INT96 writer with true sub-micro nanos would
+            # make this cast lossy — degrade to no-filter rather than
+            # risk rounding divergence against the probe.
+            try:
+                ints = col.cast(pa.timestamp("us")).cast(pa.int64())
+            except pa.lib.ArrowInvalid:
+                return None
+        elif t.tz is None:
             # isAdjustedToUTC=false (a foreign writer's wall-clock
             # timestamps): the stored micros are NOT an instant, while
             # the probe hashes session-resolved UTC micros — hashing
             # them would build filters that FALSE-NEGATIVE under any
-            # non-UTC session. No filter: degrade to the semi-join.
+            # non-UTC session. No filter: degrade to the semi-join —
+            # loudly, because the table keeps paying the build-side PK
+            # re-read for zero pruning.
+            import warnings
+
+            warnings.warn(
+                "bloom filter degraded to none for a tz-naive "
+                "(isAdjustedToUTC=false) timestamp PK column: point "
+                "reads fall back to the semi-join; write with "
+                "spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS"
+                " (or INT96) for bloom pruning",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             return None
         # Arrow stores instants as epoch offsets; normalize to micros.
         # (Spark writes isAdjustedToUTC micros, so this IS unix_micros.)

@@ -140,9 +140,20 @@ def _footer_stats(abs_path: str, stat_names: List[str],
         # Vectorized: canonical int64 columns hash in numpy, no per-row
         # Python loop (v1 built via str()+md5 per value — both slow and,
         # for timestamps, probe-divergent; see blooms.py docstring).
+        # INT96 physical columns (Spark's DEFAULT outputTimestampType)
+        # surface in arrow as tz-NAIVE ns but store UTC instants by the
+        # Parquet spec — tell the build so timestamp PKs under a
+        # default-conf session still get filters (ADVICE r9 medium:
+        # they silently built none while paying the PK re-read).
+        int96 = {
+            meta.schema.column(i).path
+            for i in range(meta.num_columns)
+            if meta.schema.column(i).physical_type == "INT96"
+        }
         tbl = pq.read_table(abs_path, columns=list(bloom_pks))
         out["blooms"] = {
-            pk: bl.build_arrow(tbl.column(pk), n_keys=meta.num_rows)
+            pk: bl.build_arrow(tbl.column(pk), n_keys=meta.num_rows,
+                               naive_is_utc=pk in int96)
             for pk in bloom_pks
         }
     return out

@@ -313,3 +313,77 @@ def test_build_arrow_default_sizing_matches_scalar():
 
     vals = list(range(200)) + [None] * 50
     assert bl.build(vals) == bl.build_arrow(pa.array(vals, pa.int64()))
+
+
+def test_int96_naive_is_utc_build_matches_aware():
+    """ADVICE r10 (medium): Spark's DEFAULT outputTimestampType is
+    INT96, which pyarrow reads as tz-NAIVE ns holding UTC instants.
+    With naive_is_utc (the footer-proven INT96 case) the build must be
+    bit-identical to the tz-aware build — and still degrade to None
+    without the proof."""
+    import pyarrow as pa
+
+    micros = [1000000, 2000000, -5000000]
+    naive_ns = pa.array([m * 1000 for m in micros], pa.int64()).cast(
+        pa.timestamp("ns"))  # tz=None, as pyarrow reads INT96
+    aware = pa.array(micros, pa.int64()).cast(pa.timestamp("us", tz="UTC"))
+    built = bl.build_arrow(naive_ns, naive_is_utc=True)
+    assert built == bl.build_arrow(aware)
+    for m in micros:
+        assert bl.might_contain(built, m)
+    # Sub-micro nanos (a foreign INT96 writer): lossy cast -> degrade.
+    subs = pa.array([1500, 2500], pa.int64()).cast(pa.timestamp("ns"))
+    assert bl.build_arrow(subs, naive_is_utc=True) is None
+
+
+def test_int96_timestamp_pk_prunes_under_default_conf(spark, tmp_location):
+    """ADVICE r10 (medium): under Spark's DEFAULT parquet conf (INT96
+    timestamps) a bloom table with a timestamp PK used to silently
+    build NO filters — every append paid the PK re-read for zero
+    pruning. The footer's physical type now proves the values are UTC
+    instants; filters build and prune, even under a non-UTC session."""
+    import datetime as dt
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.StringType()),
+    ])
+    base = dt.datetime(2024, 5, 1, 0, 0, 0, tzinfo=dt.timezone.utc)
+    rows = [Row(ts=base + dt.timedelta(minutes=i), v=f"v{i}")
+            for i in range(40)]
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    old_tt = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        ds = Dataset.create(spark, tmp_location, schema, ["ts"],
+                            bloom_filters=True)
+        ds.append(spark.createDataFrame(rows[0::2], schema).coalesce(1))
+        ds.append(spark.createDataFrame(rows[1::2], schema).coalesce(1))
+        ds = ds.reload()
+        # Filters were actually BUILT (not the silent-None degrade).
+        snapshot = ds.metadata.snapshot(ds.current_snapshot_id)
+        probe = [rows[3].ts, rows[7].ts]  # both odd-minute -> file 2
+        got = sorted(r["v"] for r in ds.read_by_keys(probe).collect())
+        assert got == ["v3", "v7"], got
+        keys = spark.createDataFrame([(p,) for p in probe], ["ts"])
+        survivors = ds._bloom_prune(ds.data_files(), snapshot, keys)
+        assert len(survivors) == 1, \
+            "INT96 timestamp PK built no usable bloom filters"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        spark.conf.set("spark.sql.parquet.outputTimestampType", old_tt)
+
+
+def test_tz_naive_degrade_warns():
+    """The no-filter degrade must be loud: the table pays the PK
+    re-read on every append for zero pruning otherwise (ADVICE r9)."""
+    import warnings
+
+    import pyarrow as pa
+
+    naive = pa.array([1000000], pa.int64()).cast(pa.timestamp("us"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert bl.build_arrow(naive) is None
+    assert any("bloom filter degraded" in str(x.message) for x in w)
