@@ -373,24 +373,35 @@ class Dataset:
             # OR/IN predicate would otherwise degrade this path to a
             # whole-snapshot scan at exactly the file counts it exists
             # for. The source ANDs this with whatever Spark pushes.
-            import base64
+            # Declarative JSON transport (expr_to_json) — the option is
+            # a string-typed channel also reachable from SQL, so the
+            # reader side refuses anything but the closed Expr algebra.
+            from space_spark.core.expressions import expr_to_json
 
-            from pyspark import cloudpickle
-
-            reader = reader.option(
-                "prune_expr",
-                base64.b64encode(cloudpickle.dumps(phys)).decode("ascii"),
-            )
+            reader = reader.option("prune_expr", expr_to_json(phys))
         if fields is not None:
             unknown = set(fields) - set(self.schema.fieldNames())
             if unknown:
                 raise UserInputError(f"Unknown fields: {sorted(unknown)}")
-            if filter_ is None:
-                # Column pruning must be declared up-front (the Python
-                # data source API has no required-columns pushdown).
-                # With a filter present, scan full columns (the filter
-                # may reference unselected ones) and select after.
-                reader = reader.option("fields", ",".join(fields))
+            # Column pruning must be declared up-front (the Python
+            # data source API has no required-columns pushdown). With a
+            # filter present, push the UNION of the projection and the
+            # filter's referenced columns and select after — scanning
+            # full width just because a filter exists regressed a
+            # filtered narrow read to full-width I/O at exactly the
+            # >=10k-file scale this path serves (ADVICE r9 low).
+            push = list(fields)
+            if filter_ is not None:
+                known = set(self.schema.fieldNames())
+                seen = set(push)
+                extra = sorted(filter_.fields() - seen)
+                if not set(extra) <= known:
+                    raise UserInputError(
+                        f"Filter references unknown fields: "
+                        f"{sorted(set(extra) - known)}"
+                    )
+                push.extend(extra)
+            reader = reader.option("fields", ",".join(push))
         df = reader.load()
         if filter_ is not None:
             # Catalyst re-pushes the comparable conjuncts into the

@@ -334,6 +334,120 @@ class Not(Expr):
         return f"~{self.child!r}"
 
 
+def expr_to_json(expr: "Expr") -> str:
+    """Serialize a predicate to a declarative JSON form for transport
+    through string-typed channels (the ``space`` DataSource's
+    ``prune_expr`` option). The algebra is small and CLOSED —
+    Field/Literal/Comparison/And/Or/Not — so a JSON tree of tagged
+    nodes carries it exactly; unlike pickle, decoding can never execute
+    code, which matters because DataSource options are reachable from
+    SQL (``CREATE TABLE ... USING space OPTIONS (...)``) — ADVICE r9
+    medium."""
+    import base64 as _b64
+    import json as _json
+    import math as _math
+
+    def enc_value(v):
+        if v is None:
+            return {"vt": "null"}
+        if isinstance(v, bool):
+            return {"vt": "bool", "v": v}
+        if isinstance(v, int):
+            return {"vt": "int", "v": v}
+        if isinstance(v, float):
+            if _math.isfinite(v):
+                return {"vt": "float", "v": v}
+            return {"vt": "floatstr", "v": repr(v)}
+        if isinstance(v, str):
+            return {"vt": "str", "v": v}
+        if isinstance(v, bytes):
+            return {"vt": "bytes",
+                    "v": _b64.b64encode(v).decode("ascii")}
+        if isinstance(v, _dt.datetime):  # before date: datetime IS a date
+            return {"vt": "ts", "v": v.isoformat()}
+        if isinstance(v, _dt.date):
+            return {"vt": "date", "v": v.isoformat()}
+        raise TypeError(f"Unserializable literal: {type(v).__name__}")
+
+    def enc(e):
+        if isinstance(e, Field):
+            return {"n": "field", "name": e.name}
+        if isinstance(e, Literal):
+            return {"n": "lit", **enc_value(e.value)}
+        if isinstance(e, Comparison):
+            if e.op not in _PY_CMP:
+                raise ValueError(f"Unknown comparison op: {e.op!r}")
+            return {"n": "cmp", "op": e.op,
+                    "l": enc(e.left), "r": enc(e.right)}
+        if isinstance(e, And):
+            return {"n": "and", "l": enc(e.left), "r": enc(e.right)}
+        if isinstance(e, Or):
+            return {"n": "or", "l": enc(e.left), "r": enc(e.right)}
+        if isinstance(e, Not):
+            return {"n": "not", "c": enc(e.child)}
+        raise TypeError(f"Unserializable Expr node: {type(e).__name__}")
+
+    return _json.dumps(enc(expr), separators=(",", ":"))
+
+
+def expr_from_json(s: str) -> "Expr":
+    """Rebuild a predicate from :func:`expr_to_json` output. Rejects
+    (raises ``ValueError``) anything outside the closed algebra — this
+    is the UNTRUSTED side of the DataSource option channel."""
+    import base64 as _b64
+    import json as _json
+
+    def dec_value(node):
+        vt = node.get("vt")
+        v = node.get("v")
+        if vt == "null":
+            return None
+        if vt == "bool" and isinstance(v, bool):
+            return v
+        if vt == "int" and isinstance(v, int) and not isinstance(v, bool):
+            return v
+        if vt == "float" and isinstance(v, (int, float)) \
+                and not isinstance(v, bool):
+            return float(v)
+        if vt == "floatstr" and v in ("inf", "-inf", "nan"):
+            return float(v)
+        if vt == "str" and isinstance(v, str):
+            return v
+        if vt == "bytes" and isinstance(v, str):
+            return _b64.b64decode(v)
+        if vt == "ts" and isinstance(v, str):
+            return _dt.datetime.fromisoformat(v)
+        if vt == "date" and isinstance(v, str):
+            return _dt.date.fromisoformat(v)
+        raise ValueError(f"Bad literal encoding: {node!r}")
+
+    def dec(node):
+        if not isinstance(node, dict):
+            raise ValueError(f"Bad expr node: {node!r}")
+        n = node.get("n")
+        if n == "field":
+            name = node.get("name")
+            if not isinstance(name, str):
+                raise ValueError(f"Bad field name: {name!r}")
+            return Field(name)
+        if n == "lit":
+            return Literal(dec_value(node))
+        if n == "cmp":
+            op = node.get("op")
+            if op not in _PY_CMP:
+                raise ValueError(f"Unknown comparison op: {op!r}")
+            return Comparison(op, dec(node["l"]), dec(node["r"]))
+        if n == "and":
+            return And(dec(node["l"]), dec(node["r"]))
+        if n == "or":
+            return Or(dec(node["l"]), dec(node["r"]))
+        if n == "not":
+            return Not(dec(node["c"]))
+        raise ValueError(f"Unknown expr node kind: {n!r}")
+
+    return dec(_json.loads(s))
+
+
 def rename_fields(expr: "Expr", mapping: dict) -> "Expr":
     """Copy of ``expr`` with every Field name passed through ``mapping``
     (identity for absent names). Used to translate user-facing LOGICAL

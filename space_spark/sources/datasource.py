@@ -394,18 +394,22 @@ class SpaceBatchReader(DataSourceReader):
         self._expr: Optional[Expr] = None
         self._arrow_filter_src: List[Filter] = []
         # Full falsifiable pruning expression forwarded by
-        # Dataset._datasource_read (option("prune_expr", b64(pickle))):
+        # Dataset._datasource_read (option("prune_expr", <json>)):
         # Catalyst re-pushes only simple comparison conjuncts, so
         # OR/IN predicates would otherwise prune nothing on this path.
-        # ANDed with whatever pushFilters later recognizes.
+        # ANDed with whatever pushFilters later recognizes. Declarative
+        # JSON, NOT pickle: options are plain strings reachable from
+        # SQL (CREATE TABLE ... USING space OPTIONS (...)), so this is
+        # a trust boundary — expr_from_json rejects anything outside
+        # the closed Field/Literal/Comparison/And/Or/Not algebra and
+        # can never execute code (ADVICE r9 medium). A malformed value
+        # raises ValueError here rather than degrading to a full scan.
         self._base_expr: Optional[Expr] = None
         raw = options.get("prune_expr")
         if raw:
-            import base64
+            from space_spark.core.expressions import expr_from_json
 
-            from pyspark import cloudpickle
-
-            self._base_expr = cloudpickle.loads(base64.b64decode(raw))
+            self._base_expr = expr_from_json(raw)
         # Pin the snapshot AND load its merge-on-read delete-vector blobs
         # HERE: Spark pickles the reader at construction, so state set in
         # partitions() (which runs on a driver-side copy) never reaches

@@ -180,13 +180,100 @@ def test_routed_read_prunes_complex_predicates(spark, tmp_location):
     assert sorted(r["k"] for r in routed.collect()) == expected
     # The forwarded expression pruned at PLANNING time: reconstruct the
     # reader with the same option and count partitions.
-    import base64
+    from space_spark.core.expressions import expr_to_json
 
-    from pyspark import cloudpickle
-
-    opt = base64.b64encode(
-        cloudpickle.dumps(ds._phys_expr(flt))).decode("ascii")
+    opt = expr_to_json(ds._phys_expr(flt))
     reader = SpaceBatchReader(
         tmp_location, {"prune_expr": opt}, ds._physical_schema())
     n_files = sum(len(p.value) for p in reader.partitions())
     assert n_files == 2, n_files
+
+
+def test_prune_expr_option_rejects_non_declarative_payloads(
+        spark, tmp_location):
+    """ADVICE r10 (medium): DataSource options are plain strings
+    reachable from SQL (CREATE TABLE ... USING space OPTIONS (...)), so
+    prune_expr must never deserialize code. The JSON decoder rejects
+    anything outside the closed Expr algebra — including the old
+    pickle transport."""
+    import base64
+
+    import pytest as _pytest
+    from pyspark import cloudpickle
+
+    from space_spark.sources.datasource import SpaceBatchReader
+
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["k"])
+    ds.append(_df(spark, range(5)).coalesce(1))
+    phys = ds._physical_schema()
+    evil = [
+        base64.b64encode(cloudpickle.dumps(field("k") > 1)).decode(),
+        '{"n": "eval", "code": "__import__(\'os\')"}',
+        '{"n": "cmp", "op": "exec", "l": {"n": "field", "name": "k"},'
+        ' "r": {"n": "lit", "vt": "int", "v": 1}}',
+        '["not", "a", "dict"]',
+    ]
+    for payload in evil:
+        with _pytest.raises(ValueError):
+            SpaceBatchReader(tmp_location, {"prune_expr": payload}, phys)
+
+
+def test_expr_json_roundtrip_all_node_and_literal_kinds():
+    """expr_to_json/expr_from_json carry the whole closed algebra:
+    every node kind and every literal domain, including the temporal
+    types that manifest pruning compares."""
+    import datetime as dt
+
+    from space_spark.core.expressions import (
+        expr_from_json,
+        expr_to_json,
+        lit,
+    )
+
+    f = field
+    exprs = [
+        f("k") > 1,
+        (f("k") >= -5) & (f("v") != "x'y\"z"),
+        (f("a") < 1.5) | ~(f("b") <= f("c")),
+        f("ts") == dt.datetime(2024, 3, 1, 12, 30, 0, 250,
+                               tzinfo=dt.timezone.utc),
+        f("d") >= dt.date(2024, 1, 1),
+        f("blob") == b"\x00\xff\x1f",
+        f("flag") == True,  # noqa: E712 — bool literal, not identity
+        f("x") != lit(None),
+        f("nan") == float("inf"),
+    ]
+    for e in exprs:
+        back = expr_from_json(expr_to_json(e))
+        assert repr(back) == repr(e), (repr(back), repr(e))
+
+
+def test_routed_filtered_read_pushes_projection(spark, tmp_location):
+    """ADVICE r10 (low): with BOTH a projection and a filter, the scan
+    must read only fields ∪ filter-columns — not regress to full width
+    at exactly the >=10k-file scale this path serves."""
+    wide = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("w", T.StringType()),
+        T.StructField("x", T.StringType()),
+    ])
+    ds = Dataset.create(spark, tmp_location, wide, ["k"])
+    ds.append(spark.createDataFrame(
+        [Row(k=i, v=f"v{i}", w=f"w{i}" * 50, x=f"x{i}" * 50)
+         for i in range(30)], wide).coalesce(1))
+    ds = ds.reload()
+    expected = sorted(
+        map(tuple,
+            ds.read(filter_=field("k") < 9, fields=["v"]).collect()))
+    ds.DATASOURCE_READ_MIN_FILES = 1
+    routed = ds.read(filter_=field("k") < 9, fields=["v"])
+    assert sorted(map(tuple, routed.collect())) == expected
+    # The BatchScan's output schema is the pushed narrow set — the wide
+    # w/x columns never reach the scan.
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan" in plan, plan[:500]
+    scan_line = [ln for ln in plan.splitlines() if "BatchScan" in ln][0]
+    cols = [c.strip().split("#")[0] for c in
+            scan_line.split("[", 1)[-1].split("]")[0].split(",")]
+    assert sorted(set(cols)) == ["k", "v"], scan_line
