@@ -1593,6 +1593,81 @@ def space_merge_read(spark, sf_dir):
     return ds.read(fields=["c_custkey", "c_name", "c_acctbal"])
 
 
+def space_merge_multi(spark, sf_dir):
+    """Multi-clause MERGE INTO (round 10, core/dataset.py merge):
+    ordered WHEN MATCHED clauses with per-clause conditions and
+    column-level UPDATE SET — first matching clause wins (Delta
+    semantics), unlisted columns keep their TARGET values. Here:
+    clause 1 updates balance+name when the source balance is higher
+    (even keys — and proves PARTIAL update: the source's poisoned
+    nationkey/mktsegment must NOT land), clause 2 deletes leftover
+    keys divisible by 3, other matched rows stay untouched, unmatched
+    rows insert. One snapshot commit; the clause cascade is a single
+    per-column CASE pass over the pruned matched join."""
+    from space_spark import Dataset
+
+    cust = _t(spark, sf_dir, "customer")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/customer_mm", cust.schema, ["c_custkey"]
+    )
+    ds.append(cust)
+    src_upd = cust.where(F.col("c_custkey") < 300).select(
+        "c_custkey",
+        F.lit("SRC").alias("c_name"),
+        F.lit(-1).alias("c_nationkey"),
+        (F.col("c_acctbal")
+         + F.when(F.col("c_custkey") % 2 == 0, F.lit(1000.0))
+         .otherwise(F.lit(-1000.0))).alias("c_acctbal"),
+        F.lit("SRCSEG").alias("c_mktsegment"),
+    )
+    src_ins = cust.where(F.col("c_custkey") < 50).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("INS").alias("c_name"),
+        "c_nationkey",
+        F.lit(2.5).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    ds.merge(
+        src_upd.unionByName(src_ins),
+        when_matched=[
+            {"action": "update",
+             "condition": lambda s, t: s["c_acctbal"] > t["c_acctbal"],
+             "set": {"c_acctbal": lambda s, t: s["c_acctbal"],
+                     "c_name": F.lit("UP")}},
+            {"action": "delete",
+             "condition": lambda s, t: s["c_custkey"] % 3 == 0},
+        ],
+    )
+    return ds.read()
+
+
+SPACE_MERGE_MULTI_SQL = """
+WITH src AS (
+  SELECT c_custkey,
+         c_acctbal + CASE WHEN c_custkey % 2 = 0
+                          THEN 1000.0 ELSE -1000.0 END AS s_bal
+  FROM customer WHERE c_custkey < 300
+), m AS (
+  SELECT t.c_custkey,
+         CASE WHEN s.c_custkey IS NOT NULL AND s.s_bal > t.c_acctbal
+              THEN 'UP' ELSE t.c_name END AS c_name,
+         t.c_nationkey,
+         CASE WHEN s.c_custkey IS NOT NULL AND s.s_bal > t.c_acctbal
+              THEN s.s_bal ELSE t.c_acctbal END AS c_acctbal,
+         t.c_mktsegment,
+         (s.c_custkey IS NOT NULL AND NOT (s.s_bal > t.c_acctbal)
+          AND s.c_custkey % 3 = 0) AS drop_row
+  FROM customer t LEFT JOIN src s USING (c_custkey)
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM m WHERE NOT drop_row
+UNION ALL
+SELECT c_custkey + 1000000 AS c_custkey, 'INS' AS c_name,
+       c_nationkey, 2.5 AS c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey < 50
+"""
+
+
 SPACE_MERGE_SQL = """
 WITH upd AS (
   SELECT c_custkey,
@@ -5027,6 +5102,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "space_insert_read": space_insert_read,
         "space_upsert_read": space_upsert_read,
         "space_merge_read": space_merge_read,
+        "space_merge_multi": space_merge_multi,
         "space_mor_delete": space_mor_delete,
         "space_diff_changes": space_diff_changes,
         "space_zorder_pruned": space_zorder_pruned,
@@ -5153,6 +5229,7 @@ def oracle_sql() -> dict[str, str]:
         "space_mor_delete": SPACE_MOR_SQL,
         "space_upsert_read": SPACE_UPSERT_SQL,
         "space_merge_read": SPACE_MERGE_SQL,
+        "space_merge_multi": SPACE_MERGE_MULTI_SQL,
         "space_insert_read": SPACE_INSERT_SQL,
         "space_compact_read": SPACE_COMPACT_SQL,
         "space_time_travel": SPACE_TIME_TRAVEL_SQL,

@@ -147,3 +147,174 @@ def test_merge_timestamp_pk_bloom_table_non_utc_session(spark,
         assert len(got) == 11
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+# ----------------------------------------------------- multi-clause (r10)
+
+
+def test_merge_multi_clause_first_match_wins(spark, table):
+    """Ordered WHEN MATCHED clauses with per-clause conditions: the
+    FIRST matching clause fires, later ones never see the row — Delta
+    semantics. Clause 1 catches newer rows (update), clause 2 deletes
+    rows whose source v says so, leftovers stay untouched."""
+    from pyspark.sql import functions as F
+
+    table.merge(
+        _df(spark, [
+            (1, 30, "fresh"),    # clause 1: newer -> update
+            (2, 5, "DROP"),      # clause 1 fails, clause 2 -> delete
+            (3, 5, "stale"),     # neither -> untouched
+            (9, 1, "new"),       # unmatched -> insert
+        ]),
+        when_matched=[
+            {"action": "update",
+             "condition": lambda s, t: s["ts"] > t["ts"]},
+            {"action": "delete",
+             "condition": lambda s, t: s["v"] == F.lit("DROP")},
+        ],
+    )
+    assert _state(table) == [
+        (1, 30, "fresh"), (3, 10, "c"), (9, 1, "new")]
+
+
+def test_merge_overlapping_clauses_respect_order(spark, table):
+    """A row matching BOTH clauses takes the first one; swapping the
+    clause order flips the outcome — the ordering is semantic, not
+    cosmetic."""
+    src = [(2, 99, "both")]  # newer AND flagged for delete
+    table.merge(
+        _df(spark, src),
+        when_matched=[
+            {"action": "update",
+             "condition": lambda s, t: s["ts"] > t["ts"]},
+            {"action": "delete",
+             "condition": lambda s, t: s["ts"] > t["ts"]},
+        ],
+    )
+    assert (2, 99, "both") in _state(table)  # update won
+    table.merge(
+        _df(spark, [(2, 100, "again")]),
+        when_matched=[
+            {"action": "delete",
+             "condition": lambda s, t: s["ts"] > t["ts"]},
+            {"action": "update",
+             "condition": lambda s, t: s["ts"] > t["ts"]},
+        ],
+    )
+    assert 2 not in {k for k, _, _ in _state(table)}  # delete won
+
+
+def test_merge_partial_update_set(spark, table):
+    """UPDATE SET col=expr: listed columns take the clause expression,
+    UNLISTED columns keep their TARGET value (not the source's)."""
+    from pyspark.sql import functions as F
+
+    table.merge(
+        _df(spark, [(2, 77, "SRC_V_MUST_NOT_LAND")]),
+        when_matched=[
+            {"action": "update",
+             "set": {"ts": lambda s, t: s["ts"] + t["ts"],
+                     # plain literals and ready Columns work too
+                     }},
+        ],
+        when_not_matched="ignore",
+    )
+    # ts = 77+10, v kept from target ("b"), k untouched.
+    assert _state(table) == [(1, 10, "a"), (2, 87, "b"), (3, 10, "c")]
+    table.merge(
+        _df(spark, [(3, 0, "zzz")]),
+        when_matched=[{"action": "update", "set": {"v": "LIT"}}],
+        when_not_matched="ignore",
+    )
+    assert (3, 10, "LIT") in _state(table)
+
+
+def test_merge_unconditional_clause_must_be_last(spark, table):
+    with pytest.raises(UserInputError, match="unreachable"):
+        table.merge(
+            _df(spark, [(2, 20, "x")]),
+            when_matched=[
+                {"action": "delete"},
+                {"action": "update",
+                 "condition": lambda s, t: s["ts"] > t["ts"]},
+            ],
+        )
+
+
+def test_merge_set_validation(spark, table):
+    with pytest.raises(UserInputError, match="primary key"):
+        table.merge(_df(spark, [(2, 20, "x")]),
+                    when_matched=[{"action": "update",
+                                   "set": {"k": 99}}])
+    with pytest.raises(UserInputError, match="unknown columns"):
+        table.merge(_df(spark, [(2, 20, "x")]),
+                    when_matched=[{"action": "update",
+                                   "set": {"nope": 1}}])
+    with pytest.raises(UserInputError, match="only valid"):
+        table.merge(_df(spark, [(2, 20, "x")]),
+                    when_matched=[{"action": "delete", "set": {"v": "x"}}])
+    with pytest.raises(UserInputError, match="update|delete"):
+        table.merge(_df(spark, [(2, 20, "x")]),
+                    when_matched=[{"action": "upsert"}])
+    with pytest.raises(UserInputError, match="single-clause"):
+        table.merge(_df(spark, [(2, 20, "x")]),
+                    when_matched=[{"action": "delete"}],
+                    matched_condition=lambda s, t: s["ts"] > t["ts"])
+
+
+def test_merge_null_condition_is_not_matching(spark, table):
+    """A clause condition evaluating to NULL (comparison against NULL)
+    counts as not-matching — SQL MERGE semantics — and falls through
+    to the next clause rather than poisoning the cascade."""
+    table.merge(
+        _df(spark, [(2, None, "nullts")]),
+        when_matched=[
+            {"action": "update",
+             "condition": lambda s, t: s["ts"] > t["ts"]},  # NULL
+            {"action": "update", "set": {"v": "fallback"}},
+        ],
+        when_not_matched="ignore",
+    )
+    assert (2, 10, "fallback") in _state(table)
+
+
+def test_merge_nondeterministic_source_consistent(spark, table):
+    """r9 verdict "What's wrong #1": the source feeds the probe, the
+    join, the adds, and the delete keys as SEPARATE actions; a
+    nondeterministic source re-evaluated between them could emit
+    divergent matched sets — a row deleted but not re-inserted. The
+    aligned source is pinned (localCheckpoint) before anything derives
+    from it, so an update-merge can never lose rows."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as TT
+
+    @F.udf(returnType=TT.DoubleType())
+    def _jitter():
+        return _random.random()
+
+    coin = _jitter.asNondeterministic()
+    base = _df(spark, [(k, 50, f"u{k}") for k in range(1, 4)] +
+                       [(k, 50, f"n{k}") for k in range(100, 104)])
+    for _ in range(3):
+        src = base.where(coin() < 0.5)  # different rows per evaluation
+        table.reload().merge(src)  # when_matched=update
+        keys = {k for k, _, _ in _state(table)}
+        # Updates never lose rows: the original 3 keys all survive.
+        assert {1, 2, 3} <= keys, keys
+
+
+def test_merge_multi_clause_releases_checkpoint_blocks(spark, table):
+    """The pinned source's storage blocks release when merge returns
+    (same discipline as apply_changes' own checkpoint) — a CDC loop
+    must not leak one persisted RDD per merge."""
+    jsc = spark.sparkContext._jsc
+    before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+    table.merge(
+        _df(spark, [(1, 99, "x"), (50, 1, "y")]),
+        when_matched=[{"action": "update",
+                       "condition": lambda s, t: s["ts"] > t["ts"]}],
+    )
+    after = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+    assert after <= before, after - before
