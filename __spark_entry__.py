@@ -4036,6 +4036,71 @@ FROM ranked WHERE rnk <= {k}
 """
 
 
+def ann_ivfpq_rerank(spark, sf_dir):
+    """IVF-PQ + EXACT re-ranking (round 10): the production recall fix
+    (FAISS IndexRefineFlat) — the ADC scan's top 4k candidates per
+    query are re-scored with exact squared-L2 over the RAW vectors
+    (integer-micro pipeline, same sequential fold), and the final
+    top-k ranks by the exact distance. PQ quantization error then only
+    matters if it evicts a true neighbor from the 4k shortlist, so
+    recall approaches the pure-IVF ceiling while the corpus scan stays
+    codes-only (operators/similarity.py ivfpq_rerank_topk)."""
+    from space_spark.operators.similarity import ivfpq_rerank_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_rerank_topk(
+        emb, emb.where(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=5, rerank_factor=4, dim=EMB_DIM, m=8, n_codes=16, n_lists=16,
+        n_probe=4,
+    ).select(
+        "query_id", "neighbor_id", "dist_micro",
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+def _ann_ivfpq_rerank_sql(m: int = 8, n_codes: int = 16,
+                          n_lists: int = 16, n_probe: int = 4,
+                          k: int = 5, rerank_factor: int = 4,
+                          n_queries: int = 5) -> str:
+    """The ivfpq oracle's pipeline cut at rnk <= R (run verbatim as a
+    nested CTE), then an exact rerank over raw vectors: both stages
+    are exact integer arithmetic, so the two-stage index
+    hash-verifies end-to-end."""
+    r_cut = rerank_factor * k
+    base = _ann_ivfpq_sql(m=m, n_codes=n_codes, n_lists=n_lists,
+                          n_probe=n_probe, k=r_cut, n_queries=n_queries)
+    exact_chain = " + ".join(
+        f"(CAST(q.v[{j + 1}] AS DOUBLE) - CAST(n.v[{j + 1}] AS DOUBLE))"
+        f"*(CAST(q.v[{j + 1}] AS DOUBLE) - CAST(n.v[{j + 1}] AS DOUBLE))"
+        for j in range(EMB_DIM)
+    )
+    return f"""
+WITH cand AS (
+{base}
+), v AS (
+  SELECT vec_id AS id, embedding AS v FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) = {EMB_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL
+          OR isnan(CAST(x AS DOUBLE))
+          OR abs(CAST(x AS DOUBLE)) = CAST('infinity' AS DOUBLE))) = 0
+), exact AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(ROUND(({exact_chain}) * 1000000) AS BIGINT) AS dist_micro
+  FROM cand c
+  JOIN v q ON q.id = c.query_id
+  JOIN v n ON n.id = c.neighbor_id
+), rr AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY dist_micro ASC, neighbor_id ASC
+  ) AS rnk
+  FROM exact
+)
+SELECT query_id, neighbor_id, dist_micro, rnk
+FROM rr WHERE rnk <= {k}
+"""
+
+
 def ann_recall_report(spark, sf_dir):
     """ANN retrieval-QUALITY report (round 9): recall@5 of every
     approximate index — LSH buckets, IVF, PQ/ADC, IVF-PQ — against the
@@ -5175,6 +5240,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pretrain_filter": pipeline_pretrain_filter,
         "ann_ivfpq_topk": ann_ivfpq_topk,
         "ann_recall_report": ann_recall_report,
+        "ann_ivfpq_rerank": ann_ivfpq_rerank,
     }
 
 
@@ -5297,4 +5363,5 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_pretrain_filter": _pipeline_filter_sql(),
         "ann_ivfpq_topk": _ann_ivfpq_sql(),
         "ann_recall_report": _ann_recall_sql(),
+        "ann_ivfpq_rerank": _ann_ivfpq_rerank_sql(),
     }

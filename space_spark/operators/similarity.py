@@ -1410,6 +1410,120 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank_factor: int = 4,
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 0,
+    residual: bool = False,
+) -> DataFrame:
+    """IVF-PQ with EXACT re-ranking — the standard production recall
+    fix (FAISS ``IndexRefineFlat``): the ADC scan's top
+    ``rerank_factor * k`` candidates per query are re-scored with the
+    exact squared-L2 distance over the RAW vectors, and the final
+    top-k comes from the exact scores. PQ's quantization error then
+    only matters when it pushes a true neighbor out of the top-R
+    shortlist entirely, so recall approaches the pure-IVF ceiling at a
+    fraction of its cost.
+
+    Scale shape: stage 1 is the audited ``ivfpq_topk`` (codes-only
+    scan, bounded broadcasts); stage 2 re-reads raw vectors for ONLY
+    the R*n_queries candidates — the candidate list broadcasts into a
+    semi-join against the corpus (one column-pruned scan, no shuffle),
+    and the exact distances ride the same sequential-fold integer-micro
+    kernel (``_pq_dists_micro``) as every other distance here, so the
+    whole two-stage index is hash-verifiable against ANSI SQL. Query
+    vectors broadcast (bounded — the same contract as stage 1's LUT
+    broadcast).
+
+    Output: (query_id, neighbor_id, dist_micro, rnk) — ``dist_micro``
+    is the EXACT distance, ascending, ties by neighbor id."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    if rerank_factor < 1:
+        raise ValueError(f"rerank_factor must be >= 1, got {rerank_factor}")
+    cand = ivfpq_topk(
+        corpus, queries, id_col, vec_col, k=rerank_factor * k, dim=dim,
+        m=m, n_codes=n_codes, n_lists=n_lists, n_probe=n_probe,
+        kmeans_iters=kmeans_iters, residual=residual,
+    ).select("query_id", "neighbor_id")
+
+    v = F.col("v")
+    finite = ~F.exists(
+        v,
+        lambda x: (
+            x.isNull() | F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == F.lit(float("inf")))
+        ),
+    )
+
+    def _clean(df):
+        return (
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .where(F.col("id").isNotNull() & v.isNotNull()
+                   & (F.size(v) == dim) & finite)
+        )
+
+    cv, qv = _clean(corpus), _clean(queries)
+    qrows = qv.collect()  # bounded: queries broadcast in stage 1 too
+    qindex = {r["id"]: i for i, r in enumerate(qrows)}
+    qmat = np.array([[float(x) for x in r["v"]] for r in qrows],
+                    dtype=np.float64)[None, :, :]  # (1, n_q, dim)
+    b_q = corpus.sparkSession.sparkContext.broadcast((qindex, qmat))
+
+    withv = F.broadcast(cand).join(
+        cv, cand["neighbor_id"] == cv["id"]
+    ).select("query_id", "neighbor_id", "v")
+
+    def rerank_task(batches):
+        import pandas as pd
+
+        qidx, qc = b_q.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+            )
+            # Same sequential left-assoc fold as the SQL oracle's
+            # term-by-term chain: one "subspace" spanning the full dim.
+            d = _pq_dists_micro(mat, qc)[:, 0, :]          # (n, n_q)
+            col = np.fromiter(
+                (qidx[q] for q in pdf["query_id"]), dtype=np.int64,
+                count=len(pdf),
+            )
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].values,
+                "neighbor_id": pdf["neighbor_id"].values,
+                "dist_micro": d[np.arange(len(pdf)), col],
+            })
+
+    exact = withv.mapInPandas(
+        rerank_task,
+        T.StructType([
+            T.StructField("query_id", qv.schema["id"].dataType),
+            T.StructField("neighbor_id", cv.schema["id"].dataType),
+            T.StructField("dist_micro", T.LongType()),
+        ]),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )
+
+
 def recall_at_k(
     approx: DataFrame,
     exact: DataFrame,

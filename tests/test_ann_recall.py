@@ -199,3 +199,77 @@ def test_residual_ivfpq_deterministic_and_valid(spark, emb):
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 5
+
+
+def test_rerank_full_shortlist_is_exact_l2(spark, emb):
+    """Structural invariant for the exact stage (round-10 verdict #5):
+    full probe + a shortlist covering the whole corpus makes
+    ivfpq_rerank_topk EXACT — it must reproduce brute-force L2 top-5
+    (numpy, independent arithmetic) neighbor-for-neighbor."""
+    import numpy as np
+
+    from space_spark.operators.similarity import ivfpq_rerank_topk
+
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    exact = []
+    for qi in range(5):
+        qv = mat[ids == qi][0]
+        d = ((mat - qv) ** 2).sum(axis=1)
+        order = sorted((float(d[j]), int(ids[j]))
+                       for j in range(len(ids)) if ids[j] != qi)
+        exact.extend((qi, nid, rk)
+                     for rk, (_, nid) in enumerate(order[:5], 1))
+    q = emb.where(F.col("vec_id") < 5)
+    n = len(rows)
+    full = ivfpq_rerank_topk(
+        emb, q, "vec_id", "embedding", k=5, rerank_factor=n // 5 + 1,
+        dim=DIM, m=8, n_codes=16, n_lists=16, n_probe=16,
+    )
+    got = sorted((r["query_id"], r["neighbor_id"], r["rnk"])
+                 for r in full.collect())
+    assert got == sorted(exact)
+
+
+def test_rerank_lifts_recall_over_raw_ivfpq(spark, emb):
+    """The production fix, pinned against the exact-L2 baseline on the
+    isotropic fixture (the hard case): raw ivfpq@4/16 measures 0.20,
+    rerank_factor=4 lifts it to 0.32 and factor=8 to 0.44 — floors
+    leave ~0.05 margin; everything deterministic."""
+    import numpy as np
+
+    from space_spark.operators.similarity import (
+        ivfpq_rerank_topk,
+        ivfpq_topk,
+    )
+
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    exact = []
+    for qi in range(5):
+        qv = mat[ids == qi][0]
+        d = ((mat - qv) ** 2).sum(axis=1)
+        order = sorted((float(d[j]), int(ids[j]))
+                       for j in range(len(ids)) if ids[j] != qi)
+        exact.extend((qi, nid, rk)
+                     for rk, (_, nid) in enumerate(order[:5], 1))
+    exact_df = spark.createDataFrame(
+        exact, "query_id long, neighbor_id long, rank long")
+    q = emb.where(F.col("vec_id") < 5)
+
+    def mr(df):
+        rws = recall_at_k(df, exact_df, k=5).collect()
+        return sum(r["recall"] for r in rws) / len(rws)
+
+    raw = mr(ivfpq_topk(emb, q, "vec_id", "embedding", k=5, dim=DIM,
+                        m=8, n_codes=16, n_lists=16, n_probe=4))
+    rr4 = mr(ivfpq_rerank_topk(emb, q, "vec_id", "embedding", k=5,
+                               rerank_factor=4, dim=DIM, m=8,
+                               n_codes=16, n_lists=16, n_probe=4))
+    rr8 = mr(ivfpq_rerank_topk(emb, q, "vec_id", "embedding", k=5,
+                               rerank_factor=8, dim=DIM, m=8,
+                               n_codes=16, n_lists=16, n_probe=4))
+    assert rr4 >= 0.27 and rr4 >= raw + 0.05, (raw, rr4)
+    assert rr8 >= 0.38 and rr8 >= rr4, (rr4, rr8)
