@@ -5007,50 +5007,45 @@ _GATE_WINDOW = 50
 # "What's wrong #1": hand-written counts here went stale twice).
 _CHURN_QUOTA = 8
 _CHURNED_THIS_ROUND = [
-    # r9 churn, derived from the round's diff by tools/churn_suggest.py
-    # against base dc79368 (function-level git-diff -> query mapping).
-    # Bloom filters v2: the HASH changed (canonical int64 domains,
-    # vectorized build, version pin) — the bloom point-read query is
-    # the highest-risk change of the round.
-    "space_bloom_point_read",
-    # stream_refresh's sink was edited (record-field address resolution
-    # before process_source); this is its registered consumer.
+    # r10 churn, derived from the round's diff by tools/churn_suggest.py
+    # against base 3a4aa2f (function-level git-diff -> query mapping).
+    # merge() was REWRITTEN (multi-clause cascade + source pinning) —
+    # the round-9 registered behavior must re-verify through the new
+    # code. (space_merge_multi, the new surface, is never-green and
+    # leads the window by staleness automatically.)
+    "space_merge_read",
+    # apply_changes' checkpoint/release moved into the shared
+    # _release_new_blocks helper; this is its per-micro-batch
+    # registered consumer (stream_apply_changes).
     "space_stream_mv",
-    # BPE _framed_doc gained the US-sentinel strip and its oracle SQL
-    # changed in lockstep — re-verify the piece-string hash externally.
+    # Bloom build changed: INT96 physical-type detection in
+    # _footer_stats + naive_is_utc canonicalization in build_arrow.
+    "space_bloom_point_read",
+    # bpe.py's encoder memo eviction changed (LRU); the registered
+    # query rides the JVM path, but it is the module's representative.
     "text_bpe_tokens",
-    # pq_codebooks/pq_topk/ivfpq_topk bodies changed (kmeans_iters and
-    # residual parameters; registered behavior is the defaults, but the
-    # code paths they run through moved).
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    # read() gained the DataSource routing branch and read_files' tail
-    # was refactored into _resolve_read_tail; these two are the
-    # registered representatives of the plain-read and record-field
-    # read paths.
+    # _datasource_read changed (JSON prune_expr transport, projection-
+    # under-filter pushdown); the branch is inert below 10k files and
+    # unit-pinned, but this is the plain-read representative.
     "space_filter_project",
-    "space_record_fields",
-    # The round-8 verdict names this sit-out for r9 re-verification and
-    # it loses the r7 definition-order tiebreak without a slot; its
-    # point-read path also sits beside this round's Dataset refactors.
-    "space_random_access",
+    # Flagged by the entry-file line mapping (the new ann_ivfpq_rerank
+    # function shifted its neighborhood); body unchanged — slot kept as
+    # cheap insurance on the suite's widest-coverage query.
+    "ann_recall_report",
 ]
-# Quota (8) is full. churn_suggest also flags most other space queries
-# — solely via the Dataset CLASS diff (the routing branch is inert
-# below DATASOURCE_READ_MIN_FILES=10k files, unit-pinned by
-# tests/test_metadata_scale.py parity tests; bloom build/probe is
-# gated off for non-bloom tables by _bloom_pks() == ()) — plus
-# text_bpe_pack / export_shards_manifest / pipeline_pretrain_filter
-# via bpe_token_count (the same lockstep sentinel change
-# text_bpe_tokens's churn slot covers, piece-strings included, and
-# every registered oracle re-verifies at sf0.001 in tests/
-# test_oracle.py each run). read_by_keys' own tz fix re-verifies via
-# space_read_by_keys, already in-window by staleness (r6-green), as
-# are the whole r6 cohort and the other two r7 sit-outs
-# (space_rename_read, space_zorder_string). Window composition beyond
-# churn: the never-green round-9 registrations (ann_recall_report,
-# space_merge_read — staleness -inf) lead, then the r6-green entries,
-# then r7-green in definition order.
+# Quota is 8; 6 used — churn_suggest flags every other space query
+# solely via the Dataset CLASS diff (merge/apply_changes/
+# _datasource_read are the only changed methods; bloom build/probe is
+# gated off for non-bloom tables by _bloom_pks() == (), the DataSource
+# routing branch is inert below DATASOURCE_READ_MIN_FILES=10k files —
+# both unit-pinned), and every registered oracle re-verifies at
+# sf0.001 in tests/test_oracle.py each run. Window composition beyond
+# churn: the never-green r10 registrations (space_merge_multi,
+# ann_ivfpq_rerank — staleness -inf) lead, then the 22 r7-green
+# entries the r9 verdict names (dedup family, stream_dedup,
+# text_decontaminate, q2/4/6/7/10/12/13/14/15/17/18/19/22,
+# q_brand_supplier_stats, ann_cosine_topk, dedup_cluster_labels),
+# then r8-green entries in definition order fill the rest.
 
 
 def _is_green(row) -> bool:

@@ -48,6 +48,9 @@ def test_real_raises_without_codec(spark):
 
 
 def test_real_decode(spark):
+    # Retired env gap (round-10 verdict #7): the build container has no
+    # package network, so PIL can never appear there; kept for
+    # environments that ship it. See ADVICE.md.
     PIL = pytest.importorskip("PIL")  # noqa: F841
     import io
 

@@ -281,9 +281,16 @@ def test_parsers_never_raise_on_hostile_bytes():
 
 def test_headers_agree_with_pil():
     """Runs only where PIL exists — the cross-check that the
-    dependency-free parse mirrors the codec library's band counts."""
+    dependency-free parse mirrors the codec library's band counts.
+
+    FORMALLY RETIRED as a build-env gap (round-10 verdict #7): the
+    build container has no package network (pip cannot reach an index
+    — attempt documented in ADVICE.md), so this gate can never unskip
+    there. The dependency-free decode is covered by the executed
+    golden-fixture + fuzz tests above; this test remains for
+    environments that do ship PIL."""
     if not _pil_available():
-        pytest.skip("PIL absent; headers-vs-PIL equivalence needs it")
+        pytest.skip("PIL absent (retired env gap; see ADVICE.md)")
     from space_spark.operators.multimodal import _real_dims
 
     for payload in (make_png(17, 9), make_png(5, 4, color_type=6),
@@ -296,7 +303,7 @@ def test_real_audio_agrees_with_soundfile():
     """Runs only where soundfile exists — stdlib-WAV normalization must
     match libsndfile's float output for PCM16."""
     if not _soundfile_available():
-        pytest.skip("soundfile absent; equivalence needs it")
+        pytest.skip("soundfile absent (retired env gap; see ADVICE.md)")
     import importlib
 
     import space_spark.operators.multimodal as mm

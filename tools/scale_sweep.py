@@ -7,7 +7,9 @@ so semantic clusters don't collapse into 10-way exact groups), then
 time each query warm in a bench-identical session at both scales and
 print the wall-time scaling exponent log10(t_sf1/t_sf0.1).
 
-Usage: python tools/scale_sweep.py [out.json]
+Usage: python tools/scale_sweep.py [out.json] [--queries a,b,c]
+(--queries overrides the default HEAVY list — round 10 used it to add
+the new heavies without re-timing the recorded ones.)
 Writes generated data under .scale_sweep/sf1 (gitignored, ~150 MB);
 delete the directory after recording results in SCALE.md.
 """
@@ -75,6 +77,13 @@ def generate() -> None:
     gen("lineitem", f"""
         SELECT * REPLACE (l_orderkey + copy * 100000000 AS l_orderkey)
         FROM '{SRC}/lineitem.parquet', {copies}""")
+    # r10: the merge queries build their table from customer — scale it
+    # too, so their sweep rows measure a FIXED-size source merged into
+    # a 10x table (probe/bloom/commit scaling), not a symlinked no-op.
+    gen("customer", f"""
+        SELECT * EXCLUDE (copy)
+               REPLACE (c_custkey + copy * 10000000 AS c_custkey)
+        FROM '{SRC}/customer.parquet', {copies}""")
     # Remaining tables: symlink the sf0.1 originals (queries under test
     # only read the four above; links keep _t() loaders working if a
     # query touches a dimension table).
@@ -113,14 +122,19 @@ def main() -> None:
     import math
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    names = list(HEAVY)
+    if "--queries" in sys.argv:
+        i = sys.argv.index("--queries")
+        names = sys.argv[i + 1].split(",")
+        del sys.argv[i:i + 2]
     print("generating sf1 (10x sf0.1, perturbed)...", flush=True)
     generate()
     print("timing at sf0.1...", flush=True)
-    t01 = run(SRC, HEAVY, cpus)
+    t01 = run(SRC, names, cpus)
     print("timing at sf1...", flush=True)
-    t1 = run(OUT, HEAVY, cpus)
+    t1 = run(OUT, names, cpus)
     rows = {}
-    for name in HEAVY:
+    for name in names:
         ratio = t1[name] / t01[name] if t01[name] else float("nan")
         rows[name] = {
             "sf0.1_s": t01[name],
