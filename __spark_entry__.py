@@ -1668,6 +1668,89 @@ FROM customer WHERE c_custkey < 50
 """
 
 
+def space_merge_full(spark, sf_dir):
+    """Full Delta MERGE surface in one statement (round 10): matched
+    rows take a guarded partial update, unmatched source rows insert
+    only when a source-side condition holds, and target rows ABSENT
+    from the source (WHEN NOT MATCHED BY SOURCE) expire or get marked
+    stale — first-match-wins across the by-source clauses. One
+    snapshot commit; the by-source branch is the one inherently
+    O(table) clause type (anti-join against the broadcast source
+    keys), everything else rides the pruned matched probe."""
+    from space_spark import Dataset
+
+    cust = _t(spark, sf_dir, "customer")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/customer_mf", cust.schema, ["c_custkey"]
+    )
+    ds.append(cust)
+    src_upd = cust.where(F.col("c_custkey") < 200).select(
+        "c_custkey",
+        F.lit("SRC").alias("c_name"),
+        F.lit(-2).alias("c_nationkey"),
+        (F.col("c_acctbal")
+         + F.when(F.col("c_custkey") % 2 == 0, F.lit(1000.0))
+         .otherwise(F.lit(-1000.0))).alias("c_acctbal"),
+        F.lit("SRCSEG").alias("c_mktsegment"),
+    )
+    src_ins = cust.where(F.col("c_custkey") < 60).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("INS").alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    ds.merge(
+        src_upd.unionByName(src_ins),
+        when_matched=[
+            {"action": "update",
+             "condition": lambda s, t: s["c_acctbal"] > t["c_acctbal"],
+             "set": {"c_acctbal": lambda s, t: s["c_acctbal"],
+                     "c_name": F.lit("UP")}},
+        ],
+        when_not_matched=[
+            {"action": "insert",
+             "condition": lambda s: s["c_acctbal"] > 0},
+        ],
+        when_not_matched_by_source=[
+            {"action": "delete",
+             "condition": lambda t: t["c_acctbal"] < -900},
+            {"action": "update",
+             "condition": lambda t: t["c_custkey"] % 7 == 0,
+             "set": {"c_mktsegment": F.lit("STALE")}},
+        ],
+    )
+    return ds.read()
+
+
+SPACE_MERGE_FULL_SQL = """
+WITH src AS (
+  SELECT c_custkey,
+         c_acctbal + CASE WHEN c_custkey % 2 = 0
+                          THEN 1000.0 ELSE -1000.0 END AS s_bal
+  FROM customer WHERE c_custkey < 200
+), m AS (
+  SELECT t.c_custkey,
+         CASE WHEN s.c_custkey IS NOT NULL AND s.s_bal > t.c_acctbal
+              THEN 'UP' ELSE t.c_name END AS c_name,
+         t.c_nationkey,
+         CASE WHEN s.c_custkey IS NOT NULL AND s.s_bal > t.c_acctbal
+              THEN s.s_bal ELSE t.c_acctbal END AS c_acctbal,
+         CASE WHEN s.c_custkey IS NULL AND NOT (t.c_acctbal < -900)
+                   AND t.c_custkey % 7 = 0
+              THEN 'STALE' ELSE t.c_mktsegment END AS c_mktsegment,
+         (s.c_custkey IS NULL AND t.c_acctbal < -900) AS drop_row
+  FROM customer t LEFT JOIN src s USING (c_custkey)
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM m WHERE NOT drop_row
+UNION ALL
+SELECT c_custkey + 1000000 AS c_custkey, 'INS' AS c_name,
+       c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey < 60 AND c_acctbal > 0
+"""
+
+
 SPACE_MERGE_SQL = """
 WITH upd AS (
   SELECT c_custkey,
@@ -5041,7 +5124,7 @@ _CHURNED_THIS_ROUND = [
 # both unit-pinned), and every registered oracle re-verifies at
 # sf0.001 in tests/test_oracle.py each run. Window composition beyond
 # churn: the never-green r10 registrations (space_merge_multi,
-# ann_ivfpq_rerank — staleness -inf) lead, then the 22 r7-green
+# space_merge_full, ann_ivfpq_rerank — staleness -inf) lead, then the 22 r7-green
 # entries the r9 verdict names (dedup family, stream_dedup,
 # text_decontaminate, q2/4/6/7/10/12/13/14/15/17/18/19/22,
 # q_brand_supplier_stats, ann_cosine_topk, dedup_cluster_labels),
@@ -5163,6 +5246,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "space_upsert_read": space_upsert_read,
         "space_merge_read": space_merge_read,
         "space_merge_multi": space_merge_multi,
+        "space_merge_full": space_merge_full,
         "space_mor_delete": space_mor_delete,
         "space_diff_changes": space_diff_changes,
         "space_zorder_pruned": space_zorder_pruned,
@@ -5291,6 +5375,7 @@ def oracle_sql() -> dict[str, str]:
         "space_upsert_read": SPACE_UPSERT_SQL,
         "space_merge_read": SPACE_MERGE_SQL,
         "space_merge_multi": SPACE_MERGE_MULTI_SQL,
+        "space_merge_full": SPACE_MERGE_FULL_SQL,
         "space_insert_read": SPACE_INSERT_SQL,
         "space_compact_read": SPACE_COMPACT_SQL,
         "space_time_travel": SPACE_TIME_TRAVEL_SQL,

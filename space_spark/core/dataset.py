@@ -921,6 +921,121 @@ class Dataset:
                     f"unreachable")
         return clauses
 
+    @staticmethod
+    def _normalize_not_matched(when_not_matched, cols, pks):
+        """``when_not_matched`` into an ordered insert-clause list:
+        the string form is sugar; list clauses are
+        ``{"action": "insert", "condition": lambda s: Column,
+        "set": {col: lambda s: ...}}`` — conditions and set values see
+        the SOURCE row only (there is no target row to see). Unlisted
+        set columns take the source value."""
+        if isinstance(when_not_matched, str):
+            if when_not_matched not in ("insert", "ignore"):
+                raise UserInputError(
+                    f"when_not_matched must be insert|ignore or a "
+                    f"clause list, got {when_not_matched!r}")
+            if when_not_matched == "ignore":
+                return []
+            return [{"action": "insert", "condition": None, "set": None}]
+        clauses = []
+        for i, cl in enumerate(when_not_matched):
+            if not isinstance(cl, dict) or cl.get("action") != "insert":
+                raise UserInputError(
+                    f"when_not_matched[{i}] must be a dict with "
+                    f"action='insert'")
+            unknown = set(cl) - {"action", "condition", "set"}
+            if unknown:
+                raise UserInputError(
+                    f"when_not_matched[{i}]: unknown keys "
+                    f"{sorted(unknown)}")
+            cond = cl.get("condition")
+            if cond is not None and not callable(cond):
+                raise UserInputError(
+                    f"when_not_matched[{i}].condition must be a "
+                    f"lambda s: Column")
+            set_ = cl.get("set")
+            if set_ is not None:
+                bad = set(set_) - set(cols)
+                if bad:
+                    raise UserInputError(
+                        f"when_not_matched[{i}].set assigns unknown "
+                        f"columns {sorted(bad)}")
+                pk_assign = set(set_) & set(pks)
+                if pk_assign:
+                    raise UserInputError(
+                        f"when_not_matched[{i}].set may not assign "
+                        f"primary key columns {sorted(pk_assign)}")
+            clauses.append({"action": "insert", "condition": cond,
+                            "set": dict(set_) if set_ else None})
+        for i, cl in enumerate(clauses[:-1]):
+            if cl["condition"] is None:
+                raise UserInputError(
+                    f"when_not_matched[{i}] has no condition but is "
+                    f"not last — later clauses would be unreachable")
+        return clauses
+
+    @staticmethod
+    def _normalize_by_source(when_not_matched_by_source, cols, pks):
+        """``when_not_matched_by_source`` into an ordered clause list:
+        ``{"action": "update"|"delete", "condition": lambda t: Column,
+        "set": {col: lambda t: ...}}`` — conditions and set values see
+        the TARGET row only (there is no source row). ``update``
+        REQUIRES ``set`` (with no source row, a whole-row replacement
+        has nothing to replace with — Delta makes UPDATE SET mandatory
+        here too)."""
+        if when_not_matched_by_source is None:
+            return []
+        clauses = []
+        for i, cl in enumerate(when_not_matched_by_source):
+            if not isinstance(cl, dict):
+                raise UserInputError(
+                    f"when_not_matched_by_source[{i}] must be a dict")
+            unknown = set(cl) - {"action", "condition", "set"}
+            if unknown:
+                raise UserInputError(
+                    f"when_not_matched_by_source[{i}]: unknown keys "
+                    f"{sorted(unknown)}")
+            action = cl.get("action")
+            if action not in ("update", "delete"):
+                raise UserInputError(
+                    f"when_not_matched_by_source[{i}].action must be "
+                    f"update|delete, got {action!r}")
+            cond = cl.get("condition")
+            if cond is not None and not callable(cond):
+                raise UserInputError(
+                    f"when_not_matched_by_source[{i}].condition must "
+                    f"be a lambda t: Column")
+            set_ = cl.get("set")
+            if action == "delete" and set_ is not None:
+                raise UserInputError(
+                    f"when_not_matched_by_source[{i}]: set is only "
+                    f"valid with action='update'")
+            if action == "update":
+                if not set_:
+                    raise UserInputError(
+                        f"when_not_matched_by_source[{i}]: update "
+                        f"requires set (no source row to replace from)")
+                bad = set(set_) - set(cols)
+                if bad:
+                    raise UserInputError(
+                        f"when_not_matched_by_source[{i}].set assigns "
+                        f"unknown columns {sorted(bad)}")
+                pk_assign = set(set_) & set(pks)
+                if pk_assign:
+                    raise UserInputError(
+                        f"when_not_matched_by_source[{i}].set may not "
+                        f"assign primary key columns "
+                        f"{sorted(pk_assign)}")
+            clauses.append({"action": action, "condition": cond,
+                            "set": dict(set_) if set_ else None})
+        for i, cl in enumerate(clauses[:-1]):
+            if cl["condition"] is None:
+                raise UserInputError(
+                    f"when_not_matched_by_source[{i}] has no condition "
+                    f"but is not last — later clauses would be "
+                    f"unreachable")
+        return clauses
+
     def _release_new_blocks(self):
         """Context manager: unpersist every storage block pinned
         (localCheckpoint/persist) inside the body once it exits. The
@@ -949,12 +1064,65 @@ class Dataset:
 
         return _cm()
 
+    @staticmethod
+    def _clause_fires(clauses, base, cond_args):
+        """(clause, fire_flag) pairs with first-match-wins semantics
+        over ``base`` (a never-null boolean Column). A condition
+        evaluating to NULL counts as not-matching (SQL MERGE), and a
+        fired earlier clause shadows everything after it."""
+        fires, prev = [], F.lit(False)
+        for cl in clauses:
+            cond = base
+            if cl["condition"] is not None:
+                cond = cond & F.coalesce(
+                    cl["condition"](*cond_args).cast("boolean"),
+                    F.lit(False),
+                )
+            fires.append((cl, cond & ~prev))
+            prev = prev | cond
+        return fires
+
+    @staticmethod
+    def _any_fire(fires):
+        out = None
+        for _, f in fires:
+            out = f if out is None else (out | f)
+        return out
+
+    @staticmethod
+    def _cascade_select(df, fires, cols, value_fn):
+        """Rows where any clause fires, each column a first-match CASE
+        over the fired clause's value — ONE pass regardless of clause
+        count."""
+        cascades = []
+        for c in cols:
+            e = None
+            for cl, f in fires:
+                e = (F.when(f, value_fn(cl, c)) if e is None
+                     else e.when(f, value_fn(cl, c)))
+            cascades.append(e.alias(c))
+        return df.where(Dataset._any_fire(fires)).select(*cascades)
+
+    @staticmethod
+    def _set_or(cl, c, default, acc_args):
+        """Clause ``set`` value for column ``c``: the set entry
+        (callable over the accessors, a ready Column, or a literal) or
+        ``default`` when unlisted."""
+        if cl["set"] is None or c not in cl["set"]:
+            return default
+        v = cl["set"][c]
+        if callable(v):
+            v = v(*acc_args)
+        from pyspark.sql import Column as _Col
+        return v if isinstance(v, _Col) else F.lit(v)
+
     def merge(
         self,
         source: DataFrame,
         when_matched="update",
-        when_not_matched: str = "insert",
+        when_not_matched="insert",
         matched_condition=None,
+        when_not_matched_by_source=None,
     ) -> "Dataset":
         """Lakehouse MERGE INTO (Delta/Iceberg surface the reference
         lacks; its ceiling is whole-row upsert, core/ops/insert.py:
@@ -978,8 +1146,23 @@ class Dataset:
           semantics). Omitting ``set`` replaces the whole row with the
           source row. Primary keys cannot be assigned. Only the last
           clause may omit its condition.
-        - ``when_not_matched``: ``"insert"`` the source row or
-          ``"ignore"``.
+        - ``when_not_matched``: ``"insert"`` the source row,
+          ``"ignore"``, or an ordered clause list of conditional
+          inserts — ``{"action": "insert", "condition": lambda s: ...,
+          "set": {col: lambda s: ...}}`` — whose conditions and set
+          values see the SOURCE row only; unlisted set columns take the
+          source value. Unmatched source rows matching no clause are
+          dropped.
+        - ``when_not_matched_by_source``: optional ordered clause list
+          over TARGET rows whose key is absent from the source (Delta's
+          ``WHEN NOT MATCHED BY SOURCE``) — ``{"action":
+          "update"|"delete", "condition": lambda t: ..., "set":
+          {col: lambda t: ...}}``; ``update`` requires ``set`` (there
+          is no source row to replace from). NOTE the inherent cost:
+          "absent from the source" is a property of every target row,
+          so this clause type scans the table (one manifest-planned
+          read anti-joined against the broadcastable source keys);
+          the other clause types stay O(matched files).
         - ``matched_condition``: optional ``lambda s, t: Column`` for
           the string form — ``s[col]``/``t[col]`` reference the source
           and current-target values (e.g. the idempotent-ingest guard
@@ -1005,15 +1188,14 @@ class Dataset:
         matched sets — a row deleted but not re-inserted (r9 verdict
         "What's wrong #1"). Blocks release on exit like
         ``apply_changes``' own checkpoint."""
-        clauses = self._normalize_matched_clauses(
-            when_matched, matched_condition,
-            self.primary_keys, self.schema.fieldNames())
-        if when_not_matched not in ("insert", "ignore"):
-            raise UserInputError(
-                f"when_not_matched must be insert|ignore, "
-                f"got {when_not_matched!r}")
         pks = self.primary_keys
         cols = self.schema.fieldNames()
+        clauses = self._normalize_matched_clauses(
+            when_matched, matched_condition, pks, cols)
+        ins_clauses = self._normalize_not_matched(
+            when_not_matched, cols, pks)
+        bys_clauses = self._normalize_by_source(
+            when_not_matched_by_source, cols, pks)
         non_pk = [c for c in cols if c not in pks]
         clash = [c for c in cols
                  if c == "__m" or c.startswith("__t_")]
@@ -1040,57 +1222,68 @@ class Dataset:
             s_acc = {c: F.col(c) for c in cols}
             t_acc = {c: (F.col(c) if c in pks else F.col(f"__t_{c}"))
                      for c in cols}
-            matched = F.col("__m").isNotNull()
-            # First-match-wins fire flag per clause: null conditions
-            # (e.g. comparisons against NULL) count as not-matching,
-            # like SQL MERGE.
-            fires = []
-            prev = F.lit(False)
-            for cl in clauses:
-                cond = matched
-                if cl["condition"] is not None:
-                    cond = cond & F.coalesce(
-                        cl["condition"](s_acc, t_acc).cast("boolean"),
-                        F.lit(False),
-                    )
-                fires.append((cl, cond & ~prev))
-                prev = prev | cond
+            parts_adds = []
+            delete_parts = []
 
-            def _set_value(cl, c):
-                if cl["set"] is None:
-                    return s_acc[c]  # whole-row replace
-                if c in pks:
-                    return s_acc[c]  # join key: source == target
-                if c not in cl["set"]:
-                    return t_acc[c]  # UPDATE SET: unlisted cols keep
-                v = cl["set"][c]     # their target value
-                if callable(v):
-                    v = v(s_acc, t_acc)
-                from pyspark.sql import Column as _Col
-                return v if isinstance(v, _Col) else F.lit(v)
+            # -- WHEN MATCHED -------------------------------------------
+            fires = self._clause_fires(
+                clauses, F.col("__m").isNotNull(), (s_acc, t_acc))
+
+            def m_value(cl, c):
+                if cl["set"] is None or c in pks:
+                    return s_acc[c]  # whole-row replace / join key
+                # UPDATE SET: unlisted columns keep their target value.
+                return self._set_or(cl, c, t_acc[c], (s_acc, t_acc))
 
             upd = [(cl, f) for cl, f in fires if cl["action"] == "update"]
-            parts_adds = []
             if upd:
-                any_upd = upd[0][1]
-                for _, f in upd[1:]:
-                    any_upd = any_upd | f
-                cascades = []
-                for c in cols:
-                    e = None
-                    for cl, f in upd:
-                        e = (F.when(f, _set_value(cl, c)) if e is None
-                             else e.when(f, _set_value(cl, c)))
-                    cascades.append(e.alias(c))
-                parts_adds.append(j.where(any_upd).select(*cascades))
-            if when_not_matched == "insert":
-                parts_adds.append(j.where(F.col("__m").isNull())
-                                  .select(*cols))
+                parts_adds.append(self._cascade_select(j, upd, cols,
+                                                       m_value))
             if fires:
-                any_fire = fires[0][1]
-                for _, f in fires[1:]:
-                    any_fire = any_fire | f
-                delete_keys = j.where(any_fire).select(*pks)
+                delete_parts.append(
+                    j.where(self._any_fire(fires)).select(*pks))
+
+            # -- WHEN NOT MATCHED (conditional inserts) -----------------
+            ins_fires = self._clause_fires(
+                ins_clauses, F.col("__m").isNull(), (s_acc,))
+
+            def i_value(cl, c):
+                # Unlisted set columns take the source value.
+                return self._set_or(cl, c, s_acc[c], (s_acc,))
+
+            if ins_fires:
+                parts_adds.append(self._cascade_select(j, ins_fires,
+                                                       cols, i_value))
+
+            # -- WHEN NOT MATCHED BY SOURCE -----------------------------
+            if bys_clauses:
+                # Inherently O(table): "key absent from source" is a
+                # property of every target row. One manifest-planned
+                # read anti-joined against the (broadcastable) source
+                # keys; MoR masks apply inside read().
+                bys = self.read().join(
+                    F.broadcast(source.select(*pks)),
+                    on=list(pks), how="left_anti",
+                )
+                b_acc = {c: F.col(c) for c in cols}
+                b_fires = self._clause_fires(
+                    bys_clauses, F.lit(True), (b_acc,))
+
+                def b_value(cl, c):
+                    return self._set_or(cl, c, b_acc[c], (b_acc,))
+
+                b_upd = [(cl, f) for cl, f in b_fires
+                         if cl["action"] == "update"]
+                if b_upd:
+                    parts_adds.append(self._cascade_select(
+                        bys, b_upd, cols, b_value))
+                delete_parts.append(
+                    bys.where(self._any_fire(b_fires)).select(*pks))
+
+            if delete_parts:
+                delete_keys = delete_parts[0]
+                for p in delete_parts[1:]:
+                    delete_keys = delete_keys.unionByName(p)
             else:
                 delete_keys = source.limit(0).select(*pks)
             if parts_adds:

@@ -31,7 +31,8 @@ OPS = st.lists(
     st.tuples(
         st.sampled_from(["append", "insert", "upsert", "delete_lt",
                          "delete_between", "apply_changes", "compact",
-                         "merge_upd", "merge_del"]),
+                         "merge_upd", "merge_del", "merge_multi",
+                         "merge_bysrc"]),
         st.lists(st.integers(min_value=0, max_value=30), min_size=1,
                  max_size=5, unique=True),
     ),
@@ -128,6 +129,50 @@ def test_dml_sequence_matches_model(spark, ops):
                 for i in ids:
                     if i in model and model[i] % 2 == 1:
                         del model[i]
+            elif kind == "merge_multi":
+                # r10 multi-clause: first-match-wins — update (partial
+                # set) when the incoming v is even, else delete matched
+                # rows whose CURRENT v is divisible by 3; new keys
+                # insert.
+                ds.merge(
+                    df_for(ids, step),
+                    when_matched=[
+                        {"action": "update",
+                         "condition": lambda s, t: s["v"] % 2 == 0,
+                         "set": {"v": lambda s, t: s["v"]}},
+                        {"action": "delete",
+                         "condition": lambda s, t: t["v"] % 3 == 0},
+                    ],
+                )
+                for i in ids:
+                    nv = i * 1000 + step
+                    if i in model:
+                        if nv % 2 == 0:
+                            model[i] = nv
+                        elif model[i] % 3 == 0:
+                            del model[i]
+                    else:
+                        model[i] = nv
+            elif kind == "merge_bysrc":
+                # r10 WHEN NOT MATCHED BY SOURCE: matched rows update,
+                # target rows ABSENT from the source expire when their
+                # current v is odd; unmatched source rows are ignored
+                # (pure reconcile).
+                ds.merge(
+                    df_for(ids, step),
+                    when_matched="update",
+                    when_not_matched="ignore",
+                    when_not_matched_by_source=[
+                        {"action": "delete",
+                         "condition": lambda t: t["v"] % 2 == 1},
+                    ],
+                )
+                for i in ids:
+                    if i in model:
+                        model[i] = i * 1000 + step
+                for k in list(model):
+                    if k not in ids and model[k] % 2 == 1:
+                        del model[k]
             elif kind == "compact":
                 # Maintenance is a NO-CHANGE commit (or a no-op when
                 # nothing qualifies): the model must be unaffected.

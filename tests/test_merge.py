@@ -318,3 +318,104 @@ def test_merge_multi_clause_releases_checkpoint_blocks(spark, table):
     )
     after = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
     assert after <= before, after - before
+
+
+# ------------------------------------------- full Delta surface (r10)
+
+
+def test_merge_conditional_insert(spark, table):
+    """when_not_matched clause list: unmatched source rows insert only
+    when their condition holds (source-only accessor); set overrides
+    listed columns, unlisted take the source value."""
+    table.merge(
+        _df(spark, [(50, 7, "even-gate"), (51, 8, "even-gate"),
+                    (2, 99, "upd")]),
+        when_matched="update",
+        when_not_matched=[
+            {"action": "insert",
+             "condition": lambda s: s["ts"] % 2 == 0,
+             "set": {"v": lambda s: s["v"]}},
+        ],
+    )
+    st_ = _state(table)
+    assert (51, 8, "even-gate") in st_      # even ts -> inserted
+    assert 50 not in {k for k, _, _ in st_}  # odd ts -> dropped
+    assert (2, 99, "upd") in st_             # matched path unaffected
+
+
+def test_merge_conditional_insert_first_match_and_set(spark, table):
+    """Two insert clauses, first-match-wins, the second a fallback
+    with a set override."""
+    table.merge(
+        _df(spark, [(60, 2, "a"), (61, 3, "b")]),
+        when_not_matched=[
+            {"action": "insert",
+             "condition": lambda s: s["ts"] % 2 == 0},
+            {"action": "insert", "set": {"v": "FALLBACK"}},
+        ],
+    )
+    st_ = dict((k, (ts, v)) for k, ts, v in _state(table))
+    assert st_[60] == (2, "a")          # clause 1: source row verbatim
+    assert st_[61] == (3, "FALLBACK")   # clause 2: set override
+
+
+def test_merge_not_matched_by_source(spark, table):
+    """Delta's WHEN NOT MATCHED BY SOURCE: target rows whose key is
+    absent from the source — first clause deletes stale rows, second
+    marks survivors; rows matching neither stay untouched; matched
+    rows follow the normal path."""
+    table.reload().append(_df(spark, [(10, 10, "d"), (11, 10, "e")]))
+    table.merge(
+        _df(spark, [(1, 99, "touched")]),  # only key 1 in the source
+        when_matched="update",
+        when_not_matched="ignore",
+        when_not_matched_by_source=[
+            {"action": "delete",
+             "condition": lambda t: t["k"] % 2 == 0},
+            {"action": "update",
+             "condition": lambda t: t["k"] > 4,
+             "set": {"v": "STALE"}},
+        ],
+    )
+    assert _state(table) == [
+        (1, 99, "touched"),   # matched update
+        (3, 10, "c"),         # by-source, matches neither clause
+        (11, 10, "STALE"),    # by-source update (odd, > 4)
+    ]  # 2 and 10 deleted (even)
+
+
+def test_merge_by_source_update_requires_set(spark, table):
+    with pytest.raises(UserInputError, match="requires set"):
+        table.merge(
+            _df(spark, [(1, 99, "x")]),
+            when_not_matched_by_source=[{"action": "update"}],
+        )
+    with pytest.raises(UserInputError, match="only valid"):
+        table.merge(
+            _df(spark, [(1, 99, "x")]),
+            when_not_matched_by_source=[
+                {"action": "delete", "set": {"v": "x"}}],
+        )
+
+
+def test_merge_full_surface_single_commit(spark, table):
+    """All three clause families in ONE merge — still exactly one
+    snapshot commit, and time travel shows the pre-merge state."""
+    v0 = table.current_snapshot_id
+    table.merge(
+        _df(spark, [(1, 99, "m"), (40, 1, "i-odd"), (41, 2, "i-even")]),
+        when_matched=[{"action": "update", "set": {"ts": 99}}],
+        when_not_matched=[
+            {"action": "insert",
+             "condition": lambda s: s["ts"] % 2 == 0}],
+        when_not_matched_by_source=[
+            {"action": "delete", "condition": lambda t: t["k"] == 3}],
+    )
+    assert table.current_snapshot_id == v0 + 1
+    assert _state(table) == [
+        (1, 99, "a"),        # partial update: v kept from target
+        (2, 10, "b"),        # by-source, condition false -> untouched
+        (41, 2, "i-even"),   # conditional insert
+    ]  # 3 deleted by-source; 40 dropped (odd gate)
+    old = sorted((r["k"], r["ts"]) for r in table.read(version=v0).collect())
+    assert old == [(1, 10), (2, 10), (3, 10)]
