@@ -1751,6 +1751,67 @@ FROM customer WHERE c_custkey < 60 AND c_acctbal > 0
 """
 
 
+def space_clone_read(spark, sf_dir):
+    """Zero-copy shallow clone (round 10, core/dataset.py clone — Delta
+    SHALLOW CLONE / Iceberg snapshot-table analog; beyond the
+    reference, whose tables cannot fork): the clone's first snapshot
+    REFERENCES the source's data files through remapped manifests —
+    O(files) metadata, zero data bytes copied (asserted: the clone's
+    data dir is empty right after cloning) — then DIVERGES: a CoW
+    delete rewrites survivors into the clone's own location and an
+    append lands clone-local files, while the source stays
+    byte-identical (asserted on its file list). The returned read
+    plans across external (source-referenced) and internal files with
+    the same manifest pruning."""
+    from space_spark import Dataset, field
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+    base = _space_tmp()
+    src = Dataset.create(
+        spark, base + "/clone_src", part.schema, ["p_partkey"]
+    )
+    src.append(part)
+    src_files = sorted(src.data_files())
+
+    clone = src.clone(base + "/clone_dst")
+    data_dir = os.path.join(base, "clone_dst", "data")
+    assert not [
+        f for _r, _d, fs in os.walk(data_dir) for f in fs
+        if f.endswith(".parquet")
+    ], "shallow clone copied data bytes"
+
+    clone.delete(field("p_partkey") <= 50)
+    clone.append(
+        part.where(F.col("p_partkey") <= 30).select(
+            (F.col("p_partkey") + 1000000).alias("p_partkey"),
+            "p_name",
+            F.lit("CLONE").alias("p_brand"),
+            "p_retailprice",
+        )
+    )
+    assert sorted(src.data_files()) == src_files, (
+        "clone mutation touched the source's file set"
+    )
+    return clone.read(filter_=field("p_retailprice") > 1200.0).select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+
+
+SPACE_CLONE_SQL = """
+SELECT p_partkey, p_brand, p_retailprice FROM (
+  SELECT p_partkey, p_brand, p_retailprice
+  FROM part WHERE p_partkey > 50
+  UNION ALL
+  SELECT p_partkey + 1000000 AS p_partkey, 'CLONE' AS p_brand,
+         p_retailprice
+  FROM part WHERE p_partkey <= 30
+)
+WHERE p_retailprice > 1200.0
+"""
+
+
 SPACE_MERGE_SQL = """
 WITH upd AS (
   SELECT c_custkey,
@@ -5247,6 +5308,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "space_merge_read": space_merge_read,
         "space_merge_multi": space_merge_multi,
         "space_merge_full": space_merge_full,
+        "space_clone_read": space_clone_read,
         "space_mor_delete": space_mor_delete,
         "space_diff_changes": space_diff_changes,
         "space_zorder_pruned": space_zorder_pruned,
@@ -5376,6 +5438,7 @@ def oracle_sql() -> dict[str, str]:
         "space_merge_read": SPACE_MERGE_SQL,
         "space_merge_multi": SPACE_MERGE_MULTI_SQL,
         "space_merge_full": SPACE_MERGE_FULL_SQL,
+        "space_clone_read": SPACE_CLONE_SQL,
         "space_insert_read": SPACE_INSERT_SQL,
         "space_compact_read": SPACE_COMPACT_SQL,
         "space_time_travel": SPACE_TIME_TRAVEL_SQL,

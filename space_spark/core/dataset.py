@@ -1974,6 +1974,117 @@ class Dataset:
             pinned, self.branch, snap, mutate=mutate
         )
 
+    # ---------------------------------------------------------- cloning
+    def clone(self, dest_location: str, version=None) -> "Dataset":
+        """Zero-copy shallow clone (Delta ``SHALLOW CLONE`` / Iceberg
+        snapshot-table analog; beyond the reference, whose tables cannot
+        fork): create an INDEPENDENT table at ``dest_location`` whose
+        first snapshot references this table's data files at ``version``
+        (default: current head of this handle's branch). No data bytes
+        are copied or rewritten — only O(files) manifest metadata, so a
+        100 TB table clones in seconds. The same ``..``-relative external
+        reference scheme as zero-copy ``append_parquet`` is used
+        (loaders.py), so every read path (pruning, bloom point reads,
+        the block DataSource, MoR masking) works on the clone unchanged.
+
+        Divergence semantics: writes to the clone land under the clone's
+        own location; CoW deletes/compaction rewrite referenced source
+        files into clone-local files; the source is never mutated. The
+        clone's ``vacuum()`` walks only the clone's own subdirectories,
+        so it can never reap source data. CAVEAT (same as Delta shallow
+        clones): ``expire_snapshots()`` + ``vacuum()`` on the SOURCE can
+        remove files the clone still references — retain the cloned-from
+        source snapshot for the clone's lifetime, or ``compact()`` the
+        clone to localize its bytes.
+
+        The clone starts a FRESH history: one snapshot, no tags, no
+        change log (``diff()`` has nothing to replay across the clone
+        boundary). Schema, primary keys, renames, field ids, and the
+        bloom-filter config carry over verbatim; manifests keep their
+        stats and bloom columns, so pruning fidelity is identical.
+        MoR delete vectors active at ``version`` are carried (their
+        per-file paths remapped), so the clone reads exactly the rows
+        the source showed.
+
+        Record-field (blob) tables are refused: blob ADDRESSES live
+        inside the immutable data files as table-location-relative
+        paths, which would resolve against the clone's location.
+        """
+        self.reload()
+        if self.metadata.table_type != md.TYPE_DATASET:
+            raise UserInputError(
+                "clone() supports plain datasets; materialized views "
+                "re-derive from their sources instead"
+            )
+        if self.record_fields:
+            raise UserInputError(
+                "clone() does not support record-field tables: blob "
+                "addresses inside data files are table-location-relative"
+            )
+        snap_id = self.metadata.resolve_version(version, self.branch)
+        snapshot = self.metadata.snapshot(snap_id)
+        dest_location = os.path.abspath(dest_location)
+        dest_log = md.MetadataLog(dest_location)
+        if dest_log.exists():
+            raise SpaceError(f"Table already exists at {dest_location}")
+        dest_log.init_location()
+
+        def remap(rel: str) -> str:
+            # Source-relative -> dest-relative; os.path.join passes
+            # absolute paths through, so this round-trips via abs_path.
+            return os.path.relpath(
+                os.path.join(self.location, rel), dest_location
+            )
+
+        new_manifests: List[str] = []
+        for man_rel in snapshot.manifest_files:
+            tbl = pq.read_table(self.log.abs_path(man_rel))
+            i = tbl.schema.get_field_index(mf.FILE_PATH_COL)
+            tbl = tbl.set_column(
+                i, tbl.schema.field(i),
+                pa.array([remap(p) for p in tbl.column(i).to_pylist()],
+                         pa.string()),
+            )
+            out_rel = dest_log.new_manifest_relpath()
+            pq.write_table(tbl, dest_log.abs_path(out_rel))
+            new_manifests.append(out_rel)
+        new_vecs: List[str] = []
+        for vec_rel in getattr(snapshot, "delete_vector_files", []) or []:
+            tbl = pq.read_table(self.log.abs_path(vec_rel))
+            i = tbl.schema.get_field_index("file")
+            tbl = tbl.set_column(
+                i, tbl.schema.field(i),
+                pa.array([remap(p) for p in tbl.column(i).to_pylist()],
+                         pa.string()),
+            )
+            out_rel = dest_log.new_bitmap_relpath()
+            pq.write_table(tbl, dest_log.abs_path(out_rel))
+            new_vecs.append(out_rel)
+
+        # Deep-copy the source metadata (schema, PKs, renames, field ids,
+        # bloom config) through its own serde, then restart history at
+        # snapshot 0. udf_registry/serializers stay empty by the guards
+        # above (both are only populated for MVs / record-field tables).
+        meta = md.StorageMetadata.from_json(self.metadata.to_json())
+        meta.snapshots = {0: md.Snapshot(
+            snapshot_id=0,
+            parent_snapshot_id=None,
+            created_at=md._now_iso(),
+            manifest_files=new_manifests,
+            num_rows=snapshot.num_rows,
+            data_bytes=snapshot.data_bytes,
+            delete_vector_files=new_vecs,
+        )}
+        meta.branches = {md.MAIN_BRANCH: 0}
+        meta.tags = {}
+        meta.next_snapshot_id = 1
+        # A streaming sink resuming against the CLONE must not skip
+        # batches it never delivered here — exactly-once bookkeeping is
+        # per-table, not per-lineage.
+        meta.stream_progress = {}
+        dest_log.write_metadata(meta, create=True)
+        return Dataset(self.spark, dest_log, dest_log.read_metadata())
+
     # ------------------------------------------------------- maintenance
     # Files at least this fraction of target_bytes are already "healthy"
     # and never rewritten by compact() — re-binning them would churn bytes
@@ -2995,7 +3106,14 @@ class Dataset:
                     b.column(2).to_pylist(),
                 ):
                     p = bm.decode_positions(blob, nr)
-                    out_f.extend([os.path.join(location, f)] * len(p))
+                    # normpath: external references (zero-copy loads,
+                    # shallow clones) are ``..``-relative — the joined
+                    # path must collapse to match the filesystem-real
+                    # ``_metadata.file_path`` on the other join side.
+                    out_f.extend(
+                        [os.path.normpath(os.path.join(location, f))]
+                        * len(p)
+                    )
                     out_p.extend(int(x) for x in p)
                 yield pa_.RecordBatch.from_arrays(
                     [pa_.array(out_f, pa_.string()),

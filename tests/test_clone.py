@@ -1,0 +1,195 @@
+"""Zero-copy shallow clone (Dataset.clone): divergence, isolation,
+vacuum safety, MoR carry, version pinning.
+
+Beyond the reference (whose tables cannot fork); semantics modeled on
+Delta SHALLOW CLONE / Iceberg snapshot tables.
+"""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from space_spark import Dataset
+from space_spark.errors import SpaceError, UserInputError
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("s", T.StringType()),
+    ]
+)
+
+
+def rows(spark, lo, hi):
+    return spark.createDataFrame(
+        [Row(id=i, v=i * 0.5, s=f"s{i}") for i in range(lo, hi)], SCHEMA
+    )
+
+
+@pytest.fixture()
+def two_locations():
+    d = tempfile.mkdtemp(prefix="space_spark_clone_")
+    yield d + "/src", d + "/dst"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def collect_ids(ds, **kw):
+    return sorted(r.id for r in ds.read(**kw).select("id").collect())
+
+
+def test_clone_reads_source_rows_without_copying_data(
+    spark, two_locations
+):
+    src_loc, dst_loc = two_locations
+    src = Dataset.create(spark, src_loc, SCHEMA, ["id"])
+    src.append(rows(spark, 0, 10))
+    src.append(rows(spark, 10, 20))
+
+    clone = src.clone(dst_loc)
+    assert collect_ids(clone) == list(range(20))
+    assert clone.metadata.primary_keys == ["id"]
+    # Metadata-only: the clone's data directory holds no parquet.
+    data_dir = os.path.join(dst_loc, "data")
+    assert not [
+        f
+        for _r, _d, fs in os.walk(data_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+
+
+def test_clone_then_write_diverges_both_ways(spark, two_locations):
+    src_loc, dst_loc = two_locations
+    src = Dataset.create(spark, src_loc, SCHEMA, ["id"])
+    src.append(rows(spark, 0, 10))
+    clone = src.clone(dst_loc)
+
+    clone.append(rows(spark, 100, 105))
+    src.append(rows(spark, 200, 203))
+
+    assert collect_ids(clone) == list(range(10)) + [100, 101, 102, 103, 104]
+    assert collect_ids(src) == list(range(10)) + [200, 201, 202]
+
+
+def test_clone_cow_delete_rewrites_locally_source_untouched(
+    spark, two_locations
+):
+    src_loc, dst_loc = two_locations
+    src = Dataset.create(spark, src_loc, SCHEMA, ["id"])
+    src.append(rows(spark, 0, 10))
+    before = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(os.path.join(src_loc, "data"))
+        for f in fs
+    )
+
+    clone = src.clone(dst_loc)
+    from space_spark import field
+
+    clone.delete(field("id") < 3)
+    assert collect_ids(clone) == list(range(3, 10))
+    assert collect_ids(src) == list(range(10))
+    after = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(os.path.join(src_loc, "data"))
+        for f in fs
+    )
+    assert before == after  # CoW landed in the clone, not the source
+
+
+def test_clone_vacuum_never_reaps_source_files(spark, two_locations):
+    src_loc, dst_loc = two_locations
+    src = Dataset.create(spark, src_loc, SCHEMA, ["id"])
+    src.append(rows(spark, 0, 10))
+    clone = src.clone(dst_loc)
+    from space_spark import field
+
+    clone.delete(field("id") < 5)  # CoW rewrite -> orphanable history
+    clone.expire_snapshots(keep_last=1)
+    removed = clone.vacuum(metadata_grace_sec=0.0)
+    assert all(not r.startswith("..") for r in removed)
+    assert collect_ids(src) == list(range(10))
+    assert collect_ids(clone) == list(range(5, 10))
+
+
+def test_clone_pins_version_and_carries_mor_vectors(
+    spark, two_locations
+):
+    src_loc, dst_loc = two_locations
+    src = Dataset.create(spark, src_loc, SCHEMA, ["id"])
+    src.append(rows(spark, 0, 10))
+    v_after_first = src.current_snapshot_id
+    from space_spark import field
+
+    src.delete(field("id") >= 8, rewrite=False)  # MoR vector at head
+    src.append(rows(spark, 50, 52))
+
+    pinned = src.clone(dst_loc + "_v1", version=v_after_first)
+    assert collect_ids(pinned) == list(range(10))
+
+    head = src.clone(dst_loc + "_head")
+    assert collect_ids(head) == list(range(8)) + [50, 51]
+    shutil.rmtree(dst_loc + "_v1", ignore_errors=True)
+    shutil.rmtree(dst_loc + "_head", ignore_errors=True)
+
+
+def test_clone_starts_fresh_history_and_resets_stream_progress(
+    spark, two_locations
+):
+    src_loc, dst_loc = two_locations
+    src = Dataset.create(spark, src_loc, SCHEMA, ["id"])
+    src.append(rows(spark, 0, 5))
+    src.append(rows(spark, 5, 8))
+    src.metadata.stream_progress["sinkA"] = 7  # simulate sink bookkeeping
+    src.log.write_metadata(src.metadata)
+
+    clone = Dataset.load(spark, src_loc).clone(dst_loc)
+    assert list(clone.metadata.snapshots) == [0]
+    assert clone.metadata.tags == {}
+    assert clone.metadata.stream_progress == {}
+    assert clone.versions().count() == 1
+
+
+def test_clone_refuses_existing_dest_and_record_fields(
+    spark, two_locations
+):
+    src_loc, dst_loc = two_locations
+    src = Dataset.create(spark, src_loc, SCHEMA, ["id"])
+    src.append(rows(spark, 0, 3))
+    src.clone(dst_loc)
+    with pytest.raises(SpaceError):
+        src.clone(dst_loc)
+
+    rec_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    rec = Dataset.create(
+        spark, src_loc + "_rec", rec_schema, ["id"],
+        record_fields=["payload"],
+    )
+    with pytest.raises(UserInputError):
+        rec.clone(dst_loc + "_rec")
+    shutil.rmtree(src_loc + "_rec", ignore_errors=True)
+
+
+def test_clone_preserves_renames_and_pruning(spark, two_locations):
+    src_loc, dst_loc = two_locations
+    src = Dataset.create(spark, src_loc, SCHEMA, ["id"])
+    src.append(rows(spark, 0, 10))
+    src.rename_column("v", "value")
+    clone = src.clone(dst_loc)
+    assert "value" in clone.schema.fieldNames()
+    from space_spark import field
+
+    # Manifest stats survived the path remap: pruning still works.
+    assert len(clone.data_files(filter_=field("id") > 10_000)) == 0
+    got = clone.read(filter_=field("id") == 4).collect()
+    assert [r.value for r in got] == [2.0]
