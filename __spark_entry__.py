@@ -3342,6 +3342,37 @@ LIMIT 100
 """
 
 
+def text_heavy_hitters(spark, sf_dir):
+    """Exact frequent tokens via the two-pass Misra-Gries sketch +
+    recount plan (operators/text.py heavy_hitters): per-partition
+    MG(k) summaries bound the candidate exchange at O(partitions*k)
+    rows — the long tail (the dominant shuffle cost of a naive
+    groupBy at web-corpus scale) never shuffles — then one broadcast-
+    joined recount makes the counts exact. Threshold 2000 ppm (0.2%
+    of all token occurrences), integer-compared so any SQL engine
+    reproduces it bit-for-bit."""
+    from space_spark.operators.text import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return heavy_hitters(docs, "text", threshold_ppm=2000).select(
+        "token", F.col("freq").cast("long").alias("freq")
+    )
+
+
+TEXT_HEAVY_HITTERS_SQL = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+    AS token FROM documents
+), t AS (SELECT token FROM toks WHERE token <> ''),
+tot AS (SELECT COUNT(*) AS n FROM t)
+SELECT token, COUNT(*)::BIGINT AS freq
+FROM t, tot
+GROUP BY token, tot.n
+HAVING COUNT(*) * 1000000 >= 2000 * tot.n
+ORDER BY freq DESC, token ASC
+"""
+
+
 def text_tfidf_terms(spark, sf_dir):
     """Per-document top-3 TF-IDF terms (score rounded before ranking,
     term tie-break — engine-independent)."""
@@ -5317,6 +5348,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "text_stats": text_stats,
         "text_vocab_topk": text_vocab_topk,
+        "text_heavy_hitters": text_heavy_hitters,
         "text_tfidf_terms": text_tfidf_terms,
         "text_chunk_windows": text_chunk_windows,
         "text_pack_sequences": text_pack_sequences,
@@ -5474,6 +5506,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": SIMHASH_PAIRS_SQL,
         "text_stats": TEXT_STATS_SQL,
         "text_vocab_topk": TEXT_VOCAB_SQL,
+        "text_heavy_hitters": TEXT_HEAVY_HITTERS_SQL,
         "text_tfidf_terms": TFIDF_SQL,
         "text_chunk_windows": TEXT_CHUNK_SQL,
         "text_pack_sequences": TEXT_PACK_SQL,

@@ -2096,6 +2096,7 @@ class Dataset:
         target_bytes: int = 128 * 1024 * 1024,
         cluster_by: Optional[Sequence[str]] = None,
         zorder_by: Optional[Sequence[str]] = None,
+        where: Optional[Expr] = None,
     ) -> "Dataset":
         """Rewrite under-sized data files into ~``target_bytes`` files as a
         NO-CHANGE snapshot: readers see identical rows, ``diff()`` across
@@ -2115,6 +2116,16 @@ class Dataset:
         layout lever as ``append(cluster_by=...)``) so compaction restores
         manifest-pruning locality instead of interleaving key ranges.
         Without it the rewrite coalesces (no shuffle — pure concatenation).
+
+        ``where``: partial compaction (Delta ``OPTIMIZE ... WHERE``
+        analog) — only small files whose MANIFEST STATS overlap the
+        predicate are rewritten (same falsifiable pruning as reads, so
+        a file is kept out only when its stats PROVE no row matches).
+        Rows are never filtered — this selects FILES, not rows; the
+        snapshot remains no-change. The lever that matters at 100 TB:
+        a streaming sink trickling into "today's" key range heals that
+        range in O(today's bytes) without ever re-examining the years
+        of already-healthy history behind it.
 
         The reference has no equivalent (its tables only grow
         finer-grained); modeled on Iceberg/Delta OPTIMIZE semantics.
@@ -2150,6 +2161,20 @@ class Dataset:
             small_mask = pc.less(man_tbl[mf.SIZE_BYTES_COL],
                                  pa.scalar(threshold, pa.int64()))
             small = man_tbl.filter(small_mask)
+            if where is not None:
+                # OPTIMIZE ... WHERE: keep only small files whose stats
+                # OVERLAP the predicate (falsifiable pruning — a file
+                # is excluded only when provably row-free for it).
+                overlap = set(mf.prune_files(
+                    self.spark, man_paths, self._phys_expr(where),
+                    self._stats_fields(),
+                ))
+                small = small.filter(
+                    pc.is_in(
+                        small[mf.FILE_PATH_COL],
+                        value_set=pa.array(sorted(overlap), pa.string()),
+                    )
+                )
             affected = sorted(small[mf.FILE_PATH_COL].to_pylist())
             cand_bytes = pc.sum(small[mf.SIZE_BYTES_COL]).as_py() or 0
             n_out = max(1, -(-cand_bytes // target_bytes))

@@ -713,3 +713,102 @@ def unigram_logprob(
         F.coalesce(F.col("logprob_micro_sum"), F.lit(0)).cast("long")
         .alias("logprob_micro_sum"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame, text_col: str, threshold_ppm: int,
+    sketch_k: int = 0,
+) -> DataFrame:
+    """EXACT frequent tokens — every token whose occurrence count
+    satisfies ``freq * 1_000_000 >= threshold_ppm * total_tokens``
+    (integer comparison, engine-exact) — found with a two-pass
+    sketch-then-recount plan whose shuffle never touches the long tail.
+
+    Pass 1 (candidates): a per-partition Misra-Gries summary with ``k``
+    counters (default ``ceil(2e6 / threshold_ppm)``), maintained over
+    Arrow batches via vectorized ``value_counts`` merges with the
+    weighted reduce-to-k step (subtract the (k+1)-th largest, drop
+    non-positives — Agarwal et al., "Mergeable Summaries", PODS'12).
+    Guarantee: an MG(k) summary retains any item with partition count
+    > N_p/(k+1), and a token with global frequency >= eps*N must have
+    frequency >= eps*N_p in AT LEAST one partition (averaging
+    argument), so with k >= 1/eps the UNION of per-partition summaries
+    is a proven SUPERSET of the answer — no false negatives. Each
+    partition emits at most ~k rows plus one exact token-count
+    sentinel: O(partitions * k) sketch rows total, O(distinct) never
+    materializes.
+
+    Pass 2 (exact recount): re-scan the token stream keeping only
+    candidate tokens (broadcast hash join against the tiny candidate
+    set), count exactly, filter by the integer threshold. The groupBy
+    shuffles at most |candidates| keys.
+
+    vs ``vocab_topk``'s single global groupBy: a 100 TB web corpus has
+    billions of distinct long-tail tokens — that shuffle is the
+    dominant cost, and this plan replaces it with a bounded sketch
+    exchange plus a second projected-column scan (map-side only). The
+    sketch output is persisted (it is O(partitions*k), tiny) because
+    both the exact total and the candidate set derive from it.
+
+    Output: (token, freq) — exact counts, freq desc / token asc.
+    ``freq * 1e6`` stays inside int64 up to ~9e12 total tokens.
+    """
+    import math
+
+    if not (0 < threshold_ppm <= 1_000_000):
+        raise ValueError("threshold_ppm must be in (0, 1e6]")
+    k = sketch_k or math.ceil(2_000_000 / threshold_ppm)
+    toks = df.select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+
+    def sketch_partition(batches):
+        import pandas as pd
+
+        counters: Dict[str, int] = {}
+        total = 0
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            total += int(vc.sum())
+            for tok, c in vc.items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > 4 * k:
+                # Weighted MG reduce: subtract the (k+1)-th largest
+                # from everyone, drop the non-positive.
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c > cut
+                }
+        if len(counters) > k:
+            cut = sorted(counters.values(), reverse=True)[k]
+            counters = {
+                t: c - cut for t, c in counters.items() if c > cut
+            }
+        out = pd.DataFrame(
+            {"token": list(counters) + ["\x00total"],
+             "cnt": list(counters.values()) + [total]}
+        )
+        yield out
+
+    sketch = toks.mapInPandas(
+        sketch_partition, "token string, cnt long"
+    ).persist()
+    total = (
+        sketch.where(F.col("token") == "\x00total")
+        .agg(F.sum("cnt").alias("n")).collect()[0]["n"]
+    ) or 0
+    candidates = (
+        sketch.where(F.col("token") != "\x00total")
+        .select("token").distinct()
+    )
+    exact = (
+        toks.join(F.broadcast(candidates), on="token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(
+            F.col("freq") * F.lit(1_000_000)
+            >= F.lit(int(threshold_ppm)) * F.lit(int(total))
+        )
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+    )
+    return exact

@@ -392,3 +392,37 @@ def test_compact_records_conflict_retry(spark, tmp_location):
     got = {r["id"]: r["payload"] for r in ds.read().collect()}
     assert got == {**{i: f"p{i}".encode() for i in range(6)},
                    100: b"p100"}
+
+
+def test_compact_where_rewrites_only_overlapping_small_files(
+    spark, fragmented
+):
+    """Partial compaction (OPTIMIZE ... WHERE analog): only small files
+    whose manifest stats overlap the predicate are rewritten; the rest
+    of the fragmentation is untouched."""
+    ds = fragmented
+    before_files = set(ds.data_files())
+    assert len(before_files) == 8
+    rows_before = sorted((r.id, r.val) for r in ds.read().collect())
+
+    # Files hold ids [0,10), [10,20), ... — compact only ids < 40.
+    ds.compact(target_bytes=64 * 1024 * 1024, where=field("id") < 40)
+
+    after_files = set(ds.data_files())
+    # 4 overlapping small files merged into 1; 4 untouched survive.
+    untouched = before_files & after_files
+    assert len(untouched) == 4
+    assert len(after_files) == 5
+    assert sorted((r.id, r.val) for r in ds.read().collect()) \
+        == rows_before
+    # The untouched half is exactly the id >= 40 range.
+    pruned = set(ds.data_files(filter_=field("id") >= 40))
+    assert pruned == untouched
+
+
+def test_compact_where_no_overlap_is_noop(spark, fragmented):
+    ds = fragmented
+    v = ds.current_snapshot_id
+    ds.compact(target_bytes=64 * 1024 * 1024,
+               where=field("id") > 10_000)
+    assert ds.current_snapshot_id == v  # nothing to do, no commit
