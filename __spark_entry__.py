@@ -1751,6 +1751,48 @@ FROM customer WHERE c_custkey < 60 AND c_acctbal > 0
 """
 
 
+def space_constraint_read(spark, sf_dir):
+    """CHECK constraints (round 10, core/dataset.py
+    _encode_constraints/_constraint_violation_names — Delta ALTER
+    TABLE ADD CONSTRAINT analog; beyond the reference): declared in
+    the same closed Expr algebra as manifest pruning, enforced
+    WRITE-FIRST — shard files land, then one pushed-down scan of just
+    those files (compliant row groups are falsified by their own
+    stats, so clean ingest pays footer reads); the incoming DataFrame
+    is never evaluated twice. A poisoned batch must abort before
+    commit, leaving the table exactly as the first append left it —
+    which is what the oracle checks."""
+    from space_spark import Dataset, field
+    from space_spark.errors import ConstraintViolationError
+
+    cust = _t(spark, sf_dir, "customer")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/cons", cust.schema, ["c_custkey"],
+        check_constraints={
+            "bal_floor": field("c_acctbal") >= -1000.0,
+            "key_pos": field("c_custkey") >= 0,
+        },
+    )
+    ds.append(cust)
+    poison = cust.where(F.col("c_custkey") <= 20).select(
+        (F.col("c_custkey") + 500000).alias("c_custkey"),
+        "c_name", "c_nationkey",
+        F.lit(-99999.0).alias("c_acctbal"), "c_mktsegment",
+    )
+    try:
+        ds.append(poison)
+        raise AssertionError("CHECK constraint was not enforced")
+    except ConstraintViolationError:
+        pass
+    return ds.read()
+
+
+SPACE_CONSTRAINT_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+"""
+
+
 def space_clone_read(spark, sf_dir):
     """Zero-copy shallow clone (round 10, core/dataset.py clone — Delta
     SHALLOW CLONE / Iceberg snapshot-table analog; beyond the
@@ -5340,6 +5382,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "space_merge_multi": space_merge_multi,
         "space_merge_full": space_merge_full,
         "space_clone_read": space_clone_read,
+        "space_constraint_read": space_constraint_read,
         "space_mor_delete": space_mor_delete,
         "space_diff_changes": space_diff_changes,
         "space_zorder_pruned": space_zorder_pruned,
@@ -5471,6 +5514,7 @@ def oracle_sql() -> dict[str, str]:
         "space_merge_multi": SPACE_MERGE_MULTI_SQL,
         "space_merge_full": SPACE_MERGE_FULL_SQL,
         "space_clone_read": SPACE_CLONE_SQL,
+        "space_constraint_read": SPACE_CONSTRAINT_SQL,
         "space_insert_read": SPACE_INSERT_SQL,
         "space_compact_read": SPACE_COMPACT_SQL,
         "space_time_travel": SPACE_TIME_TRAVEL_SQL,

@@ -23,6 +23,7 @@ from space_spark.core.expressions import field, lit
 from space_spark.core.views import MaterializedView, View
 from space_spark.catalogs.directory import DirCatalog
 from space_spark.errors import (
+    ConstraintViolationError,
     PrimaryKeyExistError,
     SpaceError,
     TransactionConflictError,
@@ -37,6 +38,7 @@ __all__ = [
     "field",
     "lit",
     "SpaceError",
+    "ConstraintViolationError",
     "PrimaryKeyExistError",
     "TransactionConflictError",
     "VersionNotFoundError",

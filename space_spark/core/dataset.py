@@ -40,6 +40,7 @@ from space_spark.core import records as rec
 from space_spark.core import schema as sc
 from space_spark.core.expressions import Expr, Field
 from space_spark.errors import (
+    ConstraintViolationError,
     PrimaryKeyExistError,
     SpaceError,
     TransactionConflictError,
@@ -91,6 +92,7 @@ class Dataset:
         record_fields: Sequence[str] = (),
         serializers=None,
         bloom_filters: bool = False,
+        check_constraints: Optional[Dict[str, Expr]] = None,
     ) -> "Dataset":
         """``serializers``: optional {record_field: FieldSerializer} —
         persisted (cloudpickled) with the table and applied by
@@ -102,8 +104,20 @@ class Dataset:
         and ``read_by_keys`` prunes files by key MEMBERSHIP, not just
         range — the point-read index for tables not clustered on the
         probed key. Opt-in: each append pays one extra columnar read of
-        the PK columns of the files it just wrote."""
+        the PK columns of the files it just wrote.
+
+        ``check_constraints``: {name: Expr} CHECK constraints
+        (Delta/ANSI analog; beyond the reference) — every row-adding
+        write is validated (SQL semantics: a row violates only when
+        the expression is FALSE; NULL passes). Enforcement is
+        write-first: files land, then ONE pushed-down scan of just the
+        new files (row-group stats prove compliance without reading
+        compliant data) — the incoming DataFrame is never evaluated
+        twice. See also ``add_constraint``/``drop_constraint``."""
         sc.validate(schema, primary_keys, record_fields)
+        con_json = cls._encode_constraints(
+            check_constraints, schema, record_fields
+        )
         schema = sc.assign_field_ids(schema)
         log = md.MetadataLog(location)
         if log.exists():
@@ -145,6 +159,7 @@ class Dataset:
                 {"pks": list(primary_keys), "v": _bl.BLOOM_VERSION}
                 if bloom_filters else None
             ),
+            constraints=con_json,
         )
         log.write_metadata(meta, create=True)
         return cls(spark, log, meta)
@@ -541,7 +556,138 @@ class Dataset:
             self._stats_fields(),
             bloom_pks=bloom_pks,
         )
+        if not physical and self.metadata.constraints:
+            # Write-first CHECK enforcement: validate the files just
+            # written (still uncommitted orphans) with ONE pushed-down
+            # scan — row-group stats of compliant files falsify the
+            # violation predicate, so clean data costs footer reads.
+            # The input DataFrame is never re-evaluated (the same
+            # double-evaluation hazard merge() pins against).
+            violated = self._constraint_violation_names(
+                self._read_files(rel_files)
+            )
+            if violated:
+                raise ConstraintViolationError(
+                    f"CHECK constraint(s) {violated} violated by "
+                    "incoming rows; write aborted before commit (the "
+                    "shard files are uncommitted orphans — vacuum "
+                    "reclaims them)"
+                )
         return manifest_rel, rel_files, rows, nbytes
+
+    # ------------------------------------------------------ constraints
+    @staticmethod
+    def _encode_constraints(check_constraints, schema, record_fields):
+        """Validate + serialize {name: Expr} CHECK constraints to the
+        declarative JSON transport (expressions.expr_to_json — the same
+        closed algebra as manifest pruning, so constraints can never
+        smuggle code)."""
+        from space_spark.core.expressions import expr_to_json
+
+        if not check_constraints:
+            return {}
+        out: Dict[str, str] = {}
+        names = set(schema.fieldNames())
+        for name, e in check_constraints.items():
+            if not name or not isinstance(name, str):
+                raise UserInputError("Constraint names must be strings")
+            if not isinstance(e, Expr):
+                raise UserInputError(
+                    f"Constraint {name!r} must be an expressions.Expr "
+                    "(e.g. field('x') >= 0)"
+                )
+            unknown = e.fields() - names
+            if unknown:
+                raise UserInputError(
+                    f"Constraint {name!r} references unknown "
+                    f"column(s) {sorted(unknown)}"
+                )
+            rec = e.fields() & set(record_fields)
+            if rec:
+                raise UserInputError(
+                    f"Constraint {name!r} references record (blob) "
+                    f"field(s) {sorted(rec)}; constraints cover index "
+                    "columns only"
+                )
+            out[name] = expr_to_json(e)
+        return out
+
+    def _constraint_violation_names(self, df: DataFrame) -> List[str]:
+        """Names of CHECK constraints violated by >=1 row of ``df`` —
+        ONE scan evaluating every constraint (violation = expression
+        is FALSE; NULL passes, per SQL CHECK semantics)."""
+        import operator
+        from functools import reduce
+
+        from space_spark.core.expressions import expr_from_json
+
+        items = sorted((self.metadata.constraints or {}).items())
+        if not items:
+            return []
+        flags = [
+            (~F.coalesce(expr_from_json(j).to_spark(), F.lit(True)))
+            .alias(f"__viol_{i}")
+            for i, (_n, j) in enumerate(items)
+        ]
+        any_viol = reduce(
+            operator.or_,
+            [F.col(f"__viol_{i}") for i in range(len(items))],
+        )
+        rows = df.select(*flags).where(any_viol).limit(1).collect()
+        if not rows:
+            return []
+        r = rows[0]
+        return [items[i][0] for i in range(len(items))
+                if r[f"__viol_{i}"]]
+
+    def add_constraint(self, name: str, expr: Expr) -> "Dataset":
+        """Add a CHECK constraint to an existing table. EXISTING rows
+        are validated first (one pushed-down scan of the current
+        snapshot — Delta ``ALTER TABLE ADD CONSTRAINT`` semantics);
+        enforcement of future writes starts with the metadata commit.
+        Note the optimistic window: a write racing between validation
+        and the commit is caught by ITS OWN write-first check once the
+        constraint lands, not by this scan."""
+        self.reload()
+        enc = self._encode_constraints(
+            {name: expr}, self.schema, self.record_fields
+        )
+        if name in (self.metadata.constraints or {}):
+            raise UserInputError(f"Constraint {name!r} already exists")
+        saved = self.metadata.constraints
+        try:
+            # Reuse the one-scan checker against the LIVE table read.
+            self.metadata.constraints = enc
+            violated = self._constraint_violation_names(self.read())
+        finally:
+            self.metadata.constraints = saved
+        if violated:
+            raise ConstraintViolationError(
+                f"Cannot add CHECK constraint {name!r}: existing rows "
+                "violate it"
+            )
+
+        def mutate(meta):
+            if name in meta.constraints:
+                raise UserInputError(
+                    f"Constraint {name!r} already exists"
+                )
+            meta.constraints[name] = enc[name]
+
+        self.metadata = self.log.update_refs(mutate)
+        return self
+
+    def drop_constraint(self, name: str) -> "Dataset":
+        """Remove a CHECK constraint (metadata-only)."""
+        self.reload()
+        if name not in (self.metadata.constraints or {}):
+            raise UserInputError(f"No constraint named {name!r}")
+
+        def mutate(meta):
+            meta.constraints.pop(name, None)
+
+        self.metadata = self.log.update_refs(mutate)
+        return self
 
     # Concurrent appends retry the (cheap, metadata-only) commit this many
     # times before surfacing the conflict.
@@ -2828,6 +2974,22 @@ class Dataset:
             ]
             if old in meta.serializers:
                 meta.serializers[new] = meta.serializers.pop(old)
+            # CHECK constraints are stored on LOGICAL names (they face
+            # the user's write DataFrames) — follow the rename or they
+            # silently dangle.
+            if meta.constraints:
+                from space_spark.core.expressions import (
+                    expr_from_json,
+                    expr_to_json,
+                    rename_fields,
+                )
+
+                meta.constraints = {
+                    cname: expr_to_json(rename_fields(
+                        expr_from_json(cjson), {old: new}
+                    ))
+                    for cname, cjson in meta.constraints.items()
+                }
 
         self.metadata = self.log.update_refs(mutate)
         return self

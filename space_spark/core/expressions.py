@@ -474,3 +474,40 @@ def rename_fields(expr: "Expr", mapping: dict) -> "Expr":
     if isinstance(expr, Not):
         return Not(rename_fields(expr.child, mapping))
     return expr  # unknown node: pruning treats it as non-falsifiable
+
+
+def eval_arrow_rows(expr: "Expr", batch) -> "object":
+    """Row-level evaluation of the closed algebra against a pyarrow
+    RecordBatch/Table: returns a BooleanArray (Kleene semantics — null
+    propagates like SQL three-valued logic). Used by the ``space``
+    datasink to enforce CHECK constraints per batch on the executor,
+    with zero extra IO (the batch is already in memory on its way into
+    the parquet writer). Column names must match the batch's names —
+    translate with :func:`rename_fields` first if needed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def ev(e):
+        if isinstance(e, Field):
+            idx = batch.schema.get_field_index(e.name)
+            if idx < 0:
+                raise ValueError(
+                    f"Constraint references unknown column {e.name!r}"
+                )
+            return batch.column(idx)
+        if isinstance(e, Literal):
+            return pa.scalar(e.value)
+        if isinstance(e, Comparison):
+            fn = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+                  "<=": pc.less_equal, ">": pc.greater,
+                  ">=": pc.greater_equal}[e.op]
+            return fn(ev(e.left), ev(e.right))
+        if isinstance(e, And):
+            return pc.and_kleene(ev(e.left), ev(e.right))
+        if isinstance(e, Or):
+            return pc.or_kleene(ev(e.left), ev(e.right))
+        if isinstance(e, Not):
+            return pc.invert(ev(e.child))
+        raise TypeError(f"Unevaluable Expr node: {type(e).__name__}")
+
+    return ev(expr)

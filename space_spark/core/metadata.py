@@ -152,6 +152,12 @@ class StorageMetadata:
     # filter per listed PK column into the manifest, and read_by_keys
     # prunes files by key membership. None = table has no Bloom index.
     bloom: Optional[dict] = None
+    # CHECK constraints: name -> expr_to_json(Expr) string. Enforced on
+    # every row-adding write (Dataset._write_data_files write-first
+    # validation; datasink per-batch Arrow evaluation; zero-copy load
+    # external-file scan). SQL semantics: a row violates only when the
+    # expression evaluates to FALSE — NULL passes.
+    constraints: Dict[str, str] = dc_field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -175,6 +181,7 @@ class StorageMetadata:
                 "renames": self.renames,
                 "stream_progress": self.stream_progress,
                 "bloom": self.bloom,
+                "constraints": self.constraints,
             },
             indent=1,
         )
@@ -213,6 +220,7 @@ class StorageMetadata:
                 for k, v in d.get("stream_progress", {}).items()
             },
             bloom=d.get("bloom"),
+            constraints=dict(d.get("constraints", {})),
         )
 
     # -- version resolution (core/storage.py:224-236) -----------------------
@@ -451,6 +459,7 @@ def initial_metadata(
     udf_registry: Optional[Dict[str, str]] = None,
     serializers: Optional[Dict[str, str]] = None,
     bloom: Optional[dict] = None,
+    constraints: Optional[Dict[str, str]] = None,
 ) -> StorageMetadata:
     snap = Snapshot(
         snapshot_id=0, parent_snapshot_id=None, created_at=_now_iso()
@@ -469,4 +478,5 @@ def initial_metadata(
         udf_registry=dict(udf_registry or {}),
         serializers=dict(serializers or {}),
         bloom=bloom,
+        constraints=dict(constraints or {}),
     )

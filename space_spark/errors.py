@@ -24,3 +24,7 @@ class VersionNotFoundError(SpaceError):
 
 class UserInputError(SpaceError):
     """Invalid argument to a public API."""
+
+
+class ConstraintViolationError(SpaceError):
+    """A write contained rows that violate a table CHECK constraint."""

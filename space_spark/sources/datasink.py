@@ -40,6 +40,7 @@ from dataclasses import dataclass
 from typing import Iterator, List, Optional
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
@@ -48,10 +49,15 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
+from space_spark.core import expressions as ex
 from space_spark.core import manifests as mf
 from space_spark.core import metadata as md
 from space_spark.core import schema as sc
-from space_spark.errors import TransactionConflictError, UserInputError
+from space_spark.errors import (
+    ConstraintViolationError,
+    TransactionConflictError,
+    UserInputError,
+)
 
 COMMIT_RETRIES = 5
 
@@ -106,20 +112,42 @@ def _phys_arrow(logical_arrow: pa.Schema, meta) -> pa.Schema:
 
 def _write_shard(location: str, rel: str, table_arrow: pa.Schema,
                  iterator: Iterator[pa.RecordBatch],
-                 write_arrow: Optional[pa.Schema] = None
+                 write_arrow: Optional[pa.Schema] = None,
+                 constraints: Optional[List[tuple]] = None
                  ) -> FilesCommitMessage:
     """Executor side: stream this task's batches into one parquet file,
     aligned to the table's column order/types. Returns no file for an
     empty task (no zero-row shards in the manifest). ``write_arrow``
     (default: ``table_arrow``) names the columns in the FILE — the
-    physical names under a rename_column."""
+    physical names under a rename_column.
+
+    ``constraints``: [(name, expr_to_json string)] CHECK constraints —
+    evaluated per batch with Arrow compute BEFORE any bytes hit disk
+    (the batch is already in memory, so enforcement costs zero IO;
+    violation = expression FALSE, NULL passes). A violating task raises
+    and the writer's abort() cleans the commit directory."""
     abs_path = os.path.join(location, rel)
     write_arrow = write_arrow or table_arrow
+    checks = []
+    if constraints:
+        from space_spark.core.expressions import expr_from_json
+
+        checks = [(n, expr_from_json(j)) for n, j in constraints]
     writer: Optional[pq.ParquetWriter] = None
     try:
         for batch in iterator:
             if batch.num_rows == 0:
                 continue
+            for cname, cexpr in checks:
+                mask = ex.eval_arrow_rows(cexpr, batch)
+                bad = pc.sum(
+                    pc.invert(pc.fill_null(mask, True))
+                ).as_py() or 0
+                if bad:
+                    raise ConstraintViolationError(
+                        f"CHECK constraint {cname!r} violated by "
+                        f"{bad} row(s) in this write"
+                    )
             cols = [
                 batch.column(batch.schema.get_field_index(f.name)).cast(
                     f.type
@@ -225,8 +253,11 @@ class SpaceBatchWriter(DataSourceArrowWriter):
         self.location = location
         self.branch = options.get("branch", md.MAIN_BRANCH)
         self.table_arrow = _validated_table_arrow(location, input_schema)
-        self.write_arrow = _phys_arrow(
-            self.table_arrow, md.MetadataLog(location).read_metadata()
+        meta = md.MetadataLog(location).read_metadata()
+        self.write_arrow = _phys_arrow(self.table_arrow, meta)
+        # (name, json) pairs — plain strings, safe to pickle to tasks.
+        self.constraints = sorted(
+            (getattr(meta, "constraints", {}) or {}).items()
         )
         self.commit_reldir = md.MetadataLog(location).new_commit_data_reldir()
 
@@ -235,7 +266,7 @@ class SpaceBatchWriter(DataSourceArrowWriter):
         rel = os.path.join(self.commit_reldir,
                            f"part-{uuid.uuid4().hex[:16]}.parquet")
         return _write_shard(self.location, rel, self.table_arrow, iterator,
-                            self.write_arrow)
+                            self.write_arrow, self.constraints)
 
     def commit(self, messages) -> None:
         _commit_append(self.location, self.branch, _files_from(messages))
@@ -263,8 +294,10 @@ class SpaceStreamWriter(DataSourceStreamArrowWriter):
         self.branch = options.get("branch", md.MAIN_BRANCH)
         self.sink_id = options.get("sink_id", "default")
         self.table_arrow = _validated_table_arrow(location, input_schema)
-        self.write_arrow = _phys_arrow(
-            self.table_arrow, md.MetadataLog(location).read_metadata()
+        meta = md.MetadataLog(location).read_metadata()
+        self.write_arrow = _phys_arrow(self.table_arrow, meta)
+        self.constraints = sorted(
+            (getattr(meta, "constraints", {}) or {}).items()
         )
 
     def write(self, iterator: Iterator[pa.RecordBatch]
@@ -273,7 +306,7 @@ class SpaceStreamWriter(DataSourceStreamArrowWriter):
             "data", f"stream-{uuid.uuid4().hex[:16]}.parquet"
         )
         return _write_shard(self.location, rel, self.table_arrow, iterator,
-                            self.write_arrow)
+                            self.write_arrow, self.constraints)
 
     def commit(self, messages, batchId: int) -> None:
         rel_files = _files_from(messages)

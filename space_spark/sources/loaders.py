@@ -94,6 +94,20 @@ def append_parquet(dataset, pattern: str) -> None:
                     "null value(s) in statistics-free external file(s); "
                     "space primary keys are NOT NULL"
                 )
+    if getattr(dataset.metadata, "constraints", None):
+        # External files must honor CHECK constraints like any write —
+        # one pushed-down scan of the registered files (their own
+        # row-group stats prove compliance without reading clean data).
+        violated = dataset._constraint_violation_names(
+            dataset._read_files(rel_paths)
+        )
+        if violated:
+            from space_spark.errors import ConstraintViolationError
+
+            raise ConstraintViolationError(
+                f"CHECK constraint(s) {violated} violated by external "
+                "file(s); zero-copy load rejected"
+            )
     manifest_rel = dataset.log.new_manifest_relpath()
     rows, nbytes = mf.write_manifest(
         dataset.spark, dataset.log.abs_path(manifest_rel), rel_paths, stats,

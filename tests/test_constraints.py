@@ -1,0 +1,181 @@
+"""CHECK constraints: declared at create (or added later), enforced on
+every row-adding path — append/insert/upsert/merge (write-first
+pushed-down validation of the just-written files), the format('space')
+batch and streaming sinks (per-batch Arrow evaluation on executors),
+and zero-copy external loads. SQL semantics: violation = expression
+FALSE; NULL passes."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from space_spark import ConstraintViolationError, Dataset, field
+from space_spark.errors import UserInputError
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("qty", T.LongType()),
+        T.StructField("tag", T.StringType()),
+    ]
+)
+
+
+def _rows(spark, triples):
+    return spark.createDataFrame(
+        [Row(id=i, qty=q, tag=t) for i, q, t in triples], SCHEMA
+    )
+
+
+@pytest.fixture()
+def constrained(spark, tmp_location):
+    return Dataset.create(
+        spark, tmp_location, SCHEMA, ["id"],
+        check_constraints={"qty_nonneg": field("qty") >= 0},
+    )
+
+
+def test_append_rejects_violations_and_commits_nothing(
+    spark, constrained
+):
+    ds = constrained
+    ds.append(_rows(spark, [(1, 5, "a"), (2, 0, "b")]))
+    with pytest.raises(ConstraintViolationError, match="qty_nonneg"):
+        ds.append(_rows(spark, [(3, 7, "c"), (4, -1, "d")]))
+    ds.reload()
+    assert sorted(r.id for r in ds.read().collect()) == [1, 2]
+    # The rejected shard files are orphans; vacuum reclaims them.
+    removed = ds.vacuum(metadata_grace_sec=0.0)
+    assert removed
+    assert sorted(r.id for r in ds.read().collect()) == [1, 2]
+
+
+def test_null_passes_per_sql_semantics(spark, constrained):
+    ds = constrained
+    ds.append(_rows(spark, [(1, None, "a")]))
+    assert ds.read().count() == 1
+
+
+def test_insert_upsert_merge_enforce(spark, constrained):
+    ds = constrained
+    ds.append(_rows(spark, [(1, 5, "a")]))
+    with pytest.raises(ConstraintViolationError):
+        ds.insert(_rows(spark, [(9, -2, "x")]))
+    with pytest.raises(ConstraintViolationError):
+        ds.upsert(_rows(spark, [(1, -3, "x")]))
+    with pytest.raises(ConstraintViolationError):
+        ds.merge(_rows(spark, [(7, -4, "x")]))
+    ds.reload()
+    assert sorted((r.id, r.qty) for r in ds.read().collect()) == [(1, 5)]
+
+
+def test_multiple_constraints_named_in_error(spark, tmp_location):
+    ds = Dataset.create(
+        spark, tmp_location, SCHEMA, ["id"],
+        check_constraints={
+            "qty_nonneg": field("qty") >= 0,
+            "qty_cap": field("qty") <= 100,
+            "tag_set": (field("tag") == "a") | (field("tag") == "b"),
+        },
+    )
+    ds.append(_rows(spark, [(1, 50, "a")]))
+    with pytest.raises(ConstraintViolationError, match="qty_cap"):
+        ds.append(_rows(spark, [(2, 500, "a")]))
+    with pytest.raises(ConstraintViolationError, match="tag_set"):
+        ds.append(_rows(spark, [(3, 5, "z")]))
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_location):
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["id"])
+    ds.append(_rows(spark, [(1, -5, "a"), (2, 3, "b")]))
+    with pytest.raises(ConstraintViolationError):
+        ds.add_constraint("qty_nonneg", field("qty") >= 0)
+    assert not ds.metadata.constraints
+    ds.delete(field("qty") < 0)
+    ds.add_constraint("qty_nonneg", field("qty") >= 0)
+    with pytest.raises(ConstraintViolationError):
+        ds.append(_rows(spark, [(9, -1, "z")]))
+    # Reloaded handles see and enforce it too.
+    ds2 = Dataset.load(spark, ds.location)
+    with pytest.raises(ConstraintViolationError):
+        ds2.append(_rows(spark, [(10, -1, "z")]))
+    ds2.drop_constraint("qty_nonneg")
+    ds2.append(_rows(spark, [(10, -1, "z")]))
+    assert ds2.read().count() == 2
+
+
+def test_constraint_declaration_validation(spark, tmp_location):
+    with pytest.raises(UserInputError, match="unknown"):
+        Dataset.create(
+            spark, tmp_location, SCHEMA, ["id"],
+            check_constraints={"bad": field("nope") > 0},
+        )
+    with pytest.raises(UserInputError):
+        Dataset.create(
+            spark, tmp_location, SCHEMA, ["id"],
+            check_constraints={"bad": "qty >= 0"},  # not an Expr
+        )
+
+
+def test_rename_column_follows_constraint(spark, tmp_location):
+    ds = Dataset.create(
+        spark, tmp_location, SCHEMA, ["id"],
+        check_constraints={"qty_nonneg": field("qty") >= 0},
+    )
+    ds.rename_column("qty", "quantity")
+    assert "quantity" in ds.metadata.constraints["qty_nonneg"]
+    bad = spark.createDataFrame(
+        [Row(id=1, quantity=-1, tag="a")],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("quantity", T.LongType()),
+            T.StructField("tag", T.StringType()),
+        ]),
+    )
+    with pytest.raises(ConstraintViolationError):
+        ds.append(bad)
+
+
+def test_datasink_batch_write_enforces(spark, constrained):
+    from space_spark.sources.datasource import register_space_source
+
+    register_space_source(spark)
+    ds = constrained
+    ok = _rows(spark, [(1, 5, "a")])
+    ok.write.format("space").mode("append").save(ds.location)
+    ds.reload()
+    assert ds.read().count() == 1
+    bad = _rows(spark, [(2, -1, "b")])
+    with pytest.raises(Exception, match="qty_nonneg"):
+        bad.write.format("space").mode("append").save(ds.location)
+    ds.reload()
+    assert ds.read().count() == 1
+
+
+def test_zero_copy_load_enforces(spark, constrained, tmp_location):
+    from space_spark.sources.loaders import append_parquet
+
+    ext = tmp_location + "_ext"
+    _rows(spark, [(1, 3, "a"), (2, -9, "b")]).coalesce(1) \
+        .write.parquet(ext)
+    with pytest.raises(ConstraintViolationError):
+        append_parquet(constrained, ext + "/*.parquet")
+    assert constrained.read().count() == 0
+
+
+def test_clone_carries_constraints(spark, tmp_location):
+    ds = Dataset.create(
+        spark, tmp_location, SCHEMA, ["id"],
+        check_constraints={"qty_nonneg": field("qty") >= 0},
+    )
+    ds.append(_rows(spark, [(1, 5, "a")]))
+    clone = ds.clone(tmp_location + "_clone")
+    assert clone.metadata.constraints == ds.metadata.constraints
+    with pytest.raises(ConstraintViolationError):
+        clone.append(_rows(spark, [(2, -1, "b")]))
+    import shutil
+
+    shutil.rmtree(tmp_location + "_clone", ignore_errors=True)
