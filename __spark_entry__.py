@@ -2783,6 +2783,61 @@ FROM reach GROUP BY src
 DEDUP_CLUSTERS_SQL = _clusters_sql(0.5)
 
 
+def dedup_keep_best(spark, sf_dir):
+    """Canonical-document selection (round 10, operators/dedup.py
+    keep_best_per_cluster): near-dup clusters keep their LONGEST
+    member (tie: min doc_id) instead of exact_dedup's min-id winner —
+    the "drop duplicates, keep the best copy" decision a pretraining
+    pipeline actually wants. Winner election is a groupBy-max over a
+    (score, -id) struct with map-side combine + id join-back — no
+    window, so one 10^8-member boilerplate cluster never lands on a
+    single reducer."""
+    from space_spark.operators.dedup import (
+        dedup_clusters,
+        keep_best_per_cluster,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    )
+    labels = dedup_clusters(pairs)
+    scored = docs.withColumn(
+        "doc_len", F.length("text").cast("long")
+    )
+    return keep_best_per_cluster(
+        scored, labels, "doc_id", "doc_len"
+    ).select("doc_id", "doc_len")
+
+
+def _keep_best_sql(threshold: float) -> str:
+    base = _clusters_sql(threshold).strip()
+    head, final = base.rsplit("SELECT src AS doc", 1)
+    return f"""{head.rstrip()},
+labels AS (SELECT src AS doc{final}),
+scored AS (
+  SELECT d.doc_id, length(d.text)::BIGINT AS doc_len, l.cluster_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc
+),
+wmax AS (
+  SELECT cluster_id, max(doc_len) AS ml FROM scored
+  WHERE cluster_id IS NOT NULL GROUP BY cluster_id
+),
+winners AS (
+  SELECT s.cluster_id, min(s.doc_id) AS win
+  FROM scored s JOIN wmax
+    ON s.cluster_id = wmax.cluster_id AND s.doc_len = wmax.ml
+  GROUP BY s.cluster_id
+)
+SELECT s.doc_id, s.doc_len FROM scored s
+WHERE s.cluster_id IS NULL OR s.doc_id IN (SELECT win FROM winners)
+"""
+
+
+DEDUP_KEEP_BEST_SQL = _keep_best_sql(0.5)
+
+
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash hamming near-dup — EXACT by pigeonhole (4 bit-chunks cover
     hamming<=3) and cross-engine reproducible (md5-derived token hashes),
@@ -5374,6 +5429,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_cluster_labels": dedup_cluster_labels,
+        "dedup_keep_best": dedup_keep_best,
         "space_compact_read": space_compact_read,
         "space_record_fields": space_record_fields,
         "space_insert_read": space_insert_read,
@@ -5547,6 +5603,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
         "dedup_minhash_lsh": MINHASH_LSH_SQL,
         "dedup_cluster_labels": DEDUP_CLUSTERS_SQL,
+        "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
         "dedup_simhash_pairs": SIMHASH_PAIRS_SQL,
         "text_stats": TEXT_STATS_SQL,
         "text_vocab_topk": TEXT_VOCAB_SQL,

@@ -2659,6 +2659,47 @@ class Dataset:
         self.branch = branch
         return self
 
+    def rollback(self, version) -> "Dataset":
+        """Move this handle's branch head BACK to an ancestor snapshot
+        (Iceberg ``rollback_to_snapshot`` semantics; metadata-only,
+        instant at any table size — no file is touched and no new
+        snapshot is created, so a later write simply grows a new
+        lineage from the restored point). ``version`` may be a snapshot
+        id or tag and MUST be an ancestor of the current head —
+        rolling "back" to an unrelated snapshot would silently rewrite
+        history. The abandoned snapshots stay readable by id/tag until
+        ``expire_snapshots`` drops them (their files then become
+        vacuum-reclaimable).
+
+        Changefeed note: incremental consumers (``diff``, CDC readers,
+        MV refresh) track lineage — after a rollback their next delta
+        is computed against the restored head, exactly like Iceberg's
+        rollback contract. Use CoW ``delete``+``append`` instead if
+        downstream consumers must observe the undo as explicit
+        changes."""
+        self.reload()
+
+        def mutate(meta: md.StorageMetadata):
+            target = meta.resolve_version(version, self.branch)
+            head = meta.branches[self.branch]
+            if target == head:
+                return  # no-op: nothing to roll back
+            # Ancestry walk under the commit lock (cheap: parent
+            # pointers in the already-loaded metadata).
+            cur: Optional[int] = head
+            while cur is not None and cur != target:
+                cur = meta.snapshots[cur].parent_snapshot_id
+            if cur != target:
+                raise UserInputError(
+                    f"Version {target} is not an ancestor of branch "
+                    f"{self.branch!r} head {head}; rollback only "
+                    "rewinds along the branch's own lineage"
+                )
+            meta.branches[self.branch] = target
+
+        self.metadata = self.log.update_refs(mutate)
+        return self
+
     def versions(self) -> DataFrame:
         """(snapshot_id, create_time, tag_or_branch) — storage.py:410-443."""
         refs = [

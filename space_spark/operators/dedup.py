@@ -1048,3 +1048,52 @@ def dedup_substrings(
         )
     )
     return rebuilt.unionByName(untouched)
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Canonical-document selection: keep the HIGHEST-``score_col``
+    member of each near-duplicate cluster (ties: smallest id), pass
+    unclustered rows through untouched. This is the decision step real
+    pretraining dedup pipelines want — "drop duplicates, keep the best
+    copy" — where min-id selection (``exact_dedup``) would discard a
+    clean mirror in favor of a boilerplate-ridden first crawl.
+
+    ``labels``: (doc, cluster_id), e.g. ``dedup_clusters`` output over
+    MinHash-LSH pairs.
+
+    Skew-safe at corpus scale, same discipline as ``exact_dedup``: a
+    window over ``cluster_id`` has no partial aggregation — one hot
+    cluster (a boilerplate page duplicated 10^8 times) lands on one
+    reducer. Instead winners come from ``groupBy(cluster).max(struct
+    (score, -id))`` — map-side combine collapses each cluster to one
+    row per task — and the winner set (one row per cluster) joins back
+    by id. NULL scores rank lowest (coalesced to -inf), so a cluster
+    with any scored member never elects an unscored one."""
+    lbl = labels.select(
+        F.col("doc").alias("__kb_doc"), "cluster_id"
+    )
+    tagged = df.join(
+        lbl, on=df[id_col] == F.col("__kb_doc"), how="left"
+    ).drop("__kb_doc")
+    ranked = F.struct(
+        F.coalesce(F.col(score_col).cast("double"),
+                   F.lit(float("-inf"))).alias("s"),
+        (-F.col(id_col)).alias("nid"),
+    )
+    winners = (
+        tagged.where(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(F.max(ranked).alias("best"))
+        .select((-F.col("best.nid")).alias("__kb_win"))
+    )
+    kept_clustered = tagged.where(F.col("cluster_id").isNotNull()).join(
+        winners, on=F.col(id_col) == F.col("__kb_win"), how="left_semi"
+    )
+    return kept_clustered.unionByName(
+        tagged.where(F.col("cluster_id").isNull())
+    ).drop("cluster_id")

@@ -224,3 +224,31 @@ def test_neardup_exact_gemm_accepts_string_ids(spark):
     empty = emb.where("vec_id = 'nope'")
     assert neardup_pairs(empty, "vec_id", "embedding", threshold=0.9,
                          dim=2, exact=True).count() == 0
+
+
+def test_keep_best_per_cluster_semantics(spark):
+    """Winner = max score then min id; null scores rank lowest;
+    unclustered rows pass through; output schema drops cluster_id."""
+    from space_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, CAST(10.0 AS DOUBLE)), (2, 30.0), (3, 30.0), "
+        "(4, NULL), (5, 7.0), "
+        "(9, NULL) "
+        "AS t(doc_id, score)"
+    )
+    labels = spark.sql(
+        "SELECT * FROM VALUES (1, 1), (2, 1), (3, 1), (4, 4), (5, 4) "
+        "AS t(doc, cluster_id)"
+    )
+    kept = keep_best_per_cluster(docs, labels, "doc_id", "score")
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 5, 9]
+    assert set(kept.columns) == {"doc_id", "score"}
+
+    # All-null-score cluster still elects exactly one (min id).
+    labels2 = spark.sql(
+        "SELECT * FROM VALUES (4, 4), (9, 4) AS t(doc, cluster_id)"
+    )
+    kept2 = keep_best_per_cluster(docs, labels2, "doc_id", "score")
+    assert sorted(r.doc_id for r in kept2.collect()) == [1, 2, 3, 4, 5]

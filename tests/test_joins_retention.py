@@ -228,3 +228,70 @@ def test_expire_older_than_validates_and_parses(spark, tmp_location):
     # 'Z' suffix parses (string comparison would mis-order it)
     assert ds.expire_snapshots(
         keep_last=1, older_than="2000-01-01T00:00:00Z") == []
+
+
+def test_rollback_rewinds_branch_to_ancestor(spark, tmp_location):
+    """rollback(): metadata-only branch rewind (Iceberg
+    rollback_to_snapshot): head moves to an ancestor, reads follow,
+    abandoned snapshots stay time-travelable until expiry, and a
+    non-ancestor target is refused."""
+    from pyspark.sql import Row, types as T
+
+    from space_spark import Dataset
+    from space_spark.errors import UserInputError
+
+    sch = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+
+    def rows(lo, hi):
+        return spark.createDataFrame(
+            [Row(id=i, v=float(i)) for i in range(lo, hi)], sch
+        )
+
+    ds = Dataset.create(spark, tmp_location, sch, ["id"])
+    ds.append(rows(0, 10))
+    v1 = ds.current_snapshot_id
+    ds.append(rows(10, 20))
+    v2 = ds.current_snapshot_id
+    ds.append(rows(20, 30))
+
+    ds.rollback(v1)
+    assert ds.current_snapshot_id == v1
+    assert ds.read().count() == 10
+    # Abandoned snapshots remain readable by id.
+    assert ds.read(version=v2).count() == 20
+    # Fresh handles see the rewound head.
+    assert Dataset.load(spark, tmp_location).read().count() == 10
+
+    # A write after rollback grows a NEW lineage from v1.
+    ds.append(rows(50, 55))
+    assert ds.read().count() == 15
+    v_new = ds.current_snapshot_id
+    assert ds.metadata.snapshot(v_new).parent_snapshot_id == v1
+
+    # v2 is no longer an ancestor of the new head: refuse.
+    with pytest.raises(UserInputError, match="ancestor"):
+        ds.rollback(v2)
+    # No-op rollback to the current head is fine.
+    ds.rollback(v_new)
+    assert ds.current_snapshot_id == v_new
+
+
+def test_rollback_by_tag_and_branch_isolation(spark, tmp_location):
+    from pyspark.sql import Row, types as T
+
+    from space_spark import Dataset
+
+    sch = T.StructType([T.StructField("id", T.LongType())])
+    ds = Dataset.create(spark, tmp_location, sch, ["id"])
+    ds.append(spark.createDataFrame([Row(id=1)], sch))
+    ds.add_tag("good")
+    ds.append(spark.createDataFrame([Row(id=2)], sch))
+    ds.add_branch("exp")
+
+    ds.rollback("good")
+    assert ds.read().count() == 1
+    # Other branches are untouched by a main rollback.
+    assert ds.read(branch="exp").count() == 2
