@@ -153,6 +153,22 @@ class Field(Expr):
     def fields(self) -> set:
         return {self.name}
 
+    def isin(self, values) -> "Expr":
+        """``field(x).isin([a, b, ...])`` — sugar for the Or-of-equals
+        chain, which keeps IN inside the closed algebra: manifest
+        pruning falsifies each equality against file min/max, the JSON
+        transport and CHECK constraints carry it unchanged. An empty
+        value list is constant-false (SQL ``IN ()`` semantics)."""
+        vals = list(values)
+        if not vals:
+            # lit(0) == lit(1): a Literal-vs-Literal comparison the
+            # pruning backend constant-folds to "falsifies every file".
+            return Comparison("==", Literal(0), Literal(1))
+        out: Expr = Comparison("==", self, _wrap(vals[0]))
+        for v in vals[1:]:
+            out = Or(out, Comparison("==", self, _wrap(v)))
+        return out
+
     def __repr__(self):
         return f"field({self.name!r})"
 

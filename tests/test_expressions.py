@@ -79,3 +79,34 @@ def test_to_spark_roundtrip(spark):
     df = spark.createDataFrame([(1, "x"), (5, "y")], "a int, s string")
     expr = (field("a") > 2) & ~(field("s") == "z")
     assert df.where(expr.to_spark()).count() == 1
+
+
+def test_field_isin_builds_closed_algebra(spark):
+    from space_spark.core.expressions import (
+        expr_from_json,
+        expr_to_json,
+        field,
+    )
+
+    e = field("x").isin([1, 2, 3])
+    df = spark.sql("SELECT id AS x FROM range(0, 10)")
+    got = sorted(r.x for r in df.where(e.to_spark()).collect())
+    assert got == [1, 2, 3]
+    # Round-trips through the declarative JSON transport.
+    e2 = expr_from_json(expr_to_json(e))
+    assert sorted(
+        r.x for r in df.where(e2.to_spark()).collect()
+    ) == [1, 2, 3]
+    # Empty IN () is constant-false.
+    empty = field("x").isin([])
+    assert df.where(empty.to_spark()).count() == 0
+
+
+def test_field_isin_prunes_manifests(spark):
+    from space_spark.core.expressions import field
+    from space_spark.core.manifests import prune_files
+
+    # Falsifiable: each equality checks file min/max; the Or unions.
+    e = field("x").isin([5, 100])
+    f = e.falsifiable({"x"}, backend="spark")
+    assert f is not None
