@@ -1793,6 +1793,48 @@ FROM customer
 """
 
 
+def space_rollback_read(spark, sf_dir):
+    """Rollback to an ancestor snapshot (round 10, core/dataset.py
+    rollback — Iceberg rollback_to_snapshot semantics; metadata-only
+    branch rewind, instant at any table size): append region, append a
+    poisoned batch, roll the branch back, append the corrected batch —
+    the read must show base + corrected only, and the abandoned
+    snapshot must still be time-travelable (asserted) until expiry."""
+    from space_spark import Dataset
+
+    region = _t(spark, sf_dir, "region")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/rollbk", region.schema, ["r_regionkey"]
+    )
+    ds.append(region)
+    v_base = ds.current_snapshot_id
+    ds.append(
+        region.select(
+            (F.col("r_regionkey") + 100).cast("int").alias("r_regionkey"),
+            F.lit("OOPS").alias("r_name"),
+        )
+    )
+    v_bad = ds.current_snapshot_id
+    ds.rollback(v_base)
+    ds.append(
+        region.select(
+            (F.col("r_regionkey") + 200).cast("int").alias("r_regionkey"),
+            F.lit("FIXED").alias("r_name"),
+        )
+    )
+    assert ds.read(version=v_bad).where(
+        F.col("r_name") == "OOPS"
+    ).count() > 0, "abandoned snapshot lost before expiry"
+    return ds.read()
+
+
+SPACE_ROLLBACK_SQL = """
+SELECT r_regionkey, r_name FROM region
+UNION ALL
+SELECT r_regionkey + 200 AS r_regionkey, 'FIXED' AS r_name FROM region
+"""
+
+
 def space_clone_read(spark, sf_dir):
     """Zero-copy shallow clone (round 10, core/dataset.py clone — Delta
     SHALLOW CLONE / Iceberg snapshot-table analog; beyond the
@@ -5280,44 +5322,52 @@ _GATE_WINDOW = 50
 _CHURN_QUOTA = 8
 _CHURNED_THIS_ROUND = [
     # r10 churn, derived from the round's diff by tools/churn_suggest.py
-    # against base 3a4aa2f (function-level git-diff -> query mapping).
+    # against base 3a4aa2f (function-level git-diff -> query mapping),
+    # re-derived after the second r10 work session. Never-green r10
+    # registrations (space_merge_multi, space_merge_full,
+    # ann_ivfpq_rerank, space_clone_read, space_constraint_read,
+    # space_rollback_read, text_heavy_hitters, dedup_keep_best) lead
+    # the window by staleness automatically and take no churn slot.
+    #
     # merge() was REWRITTEN (multi-clause cascade + source pinning) —
     # the round-9 registered behavior must re-verify through the new
-    # code. (space_merge_multi, the new surface, is never-green and
-    # leads the window by staleness automatically.)
+    # code.
     "space_merge_read",
-    # apply_changes' checkpoint/release moved into the shared
-    # _release_new_blocks helper; this is its per-micro-batch
-    # registered consumer (stream_apply_changes).
+    # Two r10 changes ride this query: apply_changes' checkpoint
+    # release moved into _release_new_blocks, AND the datasink
+    # _write_shard signature/constraint hook (its streaming micro-batch
+    # sink path; constraints list is empty here — the loop is inert —
+    # but the plumbing changed).
     "space_stream_mv",
-    # Bloom build changed: INT96 physical-type detection in
-    # _footer_stats + naive_is_utc canonicalization in build_arrow.
-    "space_bloom_point_read",
-    # bpe.py's encoder memo eviction changed (LRU); the registered
-    # query rides the JVM path, but it is the module's representative.
-    "text_bpe_tokens",
-    # _datasource_read changed (JSON prune_expr transport, projection-
-    # under-filter pushdown); the branch is inert below 10k files and
-    # unit-pinned, but this is the plain-read representative.
-    "space_filter_project",
-    # Flagged by the entry-file line mapping (the new ann_ivfpq_rerank
-    # function shifted its neighborhood); body unchanged — slot kept as
-    # cheap insurance on the suite's widest-coverage query.
-    "ann_recall_report",
+    # The other registered consumer of the changed sink plumbing
+    # (readChangeFeed source + foreachBatch sink round-trip).
+    "space_stream_cdc",
+    # _bitmap_pairs_df now normpaths sidecar file keys (the clone/
+    # zero-copy MoR fix): this is the registered MoR-vector read.
+    "space_mor_delete",
+    # compact()'s candidate-selection block was edited (where= partial
+    # compaction filter); default path re-verified here.
+    "space_compact_read",
+    # rename_column's mutate gained the constraint-remap block (inert
+    # without constraints, but the method changed).
+    "space_rename_read",
+    # append_parquet gained the external-file constraint scan (inert
+    # without constraints); this is the zero-copy representative.
+    "space_zero_copy_load",
+    # _write_data_files gained the write-first constraint tail (gated
+    # on metadata.constraints — empty for every other registered
+    # table); one representative of the shared ingest path.
+    "space_insert_read",
 ]
-# Quota is 8; 6 used — churn_suggest flags every other space query
-# solely via the Dataset CLASS diff (merge/apply_changes/
-# _datasource_read are the only changed methods; bloom build/probe is
-# gated off for non-bloom tables by _bloom_pks() == (), the DataSource
-# routing branch is inert below DATASOURCE_READ_MIN_FILES=10k files —
-# both unit-pinned), and every registered oracle re-verifies at
-# sf0.001 in tests/test_oracle.py each run. Window composition beyond
-# churn: the never-green r10 registrations (space_merge_multi,
-# space_merge_full, ann_ivfpq_rerank — staleness -inf) lead, then the 22 r7-green
-# entries the r9 verdict names (dedup family, stream_dedup,
-# text_decontaminate, q2/4/6/7/10/12/13/14/15/17/18/19/22,
-# q_brand_supplier_stats, ann_cosine_topk, dedup_cluster_labels),
-# then r8-green entries in definition order fill the rest.
+# Quota is 8; 8 used. churn_suggest additionally flags every space
+# query via the Dataset CLASS diff and every field()-using query via
+# expressions.py (Field.isin is a NEW method — no existing call site
+# changed; eval_arrow_rows is new code reached only from the datasink
+# constraint hook). Bloom build/probe, BPE, the DataSource read path,
+# and the recall harness are UNCHANGED this round — their r9 evidence
+# stands. Every registered oracle also re-verifies at sf0.001 in
+# tests/test_oracle.py on each suite run, and this session re-swept
+# ALL queries at sf0.01 and sf0.1 explicitly.
 
 
 def _is_green(row) -> bool:
@@ -5439,6 +5489,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "space_merge_full": space_merge_full,
         "space_clone_read": space_clone_read,
         "space_constraint_read": space_constraint_read,
+        "space_rollback_read": space_rollback_read,
         "space_mor_delete": space_mor_delete,
         "space_diff_changes": space_diff_changes,
         "space_zorder_pruned": space_zorder_pruned,
@@ -5571,6 +5622,7 @@ def oracle_sql() -> dict[str, str]:
         "space_merge_full": SPACE_MERGE_FULL_SQL,
         "space_clone_read": SPACE_CLONE_SQL,
         "space_constraint_read": SPACE_CONSTRAINT_SQL,
+        "space_rollback_read": SPACE_ROLLBACK_SQL,
         "space_insert_read": SPACE_INSERT_SQL,
         "space_compact_read": SPACE_COMPACT_SQL,
         "space_time_travel": SPACE_TIME_TRAVEL_SQL,
