@@ -691,6 +691,14 @@ class SpaceDataSource(DataSource):
                 "and column-list DDL cannot carry the table location "
                 "through Spark's Python data source bridge)"
             )
+        if loc.startswith("file:"):
+            # Spark's catalog normalizes a reserved 'path' option to a
+            # file: URI before handing it to INSERT INTO's writer —
+            # without this strip the URI gets os.path.join'd as a
+            # relative path and the table "disappears" for SQL DML.
+            from urllib.parse import urlparse
+
+            loc = urlparse(loc).path
         return loc
 
     def schema(self) -> T.StructType:

@@ -125,3 +125,24 @@ def test_dataframe_read_still_carries_location_metadata(spark, attached):
         .load()
     )
     assert df.count() == 20
+
+
+def test_insert_into_with_reserved_path_option(spark, tmp_location):
+    """CREATE TABLE ... USING space OPTIONS (path '<dir>'): Spark
+    normalizes the reserved 'path' option to a file: URI before the
+    INSERT INTO writer sees it — _location must strip the scheme or
+    the table 'disappears' for SQL DML (round-10 fix)."""
+    df = spark.range(5).select("id")
+    Dataset.create(spark, tmp_location, df.schema, ["id"]).append(df)
+    tbl = "t_path_opt"
+    spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+    spark.sql(
+        f"CREATE TABLE `{tbl}` USING space OPTIONS (path '{tmp_location}')"
+    )
+    try:
+        spark.sql(f"INSERT INTO `{tbl}` VALUES (100), (101)")
+        assert spark.table(tbl).count() == 7
+        ds = Dataset.load(spark, tmp_location)
+        assert ds.read().count() == 7
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
