@@ -1793,6 +1793,45 @@ FROM customer
 """
 
 
+def space_update_read(spark, sf_dir):
+    """UPDATE ... SET ... WHERE (round 10, core/dataset.py update —
+    Delta UPDATE analog; beyond the reference): column assignments over
+    a manifest-pruned matched read, riding upsert's write-first
+    single-commit path — cost O(matching files), CDF encodes the
+    standard DELETE+ADD pair per updated row. Here: 10% price markup
+    and a reclassification for low-balance suppliers."""
+    from space_spark import Dataset, field
+
+    supp = _t(spark, sf_dir, "supplier")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/upd", supp.schema, ["s_suppkey"]
+    )
+    ds.append(supp)
+    matched = ds.read(
+        filter_=(field("s_acctbal") < 0.0) | (field("s_suppkey") < 5)
+    ).count()
+    assert matched > 0, "update fixture must match at every SF"
+    ds.update(
+        (field("s_acctbal") < 0.0) | (field("s_suppkey") < 5),
+        {"s_name": "FLAGGED",
+         "s_acctbal": F.col("s_acctbal") * 1.1},
+    )
+    return ds.read().select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+
+
+SPACE_UPDATE_SQL = """
+SELECT s_suppkey,
+       CASE WHEN s_acctbal < 0.0 OR s_suppkey < 5 THEN 'FLAGGED'
+            ELSE s_name END AS s_name,
+       s_nationkey,
+       CASE WHEN s_acctbal < 0.0 OR s_suppkey < 5 THEN s_acctbal * 1.1
+            ELSE s_acctbal END AS s_acctbal
+FROM supplier
+"""
+
+
 def space_rollback_read(spark, sf_dir):
     """Rollback to an ancestor snapshot (round 10, core/dataset.py
     rollback — Iceberg rollback_to_snapshot semantics; metadata-only
@@ -5490,6 +5529,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "space_clone_read": space_clone_read,
         "space_constraint_read": space_constraint_read,
         "space_rollback_read": space_rollback_read,
+        "space_update_read": space_update_read,
         "space_mor_delete": space_mor_delete,
         "space_diff_changes": space_diff_changes,
         "space_zorder_pruned": space_zorder_pruned,
@@ -5623,6 +5663,7 @@ def oracle_sql() -> dict[str, str]:
         "space_clone_read": SPACE_CLONE_SQL,
         "space_constraint_read": SPACE_CONSTRAINT_SQL,
         "space_rollback_read": SPACE_ROLLBACK_SQL,
+        "space_update_read": SPACE_UPDATE_SQL,
         "space_insert_read": SPACE_INSERT_SQL,
         "space_compact_read": SPACE_COMPACT_SQL,
         "space_time_travel": SPACE_TIME_TRAVEL_SQL,

@@ -29,7 +29,7 @@ from urllib.parse import urlparse
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -943,6 +943,62 @@ class Dataset:
             out[f"mn_{k}"] = mn
             out[f"mx_{k}"] = mx
         return out
+
+    def update(self, filter_: Expr, set: Dict[str, object]) -> "Dataset":
+        """``UPDATE ... SET ... WHERE ...`` (Delta/ANSI analog; beyond
+        the reference, whose row edits go through whole-row upsert):
+        rewrite the rows matching ``filter_`` with ``set``'s column
+        assignments, ONE snapshot commit.
+
+        ``set``: {column: new value} where the value is a Spark Column
+        expression (may reference other columns, e.g.
+        ``{"price": F.col("price") * 1.1}``) or a Python literal.
+        Primary-key columns cannot be assigned (changing identity is a
+        delete+insert decision the caller must make explicitly).
+
+        Plan shape at scale: the matched rows come from a MANIFEST-
+        PRUNED read (only files whose stats overlap ``filter_`` are
+        scanned), and the rewrite rides ``upsert`` — write-first, PK
+        bounds from the written files' own footers prune the delete
+        probe, one optimistic commit. Cost is O(matching files), never
+        O(table). The change feed sees the standard UPDATE encoding
+        (DELETE of old rows + ADD of new — change_data.py:42-44), so
+        MV refresh and CDC consumers replay it correctly.
+
+        The matched set is evaluated from the snapshot current at call
+        time; a concurrent writer commits before or after this update
+        (optimistic-commit serialization), never interleaved."""
+        if filter_ is None:
+            raise UserInputError("update requires a filter")
+        if not set:
+            raise UserInputError("update requires at least one "
+                                 "column assignment")
+        names = set if isinstance(set, dict) else dict(set)
+        schema_names = self.schema.fieldNames()
+        unknown = [c for c in names if c not in schema_names]
+        if unknown:
+            raise UserInputError(f"Unknown update columns: {unknown}")
+        pk_hit = [c for c in names if c in self.primary_keys]
+        if pk_hit:
+            raise UserInputError(
+                f"Cannot UPDATE primary-key column(s) {pk_hit}; use "
+                "delete + append/insert for identity changes"
+            )
+        rec_hit = [c for c in names if c in self.record_fields]
+        if rec_hit:
+            raise UserInputError(
+                f"Cannot UPDATE record (blob) column(s) {rec_hit}; "
+                "rewrite blobs through upsert"
+            )
+        matched = self.read(filter_=filter_)
+        assigned = matched
+        for col, val in names.items():
+            assigned = assigned.withColumn(
+                col,
+                (val if isinstance(val, Column)
+                 else F.lit(val)).cast(self.schema[col].dataType),
+            )
+        return self.upsert(assigned.select(*schema_names))
 
     def upsert(self, df: DataFrame) -> "Dataset":
         """Replace rows matching input PKs and append the input, as ONE

@@ -194,3 +194,53 @@ def test_append_parquet_type_mismatch(spark, tmp_location):
     ).write.parquet(ext)
     with pytest.raises(UserInputError, match="float64"):
         loaders.append_parquet(ds, ext + "/*.parquet")
+
+
+def test_update_set_where(spark, tmp_location):
+    """UPDATE ... SET ... WHERE: one commit, pruned matched read,
+    standard CDF delete+add encoding, PK/record/unknown columns
+    rejected."""
+    from pyspark.sql import Row, functions as F, types as T
+
+    from space_spark import Dataset, field
+    from space_spark.errors import UserInputError
+
+    sch = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("tag", T.StringType()),
+    ])
+    ds = Dataset.create(spark, tmp_location, sch, ["id"])
+    ds.append(spark.createDataFrame(
+        [Row(id=i, price=float(i), tag="t") for i in range(20)], sch
+    ))
+    v0 = ds.current_snapshot_id
+
+    ds.update(field("id") < 5, {"price": F.col("price") * 10,
+                                "tag": "up"})
+    got = {r.id: (r.price, r.tag) for r in ds.read().collect()}
+    for i in range(20):
+        if i < 5:
+            assert got[i] == (i * 10.0, "up")
+        else:
+            assert got[i] == (float(i), "t")
+    # Exactly ONE snapshot; CDF shows 5 deletes + 5 adds.
+    assert ds.current_snapshot_id == v0 + 1
+    d = ds.diff(v0, None)
+    assert d.where(F.col("_change_type") == "DELETE").count() == 5
+    assert d.where(F.col("_change_type") == "ADD").count() == 5
+
+    with pytest.raises(UserInputError):
+        ds.update(field("id") < 2, {"id": 99})
+    with pytest.raises(UserInputError):
+        ds.update(field("id") < 2, {"nope": 1})
+    with pytest.raises(UserInputError):
+        ds.update(None, {"price": 1.0})
+    with pytest.raises(UserInputError):
+        ds.update(field("id") < 2, {})
+    # Literal assignment + no-match filter are both fine.
+    ds.update(field("id") == 7, {"price": 0.0})
+    assert ds.read(filter_=field("id") == 7).collect()[0].price == 0.0
+    before = ds.current_snapshot_id
+    ds.update(field("id") > 10_000, {"price": 1.0})
+    assert ds.current_snapshot_id == before  # zero-row update: no commit
