@@ -806,8 +806,9 @@ def heavy_hitters(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
         .where(
-            F.col("freq") * F.lit(1_000_000)
-            >= F.lit(int(threshold_ppm)) * F.lit(int(total))
+            F.col("freq") * F.lit(1_000_000).cast("long")
+            >= F.lit(int(threshold_ppm)).cast("long")
+            * F.lit(int(total)).cast("long")
         )
         .orderBy(F.col("freq").desc(), F.col("token").asc())
     )
