@@ -613,30 +613,24 @@ class Dataset:
         return out
 
     def _constraint_violation_names(self, df: DataFrame) -> List[str]:
-        """Names of CHECK constraints violated by >=1 row of ``df`` —
-        ONE scan evaluating every constraint (violation = expression
-        is FALSE; NULL passes, per SQL CHECK semantics)."""
-        import operator
-        from functools import reduce
-
+        """Names of ALL CHECK constraints violated by >=1 row of
+        ``df`` — ONE aggregate scan evaluating every constraint
+        (violation = expression is FALSE; NULL passes, per SQL CHECK
+        semantics). Complete by construction: a limit(1) sample would
+        name only the constraints the sampled row breaks, sending the
+        user through a fix-retry-fail loop for each remaining one."""
         from space_spark.core.expressions import expr_from_json
 
         items = sorted((self.metadata.constraints or {}).items())
         if not items:
             return []
         flags = [
-            (~F.coalesce(expr_from_json(j).to_spark(), F.lit(True)))
-            .alias(f"__viol_{i}")
+            F.max(
+                ~F.coalesce(expr_from_json(j).to_spark(), F.lit(True))
+            ).alias(f"__viol_{i}")
             for i, (_n, j) in enumerate(items)
         ]
-        any_viol = reduce(
-            operator.or_,
-            [F.col(f"__viol_{i}") for i in range(len(items))],
-        )
-        rows = df.select(*flags).where(any_viol).limit(1).collect()
-        if not rows:
-            return []
-        r = rows[0]
+        r = df.agg(*flags).collect()[0]
         return [items[i][0] for i in range(len(items))
                 if r[f"__viol_{i}"]]
 
@@ -944,15 +938,20 @@ class Dataset:
             out[f"mx_{k}"] = mx
         return out
 
-    def update(self, filter_: Expr, set: Dict[str, object]) -> "Dataset":
+    def update(self, filter_: Expr,
+               assignments: Dict[str, object]) -> "Dataset":
         """``UPDATE ... SET ... WHERE ...`` (Delta/ANSI analog; beyond
         the reference, whose row edits go through whole-row upsert):
         rewrite the rows matching ``filter_`` with ``set``'s column
         assignments, ONE snapshot commit.
 
-        ``set``: {column: new value} where the value is a Spark Column
-        expression (may reference other columns, e.g.
-        ``{"price": F.col("price") * 1.1}``) or a Python literal.
+        ``assignments``: {column: new value} where the value is a Spark
+        Column expression or a Python literal. Every right-hand side
+        reads the OLD row (ANSI UPDATE semantics): all assignments are
+        evaluated in one projection, so
+        ``{"a": F.col("b"), "b": F.col("a")}`` swaps the columns —
+        order in the dict never matters. Column references may name any
+        table column, e.g. ``{"price": F.col("price") * 1.1}``.
         Primary-key columns cannot be assigned (changing identity is a
         delete+insert decision the caller must make explicitly).
 
@@ -970,10 +969,10 @@ class Dataset:
         (optimistic-commit serialization), never interleaved."""
         if filter_ is None:
             raise UserInputError("update requires a filter")
-        if not set:
+        if not assignments:
             raise UserInputError("update requires at least one "
                                  "column assignment")
-        names = set if isinstance(set, dict) else dict(set)
+        names = dict(assignments)
         schema_names = self.schema.fieldNames()
         unknown = [c for c in names if c not in schema_names]
         if unknown:
@@ -991,14 +990,18 @@ class Dataset:
                 "rewrite blobs through upsert"
             )
         matched = self.read(filter_=filter_)
-        assigned = matched
-        for col, val in names.items():
-            assigned = assigned.withColumn(
-                col,
-                (val if isinstance(val, Column)
-                 else F.lit(val)).cast(self.schema[col].dataType),
-            )
-        return self.upsert(assigned.select(*schema_names))
+        # ONE projection: every right-hand side is resolved against the
+        # pre-update row, never against another assignment's output —
+        # sequential withColumn would make {"a": col("b"), "b":
+        # col("a")} depend on dict order and silently mis-evaluate.
+        cols = [
+            ((names[c] if isinstance(names[c], Column)
+              else F.lit(names[c]))
+             .cast(self.schema[c].dataType).alias(c))
+            if c in names else F.col(c)
+            for c in schema_names
+        ]
+        return self.upsert(matched.select(*cols))
 
     def upsert(self, df: DataFrame) -> "Dataset":
         """Replace rows matching input PKs and append the input, as ONE
@@ -2345,6 +2348,16 @@ class Dataset:
                     raise UserInputError(
                         f"Unknown cluster columns: {unknown}"
                     )
+        if where is not None:
+            # A typo'd column would make every stats term
+            # non-falsifiable — i.e. silently compact the WHOLE table
+            # instead of the intended slice. Same loud guard as reads.
+            unknown = where.fields() - set(self.schema.fieldNames())
+            if unknown:
+                raise UserInputError(
+                    f"Unknown columns in compact where=: "
+                    f"{sorted(unknown)}"
+                )
         self.reload()
         threshold = int(target_bytes * self.COMPACT_HEALTHY_RATIO)
         last_err = None
@@ -2998,6 +3011,22 @@ class Dataset:
                 raise UserInputError(f"Column {name!r} not found")
             if name in meta.primary_keys:
                 raise UserInputError("Cannot drop a primary key column")
+            if meta.constraints:
+                # A dangling constraint would fail EVERY later write
+                # with an unresolved-column error — refuse here, like
+                # the PK guard, and tell the user which to drop first.
+                from space_spark.core.expressions import expr_from_json
+
+                holders = sorted(
+                    cname for cname, cjson in meta.constraints.items()
+                    if name in expr_from_json(cjson).fields()
+                )
+                if holders:
+                    raise UserInputError(
+                        f"Cannot drop column {name!r}: CHECK "
+                        f"constraint(s) {holders} reference it; "
+                        "drop_constraint them first"
+                    )
             meta.schema = T.StructType(
                 [f for f in meta.schema.fields if f.name != name]
             )

@@ -1073,7 +1073,11 @@ def keep_best_per_cluster(
     (score, -id))`` — map-side combine collapses each cluster to one
     row per task — and the winner set (one row per cluster) joins back
     by id. NULL scores rank lowest (coalesced to -inf), so a cluster
-    with any scored member never elects an unscored one."""
+    with any scored member never elects an unscored one. The min is
+    taken over struct(-score, id) — negating the SCORE (always cast to
+    double) rather than the id keeps ids type-generic: string/hash doc
+    ids order natively inside the struct, where a negated string id
+    would cast to NULL and silently elect nobody."""
     lbl = labels.select(
         F.col("doc").alias("__kb_doc"), "cluster_id"
     )
@@ -1081,15 +1085,15 @@ def keep_best_per_cluster(
         lbl, on=df[id_col] == F.col("__kb_doc"), how="left"
     ).drop("__kb_doc")
     ranked = F.struct(
-        F.coalesce(F.col(score_col).cast("double"),
-                   F.lit(float("-inf"))).alias("s"),
-        (-F.col(id_col)).alias("nid"),
+        (-F.coalesce(F.col(score_col).cast("double"),
+                     F.lit(float("-inf")))).alias("ns"),
+        F.col(id_col).alias("wid"),
     )
     winners = (
         tagged.where(F.col("cluster_id").isNotNull())
         .groupBy("cluster_id")
-        .agg(F.max(ranked).alias("best"))
-        .select((-F.col("best.nid")).alias("__kb_win"))
+        .agg(F.min(ranked).alias("best"))
+        .select(F.col("best.wid").alias("__kb_win"))
     )
     kept_clustered = tagged.where(F.col("cluster_id").isNotNull()).join(
         winners, on=F.col(id_col) == F.col("__kb_win"), how="left_semi"

@@ -784,21 +784,31 @@ def heavy_hitters(
             counters = {
                 t: c - cut for t, c in counters.items() if c > cut
             }
+        # The exact partition total rides OUT-OF-BAND as a flagged row
+        # (token "" never survives the upstream filter): an in-band
+        # magic token would collide with crawl garbage that really
+        # contains it, corrupting both the total and the candidates.
         out = pd.DataFrame(
-            {"token": list(counters) + ["\x00total"],
-             "cnt": list(counters.values()) + [total]}
+            {"token": list(counters) + [""],
+             "cnt": list(counters.values()) + [total],
+             "is_total": [False] * len(counters) + [True]}
         )
         yield out
 
+    # localCheckpoint, not persist: both the exact total and the
+    # candidate set derive from this tiny O(partitions*k) frame, and
+    # checkpoint blocks are released by the ContextCleaner when the
+    # frame is garbage-collected — a persist would leak storage memory
+    # for the session lifetime on every call.
     sketch = toks.mapInPandas(
-        sketch_partition, "token string, cnt long"
-    ).persist()
+        sketch_partition, "token string, cnt long, is_total boolean"
+    ).localCheckpoint(eager=True)
     total = (
-        sketch.where(F.col("token") == "\x00total")
+        sketch.where(F.col("is_total"))
         .agg(F.sum("cnt").alias("n")).collect()[0]["n"]
     ) or 0
     candidates = (
-        sketch.where(F.col("token") != "\x00total")
+        sketch.where(~F.col("is_total"))
         .select("token").distinct()
     )
     exact = (

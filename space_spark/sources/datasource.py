@@ -696,9 +696,11 @@ class SpaceDataSource(DataSource):
             # file: URI before handing it to INSERT INTO's writer —
             # without this strip the URI gets os.path.join'd as a
             # relative path and the table "disappears" for SQL DML.
-            from urllib.parse import urlparse
+            # unquote: the same normalization percent-escapes spaces
+            # and friends; the raw path must come back byte-for-byte.
+            from urllib.parse import unquote, urlparse
 
-            loc = urlparse(loc).path
+            loc = unquote(urlparse(loc).path)
         return loc
 
     def schema(self) -> T.StructType:

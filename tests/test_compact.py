@@ -426,3 +426,10 @@ def test_compact_where_no_overlap_is_noop(spark, fragmented):
     ds.compact(target_bytes=64 * 1024 * 1024,
                where=field("id") > 10_000)
     assert ds.current_snapshot_id == v  # nothing to do, no commit
+
+
+def test_compact_where_unknown_column_raises(spark, fragmented):
+    from space_spark.errors import UserInputError
+
+    with pytest.raises(UserInputError, match="pric"):
+        fragmented.compact(where=field("pric") > 5)

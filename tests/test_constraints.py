@@ -179,3 +179,37 @@ def test_clone_carries_constraints(spark, tmp_location):
     import shutil
 
     shutil.rmtree(tmp_location + "_clone", ignore_errors=True)
+
+
+def test_drop_column_refuses_while_constraint_references_it(
+    spark, tmp_location
+):
+    ds = Dataset.create(
+        spark, tmp_location, SCHEMA, ["id"],
+        check_constraints={"qty_nonneg": field("qty") >= 0},
+    )
+    with pytest.raises(UserInputError, match="qty_nonneg"):
+        ds.drop_column("qty")
+    ds.drop_constraint("qty_nonneg")
+    ds.drop_column("qty")
+    assert "qty" not in ds.schema.fieldNames()
+
+
+def test_violation_error_names_all_constraints(spark, tmp_location):
+    """One batch where DIFFERENT rows violate DIFFERENT constraints:
+    the error must name both (review finding: a limit(1) sample named
+    only the first row's violations)."""
+    ds = Dataset.create(
+        spark, tmp_location, SCHEMA, ["id"],
+        check_constraints={
+            "qty_nonneg": field("qty") >= 0,
+            "qty_cap": field("qty") <= 100,
+        },
+    )
+    import re
+
+    with pytest.raises(
+        ConstraintViolationError,
+        match=re.compile(r"qty_cap.*qty_nonneg"),
+    ):
+        ds.append(_rows(spark, [(1, -5, "a"), (2, 500, "b")]))

@@ -252,3 +252,23 @@ def test_keep_best_per_cluster_semantics(spark):
     )
     kept2 = keep_best_per_cluster(docs, labels2, "doc_id", "score")
     assert sorted(r.doc_id for r in kept2.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_keep_best_per_cluster_string_ids(spark):
+    """Winner election must survive non-numeric ids (review finding:
+    a negated string id cast to NULL and dropped every clustered
+    row)."""
+    from space_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.sql(
+        "SELECT * FROM VALUES "
+        "('sha:aa', CAST(1.0 AS DOUBLE)), ('sha:bb', 9.0), "
+        "('sha:cc', 9.0), ('sha:zz', NULL) AS t(doc_id, score)"
+    )
+    labels = spark.sql(
+        "SELECT * FROM VALUES ('sha:aa', 'c1'), ('sha:bb', 'c1'), "
+        "('sha:cc', 'c1') AS t(doc, cluster_id)"
+    )
+    kept = keep_best_per_cluster(docs, labels, "doc_id", "score")
+    assert sorted(r.doc_id for r in kept.collect()) == \
+        ["sha:bb", "sha:zz"]

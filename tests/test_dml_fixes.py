@@ -244,3 +244,25 @@ def test_update_set_where(spark, tmp_location):
     before = ds.current_snapshot_id
     ds.update(field("id") > 10_000, {"price": 1.0})
     assert ds.current_snapshot_id == before  # zero-row update: no commit
+
+
+def test_update_assignments_read_old_row(spark, tmp_location):
+    """All SET right-hand sides evaluate against the PRE-update row:
+    a column swap actually swaps (review finding: sequential
+    withColumn made results depend on dict order)."""
+    from pyspark.sql import Row, functions as F, types as T
+
+    from space_spark import Dataset, field
+
+    sch = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("a", T.DoubleType()),
+        T.StructField("b", T.DoubleType()),
+    ])
+    ds = Dataset.create(spark, tmp_location, sch, ["id"])
+    ds.append(spark.createDataFrame(
+        [Row(id=1, a=1.0, b=2.0), Row(id=2, a=3.0, b=4.0)], sch
+    ))
+    ds.update(field("id") >= 1, {"a": F.col("b"), "b": F.col("a")})
+    got = {r.id: (r.a, r.b) for r in ds.read().collect()}
+    assert got == {1: (2.0, 1.0), 2: (4.0, 3.0)}
