@@ -339,3 +339,46 @@ def test_pipeline_cascade_single_text_pass(spark):
     )
     plan = plan_of(kept)
     assert "Exchange" not in plan
+
+
+def test_heavy_hitters_recount_is_broadcast_and_windowless(spark):
+    """The exact recount must join the token stream against the
+    CANDIDATE set via broadcast (the candidate side is O(partitions*k)
+    by construction — shipping the corpus-sized token stream to a
+    shuffle join would reintroduce the long-tail exchange the sketch
+    exists to avoid), and winner counting is a partial-aggregable
+    groupBy, never a window."""
+    from space_spark.operators.text import heavy_hitters
+
+    plan = plan_of(heavy_hitters(_docs(spark), "text", 10_000))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_keep_best_winner_election_partial_agg_not_window(spark):
+    """Canonical selection must elect winners with groupBy-min over a
+    (neg score, id) struct — map-side combine collapses a hot
+    boilerplate cluster to one row per task — never a window over
+    cluster_id (no partial aggregation: 10^8 copies of one page land
+    on one reducer)."""
+    from pyspark.sql import functions as F
+
+    from space_spark.operators.dedup import keep_best_per_cluster
+
+    docs = _docs(spark).withColumn(
+        "score", F.length("text").cast("double")
+    )
+    labels = _docs(spark).select(
+        F.col("doc_id").alias("doc"),
+        (F.col("doc_id") % 7).alias("cluster_id"),
+    )
+    plan = plan_of(
+        keep_best_per_cluster(docs, labels, "doc_id", "score")
+    )
+    assert "Window" not in plan
+    # min over a struct falls back to SortAggregate — still PARTIAL
+    # (map-side combine per task), which is the property that matters.
+    assert "SortAggregate" in plan or "HashAggregate" in plan
+    assert "partial" in plan
+    assert "LeftSemi" in plan
