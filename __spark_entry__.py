@@ -1793,6 +1793,41 @@ FROM customer
 """
 
 
+def space_overwrite_read(spark, sf_dir):
+    """INSERT OVERWRITE (round 10, core/dataset.py overwrite): full
+    replacement in one snapshot — new files land write-first, the old
+    rows' primary keys dump DISTRIBUTED into a directory-valued
+    delete-stream entry so diff()/CDC/MV refresh replay the overwrite,
+    time travel still reaches the old content (asserted). Read returns
+    the replacement (region re-keyed), which is what the oracle
+    checks; a stale result would mean the swap wasn't atomic."""
+    from space_spark import Dataset
+
+    region = _t(spark, sf_dir, "region")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/ovw", region.schema, ["r_regionkey"]
+    )
+    ds.append(region)
+    v_old = ds.current_snapshot_id
+    ds.overwrite(
+        region.select(
+            (F.col("r_regionkey") + 500).cast("int").alias("r_regionkey"),
+            F.upper("r_name").alias("r_name"),
+        )
+    )
+    assert ds.read(version=v_old).count() == region.count()
+    assert ds.diff(v_old, None).where(
+        F.col("_change_type") == "DELETE"
+    ).count() == region.count()
+    return ds.read()
+
+
+SPACE_OVERWRITE_SQL = """
+SELECT r_regionkey + 500 AS r_regionkey, upper(r_name) AS r_name
+FROM region
+"""
+
+
 def space_update_read(spark, sf_dir):
     """UPDATE ... SET ... WHERE (round 10, core/dataset.py update —
     Delta UPDATE analog; beyond the reference): column assignments over
@@ -5530,6 +5565,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "space_constraint_read": space_constraint_read,
         "space_rollback_read": space_rollback_read,
         "space_update_read": space_update_read,
+        "space_overwrite_read": space_overwrite_read,
         "space_mor_delete": space_mor_delete,
         "space_diff_changes": space_diff_changes,
         "space_zorder_pruned": space_zorder_pruned,
@@ -5664,6 +5700,7 @@ def oracle_sql() -> dict[str, str]:
         "space_constraint_read": SPACE_CONSTRAINT_SQL,
         "space_rollback_read": SPACE_ROLLBACK_SQL,
         "space_update_read": SPACE_UPDATE_SQL,
+        "space_overwrite_read": SPACE_OVERWRITE_SQL,
         "space_insert_read": SPACE_INSERT_SQL,
         "space_compact_read": SPACE_COMPACT_SQL,
         "space_time_travel": SPACE_TIME_TRAVEL_SQL,

@@ -938,6 +938,76 @@ class Dataset:
             out[f"mx_{k}"] = mx
         return out
 
+    def overwrite(self, df: DataFrame) -> "Dataset":
+        """Replace the ENTIRE table contents with ``df`` as ONE snapshot
+        commit (``INSERT OVERWRITE`` / Delta ``mode("overwrite")``
+        semantics; beyond the reference) — the classic daily-snapshot
+        replacement. Readers never observe an intermediate empty or
+        mixed state, and time travel still reaches every pre-overwrite
+        version until expiry.
+
+        Change-feed contract KEPT: the commit records every old row as
+        a DELETE (primary keys only) followed by the new rows as ADDs,
+        so ``diff()``, the CDC stream, and incremental MV refresh
+        replay the overwrite correctly instead of silently skipping
+        it. That delete stream is inherently O(old-table primary keys)
+        — the price of CDF over a full replacement — and is written by
+        a DISTRIBUTED job into a directory-valued deletes entry (every
+        reader of the delete stream already handles directories); the
+        dump is MoR-masked, so rows already hidden by delete vectors
+        do not re-appear as deletes. Active vectors are dropped with
+        the files they covered.
+
+        New data files are written FIRST (the write-first discipline
+        every mutate here uses): the input plan evaluates exactly
+        once, CHECK constraints validate the landed files, and a
+        commit conflict retries only the cheap metadata + PK-dump
+        steps."""
+        df = self._align(df)
+        self.reload()
+        manifest_rel, files, rows, nbytes = self._write_data_files(df)
+        rec_rel = self._write_record_manifest_for(files)
+        last_err = None
+        for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
+            pinned = self.current_snapshot_id
+            parent = self.metadata.snapshot(pinned)
+            deletes_rel = None
+            old_files = mf.read_manifest_paths(
+                self._manifest_abs_paths(parent)
+            )
+            if old_files:
+                deletes_rel = os.path.join(
+                    "_space", "changes", f"deletes_{md.new_uuid()}"
+                )
+                old = self._apply_vectors(
+                    self._read_files(sorted(old_files)), parent
+                )
+                old.select(
+                    *[F.col(k).alias(self._phys_name(k))
+                      for k in self.primary_keys]
+                ).write.parquet(self.log.abs_path(deletes_rel))
+            snap = md.Snapshot(
+                snapshot_id=-1,
+                parent_snapshot_id=pinned,
+                created_at="",
+                manifest_files=[manifest_rel] if rows > 0 else [],
+                num_rows=rows,
+                data_bytes=nbytes,
+                added_files=list(files) if rows > 0 else [],
+                deleted_pks_file=deletes_rel,
+                delete_vector_files=[],
+                record_manifest_files=[rec_rel] if rec_rel else [],
+            )
+            try:
+                self.metadata = self.log.commit_snapshot(
+                    pinned, self.branch, snap
+                )
+                return self
+            except TransactionConflictError as e:
+                last_err = e
+                self.reload()
+        raise last_err
+
     def update(self, filter_: Expr,
                assignments: Dict[str, object]) -> "Dataset":
         """``UPDATE ... SET ... WHERE ...`` (Delta/ANSI analog; beyond
@@ -3226,6 +3296,15 @@ class Dataset:
             live.update(snap.record_manifest_files)
             if snap.deleted_pks_file:
                 live.add(snap.deleted_pks_file)
+                # overwrite() writes its O(old-table) delete stream as
+                # a DIRECTORY (distributed job output) — protect its
+                # contents, not just the directory name.
+                abs_d = self.log.abs_path(snap.deleted_pks_file)
+                if os.path.isdir(abs_d):
+                    for root, _dirs, fs in os.walk(abs_d):
+                        for n in fs:
+                            live.add(self.log.rel_path(
+                                os.path.join(root, n)))
             if snap.deleted_bitmap_file:
                 live.add(snap.deleted_bitmap_file)
             live.update(snap.delete_vector_files)

@@ -246,9 +246,10 @@ class SpaceBatchWriter(DataSourceArrowWriter):
                  overwrite: bool):
         if overwrite:
             raise UserInputError(
-                "format('space') supports mode('append') only: overwrite "
-                "would need a whole-table DELETE change-log entry; use "
-                "Dataset.delete + append for replace semantics"
+                "format('space') supports mode('append') only: the "
+                "whole-table DELETE change-log entry needs a distributed "
+                "PK dump the sink's commit worker cannot run; use "
+                "Dataset.overwrite(df) — same semantics, one commit"
             )
         self.location = location
         self.branch = options.get("branch", md.MAIN_BRANCH)

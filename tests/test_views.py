@@ -328,3 +328,22 @@ def test_join_field_selection(spark, tmp_location):
     v3 = right.join(left, keys="int64")
     assert v3.read().columns[0] == "int64"
     assert set(v3.read().columns) == {"int64", "string", "float64"}
+
+
+def test_mv_refresh_replays_overwrite(spark, tmp_location):
+    """overwrite() keeps the change-feed contract: an incremental MV
+    refresh across the overwrite applies the full delete stream then
+    the new adds — storage converges to the view over the replacement
+    content, never a stale mixture."""
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["int64"])
+    view = ds.map_batches(make_double_udf(), DOUBLE_SCHEMA)
+    mv = view.materialize(spark, tmp_location + "_mv")
+    ds.append(simple_df(spark, range(10)))
+    mv.refresh()
+    assert mv.read().count() == 10
+
+    ds.overwrite(simple_df(spark, range(100, 103)))
+    applied = mv.refresh()
+    assert applied  # the overwrite snapshot was consumed incrementally
+    got = sorted(r.int64 for r in mv.read().collect())
+    assert got == [100, 101, 102]
