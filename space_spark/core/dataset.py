@@ -972,6 +972,7 @@ class Dataset:
             pinned = self.current_snapshot_id
             parent = self.metadata.snapshot(pinned)
             deletes_rel = None
+            bitmap_rel = None
             old_files = mf.read_manifest_paths(
                 self._manifest_abs_paths(parent)
             )
@@ -986,6 +987,7 @@ class Dataset:
                     *[F.col(k).alias(self._phys_name(k))
                       for k in self.primary_keys]
                 ).write.parquet(self.log.abs_path(deletes_rel))
+                bitmap_rel = self._write_all_rows_bitmaps(parent)
             snap = md.Snapshot(
                 snapshot_id=-1,
                 parent_snapshot_id=pinned,
@@ -995,6 +997,7 @@ class Dataset:
                 data_bytes=nbytes,
                 added_files=list(files) if rows > 0 else [],
                 deleted_pks_file=deletes_rel,
+                deleted_bitmap_file=bitmap_rel,
                 delete_vector_files=[],
                 record_manifest_files=[rec_rel] if rec_rel else [],
             )
@@ -1007,6 +1010,66 @@ class Dataset:
                 last_err = e
                 self.reload()
         raise last_err
+
+    def _write_all_rows_bitmaps(self, parent) -> Optional[str]:
+        """Bitmap changelog for a full replacement: every surviving
+        (non-vector-masked) position of every parent data file, derived
+        from MANIFEST row counts alone — no data scan, O(files) sidecar
+        rows, row-count/8 bitmap bytes per file. Keeps the invariant
+        the DML model checks: any snapshot carrying a PK delete stream
+        also carries the bitmap encoding of the same rows."""
+        import numpy as np
+
+        from space_spark.core import bitmaps as bm
+
+        man_paths = self._manifest_abs_paths(parent)
+        if not man_paths:
+            return None
+        man_tbl = pa.concat_tables(
+            [pq.read_table(p, columns=[mf.FILE_PATH_COL,
+                                       mf.NUM_ROWS_COL])
+             for p in man_paths],
+            promote_options="permissive",
+        )
+        masks: Dict[str, object] = {}
+        vecs = list(getattr(parent, "delete_vector_files", []) or [])
+        if vecs:
+            vt = bm.read_sidecars(
+                [self.log.abs_path(r) for r in vecs],
+                columns=("file", "num_rows", "bitmap"),
+            )
+            for f, nr, blob in zip(vt["file"].to_pylist(),
+                                   vt["num_rows"].to_pylist(),
+                                   vt["bitmap"].to_pylist()):
+                cur = bm.decode_positions(blob, nr)
+                prev = masks.get(f)
+                masks[f] = (np.union1d(prev, cur)
+                            if prev is not None else cur)
+        files, nrows, ndels, blobs = [], [], [], []
+        for rel, nr in zip(man_tbl[mf.FILE_PATH_COL].to_pylist(),
+                           man_tbl[mf.NUM_ROWS_COL].to_pylist()):
+            pos = np.arange(int(nr), dtype=np.int64)
+            if rel in masks:
+                pos = np.setdiff1d(pos, masks[rel])
+            if pos.size == 0:
+                continue  # fully vector-masked: nothing visible to delete
+            files.append(rel)
+            nrows.append(int(nr))
+            ndels.append(int(pos.size))
+            blobs.append(bm.encode_positions(pos, int(nr)))
+        if not files:
+            return None
+        bitmap_rel = self.log.new_bitmap_relpath()
+        pq.write_table(
+            pa.table({
+                "file": pa.array(files, pa.string()),
+                "num_rows": pa.array(nrows, pa.int64()),
+                "n_deleted": pa.array(ndels, pa.int64()),
+                "bitmap": pa.array(blobs, pa.binary()),
+            }),
+            self.log.abs_path(bitmap_rel),
+        )
+        return bitmap_rel
 
     def update(self, filter_: Expr,
                assignments: Dict[str, object]) -> "Dataset":

@@ -32,7 +32,8 @@ OPS = st.lists(
         st.sampled_from(["append", "insert", "upsert", "delete_lt",
                          "delete_between", "apply_changes", "compact",
                          "merge_upd", "merge_del", "merge_multi",
-                         "merge_bysrc"]),
+                         "merge_bysrc", "update_lt", "overwrite",
+                         "rollback"]),
         st.lists(st.integers(min_value=0, max_value=30), min_size=1,
                  max_size=5, unique=True),
     ),
@@ -173,6 +174,36 @@ def test_dml_sequence_matches_model(spark, ops):
                 for k in list(model):
                     if k not in ids and model[k] % 2 == 1:
                         del model[k]
+            elif kind == "update_lt":
+                # r10 UPDATE ... SET ... WHERE: increment v for pk <
+                # bound; assignments read the OLD row by contract.
+                from pyspark.sql import functions as F
+
+                bound = ids[0]
+                ds.update(field("pk") < bound, {"v": F.col("v") + 1})
+                for k in list(model):
+                    if k < bound:
+                        model[k] += 1
+            elif kind == "overwrite":
+                # r10 INSERT OVERWRITE: full replacement, one commit.
+                ds.overwrite(df_for(ids, step))
+                model = {i: i * 1000 + step for i in ids}
+            elif kind == "rollback":
+                # r10 branch rewind to the nearest RECORDED ancestor;
+                # the model state snaps back with it.
+                target = ds.metadata.snapshot(
+                    ds.current_snapshot_id
+                ).parent_snapshot_id
+                while target is not None and (
+                    target >= len(history) or history[target] is None
+                ):
+                    target = ds.metadata.snapshot(
+                        target
+                    ).parent_snapshot_id
+                if target is None:
+                    continue
+                ds.rollback(target)
+                model = dict(history[target])
             elif kind == "compact":
                 # Maintenance is a NO-CHANGE commit (or a no-op when
                 # nothing qualifies): the model must be unaffected.

@@ -108,3 +108,21 @@ def test_overwrite_respects_constraints(spark, tmp_location):
         ds.overwrite(bad)
     ds.reload()
     assert ds.read().count() == 5  # untouched
+
+
+def test_overwrite_bitmap_changelog_agrees_with_pk_stream(
+    spark, tmp_location
+):
+    """The overwrite snapshot carries BOTH delete-stream encodings and
+    they agree — including when MoR vectors already hid rows."""
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["id"])
+    ds.append(_rows(spark, 0, 10))
+    ds.delete(field("id") >= 7, rewrite=False)
+    ds.overwrite(_rows(spark, 100, 102))
+    snap = ds.metadata.snapshot(ds.current_snapshot_id)
+    assert snap.deleted_pks_file and snap.deleted_bitmap_file
+    via_pk = sorted(r.id for r in ds.read_deleted_pks(snap).collect())
+    via_bm = sorted(
+        r.id for r in ds.read_deleted_pks_via_bitmap(snap).collect()
+    )
+    assert via_pk == via_bm == list(range(7))
