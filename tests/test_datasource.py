@@ -285,3 +285,41 @@ def test_change_feed_stream(spark, table, tmp_path):
     assert batch.where(F.col("_change_type") == "DELETE").count() == 5
     n_add_batch = batch.where(F.col("_change_type") == "ADD").count()
     assert n_add_batch == adds.count()
+
+
+def test_change_feed_stream_replays_overwrite(spark, table, tmp_path):
+    """CDC streaming across an overwrite(): the directory-valued delete
+    stream must surface every old PK as DELETE rows (the executor's "D"
+    partition reads it via pyarrow dataset — files or directories),
+    then the replacement rows as ADDs."""
+    out_dir = str(tmp_path / "ovw_out")
+    ckpt = str(tmp_path / "ovw_ckpt")
+
+    def drain():
+        (
+            spark.readStream.format("space")
+            .option("readChangeFeed", "true")
+            .load(table.location)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        return spark.read.parquet(out_dir)
+
+    drain()  # consume the three appends
+    table.overwrite(
+        spark.createDataFrame(
+            [Row(id=i, val=float(i)) for i in range(500, 503)], SIMPLE
+        )
+    )
+    got = drain()
+    new = got.where(F.col("_snapshot_id")
+                    == table.current_snapshot_id)
+    dels = new.where(F.col("_change_type") == "DELETE")
+    assert sorted(r.id for r in dels.collect()) == list(range(30))
+    assert dels.where(F.col("val").isNotNull()).count() == 0
+    adds = new.where(F.col("_change_type") == "ADD")
+    assert sorted(r.id for r in adds.collect()) == [500, 501, 502]
