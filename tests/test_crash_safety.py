@@ -73,3 +73,51 @@ def test_corrupt_entrypoint_swap_is_atomic(spark, tmp_location):
     with open(again.log.entrypoint_path, encoding="utf-8") as f:
         entry = json.load(f)
     assert os.path.exists(again.log.abs_path(entry["metadata_file"]))
+
+
+def test_overwrite_crash_before_commit_is_invisible_and_vacuumable(
+    spark, tmp_location
+):
+    """A writer dying mid-overwrite — after the new files and the
+    PK-delete-stream directory land but BEFORE the metadata commit —
+    leaves the table untouched and everything reclaimable (the delete
+    stream is a DIRECTORY; vacuum must reap its contents, and the
+    directory-liveness guard must not protect an uncommitted one)."""
+    import glob as _glob
+
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["id"])
+    ds.append(simple_df(spark, range(10)))
+
+    # Simulate the crash point: replicate overwrite()'s pre-commit
+    # steps without committing.
+    manifest_rel, files, rows, _ = ds._write_data_files(
+        simple_df(spark, range(100, 105))
+    )
+    parent = ds.metadata.snapshot(ds.current_snapshot_id)
+    import os as _os
+
+    from space_spark.core import metadata as _md
+    from pyspark.sql import functions as F
+
+    deletes_rel = _os.path.join(
+        "_space", "changes", f"deletes_{_md.new_uuid()}"
+    )
+    ds._read_files(
+        sorted(ds.data_files())
+    ).select(F.col("id")).write.parquet(ds.log.abs_path(deletes_rel))
+    bitmap_rel = ds._write_all_rows_bitmaps(parent)
+    assert bitmap_rel is not None
+
+    fresh = Dataset.load(spark, tmp_location)
+    assert fresh.read().count() == 10  # crash invisible
+
+    removed = fresh.vacuum(metadata_grace_sec=0.0, data_grace_sec=0.0)
+    assert set(files) <= set(removed)
+    assert manifest_rel in removed
+    assert bitmap_rel in removed
+    # Every file inside the uncommitted deletes DIRECTORY is reaped.
+    leftovers = _glob.glob(
+        _os.path.join(ds.log.abs_path(deletes_rel), "*.parquet")
+    )
+    assert leftovers == []
+    assert fresh.read().count() == 10

@@ -18,6 +18,13 @@ HOSTILE_QUERIES = [
     "q_asof_signup",       # as-of join on timestamps
     "stream_dedup",        # streaming watermarks + timestamp literals
     "q1_pricing_summary",  # date filters + money sums
+    # round-10 surfaces: update's CASE-encoded oracle is float-heavy,
+    # overwrite's delete stream crosses the arrow-off boundary, and
+    # heavy_hitters' two-pass recount must agree exactly without Arrow
+    # batching on the driver side.
+    "space_update_read",
+    "space_overwrite_read",
+    "text_heavy_hitters",
 ]
 
 
