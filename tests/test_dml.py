@@ -238,3 +238,61 @@ def test_apply_changes_single_commit(spark, tmp_location):
     with _pytest.raises(UserInputError):
         ds.apply_changes(spark.createDataFrame(
             [Row(id=1, v=0.0), Row(id=1, v=1.0)], schema), dels)
+
+
+def test_concurrent_overwrite_and_append_serialize(spark, tmp_location):
+    """overwrite racing an append: both must commit (optimistic retry),
+    and the final state must be ONE of the two serializable orders —
+    append-then-overwrite (overwrite wins everything: 5 rows) or
+    overwrite-then-append (5 + 20 rows). Anything else (lost append,
+    partial replacement) is a serialization bug. The overwrite's retry
+    loop re-derives the old-file set and delete stream from the NEW
+    head, so the late order must record the append's rows as deletes."""
+    import threading
+
+    d0 = Dataset.create(spark, tmp_location, SIMPLE, ["int64"])
+    d0.append(simple_df(spark, range(10)))
+    h_ovw = Dataset.load(spark, tmp_location)
+    h_app = Dataset.load(spark, tmp_location)
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def run_overwrite():
+        try:
+            barrier.wait(timeout=60)
+            h_ovw.overwrite(simple_df(spark, range(500, 505)))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def run_append():
+        try:
+            barrier.wait(timeout=60)
+            h_app.append(simple_df(spark, range(1000, 1020)))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    ts = [threading.Thread(target=run_overwrite),
+          threading.Thread(target=run_append)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(180)
+    assert errors == []
+    d0.reload()
+    got = sorted(r.int64 for r in d0.read().collect())
+    ovw_rows = list(range(500, 505))
+    app_rows = list(range(1000, 1020))
+    assert got in (ovw_rows, sorted(ovw_rows + app_rows)), got
+    # Whichever order won, the overwrite snapshot's delete stream must
+    # cover exactly the rows visible at ITS parent.
+    for sid, snap in d0.metadata.snapshots.items():
+        if snap.deleted_pks_file:
+            dels = sorted(
+                r.int64 for r in d0.read_deleted_pks(snap).collect()
+            )
+            parent_rows = sorted(
+                r.int64
+                for r in d0.read(version=snap.parent_snapshot_id)
+                .collect()
+            )
+            assert dels == parent_rows
