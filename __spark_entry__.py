@@ -5428,10 +5428,14 @@ _CHURNED_THIS_ROUND = [
     # append_parquet gained the external-file constraint scan (inert
     # without constraints); this is the zero-copy representative.
     "space_zero_copy_load",
-    # _write_data_files gained the write-first constraint tail (gated
-    # on metadata.constraints — empty for every other registered
-    # table); one representative of the shared ingest path.
-    "space_insert_read",
+    # vacuum()'s liveness loop gained the directory-aware guard for
+    # overwrite's dir-valued delete streams — new code runs for EVERY
+    # snapshot with a deletes entry, so the registered vacuum surface
+    # re-verifies. (This displaced space_insert_read from the list:
+    # insert's only change is the _write_data_files constraint tail,
+    # inert without constraints and pinned by tests/test_constraints;
+    # insert_read is r8-green and rotates naturally.)
+    "space_vacuum_read",
 ]
 # Quota is 8; 8 used. churn_suggest additionally flags every space
 # query via the Dataset CLASS diff and every field()-using query via

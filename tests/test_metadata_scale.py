@@ -277,3 +277,40 @@ def test_routed_filtered_read_pushes_projection(spark, tmp_location):
     cols = [c.strip().split("#")[0] for c in
             scan_line.split("[", 1)[-1].split("]")[0].split(",")]
     assert sorted(set(cols)) == ["k", "v"], scan_line
+
+
+def test_clone_of_100k_file_table_is_metadata_time(
+    spark, tmp_location
+):
+    """Shallow clone cost is O(manifest bytes): cloning a 100k-file
+    table must finish in seconds without touching (or needing) any
+    data file, and the clone's manifests must carry identical stats
+    so pruning fidelity survives the path remap."""
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["k"])
+    ds.append(_df(spark, range(10)).coalesce(1))
+    ds = _forge_big_snapshot(ds)
+
+    dest = tmp_location + "_clone"
+    t0 = time.perf_counter()
+    clone = ds.clone(dest)
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 15.0, f"clone of 100k-file table took {elapsed:.1f}s"
+    snap = clone.metadata.snapshot(0)
+    assert snap.num_rows == ds.metadata.snapshot(
+        ds.current_snapshot_id
+    ).num_rows
+    # Pruning on the clone plans from the remapped manifests alone:
+    # one selective key hits exactly one (synthetic) file.
+    import os
+
+    from space_spark import field
+
+    files = clone.data_files(filter_=field("k") == 5 * ROWS_PER_FILE)
+    assert len(files) == 1 and "fake" in files[0]
+    # And the remap points back INTO the source location.
+    assert os.path.normpath(
+        os.path.join(dest, files[0])
+    ).startswith(os.path.normpath(tmp_location))
+    import shutil
+
+    shutil.rmtree(dest, ignore_errors=True)
