@@ -14,10 +14,16 @@ small/dense split at file granularity:
 - DENSE (tag 1): raw bitset — O(file rows / 8) bytes, chosen when more
   than 1/32nd of the file is deleted (the crossover where 4-byte
   positions outgrow 1-bit membership).
+- ALL (tag 2): every row of the file — zero payload, O(1) regardless of
+  row count. This is the reference's ``RowBitmap.all_rows`` flag
+  (metadata.proto:182): a full-table overwrite's changelog marks each
+  parent file "all rows deleted" in 1 byte instead of rows/8, so the
+  sidecar for replacing a 10^12-row table is O(files), not ~125 GB.
 
 Encoding is chosen per file by actual size, so bitmap bytes are always
-min(4*k, num_rows/8) + 1 — never O(rows) for a small delete and never
-O(4*rows) for a near-full delete.
+min(4*k, num_rows/8, 1-if-full) + 1 — never O(rows) for a small delete
+and O(1) for a full-file delete. Decoders expand ALL lazily at the
+consumer (the CDC reader and MoR maskers run distributed, per-file).
 """
 
 from __future__ import annotations
@@ -26,6 +32,7 @@ import numpy as np
 
 _TAG_SPARSE = 0
 _TAG_DENSE = 1
+_TAG_ALL = 2
 
 
 def encode_positions(positions: np.ndarray, num_rows: int) -> bytes:
@@ -35,6 +42,8 @@ def encode_positions(positions: np.ndarray, num_rows: int) -> bytes:
     than ``num_rows`` (callers pass ``np.unique`` output).
     """
     pos = np.asarray(positions, dtype=np.uint32)
+    if int(pos.size) == num_rows and num_rows > 0:
+        return bytes([_TAG_ALL])
     sparse_bytes = 4 * int(pos.size)
     dense_bytes = (num_rows + 7) // 8
     if sparse_bytes <= dense_bytes:
@@ -44,8 +53,28 @@ def encode_positions(positions: np.ndarray, num_rows: int) -> bytes:
     return bytes([_TAG_DENSE]) + np.packbits(bits).tobytes()
 
 
+def encode_all(num_rows: int) -> bytes:
+    """O(1) encoding of "every position in the file" — no position
+    array is ever materialized (reference metadata.proto:182
+    ``all_rows``). ``num_rows`` is unused but kept for signature
+    symmetry with encode_positions; the sidecar row carries it."""
+    del num_rows
+    return bytes([_TAG_ALL])
+
+
+def is_all(blob: bytes) -> bool:
+    """True when the blob is the O(1) all-rows encoding."""
+    return bool(blob) and blob[0] == _TAG_ALL
+
+
 def decode_positions(blob: bytes, num_rows: int) -> np.ndarray:
-    """Decode to a sorted uint32 array of deleted row positions."""
+    """Decode to a sorted uint32 array of deleted row positions.
+
+    ALL-tag blobs expand to ``arange(num_rows)`` HERE — callers that
+    only need a count must use :func:`count_positions`, and drivers
+    must not decode ALL blobs for large files (the distributed readers
+    decode per-file inside tasks, where O(file rows) is the same cost
+    as reading the file)."""
     if not blob:
         return np.empty(0, dtype=np.uint32)
     tag, payload = blob[0], blob[1:]
@@ -56,12 +85,37 @@ def decode_positions(blob: bytes, num_rows: int) -> np.ndarray:
             np.frombuffer(payload, dtype=np.uint8), count=num_rows
         )
         return np.nonzero(bits)[0].astype(np.uint32)
+    if tag == _TAG_ALL:
+        return np.arange(num_rows, dtype=np.uint32)
+    raise ValueError(f"Unknown bitmap tag {tag}")
+
+
+def count_positions(blob: bytes, num_rows: int) -> int:
+    """Deleted-row count WITHOUT materializing positions — O(1) for
+    SPARSE/ALL, O(rows/8) popcount for DENSE."""
+    if not blob:
+        return 0
+    tag, payload = blob[0], blob[1:]
+    if tag == _TAG_SPARSE:
+        return len(payload) // 4
+    if tag == _TAG_DENSE:
+        # popcount of the bitset; the tail byte may carry pad bits but
+        # encode_positions only ever sets bits < num_rows.
+        return int(np.unpackbits(
+            np.frombuffer(payload, dtype=np.uint8)
+        ).sum())
+    if tag == _TAG_ALL:
+        return int(num_rows)
     raise ValueError(f"Unknown bitmap tag {tag}")
 
 
 def merge_blobs(blobs, num_rows: int) -> tuple[bytes, int]:
     """Union several per-file bitmaps (same data file, same num_rows).
-    Returns (merged blob, deleted count)."""
+    Returns (merged blob, deleted count). Short-circuits O(1) when any
+    input already covers the whole file."""
+    blobs = list(blobs)
+    if any(is_all(b) for b in blobs):
+        return bytes([_TAG_ALL]), int(num_rows)
     merged = np.unique(
         np.concatenate([decode_positions(b, num_rows) for b in blobs])
     )

@@ -639,37 +639,66 @@ class Dataset:
         are validated first (one pushed-down scan of the current
         snapshot — Delta ``ALTER TABLE ADD CONSTRAINT`` semantics);
         enforcement of future writes starts with the metadata commit.
-        Note the optimistic window: a write racing between validation
-        and the commit is caught by ITS OWN write-first check once the
-        constraint lands, not by this scan."""
-        self.reload()
-        enc = self._encode_constraints(
-            {name: expr}, self.schema, self.record_fields
-        )
-        if name in (self.metadata.constraints or {}):
-            raise UserInputError(f"Constraint {name!r} already exists")
-        saved = self.metadata.constraints
-        try:
-            # Reuse the one-scan checker against the LIVE table read.
-            self.metadata.constraints = enc
-            violated = self._constraint_violation_names(self.read())
-        finally:
-            self.metadata.constraints = saved
-        if violated:
-            raise ConstraintViolationError(
-                f"Cannot add CHECK constraint {name!r}: existing rows "
-                "violate it"
-            )
 
-        def mutate(meta):
-            if name in meta.constraints:
+        Concurrency: the branch head is PINNED at validation start and
+        re-checked inside the ``update_refs`` critical section — a
+        write that lands between validation and the constraint commit
+        (it validated against the OLD constraint set, so its rows were
+        never checked against this one) moves the head and forces this
+        method to re-validate against the new snapshot before the
+        constraint can land. Without the pin, violating rows could
+        arrive durably AFTER the constraint committed.
+
+        Validation reads with ``reference_read=True``: constraints are
+        forbidden from referencing record (blob) fields, so the scan
+        stays on index columns and never resolves blob values."""
+        enc = None
+        last_err: Optional[Exception] = None
+        for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
+            self.reload()
+            enc = self._encode_constraints(
+                {name: expr}, self.schema, self.record_fields
+            )
+            if name in (self.metadata.constraints or {}):
                 raise UserInputError(
                     f"Constraint {name!r} already exists"
                 )
-            meta.constraints[name] = enc[name]
+            validated_head = self.current_snapshot_id
+            saved = self.metadata.constraints
+            try:
+                # Reuse the one-scan checker against the LIVE table
+                # read (index columns only — addresses, not blobs).
+                self.metadata.constraints = enc
+                violated = self._constraint_violation_names(
+                    self.read(reference_read=True)
+                )
+            finally:
+                self.metadata.constraints = saved
+            if violated:
+                raise ConstraintViolationError(
+                    f"Cannot add CHECK constraint {name!r}: existing "
+                    "rows violate it"
+                )
 
-        self.metadata = self.log.update_refs(mutate)
-        return self
+            def mutate(meta):
+                if name in meta.constraints:
+                    raise UserInputError(
+                        f"Constraint {name!r} already exists"
+                    )
+                if meta.branches.get(self.branch) != validated_head:
+                    raise TransactionConflictError(
+                        f"Branch {self.branch!r} advanced past snapshot "
+                        f"{validated_head} during constraint "
+                        "validation; re-validating against the new head"
+                    )
+                meta.constraints[name] = enc[name]
+
+            try:
+                self.metadata = self.log.update_refs(mutate)
+                return self
+            except TransactionConflictError as e:
+                last_err = e
+        raise last_err
 
     def drop_constraint(self, name: str) -> "Dataset":
         """Remove a CHECK constraint (metadata-only)."""
@@ -1015,9 +1044,15 @@ class Dataset:
         """Bitmap changelog for a full replacement: every surviving
         (non-vector-masked) position of every parent data file, derived
         from MANIFEST row counts alone — no data scan, O(files) sidecar
-        rows, row-count/8 bitmap bytes per file. Keeps the invariant
-        the DML model checks: any snapshot carrying a PK delete stream
-        also carries the bitmap encoding of the same rows."""
+        rows. Unmasked files (the overwhelming majority — only files
+        with live MoR delete vectors are masked) get the O(1) ALL
+        encoding (reference metadata.proto:182 ``RowBitmap.all_rows``),
+        so overwriting a 10^12-row table builds O(files) bytes on the
+        driver, never a per-row position array. Masked files keep the
+        exact complement encoding (bounded by files that actually carry
+        delete vectors). Keeps the invariant the DML model checks: any
+        snapshot carrying a PK delete stream also carries the bitmap
+        encoding of the same rows."""
         import numpy as np
 
         from space_spark.core import bitmaps as bm
@@ -1048,15 +1083,25 @@ class Dataset:
         files, nrows, ndels, blobs = [], [], [], []
         for rel, nr in zip(man_tbl[mf.FILE_PATH_COL].to_pylist(),
                            man_tbl[mf.NUM_ROWS_COL].to_pylist()):
-            pos = np.arange(int(nr), dtype=np.int64)
-            if rel in masks:
-                pos = np.setdiff1d(pos, masks[rel])
+            nr = int(nr)
+            if nr == 0:
+                continue
+            if rel not in masks:
+                # O(1) all-rows encoding — no position array at any
+                # row count (metadata.proto:182 all_rows analogue).
+                files.append(rel)
+                nrows.append(nr)
+                ndels.append(nr)
+                blobs.append(bm.encode_all(nr))
+                continue
+            pos = np.setdiff1d(np.arange(nr, dtype=np.int64),
+                               masks[rel])
             if pos.size == 0:
                 continue  # fully vector-masked: nothing visible to delete
             files.append(rel)
-            nrows.append(int(nr))
+            nrows.append(nr)
             ndels.append(int(pos.size))
-            blobs.append(bm.encode_positions(pos, int(nr)))
+            blobs.append(bm.encode_positions(pos, nr))
         if not files:
             return None
         bitmap_rel = self.log.new_bitmap_relpath()
@@ -2192,7 +2237,7 @@ class Dataset:
                 tbl = pq.read_table(abs_p)
                 if "n_deleted" not in tbl.column_names:
                     tbl = tbl.append_column("n_deleted", pa.array(
-                        [len(bm.decode_positions(b.as_py(), n.as_py()))
+                        [bm.count_positions(b.as_py(), n.as_py())
                          for b, n in zip(tbl["bitmap"], tbl["num_rows"])],
                         pa.int64(),
                     ))
@@ -3608,6 +3653,7 @@ class Dataset:
         other columns are NULL (change_data.py:42-44: UPDATE = DELETE+ADD)."""
         start = self.metadata.resolve_version(v1, self.branch)
         end = self.metadata.resolve_version(v2, self.branch)
+        md.warn_if_cdf_starts_at_clone_origin(self.metadata, start)
         parts: List[DataFrame] = []
         for snap in self._ancestors(start, end):
             if snap.deleted_pks_file:

@@ -49,6 +49,35 @@ def new_uuid() -> str:
     return uuid.uuid4().hex[:20]
 
 
+def warn_if_cdf_starts_at_clone_origin(meta: "StorageMetadata",
+                                       start_id: int) -> None:
+    """Change-feed reads walk (start, head] — a shallow clone's origin
+    snapshot carries the table's rows via manifests but has NO
+    added_files (lineage was cut at the clone boundary), so a CDC
+    consumer bootstrapping from it silently receives zero rows for a
+    non-empty table. Surface that instead of staying quiet; consumers
+    that want the pre-existing rows should seed from ``read()`` at the
+    origin version and stream changes from there."""
+    snap = meta.snapshots.get(start_id)
+    if (
+        snap is not None
+        and snap.parent_snapshot_id is None
+        and (snap.num_rows or 0) > 0
+        and not (snap.added_files or [])
+    ):
+        import warnings
+
+        warnings.warn(
+            f"Change feed starts at snapshot {start_id}, a lineage "
+            f"origin holding {snap.num_rows} rows with no change log "
+            "(shallow clone boundary): those pre-existing rows will "
+            "NOT appear in the feed. Seed the consumer with "
+            f"read(version={start_id}) first, then stream changes.",
+            UserWarning,
+            stacklevel=3,
+        )
+
+
 @dataclass
 class Snapshot:
     """One immutable table version (metadata.proto:90-112)."""

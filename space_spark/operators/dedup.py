@@ -1081,9 +1081,15 @@ def keep_best_per_cluster(
     lbl = labels.select(
         F.col("doc").alias("__kb_doc"), "cluster_id"
     )
+    # Three consumers fan out from `tagged` (winners agg, clustered
+    # semi-join, unclustered pass-through); its upstream typically ends
+    # in iterative connected-components clustering, so without a
+    # truncation point that whole lineage re-executes ~3x.
+    # localCheckpoint (same discipline as dedup_clusters' per-iteration
+    # checkpoint) materializes it once.
     tagged = df.join(
         lbl, on=df[id_col] == F.col("__kb_doc"), how="left"
-    ).drop("__kb_doc")
+    ).drop("__kb_doc").localCheckpoint(eager=False)
     ranked = F.struct(
         (-F.coalesce(F.col(score_col).cast("double"),
                      F.lit(float("-inf")))).alias("ns"),

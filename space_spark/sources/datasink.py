@@ -306,8 +306,23 @@ class SpaceStreamWriter(DataSourceStreamArrowWriter):
         rel = os.path.join(
             "data", f"stream-{uuid.uuid4().hex[:16]}.parquet"
         )
+        # Constraints are re-read HERE, not from the planning-time
+        # snapshot on self: a long-running stream must enforce an
+        # add_constraint() that lands mid-stream on every later
+        # micro-batch (and stop enforcing a dropped one). One small
+        # metadata-JSON read per task per batch — noise next to the
+        # shard write itself. The write schema stays planning-time
+        # pinned: mid-stream schema evolution is a restart, not a
+        # silent remap.
+        try:
+            live = md.MetadataLog(self.location).read_metadata()
+            constraints = sorted(
+                (getattr(live, "constraints", {}) or {}).items()
+            )
+        except OSError:  # pragma: no cover - metadata briefly unreadable
+            constraints = self.constraints
         return _write_shard(self.location, rel, self.table_arrow, iterator,
-                            self.write_arrow, self.constraints)
+                            self.write_arrow, constraints)
 
     def commit(self, messages, batchId: int) -> None:
         rel_files = _files_from(messages)

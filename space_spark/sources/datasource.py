@@ -251,8 +251,6 @@ def _load_vector_masks(log, snap) -> dict:
     snapshot's active merge-on-read delete vectors — the ENCODED blobs
     ship to executors (O(deleted) bytes, roaring-compact) and decode
     there. Multiple sidecars masking one file merge positionally."""
-    import numpy as np
-
     from space_spark.core import bitmaps as bm
 
     rels = list(getattr(snap, "delete_vector_files", []) or [])
@@ -270,11 +268,9 @@ def _load_vector_masks(log, snap) -> dict:
         key = log.abs_path(f)
         if key in masks:
             prev_blob, _ = masks[key]
-            merged = np.union1d(
-                bm.decode_positions(prev_blob, nr),
-                bm.decode_positions(blob, nr),
-            )
-            blob = bm.encode_positions(merged, nr)
+            # merge_blobs short-circuits O(1) when either side is the
+            # all-rows encoding (a whole-file delete vector).
+            blob, _ = bm.merge_blobs([prev_blob, blob], nr)
         masks[key] = (blob, nr)
     return masks
 
@@ -532,6 +528,7 @@ class SpaceChangeFeedStreamReader(DataSourceStreamReader):
         _, meta = _load(location)
         self.primary_keys = list(meta.primary_keys)
         self.renames = dict(getattr(meta, "renames", {}) or {})
+        md.warn_if_cdf_starts_at_clone_origin(meta, self.start_version)
 
     def initialOffset(self) -> dict:
         return {"snapshot_id": self.start_version}

@@ -43,6 +43,37 @@ def test_empty_and_full():
     )
 
 
+def test_all_rows_encoding_is_o1():
+    """A full-file delete encodes in ONE byte at any row count — the
+    reference's RowBitmap.all_rows flag (metadata.proto:182). Both the
+    explicit encode_all path and encode_positions' full-set detection
+    hit it, and count/merge never materialize positions."""
+    for n in (1, 100, 2_000_000_000):  # 2e9 rows: arange would be 16 GB
+        blob = bm.encode_all(n)
+        assert len(blob) == 1 and bm.is_all(blob)
+        assert bm.count_positions(blob, n) == n
+    # encode_positions recognizes a full set (small n only — the point
+    # of encode_all is that callers never build the full array).
+    full = np.arange(500)
+    blob = bm.encode_positions(full, 500)
+    assert len(blob) == 1 and bm.is_all(blob)
+    assert np.array_equal(bm.decode_positions(blob, 500), full)
+    # merge with ALL short-circuits to ALL without decoding.
+    sparse = bm.encode_positions(np.array([3, 7]), 2_000_000_000)
+    merged, nd = bm.merge_blobs([sparse, bm.encode_all(2_000_000_000)],
+                                2_000_000_000)
+    assert bm.is_all(merged) and nd == 2_000_000_000
+
+
+def test_count_positions_matches_decode():
+    n = 4096
+    for pos in (np.array([]), np.array([0, 1, 4095]),
+                np.arange(0, n, 2), np.arange(n)):
+        blob = bm.encode_positions(pos, n)
+        assert bm.count_positions(blob, n) == pos.size == \
+            bm.decode_positions(blob, n).size
+
+
 @settings(max_examples=50, deadline=None)
 @given(
     st.integers(min_value=1, max_value=5000).flatmap(

@@ -193,3 +193,41 @@ def test_clone_preserves_renames_and_pruning(spark, two_locations):
     assert len(clone.data_files(filter_=field("id") > 10_000)) == 0
     got = clone.read(filter_=field("id") == 4).collect()
     assert [r.value for r in got] == [2.0]
+
+
+def test_clone_cdf_bootstrap_warns_about_cut_lineage(
+    spark, two_locations
+):
+    """diff()/readChangeFeed starting at a clone's origin snapshot
+    yields no rows for the cloned data (lineage was cut) — the read
+    path must say so instead of silently streaming nothing."""
+    import warnings
+
+    src_loc, dst_loc = two_locations
+    src = Dataset.create(spark, src_loc, SCHEMA, ["id"])
+    src.append(rows(spark, 0, 6))
+    clone = src.clone(dst_loc)
+    clone.append(rows(spark, 10, 12))
+
+    with pytest.warns(UserWarning, match="clone boundary"):
+        d = clone.diff(0, clone.current_snapshot_id)
+    # The feed still carries post-clone changes — only pre-existing
+    # rows are absent.
+    assert sorted(r.id for r in d.collect()) == [10, 11]
+
+    # A regular table's diff from version 0 stays silent.
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        src.diff(0, src.current_snapshot_id)
+
+    # The streaming CDC reader warns at construction time too.
+    from space_spark.sources.datasource import (
+        SpaceChangeFeedStreamReader,
+    )
+    from space_spark.sources import datasource as ds_mod
+
+    cdf_schema = ds_mod.SpaceDataSource(
+        {"path": dst_loc, "readchangefeed": "true"}
+    ).schema()
+    with pytest.warns(UserWarning, match="clone boundary"):
+        SpaceChangeFeedStreamReader(dst_loc, {}, cdf_schema)

@@ -213,3 +213,67 @@ def test_violation_error_names_all_constraints(spark, tmp_location):
         match=re.compile(r"qty_cap.*qty_nonneg"),
     ):
         ds.append(_rows(spark, [(1, -5, "a"), (2, 500, "b")]))
+
+
+# ------------------------------------------------- add_constraint TOCTOU
+def test_add_constraint_detects_racing_violating_append(
+    spark, tmp_location, monkeypatch
+):
+    """A write landing BETWEEN validation and the constraint commit
+    validated against the OLD constraint set — the head pin inside
+    update_refs must force re-validation, which then sees the
+    violating row and refuses the constraint (instead of committing a
+    durably-broken invariant)."""
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["id"])
+    ds.append(_rows(spark, [(1, 5, "a")]))
+    racer = Dataset.load(spark, tmp_location)
+
+    orig = Dataset._constraint_violation_names
+    state = {"raced": False}
+
+    def patched(self, df):
+        out = orig(self, df)
+        if not state["raced"]:
+            state["raced"] = True
+            # Simulates an append already past ITS constraint check
+            # (the old, empty set) committing before ours.
+            racer.append(_rows(spark, [(2, -9, "x")]))
+        return out
+
+    monkeypatch.setattr(
+        Dataset, "_constraint_violation_names", patched
+    )
+    with pytest.raises(ConstraintViolationError, match="qty_nonneg"):
+        ds.add_constraint("qty_nonneg", field("qty") >= 0)
+    ds.reload()
+    assert "qty_nonneg" not in (ds.metadata.constraints or {})
+    assert sorted(r.id for r in ds.read().collect()) == [1, 2]
+
+
+def test_add_constraint_retries_past_benign_racing_append(
+    spark, tmp_location, monkeypatch
+):
+    """A racing append of NON-violating rows just costs one retry —
+    the constraint lands after re-validation against the new head."""
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["id"])
+    ds.append(_rows(spark, [(1, 5, "a")]))
+    racer = Dataset.load(spark, tmp_location)
+
+    orig = Dataset._constraint_violation_names
+    state = {"raced": False}
+
+    def patched(self, df):
+        out = orig(self, df)
+        if not state["raced"]:
+            state["raced"] = True
+            racer.append(_rows(spark, [(2, 3, "x")]))
+        return out
+
+    monkeypatch.setattr(
+        Dataset, "_constraint_violation_names", patched
+    )
+    ds.add_constraint("qty_nonneg", field("qty") >= 0)
+    ds.reload()
+    assert "qty_nonneg" in ds.metadata.constraints
+    with pytest.raises(ConstraintViolationError):
+        ds.append(_rows(spark, [(3, -1, "y")]))

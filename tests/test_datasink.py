@@ -137,3 +137,38 @@ def test_stream_replayed_batch_skipped(spark, sink_table):
     assert not os.path.exists(
         os.path.join(sink_table.location, msg2.rel_files[0])
     )
+
+
+def test_stream_writer_picks_up_mid_stream_constraint(spark, sink_table):
+    """add_constraint() during a long-running stream must be enforced
+    on LATER micro-batches: the executor-side writer instance was
+    constructed before the constraint existed, so write() re-reads the
+    live constraint set per batch instead of trusting its planning-time
+    snapshot (and drop_constraint symmetrically stops enforcement)."""
+    import pyarrow as pa
+
+    from space_spark import ConstraintViolationError, field
+    from space_spark.sources.datasink import SpaceStreamWriter
+
+    w = SpaceStreamWriter(sink_table.location, {}, SIMPLE)
+    assert w.constraints == []  # planning-time snapshot: none
+
+    def batch(vals):
+        yield pa.RecordBatch.from_pydict(
+            {"id": list(range(len(vals))), "val": vals},
+            schema=w.table_arrow,
+        )
+
+    msg = w.write(batch([0.5, 1.0]))
+    w.commit([msg], batchId=0)
+
+    sink_table.reload().add_constraint(
+        "val_nonneg", field("val") >= 0
+    )
+    with pytest.raises(ConstraintViolationError, match="val_nonneg"):
+        w.write(batch([-1.0]))
+
+    sink_table.drop_constraint("val_nonneg")
+    msg2 = w.write(batch([-1.0]))  # constraint dropped: allowed again
+    w.commit([msg2], batchId=1)
+    assert sink_table.reload().read().count() == 3

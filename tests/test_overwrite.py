@@ -126,3 +126,68 @@ def test_overwrite_bitmap_changelog_agrees_with_pk_stream(
         r.id for r in ds.read_deleted_pks_via_bitmap(snap).collect()
     )
     assert via_pk == via_bm == list(range(7))
+
+
+def test_overwrite_bitmap_sidecar_is_o_files_not_o_rows(
+    spark, tmp_location
+):
+    """The overwrite changelog's bitmap for an unmasked parent file is
+    the 1-byte ALL encoding (reference metadata.proto:182 all_rows) at
+    ANY row count — proven on a synthetic manifest claiming 2e9 rows,
+    where a dense bitset would be 250 MB and a position array 16 GB.
+    _write_all_rows_bitmaps reads only manifest row counts, so the
+    doctored manifest exercises the real production path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from space_spark.core import bitmaps as bm
+    from space_spark.core import manifests as mf
+
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["id"])
+    ds.append(_rows(spark, 0, 10))
+    parent = ds.metadata.snapshot(ds.current_snapshot_id)
+    man_path = ds._manifest_abs_paths(parent)[0]
+    tbl = pq.read_table(man_path)
+    big = tbl.set_column(
+        tbl.column_names.index(mf.NUM_ROWS_COL), mf.NUM_ROWS_COL,
+        pa.array([2_000_000_000] * tbl.num_rows, pa.int64()),
+    )
+    pq.write_table(big, man_path)
+    rel = ds._write_all_rows_bitmaps(parent)
+    side = pq.read_table(ds.log.abs_path(rel))
+    assert side.num_rows == tbl.num_rows  # O(files) sidecar rows
+    for blob, nd in zip(side["bitmap"].to_pylist(),
+                        side["n_deleted"].to_pylist()):
+        assert len(blob) == 1 and bm.is_all(blob)
+        assert nd == 2_000_000_000
+
+
+def test_overwrite_bitmap_keeps_exact_encoding_for_masked_files(
+    spark, tmp_location
+):
+    """Parent files hidden by MoR delete vectors keep the exact
+    complement encoding; unmasked files in the same overwrite get ALL."""
+    from space_spark.core import bitmaps as bm
+
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["id"])
+    ds.append(_rows(spark, 0, 10))
+    ds.delete(field("id") == 3, rewrite=False)
+    ds.overwrite(_rows(spark, 100, 102))
+    snap = ds.metadata.snapshot(ds.current_snapshot_id)
+    import pyarrow.parquet as pq
+
+    side = pq.read_table(ds.log.abs_path(snap.deleted_bitmap_file))
+    # 10 parent rows (across several files), one MoR-hidden: 9 visible
+    # deletions total. The file carrying the masked row encodes the
+    # exact complement (not ALL); every fully-visible file encodes ALL.
+    assert sum(side["n_deleted"].to_pylist()) == 9
+    exact = [
+        (blob, nr, nd)
+        for blob, nr, nd in zip(side["bitmap"].to_pylist(),
+                                side["num_rows"].to_pylist(),
+                                side["n_deleted"].to_pylist())
+        if not bm.is_all(blob)
+    ]
+    assert len(exact) == 1
+    blob, nr, nd = exact[0]
+    assert nd == nr - 1  # one hidden row excluded from the complement
