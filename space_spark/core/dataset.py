@@ -205,6 +205,14 @@ class Dataset:
         return self.metadata.record_fields
 
     @property
+    def record_search_bases(self) -> List[str]:
+        """Absolute extra roots consulted when resolving blob addresses
+        (shallow clones of record-field tables; empty otherwise).
+        Stored location-relative in metadata for portability."""
+        return [self.log.abs_path(b)
+                for b in (self.metadata.record_bases or [])]
+
+    @property
     def current_snapshot_id(self) -> int:
         return self.metadata.branches[self.branch]
 
@@ -482,7 +490,8 @@ class Dataset:
         ]
         if resolve and not reference_read:
             df = rec.resolve_record_fields(
-                df, self.location, resolve, self.schema
+                df, self.location, resolve, self.schema,
+                bases=self.record_search_bases,
             )
             if deserialize:
                 from space_spark.core.serializers import deserialize_udf
@@ -2389,20 +2398,26 @@ class Dataset:
         per-file paths remapped), so the clone reads exactly the rows
         the source showed.
 
-        Record-field (blob) tables are refused: blob ADDRESSES live
-        inside the immutable data files as table-location-relative
-        paths, which would resolve against the clone's location.
+        Record-field (blob) tables clone via RECORD-BASE INDIRECTION:
+        blob ADDRESSES inside the immutable data files are
+        table-location-relative ("records/<uuid>") and cannot be
+        remapped without rewriting data files, so the clone's metadata
+        records the source root as an extra blob search base
+        (StorageMetadata.record_bases) — resolution tries the clone's
+        own ``records/`` first (post-clone appends), then the source's
+        (uuid filenames make cross-root collisions impossible). Record
+        manifests are copied with their paths UNREMAPPED (same
+        search-base namespace as addresses), so ``compact_records()``
+        on the clone finds the shared small blobs and localizes them.
+        Retention caveat (same as data files): the source must not
+        vacuum/expire the pinned snapshot's blobs while the clone
+        references them.
         """
         self.reload()
         if self.metadata.table_type != md.TYPE_DATASET:
             raise UserInputError(
                 "clone() supports plain datasets; materialized views "
                 "re-derive from their sources instead"
-            )
-        if self.record_fields:
-            raise UserInputError(
-                "clone() does not support record-field tables: blob "
-                "addresses inside data files are table-location-relative"
             )
         snap_id = self.metadata.resolve_version(version, self.branch)
         snapshot = self.metadata.snapshot(snap_id)
@@ -2447,8 +2462,46 @@ class Dataset:
         # Deep-copy the source metadata (schema, PKs, renames, field ids,
         # bloom config) through its own serde, then restart history at
         # snapshot 0. udf_registry/serializers stay empty by the guards
-        # above (both are only populated for MVs / record-field tables).
+        # above (udf_registry is only populated for MVs).
         meta = md.StorageMetadata.from_json(self.metadata.to_json())
+        # Record-field support: ancestor record manifests are copied
+        # byte-for-byte (their FILE_PATH entries stay in the shared
+        # "records/..." namespace addresses use — resolution is
+        # base-aware), the source root joins the blob search path, and
+        # per-field serializer pickles are copied so deserialize=True
+        # works without the source's _space/udfs dir.
+        new_rec_manifests: List[str] = []
+        if self.record_fields:
+            import shutil as _shutil
+
+            seen_rec: set = set()
+            sid: Optional[int] = snap_id
+            while sid is not None:
+                s = self.metadata.snapshot(sid)
+                for rm_rel in s.record_manifest_files:
+                    if rm_rel in seen_rec:
+                        continue
+                    seen_rec.add(rm_rel)
+                    out_rel = dest_log.new_manifest_relpath()
+                    _shutil.copyfile(self.log.abs_path(rm_rel),
+                                     dest_log.abs_path(out_rel))
+                    new_rec_manifests.append(out_rel)
+                sid = s.parent_snapshot_id
+            meta.record_bases = [os.path.relpath(self.location,
+                                                 dest_location)]
+            for abs_base in self.record_search_bases:
+                meta.record_bases.append(
+                    os.path.relpath(abs_base, dest_location)
+                )
+            new_ser = {}
+            for fname, ser_rel in (self.metadata.serializers or {}).items():
+                src_abs = self.log.abs_path(ser_rel)
+                if os.path.exists(src_abs):
+                    dst_abs = dest_log.abs_path(ser_rel)
+                    os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
+                    _shutil.copyfile(src_abs, dst_abs)
+                new_ser[fname] = ser_rel
+            meta.serializers = new_ser
         meta.snapshots = {0: md.Snapshot(
             snapshot_id=0,
             parent_snapshot_id=None,
@@ -2457,6 +2510,7 @@ class Dataset:
             num_rows=snapshot.num_rows,
             data_bytes=snapshot.data_bytes,
             delete_vector_files=new_vecs,
+            record_manifest_files=new_rec_manifests,
         )}
         meta.branches = {md.MAIN_BRANCH: 0}
         meta.tags = {}
@@ -2792,6 +2846,7 @@ class Dataset:
                                           key=lambda kv: kv[1][1]):
             groups.setdefault(new_rel, []).append(old)
         loc = self.location
+        bases = tuple(self.record_search_bases)
         import pandas as pd
 
         spec = self.spark.createDataFrame(
@@ -2826,7 +2881,15 @@ class Dataset:
                     n = 0
                     try:
                         for old in olds.split("\x00"):
-                            pf = _pq.ParquetFile(os.path.join(loc, old))
+                            # Base-aware open: on a shallow clone the
+                            # small blobs being compacted may live
+                            # under the SOURCE root — this is exactly
+                            # how compact_records() LOCALIZES a
+                            # clone's blob dependencies (output always
+                            # lands under the clone's own location).
+                            pf = _pq.ParquetFile(
+                                rec.resolve_blob_path(loc, old, bases)
+                            )
                             for b in pf.iter_batches(
                                 columns=[rec.VALUE_COL]
                             ):
@@ -3089,7 +3152,8 @@ class Dataset:
         ]
         if resolve:
             out = rec.resolve_record_fields(
-                out, self.location, resolve, self.schema
+                out, self.location, resolve, self.schema,
+                bases=self.record_search_bases,
             )
         return out
 

@@ -187,6 +187,17 @@ class StorageMetadata:
     # external-file scan). SQL semantics: a row violates only when the
     # expression evaluates to FALSE — NULL passes.
     constraints: Dict[str, str] = dc_field(default_factory=dict)
+    # Record-blob search bases for shallow clones of record-field
+    # tables: extra table roots (paths relative to THIS table's
+    # location; absolute passes through) consulted when a blob address
+    # ("records/<file>") does not exist under this table. A clone
+    # prepends its source's root (and inherits the source's bases, so
+    # clone-of-clone chains resolve); uuid blob filenames make
+    # collisions across roots impossible. Same retention caveat as
+    # cloned DATA files: the source must not expire the pinned
+    # snapshot's blobs while the clone references them;
+    # compact_records() on the clone localizes small blobs.
+    record_bases: List[str] = dc_field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -211,6 +222,7 @@ class StorageMetadata:
                 "stream_progress": self.stream_progress,
                 "bloom": self.bloom,
                 "constraints": self.constraints,
+                "record_bases": self.record_bases,
             },
             indent=1,
         )
@@ -250,6 +262,7 @@ class StorageMetadata:
             },
             bloom=d.get("bloom"),
             constraints=dict(d.get("constraints", {})),
+            record_bases=list(d.get("record_bases", [])),
         )
 
     # -- version resolution (core/storage.py:224-236) -----------------------

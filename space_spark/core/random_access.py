@@ -42,6 +42,7 @@ class RandomAccessDataSource:
         file_cache_size: int = 4,
     ):
         self.location = dataset.location
+        self.record_bases = tuple(dataset.record_search_bases)
         self.feature_fields = list(feature_fields or dataset.record_fields)
         unknown = set(self.feature_fields) - set(dataset.record_fields)
         if unknown:
@@ -98,7 +99,8 @@ class RandomAccessDataSource:
             return self._cache[rel_path]
         from space_spark.core.records import read_blob_column
 
-        col = read_blob_column(self.location, rel_path)
+        col = read_blob_column(self.location, rel_path,
+                               self.record_bases)
         self._cache[rel_path] = col
         if len(self._cache) > self._cache_size:
             self._cache.popitem(last=False)

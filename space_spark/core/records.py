@@ -88,13 +88,35 @@ class _BlobWriter:
             self.writer = None
 
 
-def read_blob_column(location: str, rel_path: str) -> pa.Array:
+def resolve_blob_path(location: str, rel_path: str,
+                      bases: Sequence[str] = ()) -> str:
+    """Absolute path of a blob file, searching the table location first
+    and then each record base (shallow-clone indirection,
+    core/metadata.py StorageMetadata.record_bases): a clone's data
+    files carry source-written addresses like ``records/<uuid>`` that
+    exist only under the SOURCE root, while post-clone appends write
+    blobs under the clone's own root with the same address shape. Blob
+    filenames are uuids, so at most one root has the file. Falls back
+    to the primary join when nothing exists — the caller's open then
+    raises the natural FileNotFoundError."""
+    primary = os.path.join(location, rel_path)
+    if not bases or os.path.exists(primary):
+        return primary
+    for base in bases:
+        cand = os.path.join(base, rel_path)
+        if os.path.exists(cand):
+            return cand
+    return primary
+
+
+def read_blob_column(location: str, rel_path: str,
+                     bases: Sequence[str] = ()) -> pa.Array:
     """All record values of one blob file, indexable by _ROW_ID.
 
     Two layouts: our own record files are single-column Parquet; zero-copy
     external files (sources/loaders.py append_binary_files) are raw bytes —
     the whole file is the one record at row id 0."""
-    abs_path = os.path.join(location, rel_path)
+    abs_path = resolve_blob_path(location, rel_path, bases)
     if rel_path.endswith(".parquet"):
         return pq.read_table(abs_path).column(VALUE_COL).combine_chunks()
     with open(abs_path, "rb") as f:
@@ -136,6 +158,7 @@ def resolve_record_fields(
     location: str,
     record_fields: Sequence[str],
     logical_schema: T.StructType,
+    bases: Sequence[str] = (),
 ) -> DataFrame:
     """Physical DataFrame -> logical: fetch blob bytes for address columns.
 
@@ -155,6 +178,7 @@ def resolve_record_fields(
     ])
     fields = [f for f in record_fields if f in selected]
     loc = location
+    base_list = tuple(bases)
 
     def task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         cache: dict = {}
@@ -163,7 +187,8 @@ def resolve_record_fields(
             if rel_path not in cache:
                 if len(cache) >= 2:
                     cache.clear()
-                cache[rel_path] = read_blob_column(loc, rel_path)
+                cache[rel_path] = read_blob_column(loc, rel_path,
+                                                   base_list)
             return cache[rel_path]
 
         for batch in batches:

@@ -545,6 +545,7 @@ class MaterializedView:
                     add_df = rec_mod.resolve_record_fields(
                         add_df, source.location, source.record_fields,
                         source.schema,
+                        bases=source.record_search_bases,
                     )
                 out = self.view.process_source(add_df)
                 self.dataset.append(out, commit_mutate=sync_mut)

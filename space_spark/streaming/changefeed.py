@@ -310,6 +310,7 @@ def stream_refresh(
                 view_in = rec_mod.resolve_record_fields(
                     raw_adds, source.location, source.record_fields,
                     source.schema,
+                    bases=source.record_search_bases,
                 )
             out_adds = mv.view.process_source(view_in)
             # Net-ADD keys ride the delete set so a transformed-away

@@ -155,29 +155,13 @@ def test_clone_starts_fresh_history_and_resets_stream_progress(
     assert clone.versions().count() == 1
 
 
-def test_clone_refuses_existing_dest_and_record_fields(
-    spark, two_locations
-):
+def test_clone_refuses_existing_dest(spark, two_locations):
     src_loc, dst_loc = two_locations
     src = Dataset.create(spark, src_loc, SCHEMA, ["id"])
     src.append(rows(spark, 0, 3))
     src.clone(dst_loc)
     with pytest.raises(SpaceError):
         src.clone(dst_loc)
-
-    rec_schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    rec = Dataset.create(
-        spark, src_loc + "_rec", rec_schema, ["id"],
-        record_fields=["payload"],
-    )
-    with pytest.raises(UserInputError):
-        rec.clone(dst_loc + "_rec")
-    shutil.rmtree(src_loc + "_rec", ignore_errors=True)
 
 
 def test_clone_preserves_renames_and_pruning(spark, two_locations):
@@ -231,3 +215,115 @@ def test_clone_cdf_bootstrap_warns_about_cut_lineage(
     ).schema()
     with pytest.warns(UserWarning, match="clone boundary"):
         SpaceChangeFeedStreamReader(dst_loc, {}, cdf_schema)
+
+
+# ----------------------------------------------------- record-field clones
+REC_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def rec_rows(spark, lo, hi):
+    return spark.createDataFrame(
+        [Row(id=i, payload=f"blob-{i}".encode() * 50)
+         for i in range(lo, hi)], REC_SCHEMA
+    )
+
+
+def test_clone_record_table_reads_identical_blobs(spark, two_locations):
+    """Shallow clone of a blob table: addresses resolve through the
+    record-base indirection to the SOURCE's blob files, byte-identical,
+    with zero blob bytes copied at clone time."""
+    src_loc, dst_loc = two_locations
+    src = Dataset.create(
+        spark, src_loc, REC_SCHEMA, ["id"], record_fields=["payload"]
+    )
+    src.append(rec_rows(spark, 0, 8))
+    clone = src.clone(dst_loc)
+    assert clone.metadata.record_bases  # indirection recorded
+
+    got = {r.id: bytes(r.payload) for r in clone.read().collect()}
+    want = {i: f"blob-{i}".encode() * 50 for i in range(8)}
+    assert got == want
+    # No blob bytes were copied: the clone's records dir is absent/empty.
+    rec_dir = os.path.join(dst_loc, "records")
+    assert not os.path.isdir(rec_dir) or not os.listdir(rec_dir)
+
+
+def test_clone_record_table_appends_local_blobs(spark, two_locations):
+    """Post-clone appends write blobs under the CLONE; reads resolve a
+    mix of local and source-based addresses. The source never sees the
+    clone's rows."""
+    src_loc, dst_loc = two_locations
+    src = Dataset.create(
+        spark, src_loc, REC_SCHEMA, ["id"], record_fields=["payload"]
+    )
+    src.append(rec_rows(spark, 0, 4))
+    clone = src.clone(dst_loc)
+    clone.append(rec_rows(spark, 10, 13))
+
+    got = {r.id: bytes(r.payload) for r in clone.read().collect()}
+    assert set(got) == {0, 1, 2, 3, 10, 11, 12}
+    assert got[11] == b"blob-11" * 50
+    assert os.listdir(os.path.join(dst_loc, "records"))  # local blobs
+    assert sorted(r.id for r in src.read().select("id").collect()) == \
+        [0, 1, 2, 3]
+
+
+def test_clone_record_table_random_access(spark, two_locations):
+    """RandomAccessDataSource on a clone resolves through the bases."""
+    from space_spark.core.random_access import RandomAccessDataSource
+
+    src_loc, dst_loc = two_locations
+    src = Dataset.create(
+        spark, src_loc, REC_SCHEMA, ["id"], record_fields=["payload"]
+    )
+    src.append(rec_rows(spark, 0, 6))
+    clone = src.clone(dst_loc)
+    ra = RandomAccessDataSource(clone, ["payload"])
+    assert len(ra) == 6
+    assert bytes(ra[2]) == b"blob-2" * 50
+    assert [bytes(b) for b in ra.__getitems__([0, 5])] == \
+        [b"blob-0" * 50, b"blob-5" * 50]
+
+
+def test_clone_of_clone_record_chain(spark, two_locations):
+    """A clone of a clone inherits the full base chain — addresses from
+    the ORIGINAL source still resolve two hops away."""
+    src_loc, dst_loc = two_locations
+    src = Dataset.create(
+        spark, src_loc, REC_SCHEMA, ["id"], record_fields=["payload"]
+    )
+    src.append(rec_rows(spark, 0, 3))
+    c1 = src.clone(dst_loc)
+    c1.append(rec_rows(spark, 5, 7))
+    c2 = c1.clone(dst_loc + "2")
+    got = {r.id: bytes(r.payload) for r in c2.read().collect()}
+    assert set(got) == {0, 1, 2, 5, 6}
+    assert got[0] == b"blob-0" * 50 and got[6] == b"blob-6" * 50
+    assert len(c2.metadata.record_bases) == 2
+    shutil.rmtree(dst_loc + "2", ignore_errors=True)
+
+
+def test_clone_record_table_compact_records_localizes(
+    spark, two_locations
+):
+    """compact_records() on a clone rewrites the shared small blobs
+    into blob files UNDER THE CLONE — after it, reads no longer depend
+    on the source's records dir."""
+    src_loc, dst_loc = two_locations
+    src = Dataset.create(
+        spark, src_loc, REC_SCHEMA, ["id"], record_fields=["payload"]
+    )
+    # Two appends -> several small blob files (compaction candidates).
+    src.append(rec_rows(spark, 0, 4))
+    src.append(rec_rows(spark, 4, 8))
+    clone = src.clone(dst_loc)
+    clone.compact_records(target_bytes=10 * 1024 * 1024)
+    # Source records dir removed: clone must still read everything.
+    shutil.rmtree(os.path.join(src_loc, "records"))
+    got = {r.id: bytes(r.payload) for r in clone.read().collect()}
+    assert got == {i: f"blob-{i}".encode() * 50 for i in range(8)}
