@@ -93,6 +93,8 @@ class Dataset:
         serializers=None,
         bloom_filters: bool = False,
         check_constraints: Optional[Dict[str, Expr]] = None,
+        generated_columns: Optional[Dict[str, Expr]] = None,
+        identity_columns: Optional[Dict[str, dict]] = None,
     ) -> "Dataset":
         """``serializers``: optional {record_field: FieldSerializer} —
         persisted (cloudpickled) with the table and applied by
@@ -113,10 +115,35 @@ class Dataset:
         write-first: files land, then ONE pushed-down scan of just the
         new files (row-group stats prove compliance without reading
         compliant data) — the incoming DataFrame is never evaluated
-        twice. See also ``add_constraint``/``drop_constraint``."""
+        twice. See also ``add_constraint``/``drop_constraint``.
+
+        ``generated_columns``: {column: Expr} — Delta ``GENERATED
+        ALWAYS AS (expr)`` analog. The column must exist in ``schema``;
+        its value is (re)computed from the expression on every
+        row-adding write (input may omit the column; supplied values
+        are overwritten, so the declared invariant holds by
+        construction). Expressions use the closed declarative algebra
+        (``field/lit`` with ``+ - * / %``, ``.concat``, ``.fn(name)``)
+        and may reference only plain non-generated index columns.
+
+        ``identity_columns``: {column: {"start": s, "step": d}} — Delta
+        ``GENERATED ALWAYS AS IDENTITY`` analog. The column must be a
+        LongType index column. Writers assign values for NULL/omitted
+        entries; non-null inputs pass through unchanged (so upsert and
+        CoW rewrites keep existing ids). Value ranges are RESERVED
+        under the commit lock before assignment — unique across
+        concurrent writers; contiguous per write via a distributed
+        per-partition prefix sum; failed writes leak their reservation
+        as a gap (ANSI identity semantics)."""
         sc.validate(schema, primary_keys, record_fields)
         con_json = cls._encode_constraints(
             check_constraints, schema, record_fields
+        )
+        gen_json = cls._encode_generated(
+            generated_columns, identity_columns, schema, record_fields
+        )
+        id_specs = cls._encode_identity(
+            identity_columns, generated_columns, schema, record_fields
         )
         schema = sc.assign_field_ids(schema)
         log = md.MetadataLog(location)
@@ -161,8 +188,85 @@ class Dataset:
             ),
             constraints=con_json,
         )
+        meta.generated_columns = gen_json
+        meta.identity_columns = id_specs
         log.write_metadata(meta, create=True)
         return cls(spark, log, meta)
+
+    @classmethod
+    def _encode_generated(cls, generated, identity, schema,
+                          record_fields) -> Dict[str, str]:
+        """Validate + encode generation expressions: target must be an
+        existing non-record, non-PK-identity column; the expression may
+        reference only PLAIN columns (not record fields, not other
+        generated/identity columns — no evaluation-order ambiguity)."""
+        from space_spark.core.expressions import expr_to_json
+
+        if not generated:
+            return {}
+        names = set(schema.fieldNames())
+        special = set(generated) | set(identity or {})
+        out: Dict[str, str] = {}
+        for col, e in sorted(generated.items()):
+            if col not in names:
+                raise UserInputError(
+                    f"Generated column {col!r} is not in the schema"
+                )
+            if col in (record_fields or ()):
+                raise UserInputError(
+                    f"Generated column {col!r} cannot be a record field"
+                )
+            if not isinstance(e, Expr):
+                raise UserInputError(
+                    f"Generation expression for {col!r} must be an "
+                    "Expr (field()/lit() algebra)"
+                )
+            bad = e.fields() & (set(record_fields or ()) | special)
+            if bad:
+                raise UserInputError(
+                    f"Generation expression for {col!r} references "
+                    f"non-plain column(s) {sorted(bad)}"
+                )
+            unknown = e.fields() - names
+            if unknown:
+                raise UserInputError(
+                    f"Generation expression for {col!r} references "
+                    f"unknown column(s) {sorted(unknown)}"
+                )
+            out[col] = expr_to_json(e)
+        return out
+
+    @classmethod
+    def _encode_identity(cls, identity, generated, schema,
+                         record_fields) -> Dict[str, dict]:
+        if not identity:
+            return {}
+        names = {f.name: f.dataType for f in schema.fields}
+        out: Dict[str, dict] = {}
+        for col, spec in sorted(identity.items()):
+            if col not in names:
+                raise UserInputError(
+                    f"Identity column {col!r} is not in the schema"
+                )
+            if col in (generated or {}):
+                raise UserInputError(
+                    f"Column {col!r} cannot be both generated and "
+                    "identity"
+                )
+            if not isinstance(names[col], T.LongType):
+                raise UserInputError(
+                    f"Identity column {col!r} must be LongType"
+                )
+            spec = dict(spec or {})
+            start = int(spec.get("start", 1))
+            step = int(spec.get("step", 1))
+            if step == 0:
+                raise UserInputError(
+                    f"Identity column {col!r}: step must be nonzero"
+                )
+            out[col] = {"start": start, "step": step,
+                        "watermark": start}
+        return out
 
     def serializer(self, field_name: str):
         """Load the persisted FieldSerializer for a record field (None if
@@ -509,15 +613,113 @@ class Dataset:
 
     # ---------------------------------------------------------------- writing
     def _align(self, df: DataFrame) -> DataFrame:
+        """Column alignment + generated/identity evaluation — the one
+        funnel every row-adding write path (append/insert/upsert/
+        overwrite/update survivors/merge source/apply_changes) passes
+        through. Generated columns are RECOMPUTED here (supplied
+        values overwritten — the declared invariant holds by
+        construction); identity columns fill NULL/omitted entries from
+        an atomically reserved range and pass non-null values through
+        (upsert/rewrite rows keep their ids)."""
         expected = self.schema.fieldNames()
+        gen = self.metadata.generated_columns or {}
+        idents = self.metadata.identity_columns or {}
+        optional = set(gen) | set(idents)
         got = set(df.columns)
-        if got != set(expected):
+        if (got - set(expected)) or (set(expected) - got - optional):
             raise UserInputError(
                 f"Input columns {sorted(got)} != table columns {sorted(expected)}"
             )
-        return df.select(
+        for col in set(expected) - got:
+            df = df.withColumn(
+                col, F.lit(None).cast(self.schema[col].dataType)
+            )
+        if gen:
+            from space_spark.core.expressions import expr_from_json
+
+            for col, j in sorted(gen.items()):
+                df = df.withColumn(
+                    col,
+                    expr_from_json(j).to_spark()
+                    .cast(self.schema[col].dataType),
+                )
+        df = df.select(
             *[F.col(n).cast(self.schema[n].dataType) for n in expected]
         )
+        if idents:
+            df = self._assign_identity(df)
+        return df
+
+    def _assign_identity(self, df: DataFrame) -> DataFrame:
+        """Fill NULL identity-column entries with fresh values.
+
+        Scale shape: the input is pinned ONCE (localCheckpoint — it
+        feeds the tiny per-partition null-count aggregate AND the data
+        write, and must not re-evaluate in between), the value range is
+        reserved atomically under the commit lock (one update_refs; a
+        crashed write leaks its range as a gap), and assignment is a
+        shuffle-free mapInPandas: each task fills its partition from
+        base + step * (partition offset + running index) — the
+        distributed prefix-sum discipline of operators/packing.py, no
+        global window, no driver-side rows."""
+        import numpy as np
+        import pandas as pd  # noqa: F401  (mapInPandas dependency)
+
+        idents = self.metadata.identity_columns
+        cols = sorted(idents)
+        pinned = df.localCheckpoint(eager=True)
+        marked = pinned.withColumn("__pid", F.spark_partition_id())
+        rows = marked.groupBy("__pid").agg(
+            *[F.sum(F.col(c).isNull().cast("long")).alias(c)
+              for c in cols]
+        ).collect()
+        totals = {c: int(sum(r[c] or 0 for r in rows)) for c in cols}
+        if all(v == 0 for v in totals.values()):
+            return pinned
+        bases: Dict[str, int] = {}
+        steps = {c: int(idents[c]["step"]) for c in cols}
+
+        def reserve(meta):
+            for c in cols:
+                if totals[c] == 0:
+                    continue
+                spec = meta.identity_columns[c]
+                bases[c] = int(spec["watermark"])
+                spec["watermark"] = bases[c] + totals[c] * steps[c]
+
+        self.metadata = self.log.update_refs(reserve)
+        offsets = {c: {} for c in cols}
+        running = {c: 0 for c in cols}
+        for r in sorted(rows, key=lambda r: r["__pid"]):
+            for c in cols:
+                offsets[c][r["__pid"]] = running[c]
+                running[c] += int(r[c] or 0)
+        out_schema = pinned.schema
+        fill_cols = [c for c in cols if totals[c] > 0]
+
+        def assign(batches):
+            seen = {c: 0 for c in fill_cols}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf.drop(columns=["__pid"])
+                    continue
+                pid = int(pdf["__pid"].iloc[0])
+                for c in fill_cols:
+                    col = pdf[c].astype("Int64")
+                    mask = col.isna()
+                    k = int(mask.sum())
+                    if k:
+                        base = bases[c] + steps[c] * (
+                            offsets[c][pid] + seen[c]
+                        )
+                        col[mask] = base + steps[c] * np.arange(
+                            k, dtype=np.int64
+                        )
+                        seen[c] += k
+                    pdf[c] = col
+                yield pdf.drop(columns=["__pid"])
+
+        return marked.mapInPandas(assign, out_schema)
 
     def _write_data_files(self, df: DataFrame, physical: bool = False):
         """Write data files for one commit; returns (manifest_rel, files,
@@ -3269,6 +3471,20 @@ class Dataset:
                         f"constraint(s) {holders} reference it; "
                         "drop_constraint them first"
                     )
+            if meta.generated_columns:
+                from space_spark.core.expressions import expr_from_json
+
+                gen_holders = sorted(
+                    g for g, j in meta.generated_columns.items()
+                    if g != name and name in expr_from_json(j).fields()
+                )
+                if gen_holders:
+                    raise UserInputError(
+                        f"Cannot drop column {name!r}: generated "
+                        f"column(s) {gen_holders} derive from it"
+                    )
+            meta.generated_columns.pop(name, None)
+            meta.identity_columns.pop(name, None)
             meta.schema = T.StructType(
                 [f for f in meta.schema.fields if f.name != name]
             )
@@ -3358,6 +3574,25 @@ class Dataset:
                     ))
                     for cname, cjson in meta.constraints.items()
                 }
+            # Generated/identity definitions are logical-name-keyed
+            # like constraints — follow the rename on both the target
+            # column name and referenced fields.
+            if meta.generated_columns:
+                from space_spark.core.expressions import (
+                    expr_from_json,
+                    expr_to_json,
+                    rename_fields,
+                )
+
+                meta.generated_columns = {
+                    (new if gname == old else gname): expr_to_json(
+                        rename_fields(expr_from_json(gjson), {old: new})
+                    )
+                    for gname, gjson in meta.generated_columns.items()
+                }
+            if old in meta.identity_columns:
+                meta.identity_columns[new] = \
+                    meta.identity_columns.pop(old)
 
         self.metadata = self.log.update_refs(mutate)
         return self

@@ -115,6 +115,43 @@ class Expr:
     def __invert__(self) -> "Expr":
         return Not(self)
 
+    # -- arithmetic builders (value-level, for generated columns and
+    # richer CHECK constraints; see Arith) ---------------------------------
+    def __add__(self, other):
+        return Arith("+", self, _wrap(other))
+
+    def __radd__(self, other):
+        return Arith("+", _wrap(other), self)
+
+    def __sub__(self, other):
+        return Arith("-", self, _wrap(other))
+
+    def __rsub__(self, other):
+        return Arith("-", _wrap(other), self)
+
+    def __mul__(self, other):
+        return Arith("*", self, _wrap(other))
+
+    def __rmul__(self, other):
+        return Arith("*", _wrap(other), self)
+
+    def __truediv__(self, other):
+        return Arith("/", self, _wrap(other))
+
+    def __rtruediv__(self, other):
+        return Arith("/", _wrap(other), self)
+
+    def __mod__(self, other):
+        return Arith("%", self, _wrap(other))
+
+    def concat(self, other) -> "Expr":
+        """String concatenation (SQL ``||`` — null in, null out)."""
+        return Arith("concat", self, _wrap(other))
+
+    def fn(self, name: str) -> "Expr":
+        """Apply a whitelisted scalar function (see Func._SPARK)."""
+        return Func(name, self)
+
     def __hash__(self):
         return hash(repr(self))
 
@@ -325,6 +362,77 @@ class Or(Expr):
         return f"({self.left!r} | {self.right!r})"
 
 
+class Arith(Expr):
+    """Value-level binary node: ``+ - * / %`` and ``concat``. Part of
+    the same CLOSED, code-execution-free algebra as the predicates —
+    carried by the JSON transport, evaluated Spark-side (to_spark) and
+    Arrow-side (eval_arrow_rows). Enables generated-column expressions
+    (``field('a') * 2 + 1``) and richer CHECK constraints
+    (``field('qty') * field('price') <= lit(cap)``). Never prunable:
+    a Comparison over an Arith operand returns None from falsifiable
+    (kept, never wrongly skipped). ``/`` is SQL double division; ``%``
+    follows Spark's sign convention (result has the dividend's sign)."""
+
+    _OPS = ("+", "-", "*", "/", "%", "concat")
+
+    def __init__(self, op: str, left: Expr, right: Expr):
+        if op not in self._OPS:
+            raise ValueError(f"Unknown arithmetic op: {op!r}")
+        self.op = op
+        self.left, self.right = left, right
+
+    def to_spark(self) -> Column:
+        l, r = self.left.to_spark(), self.right.to_spark()
+        if self.op == "concat":
+            return F.concat(l.cast("string"), r.cast("string"))
+        if self.op == "/":
+            return l.cast("double") / r.cast("double")
+        return {"+": l + r, "-": l - r, "*": l * r, "%": l % r}[self.op]
+
+    def fields(self) -> set:
+        return self.left.fields() | self.right.fields()
+
+    def falsifiable(self, stats_fields: set, backend: str = "spark"):
+        return None
+
+    def __repr__(self):
+        return f"({self.left!r} {self.op} {self.right!r})"
+
+
+class Func(Expr):
+    """Whitelisted unary scalar function — the declarative analog of a
+    tiny SQL function library (upper/lower/length/abs/year/month/day/
+    to_date). Closed whitelist: the JSON decoder rejects unknown names,
+    so the transport still cannot execute code."""
+
+    _NAMES = ("upper", "lower", "length", "abs",
+              "year", "month", "day", "to_date")
+
+    def __init__(self, name: str, child: Expr):
+        if name not in self._NAMES:
+            raise ValueError(f"Unknown function: {name!r}")
+        self.name = name
+        self.child = child
+
+    def to_spark(self) -> Column:
+        c = self.child.to_spark()
+        return {
+            "upper": F.upper(c), "lower": F.lower(c),
+            "length": F.length(c), "abs": F.abs(c),
+            "year": F.year(c), "month": F.month(c), "day": F.day(c),
+            "to_date": F.to_date(c),
+        }[self.name]
+
+    def fields(self) -> set:
+        return self.child.fields()
+
+    def falsifiable(self, stats_fields: set, backend: str = "spark"):
+        return None
+
+    def __repr__(self):
+        return f"{self.name}({self.child!r})"
+
+
 class Not(Expr):
     def __init__(self, child: Expr):
         self.child = child
@@ -401,6 +509,11 @@ def expr_to_json(expr: "Expr") -> str:
             return {"n": "or", "l": enc(e.left), "r": enc(e.right)}
         if isinstance(e, Not):
             return {"n": "not", "c": enc(e.child)}
+        if isinstance(e, Arith):
+            return {"n": "arith", "op": e.op,
+                    "l": enc(e.left), "r": enc(e.right)}
+        if isinstance(e, Func):
+            return {"n": "fn", "name": e.name, "c": enc(e.child)}
         raise TypeError(f"Unserializable Expr node: {type(e).__name__}")
 
     return _json.dumps(enc(expr), separators=(",", ":"))
@@ -459,6 +572,16 @@ def expr_from_json(s: str) -> "Expr":
             return Or(dec(node["l"]), dec(node["r"]))
         if n == "not":
             return Not(dec(node["c"]))
+        if n == "arith":
+            op = node.get("op")
+            if op not in Arith._OPS:
+                raise ValueError(f"Unknown arithmetic op: {op!r}")
+            return Arith(op, dec(node["l"]), dec(node["r"]))
+        if n == "fn":
+            name = node.get("name")
+            if name not in Func._NAMES:
+                raise ValueError(f"Unknown function: {name!r}")
+            return Func(name, dec(node["c"]))
         raise ValueError(f"Unknown expr node kind: {n!r}")
 
     return dec(_json.loads(s))
@@ -489,6 +612,11 @@ def rename_fields(expr: "Expr", mapping: dict) -> "Expr":
                   rename_fields(expr.right, mapping))
     if isinstance(expr, Not):
         return Not(rename_fields(expr.child, mapping))
+    if isinstance(expr, Arith):
+        return Arith(expr.op, rename_fields(expr.left, mapping),
+                     rename_fields(expr.right, mapping))
+    if isinstance(expr, Func):
+        return Func(expr.name, rename_fields(expr.child, mapping))
     return expr  # unknown node: pruning treats it as non-falsifiable
 
 
@@ -524,6 +652,44 @@ def eval_arrow_rows(expr: "Expr", batch) -> "object":
             return pc.or_kleene(ev(e.left), ev(e.right))
         if isinstance(e, Not):
             return pc.invert(ev(e.child))
+        if isinstance(e, Arith):
+            l, r = ev(e.left), ev(e.right)
+            if e.op == "concat":
+                return pc.binary_join_element_wise(
+                    pc.cast(l, pa.string()), pc.cast(r, pa.string()),
+                    "", null_handling="emit_null",
+                )
+            if e.op == "/":
+                return pc.divide(pc.cast(l, pa.float64()),
+                                 pc.cast(r, pa.float64()))
+            if e.op == "%":
+                # Match Spark/SQL %: result takes the DIVIDEND's sign
+                # (C fmod semantics), which is what a - trunc(a/b)*b is.
+                q = pc.cast(l, pa.float64())
+                d = pc.cast(r, pa.float64())
+                return pc.subtract(
+                    q, pc.multiply(pc.trunc(pc.divide(q, d)), d)
+                )
+            return {"+": pc.add, "-": pc.subtract,
+                    "*": pc.multiply}[e.op](l, r)
+        if isinstance(e, Func):
+            c = ev(e.child)
+            if e.name == "upper":
+                return pc.utf8_upper(c)
+            if e.name == "lower":
+                return pc.utf8_lower(c)
+            if e.name == "length":
+                return pc.utf8_length(c)
+            if e.name == "abs":
+                return pc.abs(c)
+            if e.name == "year":
+                return pc.year(c)
+            if e.name == "month":
+                return pc.month(c)
+            if e.name == "day":
+                return pc.day(c)
+            if e.name == "to_date":
+                return pc.cast(c, pa.date32())
         raise TypeError(f"Unevaluable Expr node: {type(e).__name__}")
 
     return ev(expr)

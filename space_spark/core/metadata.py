@@ -198,6 +198,20 @@ class StorageMetadata:
     # snapshot's blobs while the clone references them;
     # compact_records() on the clone localizes small blobs.
     record_bases: List[str] = dc_field(default_factory=list)
+    # Generated columns (Delta GENERATED ALWAYS AS (expr) analog):
+    # column name -> expr_to_json of a value expression over the
+    # table's plain columns. Recomputed by Dataset._align on EVERY
+    # row-adding write path, so the invariant col == expr holds by
+    # construction; user-supplied values are overwritten.
+    generated_columns: Dict[str, str] = dc_field(default_factory=dict)
+    # Identity columns (Delta GENERATED ALWAYS AS IDENTITY analog):
+    # column name -> {"start": s, "step": d, "watermark": next}.
+    # ``watermark`` is the next unissued value; writers reserve
+    # [watermark, watermark + n*step) atomically under the commit lock
+    # BEFORE assigning (update_refs), so concurrent writers never
+    # collide. A failed write leaks its reservation as a gap — ANSI
+    # identity semantics (unique, increasing per writer, gaps allowed).
+    identity_columns: Dict[str, dict] = dc_field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -223,6 +237,8 @@ class StorageMetadata:
                 "bloom": self.bloom,
                 "constraints": self.constraints,
                 "record_bases": self.record_bases,
+                "generated_columns": self.generated_columns,
+                "identity_columns": self.identity_columns,
             },
             indent=1,
         )
@@ -263,6 +279,11 @@ class StorageMetadata:
             bloom=d.get("bloom"),
             constraints=dict(d.get("constraints", {})),
             record_bases=list(d.get("record_bases", [])),
+            generated_columns=dict(d.get("generated_columns", {})),
+            identity_columns={
+                k: dict(v)
+                for k, v in d.get("identity_columns", {}).items()
+            },
         )
 
     # -- version resolution (core/storage.py:224-236) -----------------------

@@ -73,6 +73,12 @@ def _arrow_schema(spark_schema: T.StructType) -> pa.Schema:
     return to_arrow_schema(spark_schema)
 
 
+def _sink_generated(meta) -> List[tuple]:
+    """Generated-column (name, expr-json) pairs for _write_shard —
+    plain strings, safe to pickle to tasks."""
+    return sorted((getattr(meta, "generated_columns", {}) or {}).items())
+
+
 def _validated_table_arrow(location: str, input_schema: T.StructType
                            ) -> pa.Schema:
     """Validate the incoming DataFrame's columns against the table and
@@ -82,6 +88,13 @@ def _validated_table_arrow(location: str, input_schema: T.StructType
         raise UserInputError(
             "format('space') writes do not support record (blob) fields "
             "yet — use Dataset.append for this table"
+        )
+    if getattr(meta, "identity_columns", {}) or {}:
+        raise UserInputError(
+            "format('space') writes do not support identity columns: "
+            "value-range reservation needs the table's commit lock, "
+            "which sink tasks cannot take — use Dataset.append (it "
+            "reserves once per write, then assigns distributed)"
         )
     table_schema = sc.physical_schema(meta.schema, meta.record_fields)
     missing = set(table_schema.fieldNames()) - set(input_schema.fieldNames())
@@ -113,7 +126,8 @@ def _phys_arrow(logical_arrow: pa.Schema, meta) -> pa.Schema:
 def _write_shard(location: str, rel: str, table_arrow: pa.Schema,
                  iterator: Iterator[pa.RecordBatch],
                  write_arrow: Optional[pa.Schema] = None,
-                 constraints: Optional[List[tuple]] = None
+                 constraints: Optional[List[tuple]] = None,
+                 generated: Optional[List[tuple]] = None
                  ) -> FilesCommitMessage:
     """Executor side: stream this task's batches into one parquet file,
     aligned to the table's column order/types. Returns no file for an
@@ -125,7 +139,12 @@ def _write_shard(location: str, rel: str, table_arrow: pa.Schema,
     evaluated per batch with Arrow compute BEFORE any bytes hit disk
     (the batch is already in memory, so enforcement costs zero IO;
     violation = expression FALSE, NULL passes). A violating task raises
-    and the writer's abort() cleans the commit directory."""
+    and the writer's abort() cleans the commit directory.
+
+    ``generated``: [(column, expr_to_json string)] generated-column
+    definitions — each column is RECOMPUTED per batch with Arrow
+    compute before constraints run, mirroring Dataset._align (supplied
+    values are overwritten, keeping the declared invariant)."""
     abs_path = os.path.join(location, rel)
     write_arrow = write_arrow or table_arrow
     checks = []
@@ -133,11 +152,27 @@ def _write_shard(location: str, rel: str, table_arrow: pa.Schema,
         from space_spark.core.expressions import expr_from_json
 
         checks = [(n, expr_from_json(j)) for n, j in constraints]
+    gens = []
+    if generated:
+        from space_spark.core.expressions import expr_from_json
+
+        gens = [(n, expr_from_json(j)) for n, j in generated]
     writer: Optional[pq.ParquetWriter] = None
     try:
         for batch in iterator:
             if batch.num_rows == 0:
                 continue
+            for gname, gexpr in gens:
+                idx = batch.schema.get_field_index(gname)
+                val = ex.eval_arrow_rows(gexpr, batch)
+                if isinstance(val, pa.ChunkedArray):
+                    val = val.combine_chunks()
+                elif isinstance(val, pa.Scalar):  # constant expression
+                    val = pa.array([val.as_py()] * batch.num_rows)
+                val = pc.cast(val, batch.schema.field(idx).type)
+                batch = batch.set_column(
+                    idx, batch.schema.field(idx), val
+                )
             for cname, cexpr in checks:
                 mask = ex.eval_arrow_rows(cexpr, batch)
                 bad = pc.sum(
@@ -260,6 +295,7 @@ class SpaceBatchWriter(DataSourceArrowWriter):
         self.constraints = sorted(
             (getattr(meta, "constraints", {}) or {}).items()
         )
+        self.generated = _sink_generated(meta)
         self.commit_reldir = md.MetadataLog(location).new_commit_data_reldir()
 
     def write(self, iterator: Iterator[pa.RecordBatch]
@@ -267,7 +303,8 @@ class SpaceBatchWriter(DataSourceArrowWriter):
         rel = os.path.join(self.commit_reldir,
                            f"part-{uuid.uuid4().hex[:16]}.parquet")
         return _write_shard(self.location, rel, self.table_arrow, iterator,
-                            self.write_arrow, self.constraints)
+                            self.write_arrow, self.constraints,
+                            self.generated)
 
     def commit(self, messages) -> None:
         _commit_append(self.location, self.branch, _files_from(messages))
@@ -300,6 +337,7 @@ class SpaceStreamWriter(DataSourceStreamArrowWriter):
         self.constraints = sorted(
             (getattr(meta, "constraints", {}) or {}).items()
         )
+        self.generated = _sink_generated(meta)
 
     def write(self, iterator: Iterator[pa.RecordBatch]
               ) -> FilesCommitMessage:
@@ -322,7 +360,8 @@ class SpaceStreamWriter(DataSourceStreamArrowWriter):
         except OSError:  # pragma: no cover - metadata briefly unreadable
             constraints = self.constraints
         return _write_shard(self.location, rel, self.table_arrow, iterator,
-                            self.write_arrow, constraints)
+                            self.write_arrow, constraints,
+                            self.generated)
 
     def commit(self, messages, batchId: int) -> None:
         rel_files = _files_from(messages)
