@@ -85,3 +85,156 @@ def export_training_shards(
     return written.groupBy(
         F.col("shard_id").cast("int").alias("shard_id")
     ).agg(*aggs)
+
+
+def export_webdataset(
+    df: DataFrame,
+    id_col: str,
+    out_dir: str,
+    n_shards: int,
+    components,
+    seed: int = 42,
+) -> DataFrame:
+    """Export the corpus as WebDataset-style tar shards — the layout
+    multimodal training loaders stream sequentially: each sample is a
+    group of consecutive tar members sharing a basename and differing
+    by extension (``<id>.txt``, ``<id>.json``, ``<id>.jpg``...).
+
+    ``components``: {extension: column name}. String columns are
+    written UTF-8; binary columns raw; anything else is cast to its
+    string form. Returns the manifest DataFrame (shard_id, path,
+    n_samples, n_members, n_bytes), recounted from the tars ACTUALLY
+    written (each task re-opens its finished tar), so the manifest can
+    never disagree with the files.
+
+    Determinism: sample order inside each tar is the same md5 shuffle
+    key ``export_training_shards`` uses, and tar metadata (mtime, uid,
+    gid, mode) is pinned — two exports of the same corpus produce
+    byte-identical shards, so resumed/retried export jobs are safe to
+    overwrite-and-compare.
+
+    Scale shape: one hash-shuffle on shard_id + a within-partition
+    sort (no global sort); each task streams its samples straight into
+    ``tarfile`` (stdlib, append-only IO) — the tar bytes never sit in
+    memory, and writing N shards is embarrassingly parallel across
+    executors. ``out_dir`` must be a filesystem path visible to the
+    executors (on a cluster: a shared/NFS/FUSE mount — object-store
+    targets should export to the mount and lifecycle from there).
+    """
+    import os
+
+    spark = df.sparkSession
+    exts = sorted(components)
+    cols = [components[e] for e in exts]
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"Component column {c!r} not in DataFrame")
+    binary_like = {
+        f.name for f in df.schema.fields
+        if f.dataType.simpleString() == "binary"
+    }
+    sharded = (
+        with_shards(df, id_col, n_shards, seed)
+        .select(id_col, "__key", "shard_id", *cols)
+        .repartition(n_shards, F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "__key")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    id_name = id_col
+    bin_cols = {c for c in cols if c in binary_like}
+
+    def task(batches):
+        import tarfile
+        import uuid as _uuid
+
+        import pyarrow as _pa
+
+        open_shard = {"id": None, "tar": None, "tmp": None,
+                      "n_samples": 0, "n_members": 0}
+        results = []
+
+        def close_current():
+            if open_shard["tar"] is None:
+                return
+            open_shard["tar"].close()
+            sid = open_shard["id"]
+            final = os.path.join(out_dir, f"shard-{sid:06d}.tar")
+            # Attempt-isolated write + atomic rename: a retried or
+            # speculative task never interleaves bytes into the final
+            # path; whichever complete tmp renames last wins.
+            os.replace(open_shard["tmp"], final)
+            with tarfile.open(final, "r") as chk:  # recount from disk
+                members = chk.getmembers()
+            results.append((
+                sid, final, open_shard["n_samples"], len(members),
+                os.path.getsize(final),
+            ))
+            open_shard.update(id=None, tar=None, tmp=None,
+                              n_samples=0, n_members=0)
+
+        def member_bytes(value, colname):
+            if value is None:
+                return None
+            if colname in bin_cols:
+                return bytes(value)
+            return str(value).encode("utf-8")
+
+        for batch in batches:
+            names = batch.schema.names
+            idx = {n: i for i, n in enumerate(names)}
+            sid_arr = batch.column(idx["shard_id"]).to_pylist()
+            id_arr = batch.column(idx[id_name]).to_pylist()
+            comp_arrs = {c: batch.column(idx[c]).to_pylist()
+                         for c in cols}
+            for row in range(batch.num_rows):
+                sid = sid_arr[row]
+                if open_shard["id"] != sid:
+                    close_current()
+                    tmp = os.path.join(
+                        out_dir,
+                        f".shard-{sid:06d}.tar.tmp-"
+                        f"{_uuid.uuid4().hex[:12]}",
+                    )
+                    open_shard.update(
+                        id=sid,
+                        tar=tarfile.open(tmp, "w"),
+                        tmp=tmp, n_samples=0, n_members=0,
+                    )
+                base = str(id_arr[row])
+                wrote_any = False
+                for ext in exts:
+                    data = member_bytes(comp_arrs[components[ext]][row],
+                                        components[ext])
+                    if data is None:
+                        continue  # absent component: member omitted
+                    info = tarfile.TarInfo(name=f"{base}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0   # pinned: byte-identical re-exports
+                    info.uid = info.gid = 0
+                    info.mode = 0o644
+                    import io as _io
+
+                    open_shard["tar"].addfile(info, _io.BytesIO(data))
+                    open_shard["n_members"] += 1
+                    wrote_any = True
+                if wrote_any:
+                    open_shard["n_samples"] += 1
+        close_current()
+        if results:
+            yield _pa.RecordBatch.from_arrays(
+                [
+                    _pa.array([r[0] for r in results], _pa.int32()),
+                    _pa.array([r[1] for r in results], _pa.string()),
+                    _pa.array([r[2] for r in results], _pa.int64()),
+                    _pa.array([r[3] for r in results], _pa.int64()),
+                    _pa.array([r[4] for r in results], _pa.int64()),
+                ],
+                names=["shard_id", "path", "n_samples", "n_members",
+                       "n_bytes"],
+            )
+
+    return sharded.mapInArrow(
+        task,
+        "shard_id int, path string, n_samples long, "
+        "n_members long, n_bytes long",
+    )

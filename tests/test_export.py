@@ -110,3 +110,106 @@ def test_null_ids_excluded(spark, tmp_location):
     assert sum(r["n_rows"] for r in manifest) == 2
     written = spark.read.parquet(tmp_location + "/sh")
     assert sorted(r["doc_id"] for r in written.collect()) == [1, 2]
+
+
+# ----------------------------------------------------------- webdataset
+def _full_docs(spark):
+    return spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).select("doc_id", "text", "lang")
+
+
+def _read_wds(out_dir):
+    """{doc_id: {ext: bytes}} reconstructed from every written tar,
+    plus the per-tar sequential member order."""
+    import tarfile
+
+    samples, orders = {}, {}
+    for p in sorted(glob.glob(os.path.join(out_dir, "shard-*.tar"))):
+        order = []
+        with tarfile.open(p) as t:
+            for m in t.getmembers():
+                base, ext = m.name.rsplit(".", 1)
+                samples.setdefault(int(base), {})[ext] = \
+                    t.extractfile(m).read()
+                order.append(m.name)
+        orders[p] = order
+    return samples, orders
+
+
+def test_webdataset_roundtrips_corpus(spark, tmp_path):
+    """Files-derived oracle (registry is at its rotation cap, per the
+    budget ledger in __spark_entry__.py): every document round-trips
+    through the tars byte-for-byte, grouped WebDataset-style by
+    basename; the manifest agrees with a recount of the files."""
+    from space_spark.operators.export import export_webdataset
+
+    docs = _full_docs(spark)
+    out = str(tmp_path / "wds")
+    manifest = export_webdataset(
+        docs, "doc_id", out, n_shards=4,
+        components={"txt": "text", "cls": "lang"},
+    ).collect()
+
+    samples, _ = _read_wds(out)
+    want = {r.doc_id: r for r in docs.collect()}
+    assert set(samples) == set(want)
+    for did, comp in samples.items():
+        assert comp["txt"].decode() == want[did].text
+        assert comp["cls"].decode() == want[did].lang
+
+    assert sorted(m.shard_id for m in manifest) == [0, 1, 2, 3]
+    assert sum(m.n_samples for m in manifest) == len(want)
+    for m in manifest:
+        assert m.n_members == 2 * m.n_samples
+        assert os.path.getsize(m.path) == m.n_bytes
+
+
+def test_webdataset_deterministic_order_and_bytes(spark, tmp_path):
+    """Same corpus, two exports: byte-identical tars (pinned tar
+    metadata + md5 shuffle order), and the within-tar order follows
+    the shuffle key — a reproducible global permutation."""
+    from space_spark.operators.export import export_webdataset
+
+    docs = _full_docs(spark)
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    export_webdataset(docs, "doc_id", out1, 3,
+                      {"txt": "text"}).collect()
+    export_webdataset(docs.orderBy(F.rand(7)), "doc_id", out2, 3,
+                      {"txt": "text"}).collect()
+    for p1 in sorted(glob.glob(os.path.join(out1, "*.tar"))):
+        p2 = os.path.join(out2, os.path.basename(p1))
+        assert open(p1, "rb").read() == open(p2, "rb").read()
+    _, orders = _read_wds(out1)
+    for order in orders.values():
+        keys = [py_key(int(n.rsplit(".", 1)[0])) for n in order]
+        assert keys == sorted(keys)
+
+
+def test_webdataset_binary_component_and_null_skip(spark, tmp_path):
+    """Binary columns write raw bytes; a NULL component is omitted
+    from the sample (loader-side optional field), not an empty file."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from space_spark.operators.export import export_webdataset
+
+    sch = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("img", T.BinaryType()),
+        T.StructField("cap", T.StringType()),
+    ])
+    df = spark.createDataFrame(
+        [Row(id=1, img=b"\x00\xffPNG", cap="a cat"),
+         Row(id=2, img=b"\x01\x02", cap=None)], sch
+    )
+    out = str(tmp_path / "bin")
+    manifest = export_webdataset(
+        df, "id", out, 1, {"png": "img", "txt": "cap"}
+    ).collect()
+    samples, _ = _read_wds(out)
+    assert samples[1]["png"] == b"\x00\xffPNG"
+    assert samples[1]["txt"] == b"a cat"
+    assert samples[2]["png"] == b"\x01\x02"
+    assert "txt" not in samples[2]
+    assert manifest[0].n_samples == 2 and manifest[0].n_members == 3
