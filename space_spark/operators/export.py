@@ -238,3 +238,91 @@ def export_webdataset(
         "shard_id int, path string, n_samples long, "
         "n_members long, n_bytes long",
     )
+
+
+def read_webdataset(
+    spark,
+    path: str,
+    components,
+) -> DataFrame:
+    """Read WebDataset tar shards back into a DataFrame — the loader
+    side of :func:`export_webdataset` and of any external WebDataset
+    corpus: one row per sample (``__key`` = member basename, one
+    BINARY column per requested extension; absent members are NULL).
+
+    ``components``: extensions to surface, e.g. ``["txt", "json",
+    "jpg"]`` (fixed output schema — Spark needs it up front).
+
+    Scale shape: shard paths are discovered by Spark's binaryFile
+    source (path column ONLY is selected, so the tars are NOT
+    buffered through the scan — Catalyst prunes the content column
+    away), then each task streams ITS tar files sequentially with
+    stdlib tarfile, yielding Arrow batches per ~1k samples. One task
+    per tar group — embarrassingly parallel, no shuffle; downstream
+    repartition decides placement."""
+    import os
+
+    exts = list(components)
+    fields = ", ".join(f"`{e}` binary" for e in exts)
+    paths = spark.read.format("binaryFile").load(
+        os.path.join(path, "*.tar") if not path.endswith(".tar")
+        else path
+    ).select("path")
+
+    def task(batches):
+        import io
+        import tarfile
+        from urllib.parse import urlparse
+
+        import pyarrow as _pa
+
+        BATCH = 1024
+
+        def flush(buf):
+            if not buf["__key"]:
+                return None
+            arrays = [_pa.array(buf["__key"], _pa.string())] + [
+                _pa.array(buf[e], _pa.binary()) for e in exts
+            ]
+            out = _pa.RecordBatch.from_arrays(
+                arrays, names=["__key"] + exts
+            )
+            for k in buf:
+                buf[k] = []
+            return out
+
+        for batch in batches:
+            for p in batch.column(0).to_pylist():
+                local = urlparse(p).path or p
+                buf = {"__key": [], **{e: [] for e in exts}}
+                cur_key, cur = None, {}
+
+                def emit(key, members):
+                    buf["__key"].append(key)
+                    for e in exts:
+                        buf[e].append(members.get(e))
+
+                with tarfile.open(local, "r") as t:
+                    for m in t:
+                        if not m.isfile() or "." not in m.name:
+                            continue
+                        base, ext = m.name.rsplit(".", 1)
+                        if base != cur_key:
+                            if cur_key is not None:
+                                emit(cur_key, cur)
+                                if len(buf["__key"]) >= BATCH:
+                                    out = flush(buf)
+                                    if out is not None:
+                                        yield out
+                            cur_key, cur = base, {}
+                        if ext in cur:
+                            continue  # duplicate member: first wins
+                        data = t.extractfile(m)
+                        cur[ext] = data.read() if data else None
+                    if cur_key is not None:
+                        emit(cur_key, cur)
+                out = flush(buf)
+                if out is not None:
+                    yield out
+
+    return paths.mapInArrow(task, f"`__key` string, {fields}")

@@ -213,3 +213,25 @@ def test_webdataset_binary_component_and_null_skip(spark, tmp_path):
     assert samples[2]["png"] == b"\x01\x02"
     assert "txt" not in samples[2]
     assert manifest[0].n_samples == 2 and manifest[0].n_members == 3
+
+
+def test_webdataset_read_roundtrip(spark, tmp_path):
+    """export_webdataset -> read_webdataset is the identity on the
+    corpus (keyed by id), including NULL for absent components."""
+    from space_spark.operators.export import (
+        export_webdataset,
+        read_webdataset,
+    )
+
+    docs = _full_docs(spark)
+    out = str(tmp_path / "rt")
+    export_webdataset(docs, "doc_id", out, 3,
+                      {"txt": "text", "cls": "lang"}).collect()
+    back = read_webdataset(spark, out, ["txt", "cls", "ghost"])
+    rows = {int(r["__key"]): r for r in back.collect()}
+    want = {r.doc_id: r for r in docs.collect()}
+    assert set(rows) == set(want)
+    for did, r in rows.items():
+        assert bytes(r["txt"]).decode() == want[did].text
+        assert bytes(r["cls"]).decode() == want[did].lang
+        assert r["ghost"] is None

@@ -283,3 +283,63 @@ def test_unknown_arith_fn_rejected_by_transport():
             {"n": "fn", "name": "eval",
              "c": {"n": "field", "name": "a"}}
         ))
+
+
+# ----------------------------------------------- identity property check
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+ID_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "upsert_existing"]),
+        st.integers(min_value=1, max_value=12),  # rows (append) / count
+        st.integers(min_value=1, max_value=5),   # partitions
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=ID_OPS)
+def test_identity_invariants_under_random_sequences(spark, ops):
+    """Under any append/upsert sequence and any input partitioning:
+    ids are unique and non-null, clean appends keep the id set exactly
+    1..N (contiguous — the prefix-sum + reservation never skips or
+    reuses), and the watermark stays strictly ahead of every issued
+    id."""
+    import shutil
+    import tempfile
+
+    loc = tempfile.mkdtemp(prefix="space_idprop_") + "/t"
+    try:
+        ds = Dataset.create(
+            spark, loc, ID_SCHEMA, ["rid"],
+            identity_columns={"rid": {"start": 1, "step": 1}},
+        )
+        appended = 0
+        for kind, n, parts in ops:
+            if kind == "append":
+                ds.append(_vrows(
+                    spark, [f"a{appended + i}" for i in range(n)]
+                ).repartition(parts))
+                appended += n
+            else:
+                existing = [r.rid for r in
+                            ds.read().select("rid").collect()]
+                if not existing:
+                    continue
+                take = existing[:min(n, len(existing))]
+                ds.upsert(spark.createDataFrame(
+                    [Row(rid=i, v=f"u{i}") for i in take], ID_SCHEMA
+                ).repartition(parts))
+            ids = [r.rid for r in ds.read().select("rid").collect()]
+            assert all(i is not None for i in ids)
+            assert len(ids) == len(set(ids)) == appended
+            assert sorted(ids) == list(range(1, appended + 1))
+            wm = ds.metadata.identity_columns["rid"]["watermark"]
+            assert wm == appended + 1
+    finally:
+        shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)

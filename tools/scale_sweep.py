@@ -33,7 +33,7 @@ COPIES = 10
 HEAVY = [
     "dedup_substr", "dedup_minhash_lsh", "dedup_semantic",
     "stream_session_agg", "text_bpe_pack", "pipeline_pretrain_filter",
-    "export_shards_manifest", "space_stream_mv", "ann_ivfpq_topk",
+    "export_shards_manifest", "space_stream_mv", "ann_ivfpq_rerank",
     "space_zorder_pruned",
 ]
 
