@@ -1823,9 +1823,19 @@ class Dataset:
             fires = self._clause_fires(
                 clauses, F.col("__m").isNotNull(), (s_acc, t_acc))
 
+            idents = set(self.metadata.identity_columns or {})
+
             def m_value(cl, c):
                 if cl["set"] is None or c in pks:
-                    return s_acc[c]  # whole-row replace / join key
+                    # Whole-row replace / join key — EXCEPT identity
+                    # columns, which keep their target value on update
+                    # (Delta identity semantics: a matched row's id is
+                    # stable; the source's freshly-_align-assigned id
+                    # for that row must not displace it). An explicit
+                    # set entry still overrides below.
+                    if c in idents and c not in pks and cl["set"] is None:
+                        return t_acc[c]
+                    return s_acc[c]
                 # UPDATE SET: unlisted columns keep their target value.
                 return self._set_or(cl, c, t_acc[c], (s_acc, t_acc))
 

@@ -343,3 +343,71 @@ def test_identity_invariants_under_random_sequences(spark, ops):
             assert wm == appended + 1
     finally:
         shutil.rmtree(loc.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_identity_failed_write_leaks_gap_not_duplicates(
+    spark, tmp_location
+):
+    """A write that reserves a range and then ABORTS (CHECK constraint
+    violation after assignment) leaks its reservation as a gap — ANSI
+    identity semantics — and the next successful write continues from
+    the advanced watermark with no reuse."""
+    from space_spark import ConstraintViolationError
+
+    sch = T.StructType([
+        T.StructField("rid", T.LongType()),
+        T.StructField("val", T.LongType()),
+    ])
+    ds = Dataset.create(
+        spark, tmp_location, sch, ["rid"],
+        identity_columns={"rid": {"start": 1, "step": 1}},
+        check_constraints={"val_pos": field("val") > 0},
+    )
+    ds.append(spark.createDataFrame(
+        [Row(val=5), Row(val=6)],
+        T.StructType([T.StructField("val", T.LongType())]),
+    ))  # rids 1, 2
+    with pytest.raises(ConstraintViolationError):
+        ds.append(spark.createDataFrame(
+            [Row(val=-1), Row(val=-2), Row(val=-3)],
+            T.StructType([T.StructField("val", T.LongType())]),
+        ))  # reserved 3..5, aborted -> gap
+    ds.append(spark.createDataFrame(
+        [Row(val=7)],
+        T.StructType([T.StructField("val", T.LongType())]),
+    ))
+    ids = sorted(r.rid for r in ds.read().collect())
+    assert ids == [1, 2, 6]  # gap 3-5 leaked, no reuse, no dupes
+    assert ds.metadata.identity_columns["rid"]["watermark"] == 7
+
+
+def test_identity_nonpk_merge_keeps_target_ids(spark, tmp_location):
+    """A whole-row matched UPDATE must not displace the target's
+    identity value with the fresh id _align assigned to the source
+    row (Delta identity semantics: matched ids are stable)."""
+    sch = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("rid", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    ds = Dataset.create(
+        spark, tmp_location, sch, ["k"],
+        identity_columns={"rid": {"start": 1, "step": 1}},
+    )
+    two = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    ds.append(spark.createDataFrame(
+        [Row(k=10, v="a"), Row(k=20, v="b")], two
+    ))
+    before = {r.k: r.rid for r in ds.read().collect()}
+    ds.merge(spark.createDataFrame(
+        [Row(k=10, v="a2"), Row(k=30, v="c")], two
+    ))
+    after = {r.k: (r.rid, r.v) for r in ds.read().collect()}
+    assert after[10] == (before[10], "a2")  # id stable across update
+    assert after[20] == (before[20], "b")
+    assert after[30][1] == "c" and after[30][0] not in (
+        before[10], before[20]
+    )
+    rids = [t[0] for t in after.values()]
+    assert len(set(rids)) == 3 and all(r is not None for r in rids)
