@@ -5427,57 +5427,54 @@ _CHURN_QUOTA = 8
 # test_registry_rotation exempts exactly this set.
 _RETIRED = {"space_merge_multi", "ann_ivfpq_topk"}
 _CHURNED_THIS_ROUND = [
-    # r10 churn, derived from the round's diff by tools/churn_suggest.py
-    # against base 3a4aa2f (function-level git-diff -> query mapping),
-    # re-derived after the second r10 work session. Never-green r10
-    # registrations (space_merge_multi, space_merge_full,
-    # ann_ivfpq_rerank, space_clone_read, space_constraint_read,
-    # space_rollback_read, text_heavy_hitters, dedup_keep_best) lead
-    # the window by staleness automatically and take no churn slot.
+    # r11 churn, derived from the round's diff by tools/churn_suggest.py
+    # against base 59d5282 (function-level git-diff -> query mapping).
+    # The tool flags every space_* query via the Dataset CLASS diff
+    # (same coarseness as r10); these eight are the queries whose
+    # SPECIFICALLY-changed code runs in their plan. Never-green r11
+    # registrations (space_generated_cols, space_identity_read,
+    # space_blob_clone) lead the window by staleness automatically and
+    # take no churn slot — they also re-exercise the rewritten _align
+    # (generated/identity hooks) and clone record-base machinery that
+    # every other flagged query only touches incidentally.
     #
-    # merge() was REWRITTEN (multi-clause cascade + source pinning) —
-    # the round-9 registered behavior must re-verify through the new
-    # code.
-    "space_merge_read",
-    # Two r10 changes ride this query: apply_changes' checkpoint
-    # release moved into _release_new_blocks, AND the datasink
-    # _write_shard signature/constraint hook (its streaming micro-batch
-    # sink path; constraints list is empty here — the loop is inert —
-    # but the plumbing changed).
+    # overwrite()'s bitmap changelog now emits the O(1) ALL encoding —
+    # the registered overwrite surface must re-verify through it.
+    "space_overwrite_read",
+    # merge()'s matched whole-row value fn gained the identity guard;
+    # this is the full-clause-surface merge representative.
+    "space_merge_full",
+    # diff() gained the clone-origin CDF warn call at its head.
+    "space_diff_changes",
+    # The streaming sink's write() now re-reads constraints per batch
+    # and threads the generated-columns list; this is the registered
+    # micro-batch sink + MV refresh surface.
     "space_stream_mv",
-    # The other registered consumer of the changed sink plumbing
-    # (readChangeFeed source + foreachBatch sink round-trip).
+    # The CDC stream reader's constructor gained the clone-origin
+    # check; readChangeFeed + foreachBatch round-trip representative.
     "space_stream_cdc",
-    # _bitmap_pairs_df now normpaths sidecar file keys (the clone/
-    # zero-copy MoR fix): this is the registered MoR-vector read.
-    "space_mor_delete",
-    # compact()'s candidate-selection block was edited (where= partial
-    # compaction filter); default path re-verified here.
-    "space_compact_read",
-    # rename_column's mutate gained the constraint-remap block (inert
-    # without constraints, but the method changed).
-    "space_rename_read",
-    # append_parquet gained the external-file constraint scan (inert
-    # without constraints); this is the zero-copy representative.
-    "space_zero_copy_load",
-    # vacuum()'s liveness loop gained the directory-aware guard for
-    # overwrite's dir-valued delete streams — new code runs for EVERY
-    # snapshot with a deletes entry, so the registered vacuum surface
-    # re-verifies. (This displaced space_insert_read from the list:
-    # insert's only change is the _write_data_files constraint tail,
-    # inert without constraints and pinned by tests/test_constraints;
-    # insert_read is r8-green and rotates naturally.)
-    "space_vacuum_read",
+    # records.resolve_record_fields gained the record-bases parameter
+    # (threaded through Dataset.read); registered blob-read surface.
+    "space_record_fields",
+    # RandomAccessDataSource now captures + uses record search bases.
+    "space_random_access",
+    # keep_best_per_cluster's three-consumer fan-out is now pinned by
+    # localCheckpoint (ADVICE r10 low) — re-verify the operator.
+    "dedup_keep_best",
 ]
-# Quota is 8; 8 used. churn_suggest additionally flags every space
-# query via the Dataset CLASS diff and every field()-using query via
-# expressions.py (Field.isin is a NEW method — no existing call site
-# changed; eval_arrow_rows is new code reached only from the datasink
-# constraint hook). Bloom build/probe, BPE, the DataSource read path,
-# and the recall harness are UNCHANGED this round — their r9 evidence
-# stands. Every registered oracle also re-verifies at sf0.001 in
-# tests/test_oracle.py on each suite run, and this session re-swept
-# ALL queries at sf0.01 and sf0.1 explicitly.
+# Quota is 8; 8 used. churn_suggest flags 19 more via the Dataset
+# CLASS diff; the displaced ones are either covered by the never-green
+# leaders (clone/record-bases via space_blob_clone; generated/identity
+# _align via space_generated_cols + space_identity_read), pinned by
+# named pytest (add_constraint TOCTOU: tests/test_constraints.py;
+# ALL-tag bitmaps: tests/test_bitmaps.py + test_overwrite.py), or
+# touched only by additive code their plan never reaches (the new
+# Arith/Func expression nodes — existing predicates parse/prune
+# identically, pinned by tests/test_pruning_properties.py). Bloom
+# build/probe, BPE, and the recall harness are UNCHANGED this round.
+# Every registered oracle also re-verifies at sf0.001 in
+# tests/test_oracle.py on each suite run; the three new queries were
+# additionally swept at sf0.01 before registration.
 
 
 def _is_green(row) -> bool:
