@@ -95,6 +95,7 @@ class Dataset:
         check_constraints: Optional[Dict[str, Expr]] = None,
         generated_columns: Optional[Dict[str, Expr]] = None,
         identity_columns: Optional[Dict[str, dict]] = None,
+        not_null: Optional[Sequence[str]] = None,
     ) -> "Dataset":
         """``serializers``: optional {record_field: FieldSerializer} —
         persisted (cloudpickled) with the table and applied by
@@ -145,6 +146,7 @@ class Dataset:
         id_specs = cls._encode_identity(
             identity_columns, generated_columns, schema, record_fields
         )
+        nn_cols = cls._validate_not_null(not_null, schema, record_fields)
         schema = sc.assign_field_ids(schema)
         log = md.MetadataLog(location)
         if log.exists():
@@ -190,8 +192,30 @@ class Dataset:
         )
         meta.generated_columns = gen_json
         meta.identity_columns = id_specs
+        meta.not_null = nn_cols
         log.write_metadata(meta, create=True)
         return cls(spark, log, meta)
+
+    @staticmethod
+    def _validate_not_null(not_null, schema, record_fields) -> List[str]:
+        """NOT NULL targets must be existing non-record columns."""
+        if not not_null:
+            return []
+        names = set(schema.fieldNames())
+        out: List[str] = []
+        for col in not_null:
+            if col not in names:
+                raise UserInputError(
+                    f"NOT NULL column {col!r} is not in the schema"
+                )
+            if col in (record_fields or ()):
+                raise UserInputError(
+                    f"NOT NULL column {col!r} cannot be a record "
+                    "(blob) field"
+                )
+            if col not in out:
+                out.append(col)
+        return sorted(out)
 
     @classmethod
     def _encode_generated(cls, generated, identity, schema,
@@ -767,7 +791,8 @@ class Dataset:
             self._stats_fields(),
             bloom_pks=bloom_pks,
         )
-        if not physical and self.metadata.constraints:
+        if not physical and (self.metadata.constraints
+                             or self.metadata.not_null):
             # Write-first CHECK enforcement: validate the files just
             # written (still uncommitted orphans) with ONE pushed-down
             # scan — row-group stats of compliant files falsify the
@@ -779,7 +804,7 @@ class Dataset:
             )
             if violated:
                 raise ConstraintViolationError(
-                    f"CHECK constraint(s) {violated} violated by "
+                    f"Constraint(s) {violated} violated by "
                     "incoming rows; write aborted before commit (the "
                     "shard files are uncommitted orphans — vacuum "
                     "reclaims them)"
@@ -824,26 +849,36 @@ class Dataset:
         return out
 
     def _constraint_violation_names(self, df: DataFrame) -> List[str]:
-        """Names of ALL CHECK constraints violated by >=1 row of
-        ``df`` — ONE aggregate scan evaluating every constraint
-        (violation = expression is FALSE; NULL passes, per SQL CHECK
-        semantics). Complete by construction: a limit(1) sample would
-        name only the constraints the sampled row breaks, sending the
-        user through a fix-retry-fail loop for each remaining one."""
+        """Names of ALL constraints violated by >=1 row of ``df`` —
+        ONE aggregate scan evaluating every CHECK constraint (violation
+        = expression is FALSE; NULL passes, per SQL CHECK semantics)
+        AND every NOT NULL column (which CHECK cannot express — that is
+        why NOT NULL is a distinct constraint type, as in Delta).
+        Complete by construction: a limit(1) sample would name only the
+        constraints the sampled row breaks, sending the user through a
+        fix-retry-fail loop for each remaining one."""
         from space_spark.core.expressions import expr_from_json
 
         items = sorted((self.metadata.constraints or {}).items())
-        if not items:
+        nn = sorted(self.metadata.not_null or [])
+        nn = [c for c in nn if c in set(df.columns)]
+        if not items and not nn:
             return []
         flags = [
             F.max(
                 ~F.coalesce(expr_from_json(j).to_spark(), F.lit(True))
             ).alias(f"__viol_{i}")
             for i, (_n, j) in enumerate(items)
+        ] + [
+            F.max(F.col(c).isNull()).alias(f"__nn_{i}")
+            for i, c in enumerate(nn)
         ]
         r = df.agg(*flags).collect()[0]
         return [items[i][0] for i in range(len(items))
-                if r[f"__viol_{i}"]]
+                if r[f"__viol_{i}"]] + [
+            f"NOT NULL({nn[i]})" for i in range(len(nn))
+            if r[f"__nn_{i}"]
+        ]
 
     def add_constraint(self, name: str, expr: Expr) -> "Dataset":
         """Add a CHECK constraint to an existing table. EXISTING rows
@@ -919,6 +954,66 @@ class Dataset:
 
         def mutate(meta):
             meta.constraints.pop(name, None)
+
+        self.metadata = self.log.update_refs(mutate)
+        return self
+
+    def add_not_null(self, column: str) -> "Dataset":
+        """Add a NOT NULL constraint to an existing column — Delta
+        ``ALTER TABLE ... SET NOT NULL`` analog. Existing rows are
+        validated first (one index-columns-only scan); the branch head
+        is pinned across validation exactly like ``add_constraint``
+        (same TOCTOU: an in-flight write validated against the old
+        constraint set must force re-validation, not land NULLs after
+        the constraint commits)."""
+        last_err: Optional[Exception] = None
+        for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
+            self.reload()
+            self._validate_not_null(
+                [column], self.schema, self.record_fields
+            )
+            if column in (self.metadata.not_null or []):
+                raise UserInputError(
+                    f"Column {column!r} is already NOT NULL"
+                )
+            validated_head = self.current_snapshot_id
+            has_null = self.read(reference_read=True).agg(
+                F.max(F.col(column).isNull()).alias("n")
+            ).collect()[0]["n"]
+            if has_null:
+                raise ConstraintViolationError(
+                    f"Cannot add NOT NULL on {column!r}: existing "
+                    "rows hold NULL"
+                )
+
+            def mutate(meta):
+                if column in meta.not_null:
+                    raise UserInputError(
+                        f"Column {column!r} is already NOT NULL"
+                    )
+                if meta.branches.get(self.branch) != validated_head:
+                    raise TransactionConflictError(
+                        f"Branch {self.branch!r} advanced past "
+                        f"snapshot {validated_head} during NOT NULL "
+                        "validation; re-validating"
+                    )
+                meta.not_null = sorted(meta.not_null + [column])
+
+            try:
+                self.metadata = self.log.update_refs(mutate)
+                return self
+            except TransactionConflictError as e:
+                last_err = e
+        raise last_err
+
+    def drop_not_null(self, column: str) -> "Dataset":
+        """Remove a NOT NULL constraint (metadata-only)."""
+        self.reload()
+        if column not in (self.metadata.not_null or []):
+            raise UserInputError(f"Column {column!r} is not NOT NULL")
+
+        def mutate(meta):
+            meta.not_null = [c for c in meta.not_null if c != column]
 
         self.metadata = self.log.update_refs(mutate)
         return self
@@ -3495,6 +3590,7 @@ class Dataset:
                     )
             meta.generated_columns.pop(name, None)
             meta.identity_columns.pop(name, None)
+            meta.not_null = [c for c in meta.not_null if c != name]
             meta.schema = T.StructType(
                 [f for f in meta.schema.fields if f.name != name]
             )
@@ -3603,6 +3699,10 @@ class Dataset:
             if old in meta.identity_columns:
                 meta.identity_columns[new] = \
                     meta.identity_columns.pop(old)
+            if old in meta.not_null:
+                meta.not_null = sorted(
+                    new if c == old else c for c in meta.not_null
+                )
 
         self.metadata = self.log.update_refs(mutate)
         return self

@@ -212,6 +212,10 @@ class StorageMetadata:
     # collide. A failed write leaks its reservation as a gap — ANSI
     # identity semantics (unique, increasing per writer, gaps allowed).
     identity_columns: Dict[str, dict] = dc_field(default_factory=dict)
+    # NOT NULL constraints (Delta's second constraint type): CHECK
+    # cannot express them (SQL CHECK passes NULL rows), so they are a
+    # distinct column-name list enforced on every row-adding write.
+    not_null: List[str] = dc_field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -239,6 +243,7 @@ class StorageMetadata:
                 "record_bases": self.record_bases,
                 "generated_columns": self.generated_columns,
                 "identity_columns": self.identity_columns,
+                "not_null": self.not_null,
             },
             indent=1,
         )
@@ -284,6 +289,7 @@ class StorageMetadata:
                 k: dict(v)
                 for k, v in d.get("identity_columns", {}).items()
             },
+            not_null=list(d.get("not_null", [])),
         )
 
     # -- version resolution (core/storage.py:224-236) -----------------------

@@ -127,7 +127,8 @@ def _write_shard(location: str, rel: str, table_arrow: pa.Schema,
                  iterator: Iterator[pa.RecordBatch],
                  write_arrow: Optional[pa.Schema] = None,
                  constraints: Optional[List[tuple]] = None,
-                 generated: Optional[List[tuple]] = None
+                 generated: Optional[List[tuple]] = None,
+                 not_null: Optional[List[str]] = None
                  ) -> FilesCommitMessage:
     """Executor side: stream this task's batches into one parquet file,
     aligned to the table's column order/types. Returns no file for an
@@ -173,6 +174,14 @@ def _write_shard(location: str, rel: str, table_arrow: pa.Schema,
                 batch = batch.set_column(
                     idx, batch.schema.field(idx), val
                 )
+            for nname in (not_null or []):
+                idx = batch.schema.get_field_index(nname)
+                if idx >= 0 and batch.column(idx).null_count:
+                    raise ConstraintViolationError(
+                        f"NOT NULL({nname}) violated by "
+                        f"{batch.column(idx).null_count} row(s) in "
+                        "this write"
+                    )
             for cname, cexpr in checks:
                 mask = ex.eval_arrow_rows(cexpr, batch)
                 bad = pc.sum(
@@ -296,6 +305,7 @@ class SpaceBatchWriter(DataSourceArrowWriter):
             (getattr(meta, "constraints", {}) or {}).items()
         )
         self.generated = _sink_generated(meta)
+        self.not_null = sorted(getattr(meta, "not_null", []) or [])
         self.commit_reldir = md.MetadataLog(location).new_commit_data_reldir()
 
     def write(self, iterator: Iterator[pa.RecordBatch]
@@ -304,7 +314,7 @@ class SpaceBatchWriter(DataSourceArrowWriter):
                            f"part-{uuid.uuid4().hex[:16]}.parquet")
         return _write_shard(self.location, rel, self.table_arrow, iterator,
                             self.write_arrow, self.constraints,
-                            self.generated)
+                            self.generated, self.not_null)
 
     def commit(self, messages) -> None:
         _commit_append(self.location, self.branch, _files_from(messages))
@@ -338,6 +348,7 @@ class SpaceStreamWriter(DataSourceStreamArrowWriter):
             (getattr(meta, "constraints", {}) or {}).items()
         )
         self.generated = _sink_generated(meta)
+        self.not_null = sorted(getattr(meta, "not_null", []) or [])
 
     def write(self, iterator: Iterator[pa.RecordBatch]
               ) -> FilesCommitMessage:
@@ -357,11 +368,13 @@ class SpaceStreamWriter(DataSourceStreamArrowWriter):
             constraints = sorted(
                 (getattr(live, "constraints", {}) or {}).items()
             )
+            not_null = sorted(getattr(live, "not_null", []) or [])
         except OSError:  # pragma: no cover - metadata briefly unreadable
             constraints = self.constraints
+            not_null = self.not_null
         return _write_shard(self.location, rel, self.table_arrow, iterator,
                             self.write_arrow, constraints,
-                            self.generated)
+                            self.generated, not_null)
 
     def commit(self, messages, batchId: int) -> None:
         rel_files = _files_from(messages)

@@ -277,3 +277,81 @@ def test_add_constraint_retries_past_benign_racing_append(
     assert "qty_nonneg" in ds.metadata.constraints
     with pytest.raises(ConstraintViolationError):
         ds.append(_rows(spark, [(3, -1, "y")]))
+
+
+# ------------------------------------------------------------- NOT NULL
+def test_not_null_rejected_on_every_write_path(spark, tmp_location):
+    """NOT NULL is a distinct constraint type because SQL CHECK passes
+    NULL rows — append/upsert/merge must all reject NULL in a declared
+    column, naming it."""
+    ds = Dataset.create(
+        spark, tmp_location, SCHEMA, ["id"], not_null=["qty"]
+    )
+    ds.append(_rows(spark, [(1, 5, "a")]))
+    with pytest.raises(ConstraintViolationError, match=r"NOT NULL\(qty\)"):
+        ds.append(_rows(spark, [(2, None, "b")]))
+    with pytest.raises(ConstraintViolationError, match=r"NOT NULL\(qty\)"):
+        ds.upsert(_rows(spark, [(1, None, "x")]))
+    with pytest.raises(ConstraintViolationError):
+        ds.merge(_rows(spark, [(3, None, "c")]))
+    assert sorted(r.id for r in ds.read().collect()) == [1]
+
+
+def test_not_null_and_check_report_together(spark, tmp_location):
+    from space_spark import lit
+
+    ds = Dataset.create(
+        spark, tmp_location, SCHEMA, ["id"],
+        check_constraints={"qty_cap": field("qty") <= lit(100)},
+        not_null=["tag"],
+    )
+    import re
+
+    with pytest.raises(
+        ConstraintViolationError,
+        match=re.compile(r"qty_cap.*NOT NULL\(tag\)"),
+    ):
+        ds.append(_rows(spark, [(1, 500, None)]))
+
+
+def test_add_not_null_validates_and_enforces(spark, tmp_location):
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["id"])
+    ds.append(_rows(spark, [(1, 5, "a"), (2, None, "b")]))
+    with pytest.raises(ConstraintViolationError, match="existing"):
+        ds.add_not_null("qty")
+    ds.delete(field("id") == 2)
+    ds.add_not_null("qty")
+    with pytest.raises(ConstraintViolationError):
+        ds.append(_rows(spark, [(3, None, "c")]))
+    ds.drop_not_null("qty")
+    ds.append(_rows(spark, [(3, None, "c")]))
+    assert ds.read().count() == 2
+
+
+def test_not_null_sink_enforcement_and_rename(spark, tmp_location):
+    from space_spark.sources.datasource import register_space_source
+
+    register_space_source(spark)
+    ds = Dataset.create(
+        spark, tmp_location, SCHEMA, ["id"], not_null=["qty"]
+    )
+    good = _rows(spark, [(1, 2, "a")])
+    good.write.format("space").mode("append").save(ds.location)
+    bad = _rows(spark, [(2, None, "b")])
+    with pytest.raises(Exception, match=r"NOT NULL\(qty\)"):
+        bad.write.format("space").mode("append").save(ds.location)
+    assert ds.reload().read().count() == 1
+    # rename follows the constraint
+    ds.rename_column("qty", "amount")
+    assert ds.metadata.not_null == ["amount"]
+    with pytest.raises(ConstraintViolationError, match="amount"):
+        ds.append(ds.read().limit(1).withColumn(
+            "amount", F.lit(None).cast("long")
+        ))
+
+
+def test_not_null_declaration_validation(spark, tmp_location):
+    with pytest.raises(UserInputError, match="not in the schema"):
+        Dataset.create(
+            spark, tmp_location, SCHEMA, ["id"], not_null=["ghost"]
+        )

@@ -161,3 +161,31 @@ def test_file_uri_location_percent_decodes(tmp_path):
     log = md.MetadataLog("file:" + loc.replace(" ", "%20"))
     assert log.location == os.path.abspath(loc)
     assert md.MetadataLog(loc).location == log.location
+
+
+def test_round11_metadata_fields_survive_serde():
+    """record_bases / generated_columns / identity_columns / not_null
+    must round-trip to_json <-> from_json exactly — a field silently
+    dropped by serde would erase the constraint/indirection on the
+    NEXT commit's metadata rewrite."""
+    from pyspark.sql import types as T
+
+    from space_spark.core import metadata as md
+
+    meta = md.initial_metadata(
+        md.TYPE_DATASET,
+        T.StructType([T.StructField("a", T.LongType())]),
+        ["a"], [], {"a": 1},
+    )
+    meta.record_bases = ["../src", "/abs/other"]
+    meta.generated_columns = {"g": '{"n":"field","name":"a"}'}
+    meta.identity_columns = {"a": {"start": 5, "step": 2,
+                                   "watermark": 11}}
+    meta.not_null = ["a"]
+    back = md.StorageMetadata.from_json(meta.to_json())
+    assert back.record_bases == meta.record_bases
+    assert back.generated_columns == meta.generated_columns
+    assert back.identity_columns == meta.identity_columns
+    assert back.not_null == meta.not_null
+    # And a second rewrite is byte-stable (no churn per commit).
+    assert back.to_json() == meta.to_json()
