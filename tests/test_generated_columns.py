@@ -411,3 +411,67 @@ def test_identity_nonpk_merge_keeps_target_ids(spark, tmp_location):
     )
     rids = [t[0] for t in after.values()]
     assert len(set(rids)) == 3 and all(r is not None for r in rids)
+
+
+def test_generated_column_prunes_via_manifest_stats(spark, tmp_location):
+    """Generated columns are physical columns with footer stats, so a
+    filter on one prunes files like any other — the layout benefit
+    Delta gets from generated partition columns falls out of manifest
+    pruning here."""
+    sch = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("bucket", T.LongType()),
+    ])
+    ds = Dataset.create(
+        spark, tmp_location, sch, ["id"],
+        generated_columns={"bucket": field("id") % 10},
+    )
+    one = T.StructType([T.StructField("id", T.LongType())])
+    # cluster_by the generated column -> disjoint per-file ranges.
+    ds.append(
+        spark.createDataFrame([Row(id=i) for i in range(400)], one),
+        cluster_by=["bucket"],
+    )
+    all_files = ds.data_files()
+    hit = ds.data_files(filter_=field("bucket") == 3)
+    assert len(hit) < len(all_files)
+    got = sorted(r.id for r in
+                 ds.read(filter_=field("bucket") == 3).collect())
+    assert got == [i for i in range(400) if i % 10 == 3]
+
+
+def test_clone_carries_generated_identity_not_null(
+    spark, tmp_location
+):
+    """A clone of a table with round-11 write-surface metadata keeps
+    it all: generated exprs recompute, identity continues PAST the
+    source's watermark (no id reuse against cloned rows), NOT NULL
+    still enforces."""
+    import shutil
+    import tempfile
+
+    from space_spark import ConstraintViolationError
+
+    sch = T.StructType([
+        T.StructField("rid", T.LongType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("v2", T.LongType()),
+    ])
+    ds = Dataset.create(
+        spark, tmp_location, sch, ["rid"],
+        identity_columns={"rid": {"start": 1, "step": 1}},
+        generated_columns={"v2": field("v") * 2},
+        not_null=["v"],
+    )
+    vs = T.StructType([T.StructField("v", T.LongType())])
+    ds.append(spark.createDataFrame([Row(v=5), Row(v=6)], vs))
+    dest = tempfile.mkdtemp(prefix="space_gclone_") + "/c"
+    try:
+        c = ds.clone(dest)
+        c.append(spark.createDataFrame([Row(v=7)], vs))
+        rows = {r.rid: (r.v, r.v2) for r in c.read().collect()}
+        assert rows == {1: (5, 10), 2: (6, 12), 3: (7, 14)}
+        with pytest.raises(ConstraintViolationError):
+            c.append(spark.createDataFrame([Row(v=None)], vs))
+    finally:
+        shutil.rmtree(dest.rsplit("/", 1)[0], ignore_errors=True)
