@@ -636,7 +636,8 @@ class Dataset:
         return self.read(**kwargs)
 
     # ---------------------------------------------------------------- writing
-    def _align(self, df: DataFrame) -> DataFrame:
+    def _align(self, df: DataFrame,
+               skip_identity: bool = False) -> DataFrame:
         """Column alignment + generated/identity evaluation — the one
         funnel every row-adding write path (append/insert/upsert/
         overwrite/update survivors/merge source/apply_changes) passes
@@ -670,7 +671,7 @@ class Dataset:
         df = df.select(
             *[F.col(n).cast(self.schema[n].dataType) for n in expected]
         )
-        if idents:
+        if idents and not skip_identity:
             df = self._assign_identity(df)
         return df
 
@@ -682,12 +683,14 @@ class Dataset:
         write, and must not re-evaluate in between), the value range is
         reserved atomically under the commit lock (one update_refs; a
         crashed write leaks its range as a gap), and assignment is a
-        shuffle-free mapInPandas: each task fills its partition from
+        shuffle-free mapInArrow: each task fills its partition from
         base + step * (partition offset + running index) — the
         distributed prefix-sum discipline of operators/packing.py, no
-        global window, no driver-side rows."""
+        global window, no driver-side rows. Arrow (not pandas)
+        batches keep the column int64 end-to-end: the pandas bridge
+        materializes int64-with-nulls as float64, silently rounding
+        pass-through ids above 2^53."""
         import numpy as np
-        import pandas as pd  # noqa: F401  (mapInPandas dependency)
 
         idents = self.metadata.identity_columns
         cols = sorted(idents)
@@ -722,28 +725,44 @@ class Dataset:
         fill_cols = [c for c in cols if totals[c] > 0]
 
         def assign(batches):
+            import pyarrow as pa_
+            import pyarrow.compute as pc_
+
             seen = {c: 0 for c in fill_cols}
-            for pdf in batches:
-                if len(pdf) == 0:
-                    yield pdf.drop(columns=["__pid"])
+            for batch in batches:
+                names = batch.schema.names
+                pid_idx = names.index("__pid")
+                if batch.num_rows == 0:
+                    yield batch.drop_columns(["__pid"])
                     continue
-                pid = int(pdf["__pid"].iloc[0])
+                pid = batch.column(pid_idx)[0].as_py()
                 for c in fill_cols:
-                    col = pdf[c].astype("Int64")
-                    mask = col.isna()
-                    k = int(mask.sum())
+                    i = names.index(c)
+                    col = pc_.cast(batch.column(c), pa_.int64())
+                    mask = pc_.is_null(col)
+                    k = pc_.sum(pc_.cast(mask, pa_.int64())).as_py() or 0
                     if k:
                         base = bases[c] + steps[c] * (
                             offsets[c][pid] + seen[c]
                         )
-                        col[mask] = base + steps[c] * np.arange(
+                        np_mask = mask.to_numpy(zero_copy_only=False)
+                        # fill_null keeps the array int64, so to_numpy
+                        # stays EXACT (a nullable int64 -> numpy path
+                        # would go through float64 and round > 2^53).
+                        vals = col.fill_null(0).to_numpy(
+                            zero_copy_only=False
+                        ).astype(np.int64, copy=True)
+                        vals[np_mask] = base + steps[c] * np.arange(
                             k, dtype=np.int64
                         )
+                        col = pa_.array(vals, pa_.int64())
                         seen[c] += k
-                    pdf[c] = col
-                yield pdf.drop(columns=["__pid"])
+                    batch = batch.set_column(
+                        i, batch.schema.field(i), col
+                    )
+                yield batch.drop_columns(["__pid"])
 
-        return marked.mapInPandas(assign, out_schema)
+        return marked.mapInArrow(assign, out_schema)
 
     def _write_data_files(self, df: DataFrame, physical: bool = False):
         """Write data files for one commit; returns (manifest_rel, files,
@@ -1991,7 +2010,8 @@ class Dataset:
                     adds = adds.unionByName(p)
             else:
                 adds = source.limit(0)
-            return self.apply_changes(adds, delete_keys)
+            return self.apply_changes(adds, delete_keys,
+                                      _identity_preassigned=True)
 
     def _keys_range_expr(self, bounds) -> FilterType:
         """Falsifiable manifest-prune expression from a key set's min/max
@@ -2359,7 +2379,8 @@ class Dataset:
 
     def apply_changes(self, adds: DataFrame,
                       delete_keys: DataFrame,
-                      commit_mutate=None) -> "Dataset":
+                      commit_mutate=None,
+                      _identity_preassigned: bool = False) -> "Dataset":
         """CDC merge as ONE snapshot commit: rows whose primary keys
         appear in ``delete_keys`` or in ``adds`` are removed and ``adds``
         appends — the atomic form of ``delete_by_keys`` + ``upsert``
@@ -2378,8 +2399,15 @@ class Dataset:
         ``commit_mutate`` (optional) mutates the table metadata inside
         the SAME commit — the hook streaming MV maintenance uses to
         land the source-synced marker atomically with the data change
-        (the same crash-safety argument as ``refresh``'s sync_mut)."""
-        adds = self._align(adds)
+        (the same crash-safety argument as ``refresh``'s sync_mut).
+
+        ``_identity_preassigned`` (internal): merge() already ran the
+        identity pass on its pinned source, and its cascade only emits
+        source-assigned or target-carried ids — skipping the second
+        pass avoids an extra full localCheckpoint + count job per
+        merge. Generated columns still recompute here (a partial
+        UPDATE SET must refresh them from the updated inputs)."""
+        adds = self._align(adds, skip_identity=_identity_preassigned)
         self.reload()
         pks = self.primary_keys
         manifest_rel, files, rows, nbytes = self._write_data_files(adds)
@@ -2781,19 +2809,18 @@ class Dataset:
         if self.record_fields:
             import shutil as _shutil
 
-            seen_rec: set = set()
-            sid: Optional[int] = snap_id
-            while sid is not None:
-                s = self.metadata.snapshot(sid)
-                for rm_rel in s.record_manifest_files:
-                    if rm_rel in seen_rec:
-                        continue
-                    seen_rec.add(rm_rel)
-                    out_rel = dest_log.new_manifest_relpath()
-                    _shutil.copyfile(self.log.abs_path(rm_rel),
-                                     dest_log.abs_path(out_rel))
-                    new_rec_manifests.append(out_rel)
-                sid = s.parent_snapshot_id
+            # The pinned snapshot's record_manifest_files is already
+            # the complete list for ITS blobs: appends accumulate the
+            # parent's list, deletes/compactions carry it, and
+            # overwrite resets it exactly when the old blobs leave the
+            # live set — so no ancestor walk (which would also drag in
+            # rolled-away snapshots' dead manifests via a rollback's
+            # parent pointer).
+            for rm_rel in snapshot.record_manifest_files:
+                out_rel = dest_log.new_manifest_relpath()
+                _shutil.copyfile(self.log.abs_path(rm_rel),
+                                 dest_log.abs_path(out_rel))
+                new_rec_manifests.append(out_rel)
             meta.record_bases = [os.path.relpath(self.location,
                                                  dest_location)]
             for abs_base in self.record_search_bases:

@@ -663,10 +663,34 @@ def eval_arrow_rows(expr: "Expr", batch) -> "object":
                 return pc.divide(pc.cast(l, pa.float64()),
                                  pc.cast(r, pa.float64()))
             if e.op == "%":
-                # Match Spark/SQL %: result takes the DIVIDEND's sign
-                # (C fmod semantics), which is what a - trunc(a/b)*b is.
+                # Match Spark/SQL %: dividend-sign remainder. For
+                # INTEGER operands this must be exact int64 arithmetic
+                # — a float64 emulation silently mangles |x| > 2^53,
+                # and the sink would then persist a generated column
+                # differing from the Spark-side write path. Arrow's
+                # integer divide truncates toward zero (C semantics,
+                # same as Spark), so l - (l / d) * d is exact, and a
+                # zero divisor RAISES — the same surface as Spark 4's
+                # default ANSI mode (REMAINDER_BY_ZERO).
+                def is_int(a):
+                    t = a.type if hasattr(a, "type") else None
+                    return t is not None and pa.types.is_integer(t)
+
+                if is_int(l) and is_int(r):
+                    li = pc.cast(l, pa.int64())
+                    d = pc.cast(r, pa.int64())
+                    return pc.subtract(
+                        li, pc.multiply(pc.divide(li, d), d)
+                    )
                 q = pc.cast(l, pa.float64())
                 d = pc.cast(r, pa.float64())
+                if pc.any(pc.equal(
+                    d, pa.scalar(0.0, pa.float64())
+                )).as_py():
+                    raise ZeroDivisionError(
+                        "Remainder by zero (matches Spark ANSI "
+                        "REMAINDER_BY_ZERO)"
+                    )
                 return pc.subtract(
                     q, pc.multiply(pc.trunc(pc.divide(q, d)), d)
                 )

@@ -57,10 +57,17 @@ def warn_if_cdf_starts_at_clone_origin(meta: "StorageMetadata",
     consumer bootstrapping from it silently receives zero rows for a
     non-empty table. Surface that instead of staying quiet; consumers
     that want the pre-existing rows should seed from ``read()`` at the
-    origin version and stream changes from there."""
+    origin version and stream changes from there.
+
+    Scoped to SNAPSHOT 0 specifically: only a clone writes a
+    rows-but-no-change-log origin AS snapshot 0 (a regular create's
+    snapshot 0 is empty). A non-zero snapshot whose parent pointer was
+    severed by expire_snapshots keeps its own change log and must not
+    trigger a spurious clone warning."""
     snap = meta.snapshots.get(start_id)
     if (
         snap is not None
+        and snap.snapshot_id == 0
         and snap.parent_snapshot_id is None
         and (snap.num_rows or 0) > 0
         and not (snap.added_files or [])

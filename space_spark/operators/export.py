@@ -233,8 +233,25 @@ def export_webdataset(
                        "n_bytes"],
             )
 
-    return sharded.mapInArrow(
+    manifest_rows = sharded.mapInArrow(
         task,
+        "shard_id int, path string, n_samples long, "
+        "n_members long, n_bytes long",
+    ).collect()
+    # Export is a terminal action, so run it EAGERLY: the driver can
+    # then sweep tmp tars orphaned by killed/speculative task attempts
+    # (only completed shards os.replace to their final names — a loser
+    # attempt's uuid-suffixed tmp would otherwise sit in out_dir
+    # forever, multi-GB at training scale).
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(out_dir, ".shard-*.tar.tmp-*")):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
+    return spark.createDataFrame(
+        manifest_rows,
         "shard_id int, path string, n_samples long, "
         "n_members long, n_bytes long",
     )
@@ -272,7 +289,7 @@ def read_webdataset(
     def task(batches):
         import io
         import tarfile
-        from urllib.parse import urlparse
+        from urllib.parse import unquote, urlparse
 
         import pyarrow as _pa
 
@@ -293,7 +310,11 @@ def read_webdataset(
 
         for batch in batches:
             for p in batch.column(0).to_pylist():
-                local = urlparse(p).path or p
+                # binaryFile returns URI strings — percent-DECODE like
+                # MetadataLog does, or '/my corpus/' arrives as
+                # '/my%20corpus/' and every open fails.
+                local = unquote(urlparse(p).path) if "://" in p or \
+                    p.startswith("file:") else p
                 buf = {"__key": [], **{e: [] for e in exts}}
                 cur_key, cur = None, {}
 

@@ -327,3 +327,32 @@ def test_clone_record_table_compact_records_localizes(
     shutil.rmtree(os.path.join(src_loc, "records"))
     got = {r.id: bytes(r.payload) for r in clone.read().collect()}
     assert got == {i: f"blob-{i}".encode() * 50 for i in range(8)}
+
+
+def test_expired_parent_snapshot_does_not_warn_clone(
+    spark, two_locations
+):
+    """Review fix: a regular table whose snapshot lineage was severed
+    by expire_snapshots must NOT emit the shallow-clone CDF warning —
+    only a clone's snapshot-0 origin qualifies."""
+    import warnings
+
+    from space_spark import field
+
+    src_loc, _ = two_locations
+    ds = Dataset.create(spark, src_loc, SCHEMA, ["id"])
+    ds.append(rows(spark, 0, 6))
+    ds.delete(field("id") < 2)          # CoW snapshot: rows, no adds
+    ds.append(rows(spark, 10, 12))
+    kept = ds.expire_snapshots(keep_last=2)
+    assert kept  # something actually expired
+    start = min(
+        s for s in ds.metadata.snapshots
+        if ds.metadata.snapshots[s].parent_snapshot_id is None
+        or s != 0
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        ds.diff(ds.metadata.snapshot(
+            ds.current_snapshot_id).parent_snapshot_id,
+            ds.current_snapshot_id)

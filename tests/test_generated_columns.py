@@ -475,3 +475,47 @@ def test_clone_carries_generated_identity_not_null(
             c.append(spark.createDataFrame([Row(v=None)], vs))
     finally:
         shutil.rmtree(dest.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_arrow_modulo_exact_above_2_53(spark, tmp_location):
+    """Review fix: the sink's Arrow evaluation of % must be exact
+    int64, not a float64 emulation — a generated column over ids
+    beyond 2^53 has to persist the same value on both write paths."""
+    from space_spark.sources.datasource import register_space_source
+
+    register_space_source(spark)
+    big = 2 ** 60 + 3
+    sch = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("m", T.LongType()),
+    ])
+    ds = Dataset.create(
+        spark, tmp_location, sch, ["k"],
+        generated_columns={"m": field("k") % 1000003},
+    )
+    df = spark.createDataFrame([Row(k=big, m=0)], sch)
+    df.write.format("space").mode("append").save(ds.location)  # Arrow path
+    ds.reload().append(spark.createDataFrame(
+        [Row(k=big + 1, m=0)], sch
+    ))  # Spark path
+    got = {r.k: r.m for r in ds.read().collect()}
+    assert got[big] == big % 1000003  # exact, both engines agree
+    assert got[big + 1] == (big + 1) % 1000003
+
+
+def test_identity_passthrough_exact_above_2_53(spark, tmp_location):
+    """Review fix: a batch mixing NULL ids with an explicit id above
+    2^53 must keep the explicit id EXACT (the pandas bridge would
+    round it; the Arrow assignment path must not)."""
+    big = (1 << 53) + 1
+    ds = Dataset.create(
+        spark, tmp_location, ID_SCHEMA, ["rid"],
+        identity_columns={"rid": {"start": 1, "step": 1}},
+    )
+    ds.append(spark.createDataFrame(
+        [Row(rid=big, v="explicit"), Row(rid=None, v="fresh")],
+        ID_SCHEMA,
+    ).coalesce(1))  # one partition -> one Arrow batch mixes both
+    got = {r.v: r.rid for r in ds.read().collect()}
+    assert got["explicit"] == big  # not 2^53 (the float64 rounding)
+    assert got["fresh"] == 1
