@@ -96,6 +96,8 @@ class Dataset:
         generated_columns: Optional[Dict[str, Expr]] = None,
         identity_columns: Optional[Dict[str, dict]] = None,
         not_null: Optional[Sequence[str]] = None,
+        cluster_by: Optional[Sequence[str]] = None,
+        zorder_by: Optional[Sequence[str]] = None,
     ) -> "Dataset":
         """``serializers``: optional {record_field: FieldSerializer} —
         persisted (cloudpickled) with the table and applied by
@@ -147,6 +149,9 @@ class Dataset:
             identity_columns, generated_columns, schema, record_fields
         )
         nn_cols = cls._validate_not_null(not_null, schema, record_fields)
+        spec = cls._validate_cluster_spec(
+            cluster_by, zorder_by, schema, record_fields
+        )
         schema = sc.assign_field_ids(schema)
         log = md.MetadataLog(location)
         if log.exists():
@@ -193,8 +198,57 @@ class Dataset:
         meta.generated_columns = gen_json
         meta.identity_columns = id_specs
         meta.not_null = nn_cols
+        meta.cluster_spec = spec
         log.write_metadata(meta, create=True)
         return cls(spark, log, meta)
+
+    @staticmethod
+    def _validate_cluster_spec(cluster_by, zorder_by, schema,
+                               record_fields) -> Optional[dict]:
+        """Persistent clustering declaration (Delta CLUSTER BY analog):
+        the write-side layout that makes manifest pruning effective is
+        a TABLE property, applied by every append/compact unless the
+        call overrides it — one declaration instead of a convention
+        every ingest job must remember at 100 TB."""
+        if cluster_by and zorder_by:
+            raise UserInputError(
+                "Declare cluster_by OR zorder_by, not both"
+            )
+        cols = list(cluster_by or zorder_by or [])
+        if not cols:
+            return None
+        names = set(schema.fieldNames())
+        unknown = set(cols) - names
+        if unknown:
+            raise UserInputError(
+                f"Clustering column(s) {sorted(unknown)} not in schema"
+            )
+        rec = set(cols) & set(record_fields or ())
+        if rec:
+            raise UserInputError(
+                f"Cannot cluster by record (blob) field(s) {sorted(rec)}"
+            )
+        return {"cols": cols,
+                "kind": "zorder" if zorder_by else "range"}
+
+    def set_clustering(
+        self,
+        cluster_by: Optional[Sequence[str]] = None,
+        zorder_by: Optional[Sequence[str]] = None,
+    ) -> "Dataset":
+        """ALTER the persistent clustering declaration (metadata-only;
+        existing files keep their layout — the next compact() re-bins
+        them under the new spec). Pass neither to CLEAR it."""
+        self.reload()
+        spec = self._validate_cluster_spec(
+            cluster_by, zorder_by, self.schema, self.record_fields
+        )
+
+        def mutate(meta):
+            meta.cluster_spec = spec
+
+        self.metadata = self.log.update_refs(mutate)
+        return self
 
     @staticmethod
     def _validate_not_null(not_null, schema, record_fields) -> List[str]:
@@ -1071,6 +1125,13 @@ class Dataset:
         their affected-file probe against the new head before retrying,
         since the new head may invalidate their reads."""
         df = self._align(df)
+        if cluster_by is None and zorder_by is None:
+            spec = self.metadata.cluster_spec
+            if spec:
+                if spec.get("kind") == "zorder":
+                    zorder_by = list(spec["cols"])
+                else:
+                    cluster_by = list(spec["cols"])
         if cluster_by and zorder_by:
             raise UserInputError(
                 "cluster_by and zorder_by are mutually exclusive"
@@ -2903,6 +2964,17 @@ class Dataset:
         """
         if target_bytes <= 0:
             raise UserInputError("target_bytes must be positive")
+        if cluster_by is None and zorder_by is None:
+            # Declared table clustering (Delta CLUSTER BY analog) is
+            # the default re-bin layout — compaction HEALS layout
+            # drift instead of freezing whatever interleaving the
+            # small files happened to have.
+            spec = self.metadata.cluster_spec
+            if spec:
+                if spec.get("kind") == "zorder":
+                    zorder_by = list(spec["cols"])
+                else:
+                    cluster_by = list(spec["cols"])
         if cluster_by and zorder_by:
             raise UserInputError(
                 "cluster_by and zorder_by are mutually exclusive"
@@ -3618,6 +3690,13 @@ class Dataset:
             meta.generated_columns.pop(name, None)
             meta.identity_columns.pop(name, None)
             meta.not_null = [c for c in meta.not_null if c != name]
+            if meta.cluster_spec and name in meta.cluster_spec["cols"]:
+                remaining = [c for c in meta.cluster_spec["cols"]
+                             if c != name]
+                meta.cluster_spec = (
+                    {**meta.cluster_spec, "cols": remaining}
+                    if remaining else None
+                )
             meta.schema = T.StructType(
                 [f for f in meta.schema.fields if f.name != name]
             )
@@ -3730,6 +3809,12 @@ class Dataset:
                 meta.not_null = sorted(
                     new if c == old else c for c in meta.not_null
                 )
+            if meta.cluster_spec and old in meta.cluster_spec["cols"]:
+                meta.cluster_spec = {
+                    **meta.cluster_spec,
+                    "cols": [new if c == old else c
+                             for c in meta.cluster_spec["cols"]],
+                }
 
         self.metadata = self.log.update_refs(mutate)
         return self

@@ -223,6 +223,13 @@ class StorageMetadata:
     # cannot express them (SQL CHECK passes NULL rows), so they are a
     # distinct column-name list enforced on every row-adding write.
     not_null: List[str] = dc_field(default_factory=list)
+    # Persistent clustering declaration (Delta CLUSTER BY analog):
+    # {"cols": [...], "kind": "range"|"zorder"} — appends and
+    # compactions apply this layout BY DEFAULT (explicit per-call
+    # arguments still override), so the write-side pruning layout is a
+    # table property, not a per-writer convention every ingest job has
+    # to remember. None = no declared clustering.
+    cluster_spec: Optional[dict] = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -251,6 +258,7 @@ class StorageMetadata:
                 "generated_columns": self.generated_columns,
                 "identity_columns": self.identity_columns,
                 "not_null": self.not_null,
+                "cluster_spec": self.cluster_spec,
             },
             indent=1,
         )
@@ -297,6 +305,7 @@ class StorageMetadata:
                 for k, v in d.get("identity_columns", {}).items()
             },
             not_null=list(d.get("not_null", [])),
+            cluster_spec=d.get("cluster_spec"),
         )
 
     # -- version resolution (core/storage.py:224-236) -----------------------
