@@ -3416,6 +3416,45 @@ class Dataset:
         self.metadata = self.log.update_refs(mutate)
         return self
 
+    def detail(self) -> dict:
+        """One-call table summary (Delta ``DESCRIBE DETAIL`` analog) —
+        metadata only, zero Spark jobs: location, current version, row/
+        byte/file counts from snapshot + manifest bookkeeping, and every
+        declared property (constraints, NOT NULL, generated/identity
+        columns, clustering, bloom config, record fields, clone bases)."""
+        self.reload()
+        snap = self.metadata.snapshot(self.current_snapshot_id)
+        m = self.metadata
+        return {
+            "location": self.location,
+            "table_type": m.table_type,
+            "current_version": snap.snapshot_id,
+            "created_at": snap.created_at,
+            "num_rows": snap.num_rows,
+            "data_bytes": snap.data_bytes,
+            "num_files": len(mf.read_manifest_paths(
+                self._manifest_abs_paths(snap)
+            )),
+            "num_snapshots": len(m.snapshots),
+            "primary_keys": list(m.primary_keys),
+            "record_fields": list(m.record_fields),
+            "branches": dict(m.branches),
+            "tags": dict(m.tags),
+            "constraints": dict(m.constraints or {}),
+            "not_null": list(m.not_null or []),
+            "generated_columns": dict(m.generated_columns or {}),
+            "identity_columns": {
+                k: dict(v) for k, v in (m.identity_columns or {}).items()
+            },
+            "cluster_spec": (dict(m.cluster_spec)
+                             if m.cluster_spec else None),
+            "bloom": dict(m.bloom) if m.bloom else None,
+            "record_bases": list(m.record_bases or []),
+            "delete_vector_files": len(
+                getattr(snap, "delete_vector_files", []) or []
+            ),
+        }
+
     def versions(self) -> DataFrame:
         """(snapshot_id, create_time, tag_or_branch) — storage.py:410-443."""
         refs = [

@@ -164,3 +164,34 @@ def test_clustered_append_prunes_to_one_file(spark, tmp_location):
     assert len(hit) == 1  # disjoint ranges -> exactly one file can match
     got = ds.read(filter_=field("int64") == 500).collect()
     assert len(got) == 1 and got[0].string == "s500"
+
+
+def test_detail_reports_table_properties(spark, tmp_location):
+    """Dataset.detail(): DESCRIBE DETAIL analog — metadata-only table
+    summary carrying every declared property."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from space_spark import Dataset, field
+
+    sch = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("g", T.LongType()),
+    ])
+    ds = Dataset.create(
+        spark, tmp_location, sch, ["id"],
+        check_constraints={"g_pos": field("g") >= 0},
+        not_null=["g"],
+        cluster_by=["g"],
+    )
+    ds.append(spark.createDataFrame(
+        [Row(id=i, g=i % 3) for i in range(10)], sch
+    ))
+    d = ds.detail()
+    assert d["num_rows"] == 10 and d["num_files"] >= 1
+    assert d["primary_keys"] == ["id"]
+    assert list(d["constraints"]) == ["g_pos"]
+    assert d["not_null"] == ["g"]
+    assert d["cluster_spec"] == {"cols": ["g"], "kind": "range"}
+    assert d["current_version"] == ds.current_snapshot_id
+    assert d["branches"]["main"] == ds.current_snapshot_id
