@@ -5462,19 +5462,23 @@ _CHURNED_THIS_ROUND = [
     # localCheckpoint (ADVICE r10 low) — re-verify the operator.
     "dedup_keep_best",
 ]
-# Quota is 8; 8 used. churn_suggest flags 19 more via the Dataset
+# Quota is 8; 8 used. churn_suggest flags ~20 more via the Dataset
 # CLASS diff; the displaced ones are either covered by the never-green
 # leaders (clone/record-bases via space_blob_clone; generated/identity
 # _align via space_generated_cols + space_identity_read), pinned by
-# named pytest (add_constraint TOCTOU: tests/test_constraints.py;
-# ALL-tag bitmaps: tests/test_bitmaps.py + test_overwrite.py), or
-# touched only by additive code their plan never reaches (the new
-# Arith/Func expression nodes — existing predicates parse/prune
-# identically, pinned by tests/test_pruning_properties.py). Bloom
-# build/probe, BPE, and the recall harness are UNCHANGED this round.
-# Every registered oracle also re-verifies at sf0.001 in
-# tests/test_oracle.py on each suite run; the three new queries were
-# additionally swept at sf0.01 before registration.
+# named pytest (add_constraint TOCTOU + the NOT-NULL-combined
+# validation rewrite that space_constraint_read's write path runs:
+# tests/test_constraints.py, 19 tests; ALL-tag bitmaps:
+# tests/test_bitmaps.py + test_overwrite.py; exact Arrow %:
+# tests/test_generated_columns.py), or touched only by additive code
+# their plan never reaches (Arith/Func expression nodes and the
+# cluster_spec default checks — existing predicates/appends behave
+# identically, pinned by tests/test_pruning_properties.py +
+# test_cluster_spec.py). Bloom build/probe, BPE, and the recall
+# harness are UNCHANGED this round. Every registered oracle also
+# re-verifies at sf0.001 in tests/test_oracle.py on each suite run;
+# this round additionally swept ALL 126 at sf0.01 explicitly, and the
+# three new queries were swept at both SFs before registration.
 
 
 def _is_green(row) -> bool:
