@@ -25,6 +25,14 @@ HOSTILE_QUERIES = [
     "space_update_read",
     "space_overwrite_read",
     "text_heavy_hitters",
+    # round-11 surfaces: identity assignment crosses mapInArrow with
+    # Arrow transfer disabled session-wide (the worker-side Arrow path
+    # is independent, which this proves); generated columns evaluate
+    # through the Expr algebra under a non-UTC session; the blob-clone
+    # read resolves record addresses through mapInArrow the same way.
+    "space_identity_read",
+    "space_generated_cols",
+    "space_blob_clone",
 ]
 
 
