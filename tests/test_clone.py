@@ -356,3 +356,25 @@ def test_expired_parent_snapshot_does_not_warn_clone(
         ds.diff(ds.metadata.snapshot(
             ds.current_snapshot_id).parent_snapshot_id,
             ds.current_snapshot_id)
+
+
+def test_clone_crash_midway_is_recoverable(spark, two_locations):
+    """A clone interrupted after creating the dest directory tree but
+    before the atomic entrypoint publish leaves NO readable table —
+    and a re-clone into the same dest succeeds (exists() is
+    entrypoint-based, not directory-based)."""
+    from space_spark.core import metadata as md
+    from space_spark.errors import SpaceError
+
+    src_loc, dst_loc = two_locations
+    src = Dataset.create(spark, src_loc, SCHEMA, ["id"])
+    src.append(rows(spark, 0, 5))
+    # Simulate the crash: the directory skeleton exists (init_location
+    # ran, maybe some manifests copied), but no entrypoint was
+    # published.
+    dest_log = md.MetadataLog(dst_loc)
+    dest_log.init_location()
+    with pytest.raises(SpaceError):
+        Dataset.load(spark, dst_loc)  # not a table yet
+    clone = src.clone(dst_loc)  # retry completes normally
+    assert collect_ids(clone) == list(range(5))
