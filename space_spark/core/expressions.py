@@ -660,8 +660,10 @@ def eval_arrow_rows(expr: "Expr", batch) -> "object":
                     "", null_handling="emit_null",
                 )
             if e.op == "/":
-                return pc.divide(pc.cast(l, pa.float64()),
-                                 pc.cast(r, pa.float64()))
+                # safe=False: Spark's double division converts int64
+                # LOSSILY above 2^53; Arrow's safe cast would raise.
+                return pc.divide(pc.cast(l, pa.float64(), safe=False),
+                                 pc.cast(r, pa.float64(), safe=False))
             if e.op == "%":
                 # Match Spark/SQL %: dividend-sign remainder. For
                 # INTEGER operands this must be exact int64 arithmetic
@@ -682,8 +684,8 @@ def eval_arrow_rows(expr: "Expr", batch) -> "object":
                     return pc.subtract(
                         li, pc.multiply(pc.divide(li, d), d)
                     )
-                q = pc.cast(l, pa.float64())
-                d = pc.cast(r, pa.float64())
+                q = pc.cast(l, pa.float64(), safe=False)
+                d = pc.cast(r, pa.float64(), safe=False)
                 if pc.any(pc.equal(
                     d, pa.scalar(0.0, pa.float64())
                 )).as_py():
@@ -694,8 +696,13 @@ def eval_arrow_rows(expr: "Expr", batch) -> "object":
                 return pc.subtract(
                     q, pc.multiply(pc.trunc(pc.divide(q, d)), d)
                 )
-            return {"+": pc.add, "-": pc.subtract,
-                    "*": pc.multiply}[e.op](l, r)
+            # CHECKED kernels: int64 overflow must RAISE like Spark's
+            # default ANSI mode, not wrap — an unchecked multiply
+            # would let the sink persist a wrapped generated value
+            # where Dataset.append raises ARITHMETIC_OVERFLOW (found
+            # by the cross-engine property test).
+            return {"+": pc.add_checked, "-": pc.subtract_checked,
+                    "*": pc.multiply_checked}[e.op](l, r)
         if isinstance(e, Func):
             c = ev(e.child)
             if e.name == "upper":
