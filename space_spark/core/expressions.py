@@ -371,7 +371,15 @@ class Arith(Expr):
     (``field('qty') * field('price') <= lit(cap)``). Never prunable:
     a Comparison over an Arith operand returns None from falsifiable
     (kept, never wrongly skipped). ``/`` is SQL double division; ``%``
-    follows Spark's sign convention (result has the dividend's sign)."""
+    follows Spark's sign convention (result has the dividend's sign).
+
+    Overflow semantics: the Arrow evaluator implements Spark's DEFAULT
+    (ANSI) behavior — int64 overflow and zero divisors RAISE. A user
+    session running with ``spark.sql.ansi.enabled=false`` will wrap
+    overflow on the Spark-side write path while the sink still raises;
+    the divergence is deliberate — raising can reject a batch, wrapping
+    would persist silently-wrong generated values. Parity under the
+    default session is property-tested (test_expr_parity_properties)."""
 
     _OPS = ("+", "-", "*", "/", "%", "concat")
 

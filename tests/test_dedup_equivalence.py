@@ -189,11 +189,19 @@ def test_ivf_centroid_key_safe_for_huge_ids(spark):
         [(i, [float(i % 5), 1.0]) for i in huge],
         "id long, v array<double>",
     )
+    prev_ansi = spark.conf.get("spark.sql.ansi.enabled", None)
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         cents = similarity.ivf_centroids(emb, 4).collect()
     finally:
-        spark.conf.set("spark.sql.ansi.enabled", "false")
+        # Restore the PREVIOUS value — hard-coding "false" here flipped
+        # the shared session to non-ANSI for every later test file
+        # (caught when the cross-engine parity suite diverged on
+        # overflow semantics only under the full suite's ordering).
+        if prev_ansi is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
     assert ivf_centroids is similarity.ivf_centroids
     assert [r.cent_id for r in cents] == [1, 2, 3, 4]
     # Matches the documented arithmetic computed in plain Python.

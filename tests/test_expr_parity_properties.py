@@ -104,14 +104,26 @@ _RAISED = object()  # sentinel: engine raised (ANSI overflow etc.)
 
 
 def _spark_eval(spark, expr):
-    df = spark.createDataFrame(
-        [Row(**r) for r in ROWS], "a long, b long, s string"
-    ).coalesce(1)
+    # The Arrow evaluator implements Spark's DEFAULT (ANSI) semantics
+    # — overflow raises, never wraps. Pin ANSI for the comparison so
+    # suite ordering (another test toggling the shared session) cannot
+    # change which semantics this parity is measured against.
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
-        return [r.out for r in
-                df.select(expr.to_spark().alias("out")).collect()]
-    except Exception:
-        return _RAISED
+        df = spark.createDataFrame(
+            [Row(**r) for r in ROWS], "a long, b long, s string"
+        ).coalesce(1)
+        try:
+            return [r.out for r in
+                    df.select(expr.to_spark().alias("out")).collect()]
+        except Exception:
+            return _RAISED
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
 def _arrow_eval(expr):
