@@ -1570,3 +1570,83 @@ def recall_at_k(
             F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(k)), 4
         ).alias("recall"),
     )
+
+
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    round_digits: int = 4,
+    topk_fn=None,
+) -> DataFrame:
+    """Margin-based parallel-corpus (bitext) mining — the
+    LASER/CCMatrix alignment step (Artetxe & Schwenk 2019: "Margin
+    based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings"): for every source embedding, score candidate targets
+    by RATIO margin
+
+        margin(x, y) = cos(x, y) /
+            (avgₖ cos(x, NNₖ(x, tgt))/2 + avgₖ cos(y, NNₖ(y, src))/2)
+
+    which normalizes away hubness (a target that is everyone's
+    neighbor gets a high denominator), then keep each source's best
+    target with margin >= ``margin_threshold``.
+
+    Output: (src_id, tgt_id, cosine, margin) — one row per mined pair,
+    margin rounded to ``round_digits`` (deterministic ordering /
+    oracle-friendly like the rest of this module). IDs must be unique
+    WITHIN each side; the two sides' id spaces must be disjoint (the
+    underlying top-k excludes same-id matches, which would otherwise
+    silently drop cross-lingual pairs that share an id).
+
+    Scale shape: two top-k passes (src->tgt and tgt->src) plus two
+    tiny per-id averages broadcast back onto the forward candidates —
+    O(N·k) candidate rows, never an all-pairs join. ``topk_fn``
+    defaults to the exact ``cosine_topk`` (broadcast-or-shuffle; the
+    bounded-corpus oracle path); at 100 TB pass ``ivf_topk`` or
+    ``lsh_bucket_topk`` — any callable with the module's standard
+    (corpus, queries, id_col, vec_col, k) -> (query_id, neighbor_id,
+    score, rank) contract."""
+    fn = topk_fn or cosine_topk
+    fwd = fn(tgt, src, id_col=id_col, vec_col=vec_col, k=k).select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+        F.col("score").alias("cosine"),
+    )
+    bwd = fn(src, tgt, id_col=id_col, vec_col=vec_col, k=k).select(
+        F.col("query_id").alias("tgt_id"),
+        F.col("score").alias("bscore"),
+    )
+    # Candidate rows fan out from fwd THREE ways (avg_fwd agg, the
+    # margin join, best-per-src) — pin one evaluation.
+    fwd = fwd.localCheckpoint(eager=False)
+    avg_fwd = fwd.groupBy("src_id").agg(
+        F.avg("cosine").alias("src_avg")
+    )
+    avg_bwd = bwd.groupBy("tgt_id").agg(
+        F.avg("bscore").alias("tgt_avg")
+    )
+    scored = (
+        fwd.join(F.broadcast(avg_fwd), "src_id")
+        .join(F.broadcast(avg_bwd), "tgt_id")
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cosine")
+                / (F.col("src_avg") / 2 + F.col("tgt_avg") / 2),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where((F.col("__r") == 1)
+               & (F.col("margin") >= margin_threshold))
+        .select("src_id", "tgt_id", "cosine", "margin")
+    )
