@@ -202,3 +202,42 @@ def test_division_parity_is_double_both_sides(spark):
     got_a = _arrow_eval(e)
     for xs, xa in zip(got_s, got_a):
         assert _close(xs, xa)
+
+
+# ------------------------------------------------- transport fuzzing
+json_scalars = st.one_of(
+    st.none(), st.booleans(), st.integers(), st.floats(),
+    st.text(max_size=8),
+)
+json_values = st.recursive(
+    json_scalars,
+    lambda child: st.one_of(
+        st.lists(child, max_size=3),
+        st.dictionaries(
+            st.sampled_from(["n", "op", "name", "vt", "v", "l", "r",
+                             "c", "junk"]),
+            child, max_size=5,
+        ),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(node=json_values)
+def test_expr_decoder_rejects_or_roundtrips_never_executes(node):
+    """The JSON transport is the UNTRUSTED channel (DataSource options
+    reachable from SQL): arbitrary JSON must either decode to a closed-
+    algebra tree that re-encodes losslessly, or raise ValueError/
+    TypeError — never import, exec, or crash the process. (The pickle
+    predecessor of this channel was an RCE; this pins the replacement's
+    contract under fuzzing, not just the hand-written reject cases.)"""
+    import json as _json
+
+    text = _json.dumps(node)
+    try:
+        expr = expr_from_json(text)
+    except (ValueError, TypeError, KeyError):
+        return  # rejected cleanly
+    # Accepted: must round-trip through the encoder.
+    assert expr_to_json(expr)
