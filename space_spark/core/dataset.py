@@ -953,20 +953,51 @@ class Dataset:
             if r[f"__nn_{i}"]
         ]
 
+    def _revalidate_after_conflict(self, rel_files, pinned_cv: int) -> int:
+        """Reverse-TOCTOU guard for row-adding commits: when a commit
+        conflicted and the reload shows the constraint set TIGHTENED
+        since this write validated (``constraints_version`` moved), re-
+        run the write-first check over the already-written (still
+        uncommitted) files against the LIVE set. Returns the live
+        version for the retry's pin. Called with the files parquet-
+        materialized, so re-validation is one pushed-down scan — the
+        input DataFrame is never re-evaluated."""
+        live_cv = self.metadata.constraints_version
+        if live_cv != pinned_cv and rel_files and (
+                self.metadata.constraints or self.metadata.not_null):
+            violated = self._constraint_violation_names(
+                self._read_files(list(rel_files))
+            )
+            if violated:
+                raise ConstraintViolationError(
+                    f"Constraint(s) {violated} committed concurrently "
+                    "are violated by this write's rows; commit aborted "
+                    "(the shard files are uncommitted orphans — vacuum "
+                    "reclaims them)"
+                )
+        return live_cv
+
     def add_constraint(self, name: str, expr: Expr) -> "Dataset":
         """Add a CHECK constraint to an existing table. EXISTING rows
         are validated first (one pushed-down scan of the current
         snapshot — Delta ``ALTER TABLE ADD CONSTRAINT`` semantics);
         enforcement of future writes starts with the metadata commit.
 
-        Concurrency: the branch head is PINNED at validation start and
+        Concurrency — both directions of the TOCTOU are closed:
+        (1) the branch head is PINNED at validation start and
         re-checked inside the ``update_refs`` critical section — a
         write that lands between validation and the constraint commit
         (it validated against the OLD constraint set, so its rows were
         never checked against this one) moves the head and forces this
         method to re-validate against the new snapshot before the
-        constraint can land. Without the pin, violating rows could
-        arrive durably AFTER the constraint committed.
+        constraint can land; (2) the commit bumps
+        ``metadata.constraints_version``, and every row-adding commit
+        pins the version IT validated against
+        (``commit_snapshot(pinned_constraints_version=...)``), so a
+        write that loaded metadata before this constraint committed
+        conflicts at its own commit (the constraint commit does not
+        move the head, so the head pin alone cannot see it) and
+        re-validates its files against the new set before retrying.
 
         Validation reads with ``reference_read=True``: constraints are
         forbidden from referencing record (blob) fields, so the scan
@@ -1011,6 +1042,9 @@ class Dataset:
                         "validation; re-validating against the new head"
                     )
                 meta.constraints[name] = enc[name]
+                # Tightening: force in-flight row-adding commits that
+                # validated against the old set to re-validate.
+                meta.constraints_version += 1
 
             try:
                 self.metadata = self.log.update_refs(mutate)
@@ -1071,6 +1105,9 @@ class Dataset:
                         "validation; re-validating"
                     )
                 meta.not_null = sorted(meta.not_null + [column])
+                # Tightening: same reverse-TOCTOU guard as
+                # add_constraint.
+                meta.constraints_version += 1
 
             try:
                 self.metadata = self.log.update_refs(mutate)
@@ -1179,6 +1216,11 @@ class Dataset:
         last_err = None
         if retries is None:
             retries = self.APPEND_COMMIT_RETRIES
+        # Pin the constraint set these rows were validated against
+        # (_write_data_files ran under the same metadata load); a
+        # concurrent add_constraint/add_not_null bumps the version and
+        # commit_snapshot conflicts, sending us through re-validation.
+        cv = self.metadata.constraints_version
         for _attempt in range(retries + 1):
             pinned = self.current_snapshot_id
             parent = self.metadata.snapshot(pinned)
@@ -1199,12 +1241,16 @@ class Dataset:
             )
             try:
                 self.metadata = self.log.commit_snapshot(
-                    pinned, self.branch, snap, mutate=commit_mutate
+                    pinned, self.branch, snap, mutate=commit_mutate,
+                    pinned_constraints_version=cv,
                 )
                 return self
             except TransactionConflictError as e:
                 last_err = e
                 self.reload()
+                cv = self._revalidate_after_conflict(
+                    files if rows > 0 else [], cv
+                )
         raise last_err
 
     def _write_record_manifest_for(self, new_files: List[str]):
@@ -1383,6 +1429,7 @@ class Dataset:
         manifest_rel, files, rows, nbytes = self._write_data_files(df)
         rec_rel = self._write_record_manifest_for(files)
         last_err = None
+        cv = self.metadata.constraints_version
         for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
             pinned = self.current_snapshot_id
             parent = self.metadata.snapshot(pinned)
@@ -1418,12 +1465,16 @@ class Dataset:
             )
             try:
                 self.metadata = self.log.commit_snapshot(
-                    pinned, self.branch, snap
+                    pinned, self.branch, snap,
+                    pinned_constraints_version=cv,
                 )
                 return self
             except TransactionConflictError as e:
                 last_err = e
                 self.reload()
+                cv = self._revalidate_after_conflict(
+                    files if rows > 0 else [], cv
+                )
         raise last_err
 
     def _write_all_rows_bitmaps(self, parent) -> Optional[str]:
@@ -1600,6 +1651,7 @@ class Dataset:
         bounds = self._bounds_from_manifest(manifest_rel)
         rec_rel = self._write_record_manifest_for(files)
         last_err = None
+        cv = self.metadata.constraints_version
         for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
             pinned = self.current_snapshot_id
             affected, survivors, deletes_rel = self._matching_delete_parts(
@@ -1611,11 +1663,16 @@ class Dataset:
                     append_manifest=manifest_rel, append_files=files,
                     append_rows=rows, append_bytes=nbytes,
                     append_record_manifest=rec_rel,
+                    pinned_constraints_version=cv,
                 )
                 return self
             except TransactionConflictError as e:
                 last_err = e
                 self.reload()
+                # Only the NEW rows need re-checking; survivors already
+                # existed when any concurrent add_constraint validated
+                # the table.
+                cv = self._revalidate_after_conflict(files, cv)
         raise last_err
 
     @staticmethod
@@ -2516,6 +2573,7 @@ class Dataset:
             return self
         rec_rel = self._write_record_manifest_for(files)
         last_err = None
+        cv = self.metadata.constraints_version
         for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
             pinned = self.current_snapshot_id
             affected, survivors, deletes_rel = self._matching_delete_parts(
@@ -2527,12 +2585,14 @@ class Dataset:
                     append_manifest=manifest_rel, append_files=files,
                     append_rows=rows, append_bytes=nbytes,
                     append_record_manifest=rec_rel,
+                    pinned_constraints_version=cv,
                     mutate=commit_mutate,
                 )
                 return self
             except TransactionConflictError as e:
                 last_err = e
                 self.reload()
+                cv = self._revalidate_after_conflict(files, cv)
         raise last_err
 
     def delete_by_keys(self, keys: DataFrame) -> "Dataset":
@@ -2673,6 +2733,7 @@ class Dataset:
         append_bytes: int = 0,
         append_record_manifest: Optional[str] = None,
         mutate=None,
+        pinned_constraints_version: Optional[int] = None,
     ) -> None:
         """One snapshot combining a CoW rewrite of ``affected`` files (with
         ``survivors`` re-written and the pre-written ``deletes_rel`` PK log
@@ -2759,7 +2820,8 @@ class Dataset:
             record_manifest_files=rec_manifests,
         )
         self.metadata = self.log.commit_snapshot(
-            pinned, self.branch, snap, mutate=mutate
+            pinned, self.branch, snap, mutate=mutate,
+            pinned_constraints_version=pinned_constraints_version,
         )
 
     # ---------------------------------------------------------- cloning

@@ -223,6 +223,15 @@ class StorageMetadata:
     # cannot express them (SQL CHECK passes NULL rows), so they are a
     # distinct column-name list enforced on every row-adding write.
     not_null: List[str] = dc_field(default_factory=list)
+    # Monotonic counter bumped whenever the enforced constraint set
+    # TIGHTENS (add_constraint / add_not_null; drops do not bump — a
+    # writer that validated against a superset is still safe). Row-
+    # adding commits pin the version they validated against and
+    # commit_snapshot conflicts on a mismatch, closing the reverse
+    # TOCTOU: without it, a write that loaded metadata before a
+    # constraint committed could land never-checked rows afterwards,
+    # because constraint commits do not move the branch head.
+    constraints_version: int = 0
     # Persistent clustering declaration (Delta CLUSTER BY analog):
     # {"cols": [...], "kind": "range"|"zorder"} — appends and
     # compactions apply this layout BY DEFAULT (explicit per-call
@@ -258,6 +267,7 @@ class StorageMetadata:
                 "generated_columns": self.generated_columns,
                 "identity_columns": self.identity_columns,
                 "not_null": self.not_null,
+                "constraints_version": self.constraints_version,
                 "cluster_spec": self.cluster_spec,
             },
             indent=1,
@@ -305,6 +315,7 @@ class StorageMetadata:
                 for k, v in d.get("identity_columns", {}).items()
             },
             not_null=list(d.get("not_null", [])),
+            constraints_version=int(d.get("constraints_version", 0)),
             cluster_spec=d.get("cluster_spec"),
         )
 
@@ -485,6 +496,7 @@ class MetadataLog:
         branch: str,
         new_snapshot: Snapshot,
         mutate=None,
+        pinned_constraints_version: Optional[int] = None,
     ) -> StorageMetadata:
         """Optimistic commit (reference core/storage.py:315-367,545-596):
         re-read the log under the lock, abort if the branch head moved from
@@ -492,7 +504,15 @@ class MetadataLog:
 
         ``mutate(metadata)`` optionally applies extra metadata edits (refs,
         udf registry) atomically with the snapshot.
-        """
+
+        ``pinned_constraints_version``: row-adding writers pass the
+        ``constraints_version`` of the metadata they VALIDATED their rows
+        against. Constraint commits go through ``update_refs`` and do not
+        move the branch head, so the head pin alone cannot see them — a
+        version mismatch aborts the commit and the writer re-validates
+        its (still uncommitted) files against the live constraint set
+        before retrying. ``None`` skips the check (metadata-only commits,
+        physical rewrites of already-validated rows)."""
         with self.commit_lock():
             meta = self.read_metadata()
             head = meta.branches.get(branch)
@@ -500,6 +520,16 @@ class MetadataLog:
                 raise TransactionConflictError(
                     f"Branch {branch!r} moved from snapshot {pinned_head} "
                     f"to {head}; transaction aborted"
+                )
+            if (pinned_constraints_version is not None
+                    and meta.constraints_version
+                    != pinned_constraints_version):
+                raise TransactionConflictError(
+                    "Constraint set tightened (version "
+                    f"{pinned_constraints_version} -> "
+                    f"{meta.constraints_version}) after this write "
+                    "validated its rows; transaction aborted for "
+                    "re-validation"
                 )
             new_snapshot.snapshot_id = meta.next_snapshot_id
             new_snapshot.parent_snapshot_id = pinned_head

@@ -65,6 +65,12 @@ COMMIT_RETRIES = 5
 @dataclass
 class FilesCommitMessage(WriterCommitMessage):
     rel_files: List[str]
+    # constraints_version of the metadata this task VALIDATED its
+    # batches against (-1 = unknown/legacy). The driver pins the MIN
+    # across tasks at commit, so a constraint that lands after any task
+    # validated forces a driver-side re-validation (the reverse
+    # add_constraint TOCTOU — see MetadataLog.commit_snapshot).
+    constraints_version: int = -1
 
 
 def _arrow_schema(spark_schema: T.StructType) -> pa.Schema:
@@ -128,7 +134,8 @@ def _write_shard(location: str, rel: str, table_arrow: pa.Schema,
                  write_arrow: Optional[pa.Schema] = None,
                  constraints: Optional[List[tuple]] = None,
                  generated: Optional[List[tuple]] = None,
-                 not_null: Optional[List[str]] = None
+                 not_null: Optional[List[str]] = None,
+                 constraints_version: int = -1
                  ) -> FilesCommitMessage:
     """Executor side: stream this task's batches into one parquet file,
     aligned to the table's column order/types. Returns no file for an
@@ -206,7 +213,8 @@ def _write_shard(location: str, rel: str, table_arrow: pa.Schema,
     finally:
         if writer is not None:
             writer.close()
-    return FilesCommitMessage(rel_files=[rel] if writer else [])
+    return FilesCommitMessage(rel_files=[rel] if writer else [],
+                              constraints_version=constraints_version)
 
 
 def _files_from(messages) -> List[str]:
@@ -215,8 +223,61 @@ def _files_from(messages) -> List[str]:
     )
 
 
+def _pinned_cv(messages) -> Optional[int]:
+    """MIN constraints_version any task validated against (None when no
+    task reported one) — the pessimistic pin for the commit."""
+    vs = [m.constraints_version for m in messages
+          if m is not None and getattr(m, "constraints_version", -1) >= 0]
+    return min(vs) if vs else None
+
+
+def _validate_files_live(location: str, rel_files: List[str], meta) -> None:
+    """Driver-side re-validation of already-written shard files against
+    the LIVE constraint set — the retry arm of the reverse
+    add_constraint TOCTOU (a task validated against version V; the
+    commit found V' > V). Shards are small (one micro-batch / task), so
+    one Arrow pass per file is cheap next to the conflict itself.
+    Shard files carry PHYSICAL column names; constraints reference
+    logical names, so columns are aliased back before evaluation."""
+    from space_spark.core.expressions import expr_from_json
+
+    checks = [(n, expr_from_json(j))
+              for n, j in sorted((meta.constraints or {}).items())]
+    nn = sorted(getattr(meta, "not_null", []) or [])
+    if not checks and not nn:
+        return
+    ren = getattr(meta, "renames", {}) or {}
+    inv = {p: l for l, p in ren.items()}
+    for rel in rel_files:
+        tbl = pq.read_table(os.path.join(location, rel))
+        tbl = tbl.rename_columns(
+            [inv.get(c, c) for c in tbl.column_names]
+        )
+        for batch in tbl.to_batches():
+            for nname in nn:
+                idx = batch.schema.get_field_index(nname)
+                if idx >= 0 and batch.column(idx).null_count:
+                    raise ConstraintViolationError(
+                        f"NOT NULL({nname}) committed concurrently is "
+                        "violated by this write's rows; commit aborted"
+                    )
+            for cname, cexpr in checks:
+                mask = ex.eval_arrow_rows(cexpr, batch)
+                bad = pc.sum(
+                    pc.invert(pc.fill_null(mask, True))
+                ).as_py() or 0
+                if bad:
+                    raise ConstraintViolationError(
+                        f"CHECK constraint {cname!r} committed "
+                        f"concurrently is violated by {bad} row(s) of "
+                        "this write; commit aborted"
+                    )
+
+
 def _commit_append(location: str, branch: str, rel_files: List[str],
-                   mutate=None) -> None:
+                   mutate=None,
+                   pinned_constraints_version: Optional[int] = None
+                   ) -> None:
     """Driver side: manifest from shard footers, then one optimistic
     snapshot commit with append's retry discipline (shard files stay
     valid across a conflict; only the metadata commit re-runs)."""
@@ -263,11 +324,19 @@ def _commit_append(location: str, branch: str, rel_files: List[str],
             delete_vector_files=list(parent.delete_vector_files),
         )
         try:
-            log.commit_snapshot(pinned, branch, snap, mutate=mutate)
+            log.commit_snapshot(
+                pinned, branch, snap, mutate=mutate,
+                pinned_constraints_version=pinned_constraints_version,
+            )
             return
         except TransactionConflictError as e:
             last_err = e
             meta = log.read_metadata()
+            if (pinned_constraints_version is not None
+                    and meta.constraints_version
+                    != pinned_constraints_version):
+                _validate_files_live(location, rel_files, meta)
+                pinned_constraints_version = meta.constraints_version
     raise last_err
 
 
@@ -306,6 +375,7 @@ class SpaceBatchWriter(DataSourceArrowWriter):
         )
         self.generated = _sink_generated(meta)
         self.not_null = sorted(getattr(meta, "not_null", []) or [])
+        self.constraints_version = getattr(meta, "constraints_version", 0)
         self.commit_reldir = md.MetadataLog(location).new_commit_data_reldir()
 
     def write(self, iterator: Iterator[pa.RecordBatch]
@@ -314,10 +384,12 @@ class SpaceBatchWriter(DataSourceArrowWriter):
                            f"part-{uuid.uuid4().hex[:16]}.parquet")
         return _write_shard(self.location, rel, self.table_arrow, iterator,
                             self.write_arrow, self.constraints,
-                            self.generated, self.not_null)
+                            self.generated, self.not_null,
+                            constraints_version=self.constraints_version)
 
     def commit(self, messages) -> None:
-        _commit_append(self.location, self.branch, _files_from(messages))
+        _commit_append(self.location, self.branch, _files_from(messages),
+                       pinned_constraints_version=_pinned_cv(messages))
 
     def abort(self, messages) -> None:
         shutil.rmtree(os.path.join(self.location, self.commit_reldir),
@@ -349,6 +421,7 @@ class SpaceStreamWriter(DataSourceStreamArrowWriter):
         )
         self.generated = _sink_generated(meta)
         self.not_null = sorted(getattr(meta, "not_null", []) or [])
+        self.constraints_version = getattr(meta, "constraints_version", 0)
 
     def write(self, iterator: Iterator[pa.RecordBatch]
               ) -> FilesCommitMessage:
@@ -369,12 +442,15 @@ class SpaceStreamWriter(DataSourceStreamArrowWriter):
                 (getattr(live, "constraints", {}) or {}).items()
             )
             not_null = sorted(getattr(live, "not_null", []) or [])
+            cv = getattr(live, "constraints_version", 0)
         except OSError:  # pragma: no cover - metadata briefly unreadable
             constraints = self.constraints
             not_null = self.not_null
+            cv = self.constraints_version
         return _write_shard(self.location, rel, self.table_arrow, iterator,
                             self.write_arrow, constraints,
-                            self.generated, not_null)
+                            self.generated, not_null,
+                            constraints_version=cv)
 
     def commit(self, messages, batchId: int) -> None:
         rel_files = _files_from(messages)
@@ -389,7 +465,8 @@ class SpaceStreamWriter(DataSourceStreamArrowWriter):
         def mark(m, _sid=self.sink_id, _bid=batchId):
             m.stream_progress[_sid] = _bid
 
-        _commit_append(self.location, self.branch, rel_files, mutate=mark)
+        _commit_append(self.location, self.branch, rel_files, mutate=mark,
+                       pinned_constraints_version=_pinned_cv(messages))
 
     def abort(self, messages, batchId: int) -> None:
         _drop_files(self.location, _files_from(messages))

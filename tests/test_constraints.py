@@ -355,3 +355,95 @@ def test_not_null_declaration_validation(spark, tmp_location):
         Dataset.create(
             spark, tmp_location, SCHEMA, ["id"], not_null=["ghost"]
         )
+
+
+# --------------------------------------- reverse TOCTOU (round 12)
+def test_inflight_append_revalidates_after_concurrent_add_constraint(
+    spark, tmp_location
+):
+    """The OTHER direction of the add_constraint race: an append that
+    validated its rows BEFORE the constraint committed must not land
+    them unchecked afterwards. add_constraint bumps
+    constraints_version without moving the branch head, so the head
+    pin alone cannot see it — commit_snapshot conflicts on the version
+    pin and the writer re-validates its files against the live set."""
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["id"])
+    ds.append(_rows(spark, [(1, 5, "a")]))
+    writer = Dataset.load(spark, tmp_location)
+    # The writer is past its own (empty-set) validation: files written,
+    # commit not yet attempted.
+    writer.reload()
+    man, files, rows, nbytes = writer._write_data_files(
+        _rows(spark, [(2, -9, "x")])
+    )
+    # The constraint lands first — existing rows are clean, so it
+    # commits and bumps constraints_version (head does NOT move).
+    other = Dataset.load(spark, tmp_location)
+    other.add_constraint("qty_nonneg", field("qty") >= 0)
+    assert other.metadata.constraints_version == 1
+    assert other.current_snapshot_id == writer.current_snapshot_id
+    # The in-flight commit must conflict on the version pin,
+    # re-validate, and refuse the violating rows.
+    with pytest.raises(ConstraintViolationError, match="qty_nonneg"):
+        writer._commit_append(man, files, rows, nbytes, None)
+    ds.reload()
+    assert sorted(r.id for r in ds.read().collect()) == [1]
+
+
+def test_inflight_append_of_clean_rows_survives_concurrent_constraint(
+    spark, tmp_location
+):
+    """Same race with COMPLIANT rows: the conflict costs one
+    re-validation pass and the commit then lands."""
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["id"])
+    ds.append(_rows(spark, [(1, 5, "a")]))
+    writer = Dataset.load(spark, tmp_location)
+    writer.reload()
+    man, files, rows, nbytes = writer._write_data_files(
+        _rows(spark, [(2, 7, "x")])
+    )
+    Dataset.load(spark, tmp_location).add_constraint(
+        "qty_nonneg", field("qty") >= 0
+    )
+    writer._commit_append(man, files, rows, nbytes, None)
+    ds.reload()
+    assert sorted(r.id for r in ds.read().collect()) == [1, 2]
+    # Enforcement continues on the landed constraint.
+    with pytest.raises(ConstraintViolationError):
+        ds.append(_rows(spark, [(3, -1, "y")]))
+
+
+def test_inflight_append_revalidates_after_concurrent_add_not_null(
+    spark, tmp_location
+):
+    """add_not_null bumps the same version counter — NULLs validated
+    against the old set cannot land after it commits."""
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["id"])
+    ds.append(_rows(spark, [(1, 5, "a")]))
+    writer = Dataset.load(spark, tmp_location)
+    writer.reload()
+    man, files, rows, nbytes = writer._write_data_files(
+        _rows(spark, [(2, None, "x")])
+    )
+    Dataset.load(spark, tmp_location).add_not_null("qty")
+    with pytest.raises(ConstraintViolationError, match="NOT NULL"):
+        writer._commit_append(man, files, rows, nbytes, None)
+    ds.reload()
+    assert sorted(r.id for r in ds.read().collect()) == [1]
+
+
+def test_constraints_version_roundtrip_and_drop_no_bump(
+    spark, tmp_location
+):
+    """Version semantics: adds (tightenings) bump; drops do not (a
+    writer that validated against a superset is still safe); the
+    counter survives the metadata JSON round-trip."""
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["id"])
+    assert ds.metadata.constraints_version == 0
+    ds.add_constraint("qty_nonneg", field("qty") >= 0)
+    ds.add_constraint("qty_cap", field("qty") <= 100)
+    assert ds.metadata.constraints_version == 2
+    ds.drop_constraint("qty_cap")
+    assert ds.metadata.constraints_version == 2
+    reloaded = Dataset.load(spark, tmp_location)
+    assert reloaded.metadata.constraints_version == 2

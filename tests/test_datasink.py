@@ -172,3 +172,43 @@ def test_stream_writer_picks_up_mid_stream_constraint(spark, sink_table):
     msg2 = w.write(batch([-1.0]))  # constraint dropped: allowed again
     w.commit([msg2], batchId=1)
     assert sink_table.reload().read().count() == 3
+
+
+def test_sink_commit_revalidates_after_concurrent_add_constraint(
+    spark, sink_table
+):
+    """Reverse add_constraint TOCTOU at the sink (round 12): a task
+    validated its batch against constraint-set version V; a constraint
+    commits before the driver's snapshot commit. The commit message
+    carries V, commit_snapshot conflicts on the version pin, and the
+    driver re-validates the shard files against the live set —
+    violating rows are refused, never landed."""
+    import pyarrow as pa
+
+    from space_spark import ConstraintViolationError, field
+    from space_spark.sources.datasink import SpaceStreamWriter
+
+    w = SpaceStreamWriter(sink_table.location, {}, SIMPLE)
+
+    def batch(vals, start=0):
+        yield pa.RecordBatch.from_pydict(
+            {"id": list(range(start, start + len(vals))), "val": vals},
+            schema=w.table_arrow,
+        )
+
+    # Task writes + validates (no constraints yet): version pin 0.
+    msg = w.write(batch([-1.0]))
+    assert msg.constraints_version == 0
+    # Constraint lands between task validation and driver commit.
+    sink_table.reload().add_constraint("val_nonneg", field("val") >= 0)
+    with pytest.raises(ConstraintViolationError, match="val_nonneg"):
+        w.commit([msg], batchId=0)
+    assert sink_table.reload().read().count() == 0
+
+    # Clean rows in the same race just cost one re-validation pass.
+    msg2 = w.write(batch([0.25], start=10))
+    sink_table.reload().drop_constraint("val_nonneg")
+    sink_table.add_constraint("val_cap", field("val") <= 100)
+    assert msg2.constraints_version == 1  # pinned pre-add of val_cap
+    w.commit([msg2], batchId=1)
+    assert sink_table.reload().read().count() == 1
