@@ -681,7 +681,17 @@ def eval_arrow_rows(expr: "Expr", batch) -> "object":
                 # integer divide truncates toward zero (C semantics,
                 # same as Spark), so l - (l / d) * d is exact, and a
                 # zero divisor RAISES — the same surface as Spark 4's
-                # default ANSI mode (REMAINDER_BY_ZERO).
+                # default ANSI mode (REMAINDER_BY_ZERO). This applies
+                # to FLOAT divisors too, not just integral/decimal:
+                # Spark's Remainder extends DivModLike, whose eval
+                # checks isZero(input2) before type-specific math and
+                # throws remainderByZeroError for DoubleType inputs
+                # under ANSI (verified empirically on pyspark 4.1.2:
+                # `SELECT x % y FROM VALUES (5.0D, 0.0D) t(x,y)`
+                # raises REMAINDER_BY_ZERO; round-12 ADVICE suggested
+                # NaN here — that is pre-ANSI/HIVE behavior, wrong for
+                # the ANSI-default session this engine pins — parity
+                # pinned by test_expr_parity_properties.py).
                 def is_int(a):
                     t = a.type if hasattr(a, "type") else None
                     return t is not None and pa.types.is_integer(t)
@@ -701,9 +711,44 @@ def eval_arrow_rows(expr: "Expr", batch) -> "object":
                         "Remainder by zero (matches Spark ANSI "
                         "REMAINDER_BY_ZERO)"
                     )
-                return pc.subtract(
-                    q, pc.multiply(pc.trunc(pc.divide(q, d)), d)
+                # Exact IEEE truncated remainder (= Java's % on
+                # doubles, which Spark's Remainder compiles to):
+                # trunc(q/d)*d double-rounds once |q/d| exceeds 2^53
+                # — e.g. (2^60+3) % 2.5 is 1.0 under fmod but 0.0
+                # under the trunc formula (caught by the round-12
+                # parity test). Arrow has no float-remainder kernel;
+                # np.fmod is the correctly-rounded libm one. Null
+                # positions are masked back in explicitly — filling
+                # with NaN would conflate SQL NULL with IEEE NaN.
+                import math as _math
+
+                import numpy as _np
+
+                if isinstance(q, pa.Scalar) and isinstance(d, pa.Scalar):
+                    if q.as_py() is None or d.as_py() is None:
+                        return pa.scalar(None, pa.float64())
+                    return pa.scalar(
+                        _math.fmod(q.as_py(), d.as_py()), pa.float64()
+                    )
+
+                def _as_arr(x):
+                    if isinstance(x, pa.ChunkedArray):
+                        return x.combine_chunks()
+                    if isinstance(x, pa.Scalar):
+                        return pa.array(
+                            [x.as_py()] * batch.num_rows, pa.float64()
+                        )
+                    return x
+
+                qa, da = _as_arr(q), _as_arr(d)
+                invalid = pc.or_(
+                    pc.is_null(qa), pc.is_null(da)
+                ).to_numpy(zero_copy_only=False)
+                out = _np.fmod(
+                    _np.asarray(pc.fill_null(qa, 0.0)),
+                    _np.asarray(pc.fill_null(da, 1.0)),
                 )
+                return pa.array(out, pa.float64(), mask=invalid)
             # CHECKED kernels: int64 overflow must RAISE like Spark's
             # default ANSI mode, not wrap — an unchecked multiply
             # would let the sink persist a wrapped generated value

@@ -142,6 +142,13 @@ def export_webdataset(
     os.makedirs(out_dir, exist_ok=True)
     id_name = id_col
     bin_cols = {c for c in cols if c in binary_like}
+    # Per-JOB token baked into every tmp filename: the post-collect
+    # orphan sweep globs only THIS job's tmps, so two concurrent
+    # exports into one out_dir can't delete each other's in-flight
+    # files out from under an os.replace (round-12 ADVICE).
+    import uuid as _uuid_mod
+
+    job_token = _uuid_mod.uuid4().hex[:12]
 
     def task(batches):
         import tarfile
@@ -192,7 +199,7 @@ def export_webdataset(
                     close_current()
                     tmp = os.path.join(
                         out_dir,
-                        f".shard-{sid:06d}.tar.tmp-"
+                        f".shard-{sid:06d}.tar.tmp-{job_token}-"
                         f"{_uuid.uuid4().hex[:12]}",
                     )
                     open_shard.update(
@@ -242,10 +249,14 @@ def export_webdataset(
     # then sweep tmp tars orphaned by killed/speculative task attempts
     # (only completed shards os.replace to their final names — a loser
     # attempt's uuid-suffixed tmp would otherwise sit in out_dir
-    # forever, multi-GB at training scale).
+    # forever, multi-GB at training scale). The glob is scoped to THIS
+    # job's token — a concurrent export's in-flight tmps are not ours
+    # to delete.
     import glob as _glob
 
-    for stale in _glob.glob(os.path.join(out_dir, ".shard-*.tar.tmp-*")):
+    for stale in _glob.glob(
+        os.path.join(out_dir, f".shard-*.tar.tmp-{job_token}-*")
+    ):
         try:
             os.remove(stale)
         except OSError:

@@ -58,6 +58,13 @@ def cosine(a: Column, b: Column) -> Column:
 # the shuffled path instead.
 COSINE_TOPK_BROADCAST_MAX = 100_000
 
+# _neardup_exact_gemm driver-collects the whole normalized corpus matrix
+# (toPandas + sc.broadcast): ~8 bytes * dim per row, so 1M rows of
+# 256-dim float64 is ~2 GB on the driver. Above this bound the exact
+# path raises cleanly instead of OOMing; the LSH default is the scale
+# route. Module-level so a deliberately-sized driver can raise it.
+EXACT_GEMM_MAX_ROWS = 1_000_000
+
 
 def cosine_topk(
     corpus: DataFrame,
@@ -677,12 +684,33 @@ def _neardup_exact_gemm(v: DataFrame, threshold: float) -> DataFrame:
     BLAS speed instead of per-pair expression interpretation, and only
     pairs (not the n^2 score matrix) ever hit the shuffle. For corpora too
     large to broadcast, the same kernel runs over a block x block join
-    (and the LSH path above is the preferred sub-quadratic route)."""
+    (and the LSH path above is the preferred sub-quadratic route).
+
+    Bounded by construction: the corpus is counted first and a corpus
+    above ``EXACT_GEMM_MAX_ROWS`` raises a clean ``UserInputError``
+    (naming the LSH default as the scale path) instead of OOMing the
+    driver inside ``toPandas()`` — the same guard discipline as
+    ``temperature_mix_sample``'s MIX_MAX_GROUPS and ``cosine_topk``'s
+    ``broadcast_max``."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    from space_spark.errors import UserInputError
+
     spark = v.sparkSession
+    # limit(bound+1) like cosine_topk's guard: counts at most bound+1
+    # rows instead of the full corpus.
+    n = v.limit(EXACT_GEMM_MAX_ROWS + 1).count()
+    if n > EXACT_GEMM_MAX_ROWS:
+        raise UserInputError(
+            f"embedding_neardup(exact=True): corpus has >{n - 1} rows, above "
+            f"the exact-GEMM bound of {EXACT_GEMM_MAX_ROWS} (the whole "
+            "normalized matrix is driver-collected and broadcast). Use "
+            "the default LSH path (exact=False) for large corpora, or "
+            "raise similarity.EXACT_GEMM_MAX_ROWS deliberately on a "
+            "driver sized for it."
+        )
     pdf = v.toPandas()
     # Ids keep their INPUT type (round-7 fix: this path hardcoded
     # int64 while the LSH sibling it oracles accepts any orderable id
@@ -1603,8 +1631,13 @@ def bitext_mine(
     silently drop cross-lingual pairs that share an id).
 
     Scale shape: two top-k passes (src->tgt and tgt->src) plus two
-    tiny per-id averages broadcast back onto the forward candidates —
-    O(N·k) candidate rows, never an all-pairs join. ``topk_fn``
+    per-id average tables joined back onto the forward candidates —
+    O(N·k) candidate rows, never an all-pairs join. The averages have
+    ONE ROW PER SENTENCE (O(corpus) cardinality), so they are joined
+    without a broadcast hint: AQE broadcasts them when the corpus is
+    small and falls back to a shuffle join at scale — a forced
+    broadcast here would OOM the driver at the 100 TB target this
+    operator's ``ivf_topk`` path exists for. ``topk_fn``
     defaults to the exact ``cosine_topk`` (broadcast-or-shuffle; the
     bounded-corpus oracle path); at 100 TB pass ``ivf_topk`` or
     ``lsh_bucket_topk`` — any callable with the module's standard
@@ -1629,9 +1662,12 @@ def bitext_mine(
     avg_bwd = bwd.groupBy("tgt_id").agg(
         F.avg("bscore").alias("tgt_avg")
     )
+    # NO broadcast hint: avg_fwd/avg_bwd are O(corpus)-row (one row per
+    # source/target sentence). Let AQE pick broadcast vs shuffle from
+    # the measured size (round-12 verdict finding #1).
     scored = (
-        fwd.join(F.broadcast(avg_fwd), "src_id")
-        .join(F.broadcast(avg_bwd), "tgt_id")
+        fwd.join(avg_fwd, "src_id")
+        .join(avg_bwd, "tgt_id")
         .withColumn(
             "margin",
             F.round(

@@ -114,3 +114,51 @@ def test_bitext_mine_pluggable_topk(spark, halves):
                for r in bitext_mine(src_s, tgt_s, k=3,
                                     topk_fn=full_probe_ivf).collect()}
     assert exact == via_ivf
+
+
+def test_bitext_mine_no_forced_broadcast_of_corpus_aggregates(
+    spark, halves
+):
+    """The per-id average tables (avg_fwd/avg_bwd) are O(corpus)-row —
+    one row per source/target sentence. bitext_mine must NOT pin a
+    user broadcast hint on them (round-12 verdict finding #1): AQE may
+    still CHOOSE a broadcast at runtime for small inputs, but a forced
+    hint would pin a corpus-sized broadcast at the 100 TB target.
+
+    Precision: the default cosine_topk legitimately broadcasts its
+    row-count-guarded QUERY side, which also shows up as a
+    ResolvedHint — so the mine runs with a hint-FREE top-k, making any
+    ResolvedHint in the analyzed plan attributable to bitext_mine
+    itself."""
+    from pyspark.sql import Window
+
+    from space_spark.operators.similarity import _usable_norm, dot, norm
+
+    def plain_topk(corpus, queries, id_col="vec_id",
+                   vec_col="embedding", k=4):
+        q = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("__qv"))
+        c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("__cv"))
+        j = (q.crossJoin(c)
+             .withColumn("__qn", norm(F.col("__qv")))
+             .withColumn("__cn", norm(F.col("__cv")))
+             .where(_usable_norm(F.col("__qn"))
+                    & _usable_norm(F.col("__cn")))
+             .withColumn("score", F.round(
+                 dot(F.col("__qv"), F.col("__cv"))
+                 / (F.col("__qn") * F.col("__cn")), 4)))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc())
+        return (j.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "score", "rank"))
+
+    src, tgt = halves
+    mined = bitext_mine(src, tgt, k=2, margin_threshold=0.0,
+                        topk_fn=plain_topk)
+    analyzed = mined._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    assert "UnresolvedHint" not in analyzed, analyzed
+    # And the mine still returns rows through the pluggable top-k.
+    assert mined.count() > 0

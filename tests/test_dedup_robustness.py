@@ -272,3 +272,28 @@ def test_keep_best_per_cluster_string_ids(spark):
     kept = keep_best_per_cluster(docs, labels, "doc_id", "score")
     assert sorted(r.doc_id for r in kept.collect()) == \
         ["sha:bb", "sha:zz"]
+
+
+def test_neardup_exact_gemm_bounded_raises_clean_error(
+    spark, monkeypatch
+):
+    """The exact GEMM path driver-collects the whole corpus matrix —
+    above EXACT_GEMM_MAX_ROWS it must raise a clean UserInputError
+    naming the LSH default (round-12 verdict finding #2), never OOM
+    inside toPandas()."""
+    import space_spark.operators.similarity as sim
+    from space_spark.errors import UserInputError
+    from space_spark.operators.similarity import neardup_pairs
+
+    monkeypatch.setattr(sim, "EXACT_GEMM_MAX_ROWS", 3)
+    emb = spark.sql(
+        "SELECT id AS vec_id, array(cast(id AS float), 1.0F) AS embedding "
+        "FROM range(10)"
+    )
+    with pytest.raises(UserInputError, match="exact-GEMM bound"):
+        neardup_pairs(emb, "vec_id", "embedding", threshold=0.5,
+                      dim=2, exact=True).collect()
+    # At or under the bound the path still works.
+    monkeypatch.setattr(sim, "EXACT_GEMM_MAX_ROWS", 1_000)
+    assert neardup_pairs(emb, "vec_id", "embedding", threshold=-1.0,
+                         dim=2, exact=True).count() > 0

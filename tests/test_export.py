@@ -235,3 +235,34 @@ def test_webdataset_read_roundtrip(spark, tmp_path):
         assert bytes(r["txt"]).decode() == want[did].text
         assert bytes(r["cls"]).decode() == want[did].lang
         assert r["ghost"] is None
+
+
+def test_webdataset_orphan_sweep_is_job_scoped(spark, tmp_path):
+    """The post-export orphan sweep must delete only THIS job's tmp
+    tars (token-scoped glob): a concurrent export into the same
+    out_dir owns its own in-flight tmps, and sweeping them would make
+    the other job's os.replace fail mid-flight (round-12 ADVICE)."""
+    from space_spark.operators.export import export_webdataset
+
+    docs = _full_docs(spark)
+    out = str(tmp_path / "wds")
+    os.makedirs(out)
+    # A foreign job's in-flight tmp (different token) plus a legacy
+    # un-tokenized one.
+    foreign = os.path.join(out, ".shard-000001.tar.tmp-aaaabbbbcccc-dddd")
+    legacy = os.path.join(out, ".shard-000002.tar.tmp-deadbeef1234")
+    for p in (foreign, legacy):
+        with open(p, "wb") as f:
+            f.write(b"in-flight bytes")
+    export_webdataset(
+        docs, "doc_id", out, n_shards=2,
+        components={"txt": "text"},
+    ).collect()
+    # Our export finished and swept ITS tmps; the foreign/legacy tmps
+    # survive untouched.
+    assert os.path.exists(foreign)
+    assert os.path.exists(legacy)
+    leftover = [p for p in os.listdir(out) if ".tar.tmp-" in p]
+    assert sorted(leftover) == sorted(
+        [os.path.basename(foreign), os.path.basename(legacy)]
+    )

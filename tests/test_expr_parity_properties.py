@@ -191,6 +191,28 @@ def test_random_value_trees_agree_across_engines(spark, expr):
         )
 
 
+def test_float_remainder_by_zero_raises_both_engines(spark):
+    """double %% 0.0 RAISES in BOTH engines under the ANSI-default
+    session this engine pins: Spark's Remainder extends DivModLike,
+    whose eval checks the divisor for zero BEFORE type-specific math —
+    REMAINDER_BY_ZERO fires for DoubleType too, not just
+    integral/decimal (verified on pyspark 4.1.2; round-12 ADVICE
+    suggested NaN, which is the non-ANSI/HIVE behavior). Nonzero float
+    remainders must agree in value."""
+    from space_spark.core.expressions import field, lit
+
+    zero_div = (field("a") / lit(1.0)) % lit(0.0)
+    assert _spark_eval(spark, zero_div) is _RAISED
+    assert _arrow_eval(zero_div) is _RAISED
+
+    ok = (field("a") / lit(1.0)) % lit(2.5)
+    got_s = _spark_eval(spark, ok)
+    got_a = _arrow_eval(ok)
+    assert got_s is not _RAISED and got_a is not _RAISED
+    for xs, xa in zip(got_s, got_a):
+        assert _close(xs, xa)
+
+
 def test_division_parity_is_double_both_sides(spark):
     """int / int is SQL double division in BOTH engines (pinned
     separately from the random trees because float equality needs the
