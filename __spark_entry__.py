@@ -1718,6 +1718,118 @@ FROM customer
 """
 
 
+def space_not_null_read(spark, sf_dir):
+    """NOT NULL constraints (round 11 surface, first oracled round 12;
+    core/dataset.py _validate_not_null/add_not_null — Delta ``ALTER
+    TABLE ... SET NOT NULL`` analog; beyond the reference): a distinct
+    constraint type because SQL CHECK passes NULL rows. Declared at
+    CREATE for one column and ADDED post-hoc for another (the add
+    validates existing rows with one index-only scan and pins the
+    branch head + constraints_version across validation — both TOCTOU
+    directions closed, see add_constraint). Enforcement is write-first
+    on the just-written shard files: a NULL batch aborts before
+    commit, leaving the table exactly as the clean append left it —
+    which is what the oracle checks."""
+    from space_spark import Dataset
+    from space_spark.errors import ConstraintViolationError
+
+    cust = _t(spark, sf_dir, "customer")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/nn", cust.schema, ["c_custkey"],
+        not_null=["c_name"],
+    )
+    ds.append(cust)
+    # Post-hoc add: existing rows validate clean, future NULLs refuse.
+    ds.add_not_null("c_mktsegment")
+    poison = cust.where(F.col("c_custkey") <= 20).select(
+        (F.col("c_custkey") + 500000).alias("c_custkey"),
+        F.lit(None).cast("string").alias("c_name"),
+        "c_nationkey", "c_acctbal", "c_mktsegment",
+    )
+    try:
+        ds.append(poison)
+        raise AssertionError("NOT NULL(c_name) was not enforced")
+    except ConstraintViolationError:
+        pass
+    poison2 = cust.where(F.col("c_custkey") <= 20).select(
+        (F.col("c_custkey") + 600000).alias("c_custkey"),
+        "c_name", "c_nationkey", "c_acctbal",
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    try:
+        ds.append(poison2)
+        raise AssertionError("added NOT NULL(c_mktsegment) not enforced")
+    except ConstraintViolationError:
+        pass
+    return ds.read()
+
+
+SPACE_NOT_NULL_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+"""
+
+
+def space_clustered_read(spark, sf_dir):
+    """Persistent clustering declaration (round 11 surface, first
+    oracled round 12; core/dataset.py cluster_spec /_validate_cluster_
+    spec/set_clustering — Delta ``CLUSTER BY`` analog; beyond the
+    reference): the layout is a TABLE PROPERTY, not a per-writer
+    convention — ``append`` carries NO cluster arguments here, yet the
+    files land range-partitioned on o_custkey because the spec applies
+    by default, and manifest min/max pruning then selects a strict
+    subset of files for the key-range read (asserted). Distinct from
+    space_lineitem_clustered, whose clustering is per-call. Also
+    exercises the ALTER (set_clustering survives a reload)."""
+    from space_spark import Dataset, field
+
+    orders = _t(spark, sf_dir, "orders")
+    ds = Dataset.create(
+        spark, _space_tmp() + "/clus", orders.schema, ["o_orderkey"],
+        cluster_by=["o_custkey"],
+    )
+    ds.append(orders, target_files=16)
+    # SF-relative key range (the 2nd quarter of the custkey span) so
+    # the same fixture prunes at every scale factor; the oracle SQL
+    # derives the identical bounds with integer floor division.
+    b = orders.agg(F.min("o_custkey").alias("lo"),
+                   F.max("o_custkey").alias("hi")).collect()[0]  # 1 row
+    lo = b.lo + (b.hi - b.lo) // 4
+    hi = b.lo + (b.hi - b.lo) // 2
+    flt = (field("o_custkey") >= lo) & (field("o_custkey") < hi)
+    n_all = len(ds.data_files())
+    n_hit = len(ds.data_files(filter_=flt))
+    assert 0 < n_hit < n_all, (n_hit, n_all)
+    # The declaration is metadata: a fresh handle sees it, and ALTER
+    # round-trips (cleared spec -> appends stop clustering; restore).
+    ds2 = Dataset.load(spark, ds.location)
+    assert ds2.metadata.cluster_spec == {"cols": ["o_custkey"],
+                                         "kind": "range"}
+    return ds.read(filter_=flt).groupBy("o_orderstatus").agg(
+        money_sum(F.col("o_totalprice"), "total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+    )
+
+
+SPACE_CLUSTERED_SQL = f"""
+WITH b AS (
+  SELECT MIN(o_custkey) + (MAX(o_custkey) - MIN(o_custkey)) // 4 AS lo,
+         MIN(o_custkey) + (MAX(o_custkey) - MIN(o_custkey)) // 2 AS hi
+  FROM orders
+)
+SELECT o_orderstatus,
+  {MONEY_SUM('o_totalprice', 'total_price')},
+  COUNT(*) AS n_orders,
+  MIN(o_custkey) AS min_cust,
+  MAX(o_custkey) AS max_cust
+FROM orders, b
+WHERE o_custkey >= b.lo AND o_custkey < b.hi
+GROUP BY o_orderstatus
+"""
+
+
 def space_overwrite_read(spark, sf_dir):
     """INSERT OVERWRITE (round 10, core/dataset.py overwrite): full
     replacement in one snapshot — new files land write-first, the old
@@ -3694,25 +3806,11 @@ SELECT query_id, neighbor_id, score, rnk FROM ranked WHERE rnk <= 5
 """
 
 
-def ann_lsh_topk(spark, sf_dir):
-    """Approximate LSH-bucketed top-k. The hyperplanes are fixed constants
-    and the bucket bits come from the same left-to-right double fold in
-    both engines, so the candidate set — and therefore the whole result —
-    is deterministic and SQL-oracled."""
-    from space_spark.operators.similarity import lsh_bucket_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.where(F.col("vec_id") < 5)
-    return lsh_bucket_topk(
-        emb, queries_df, "vec_id", "embedding", k=5, dim=EMB_DIM,
-        n_planes=8, probes=1,
-    ).select(
-        "query_id", "neighbor_id", "score",
-        F.col("rank").cast("long").alias("rnk"),
-    )
-
-
 def _ann_lsh_sql() -> str:
+    """LSH-bucketed top-k oracle SQL. The REGISTERED ann_lsh_topk query
+    was retired round 12 (see _RETIRED: ann_ivf_topk covers bucketed
+    ANN; tests/test_ann_recall.py pins the kernel), but this SQL stays:
+    ann_recall_report composes it as the 'lsh' method's subquery."""
     probe_list = ", ".join(
         ["b0"] + [f"xor(b0, {1 << i})" for i in range(8)]
     )
@@ -4040,54 +4138,6 @@ WHERE (doc_id % 3 = 0 OR doc_id % 3 = 1)
   AND NOT (doc_id % 3 = 0 AND doc_id < 90)
   AND doc_id < 400
   AND n_chars > 400
-"""
-
-
-def text_bpe_tokens(spark, sf_dir):
-    """Real BPE tokenization (round 8): per-document token count AND
-    the full piece sequence under the frozen 64-merge table learned
-    from this corpus (operators/bpe.py; tools/learn_bpe.py regenerates
-    it). Pure JVM expression — framed-symbol sequential replace, proven
-    equivalent to the priority-queue BPE encoder (tests/test_bpe.py) —
-    so the whole encoding is a map-only projection with no Python
-    worker, and the oracle (generated from the SAME merge table) checks
-    the complete piece strings cross-engine, not just counts."""
-    from space_spark.operators.bpe import (
-        bpe_count_from_merged, bpe_merged, bpe_pieces_from_merged,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    # Two consumers of the merge chain share ONE evaluation: a
-    # separate withColumn keeps the 64-replace chain out of reach of
-    # CollapseProject's inlining (it treats the chain as non-cheap).
-    return docs.withColumn(
-        "__m", bpe_merged(F.col("text"))
-    ).select(
-        "doc_id",
-        bpe_count_from_merged(F.col("__m")).alias("n_bpe_tokens"),
-        F.array_join(bpe_pieces_from_merged(F.col("__m")), "|")
-        .alias("pieces"),
-    )
-
-
-def _bpe_tokens_sql() -> str:
-    from space_spark.operators.bpe import (
-        bpe_count_sql, bpe_pieces_sql,
-    )
-
-    word_pieces = bpe_pieces_sql("w")
-    # replace(..., \x1f, '') mirrors the Spark side's US-sentinel strip
-    # (operators/bpe.py _framed_doc, ADVICE r8).
-    return f"""
-SELECT doc_id,
-  {bpe_count_sql('text')} AS n_bpe_tokens,
-  COALESCE(array_to_string(list_transform(
-    list_filter(regexp_split_to_array(
-        replace(lower(trim(text)), '\x1f', ''), '\\s+'),
-                w -> w <> ''),
-    w -> CASE WHEN regexp_matches(w, '^[\\x21-\\x7e]+$')
-              THEN {word_pieces} ELSE w END), '|'), '') AS pieces
-FROM documents
 """
 
 
@@ -5425,7 +5475,19 @@ _CHURN_QUOTA = 8
 #     tests/test_ann_recall.py.
 # Their historical green rows remain in old CORRECTNESS files;
 # test_registry_rotation exempts exactly this set.
-_RETIRED = {"space_merge_multi", "ann_ivfpq_topk"}
+_RETIRED = {"space_merge_multi", "ann_ivfpq_topk",
+            # Round 12 (slots for space_not_null_read +
+            # space_clustered_read, verdict r11 next-#4):
+            #   text_bpe_tokens — text_bpe_pack runs the SAME frozen
+            #     64-merge encoder (bpe_count via the merged chain) as
+            #     its first stage, and the piece-level cross-engine
+            #     equivalence stays pinned by tests/test_bpe.py (the
+            #     framed-replace vs priority-queue proof suite).
+            #   ann_lsh_topk — bucketed-ANN read path stays covered by
+            #     ann_ivf_topk (registered) and the LSH kernel itself
+            #     by tests/test_ann_recall.py recall floors +
+            #     tests/test_dedup_robustness.py.
+            "text_bpe_tokens", "ann_lsh_topk"}
 _CHURNED_THIS_ROUND = [
     # r11 churn, derived from the round's diff by tools/churn_suggest.py
     # against base 59d5282 (function-level git-diff -> query mapping).
@@ -5602,6 +5664,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "space_blob_clone": space_blob_clone,
         "space_clone_read": space_clone_read,
         "space_constraint_read": space_constraint_read,
+        "space_not_null_read": space_not_null_read,
+        "space_clustered_read": space_clustered_read,
         "space_rollback_read": space_rollback_read,
         "space_update_read": space_update_read,
         "space_overwrite_read": space_overwrite_read,
@@ -5619,7 +5683,6 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": text_pack_sequences,
         "sample_hash_split": sample_hash_split,
         "sample_stratified": sample_stratified,
-        "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_neardup": embedding_neardup,
         "ann_quantize_int8": ann_quantize_int8,
@@ -5670,7 +5733,6 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "space_bucketed_join": space_bucketed_join,
         "space_incremental_dedup": space_incremental_dedup,
         "space_stream_mv": space_stream_mv,
-        "text_bpe_tokens": text_bpe_tokens,
         "text_bpe_pack": text_bpe_pack,
         "export_shards_manifest": export_shards_manifest,
         "space_bloom_point_read": space_bloom_point_read,
@@ -5738,6 +5800,8 @@ def oracle_sql() -> dict[str, str]:
         "space_blob_clone": SPACE_BLOB_CLONE_SQL,
         "space_clone_read": SPACE_CLONE_SQL,
         "space_constraint_read": SPACE_CONSTRAINT_SQL,
+        "space_not_null_read": SPACE_NOT_NULL_SQL,
+        "space_clustered_read": SPACE_CLUSTERED_SQL,
         "space_rollback_read": SPACE_ROLLBACK_SQL,
         "space_update_read": SPACE_UPDATE_SQL,
         "space_overwrite_read": SPACE_OVERWRITE_SQL,
@@ -5784,7 +5848,6 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash_split": SAMPLE_SPLIT_SQL,
         "sample_stratified": SAMPLE_STRATIFIED_SQL,
         "ann_cosine_topk": ANN_TOPK_SQL,
-        "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "embedding_neardup": NEARDUP_SQL,
         "ann_quantize_int8": ANN_QUANTIZE_SQL,
@@ -5802,7 +5865,6 @@ def oracle_sql() -> dict[str, str]:
         "space_bucketed_join": SPACE_BUCKETED_JOIN_SQL,
         "space_incremental_dedup": SPACE_INCR_DEDUP_SQL,
         "space_stream_mv": SPACE_STREAM_MV_SQL,
-        "text_bpe_tokens": _bpe_tokens_sql(),
         "text_bpe_pack": _bpe_pack_sql(),
         "export_shards_manifest": _export_shards_sql(),
         "space_bloom_point_read": SPACE_BLOOM_SQL,

@@ -136,33 +136,63 @@ def main() -> None:
     # meaningful for the median-of-3 methodology the baseline used.
     isolated = (confirm_deltas(timings, cpus, sf_dir, sf=sf_val)
                 if warmup else {})
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "methodology": (
-                    "v3.2: per-query median-of-3, System.gc() before "
-                    "EVERY run, session retired after 16 queries or "
-                    "20s of timed work; cold = first run; deltas "
-                    ">1.5x vs BENCH_BASELINE.json re-timed in "
-                    "isolated sessions (`isolated`, cap scaling with "
-                    "flagged count); run-level degradation verdict in "
-                    "`run_degradation`"
-                    if warmup else
-                    "v3.2: single-shot, GC before each run, session "
-                    "retired after 16 queries or 20s of timed work"
-                ),
-                "queries": timings,
-                "value_cold": round(sum(timings_cold.values()), 3),
-                "queries_cold": timings_cold,
-                "run_degradation": degraded,
-                "isolated": isolated,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    detail = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "methodology": (
+            "v3.3: per-query median-of-3, System.gc() before "
+            "EVERY run, session retired after 16 queries or "
+            "20s of timed work; cold = first run; deltas "
+            ">1.5x vs BENCH_BASELINE.json re-timed in "
+            "isolated sessions (`isolated`, cap scaling with "
+            "flagged count); run-level degradation verdict in "
+            "`run_degradation`; full per-query maps live HERE "
+            "(BENCH_DETAIL.json) — the stdout line carries only "
+            "what fits the driver's 2000-char capture window"
+            if warmup else
+            "v3.3: single-shot, GC before each run, session "
+            "retired after 16 queries or 20s of timed work"
+        ),
+        "queries": timings,
+        "value_cold": round(sum(timings_cold.values()), 3),
+        "queries_cold": timings_cold,
+        "run_degradation": degraded,
+        "isolated": isolated,
+        "sf": sf_val,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # The stdout contract line. The driver captures only the LAST
+    # ~2000 chars of stdout and json-parses them (rounds 10/11 shipped
+    # 7 KB lines -> `parsed: null` in BENCH_r*.json), so the line is
+    # BUDGETED: totals + degradation verdict always fit; per-query
+    # timings are inlined most-expensive-first until the budget is
+    # reached (the cheap tail is in BENCH_DETAIL.json, committed with
+    # the repo; `queries_omitted` says how many were cut).
+    line = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "value_cold": detail["value_cold"],
+        "degraded": bool(degraded.get("degraded")),
+        "degradation_ratio": degraded.get("ratio"),
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+        "queries": {},
+        "queries_omitted": len(timings),
+    }
+    budget = 1900
+    for name in sorted(timings, key=lambda k: -timings[k]):
+        line["queries"][name] = timings[name]
+        line["queries_omitted"] = len(timings) - len(line["queries"])
+        if len(json.dumps(line, separators=(",", ":"))) > budget:
+            del line["queries"][name]
+            line["queries_omitted"] = len(timings) - len(line["queries"])
+            break
+    print(json.dumps(line, separators=(",", ":")))
 
 
 def _load_baseline(sf=None) -> dict:
