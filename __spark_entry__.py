@@ -1779,8 +1779,10 @@ def space_clustered_read(spark, sf_dir):
     files land range-partitioned on o_custkey because the spec applies
     by default, and manifest min/max pruning then selects a strict
     subset of files for the key-range read (asserted). Distinct from
-    space_lineitem_clustered, whose clustering is per-call. Also
-    exercises the ALTER (set_clustering survives a reload)."""
+    space_lineitem_clustered, whose clustering is per-call. The spec
+    is asserted to survive a fresh Dataset.load; the ALTER surface
+    (set_clustering change/clear/restore) is pinned by
+    tests/test_cluster_spec.py, not this query."""
     from space_spark import Dataset, field
 
     orders = _t(spark, sf_dir, "orders")
@@ -1800,8 +1802,7 @@ def space_clustered_read(spark, sf_dir):
     n_all = len(ds.data_files())
     n_hit = len(ds.data_files(filter_=flt))
     assert 0 < n_hit < n_all, (n_hit, n_all)
-    # The declaration is metadata: a fresh handle sees it, and ALTER
-    # round-trips (cleared spec -> appends stop clustering; restore).
+    # The declaration is metadata: a fresh handle sees it.
     ds2 = Dataset.load(spark, ds.location)
     assert ds2.metadata.cluster_spec == {"cols": ["o_custkey"],
                                          "kind": "range"}

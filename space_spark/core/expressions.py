@@ -704,13 +704,6 @@ def eval_arrow_rows(expr: "Expr", batch) -> "object":
                     )
                 q = pc.cast(l, pa.float64(), safe=False)
                 d = pc.cast(r, pa.float64(), safe=False)
-                if pc.any(pc.equal(
-                    d, pa.scalar(0.0, pa.float64())
-                )).as_py():
-                    raise ZeroDivisionError(
-                        "Remainder by zero (matches Spark ANSI "
-                        "REMAINDER_BY_ZERO)"
-                    )
                 # Exact IEEE truncated remainder (= Java's % on
                 # doubles, which Spark's Remainder compiles to):
                 # trunc(q/d)*d double-rounds once |q/d| exceeds 2^53
@@ -727,6 +720,11 @@ def eval_arrow_rows(expr: "Expr", batch) -> "object":
                 if isinstance(q, pa.Scalar) and isinstance(d, pa.Scalar):
                     if q.as_py() is None or d.as_py() is None:
                         return pa.scalar(None, pa.float64())
+                    if d.as_py() == 0.0:
+                        raise ZeroDivisionError(
+                            "Remainder by zero (matches Spark ANSI "
+                            "REMAINDER_BY_ZERO)"
+                        )
                     return pa.scalar(
                         _math.fmod(q.as_py(), d.as_py()), pa.float64()
                     )
@@ -741,13 +739,35 @@ def eval_arrow_rows(expr: "Expr", batch) -> "object":
                     return x
 
                 qa, da = _as_arr(q), _as_arr(d)
+                # Raise only where a NON-NULL dividend meets a zero
+                # divisor: Spark's DivModLike short-circuits a NULL
+                # dividend to NULL BEFORE the ANSI zero check
+                # (verified: NULL %% 0.0D -> NULL, 5.0D %% 0.0D ->
+                # REMAINDER_BY_ZERO — round-12 review finding). The
+                # int path above inherits the same semantics from
+                # Arrow's own validity-skipping divide kernel.
+                bad = pc.and_(
+                    pc.is_valid(qa),
+                    pc.fill_null(pc.equal(
+                        da, pa.scalar(0.0, pa.float64())
+                    ), False),
+                )
+                if pc.any(bad).as_py():
+                    raise ZeroDivisionError(
+                        "Remainder by zero (matches Spark ANSI "
+                        "REMAINDER_BY_ZERO)"
+                    )
                 invalid = pc.or_(
                     pc.is_null(qa), pc.is_null(da)
                 ).to_numpy(zero_copy_only=False)
-                out = _np.fmod(
-                    _np.asarray(pc.fill_null(qa, 0.0)),
-                    _np.asarray(pc.fill_null(da, 1.0)),
-                )
+                # errstate: a REAL 0.0 divisor can sit at a null-
+                # dividend slot (filled to 0.0) — fmod emits NaN there
+                # and the mask nulls it out; silence the warning.
+                with _np.errstate(invalid="ignore"):
+                    out = _np.fmod(
+                        _np.asarray(pc.fill_null(qa, 0.0)),
+                        _np.asarray(pc.fill_null(da, 1.0)),
+                    )
                 return pa.array(out, pa.float64(), mask=invalid)
             # CHECKED kernels: int64 overflow must RAISE like Spark's
             # default ANSI mode, not wrap — an unchecked multiply

@@ -87,6 +87,13 @@ def export_training_shards(
     ).agg(*aggs)
 
 
+# A foreign (other-job) tmp tar older than this is treated as a crash
+# orphan and reclaimed by the next export's sweep; younger ones are
+# presumed live concurrent writes and left alone. 24 h: far beyond any
+# real export's task lifetime, far short of "forever".
+EXPORT_TMP_REAP_AGE_SEC = 24 * 3600
+
+
 def export_webdataset(
     df: DataFrame,
     id_col: str,
@@ -249,15 +256,23 @@ def export_webdataset(
     # then sweep tmp tars orphaned by killed/speculative task attempts
     # (only completed shards os.replace to their final names — a loser
     # attempt's uuid-suffixed tmp would otherwise sit in out_dir
-    # forever, multi-GB at training scale). The glob is scoped to THIS
-    # job's token — a concurrent export's in-flight tmps are not ours
-    # to delete.
+    # forever, multi-GB at training scale). THIS job's token is swept
+    # unconditionally; FOREIGN tmps (concurrent exports, or a job that
+    # crashed before its own sweep) are reclaimed only past an mtime
+    # age gate — old enough that no live export still holds them, so
+    # the concurrent-export race is closed without leaking crashed
+    # jobs' tmps forever (round-12 review finding).
     import glob as _glob
+    import time as _time
 
-    for stale in _glob.glob(
-        os.path.join(out_dir, f".shard-*.tar.tmp-{job_token}-*")
-    ):
+    now = _time.time()
+    for stale in _glob.glob(os.path.join(out_dir, ".shard-*.tar.tmp-*")):
+        mine = f".tar.tmp-{job_token}-" in os.path.basename(stale)
         try:
+            if not mine and (
+                now - os.path.getmtime(stale) < EXPORT_TMP_REAP_AGE_SEC
+            ):
+                continue  # possibly a live concurrent export's file
             os.remove(stale)
         except OSError:
             pass

@@ -253,6 +253,7 @@ def _validate_files_live(location: str, rel_files: List[str], meta) -> None:
         tbl = tbl.rename_columns(
             [inv.get(c, c) for c in tbl.column_names]
         )
+        cols = set(tbl.column_names)
         for batch in tbl.to_batches():
             for nname in nn:
                 idx = batch.schema.get_field_index(nname)
@@ -262,6 +263,13 @@ def _validate_files_live(location: str, rel_files: List[str], meta) -> None:
                         "violated by this write's rows; commit aborted"
                     )
             for cname, cexpr in checks:
+                if not cexpr.fields() <= cols:
+                    # Constraint references a column this shard predates
+                    # (concurrent add_column + add_constraint): the
+                    # Dataset path reads the absent column as NULL and
+                    # SQL CHECK passes NULL rows — skip, don't crash
+                    # (round-12 review finding).
+                    continue
                 mask = ex.eval_arrow_rows(cexpr, batch)
                 bad = pc.sum(
                     pc.invert(pc.fill_null(mask, True))

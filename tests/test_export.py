@@ -254,14 +254,24 @@ def test_webdataset_orphan_sweep_is_job_scoped(spark, tmp_path):
     for p in (foreign, legacy):
         with open(p, "wb") as f:
             f.write(b"in-flight bytes")
+    # A third tmp from a job that CRASHED long ago (stale mtime): the
+    # age-gated foreign sweep must reclaim it, or crashed jobs leak
+    # multi-GB tmps forever (round-12 review finding).
+    crashed = os.path.join(out, ".shard-000003.tar.tmp-0123456789ab-e")
+    with open(crashed, "wb") as f:
+        f.write(b"orphan bytes")
+    old_time = 1_000_000_000  # 2001 — far past EXPORT_TMP_REAP_AGE_SEC
+    os.utime(crashed, (old_time, old_time))
     export_webdataset(
         docs, "doc_id", out, n_shards=2,
         components={"txt": "text"},
     ).collect()
-    # Our export finished and swept ITS tmps; the foreign/legacy tmps
-    # survive untouched.
+    # Our export finished and swept ITS tmps; FRESH foreign/legacy
+    # tmps survive (possibly-live concurrent exports), the aged-out
+    # crash orphan is reclaimed.
     assert os.path.exists(foreign)
     assert os.path.exists(legacy)
+    assert not os.path.exists(crashed)
     leftover = [p for p in os.listdir(out) if ".tar.tmp-" in p]
     assert sorted(leftover) == sorted(
         [os.path.basename(foreign), os.path.basename(legacy)]

@@ -213,6 +213,41 @@ def test_float_remainder_by_zero_raises_both_engines(spark):
         assert _close(xs, xa)
 
 
+def test_float_remainder_null_dividend_zero_divisor(spark):
+    """Spark's DivModLike short-circuits a NULL dividend to NULL
+    BEFORE the ANSI zero-divisor check (SELECT NULL % 0.0D -> NULL),
+    so a batch where zero divisors meet ONLY null dividends must not
+    raise in the Arrow engine either (round-12 review finding: the
+    batch-level pc.any(d == 0) fired regardless of dividend validity).
+    A non-null dividend meeting 0.0 still raises in both engines."""
+    import pyarrow as pa
+
+    from space_spark.core.expressions import (
+        Arith, Field, eval_arrow_rows, field, lit,
+    )
+
+    e = Arith("%", Field("q"), Field("d"))
+    ok_batch = pa.record_batch({
+        "q": pa.array([None, 5.0, None], pa.float64()),
+        "d": pa.array([0.0, 2.0, None], pa.float64()),
+    })
+    out = eval_arrow_rows(e, ok_batch).to_pylist()
+    assert out == [None, 1.0, None], out
+    bad_batch = pa.record_batch({
+        "q": pa.array([5.0], pa.float64()),
+        "d": pa.array([0.0], pa.float64()),
+    })
+    with pytest.raises(ZeroDivisionError):
+        eval_arrow_rows(e, bad_batch)
+    # Spark side of the same three rows: NULL, 1.0, NULL — no raise.
+    rows = spark.sql(
+        "SELECT x % y AS r FROM VALUES "
+        "(CAST(NULL AS DOUBLE), 0.0D), (5.0D, 2.0D), "
+        "(CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)) t(x, y)"
+    ).collect()
+    assert [r.r for r in rows] == [None, 1.0, None]
+
+
 def test_division_parity_is_double_both_sides(spark):
     """int / int is SQL double division in BOTH engines (pinned
     separately from the random trees because float equality needs the

@@ -25,13 +25,17 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     label = sys.argv[1] if len(sys.argv) > 1 else "BENCH_BASELINE.json"
     env = dict(os.environ)
-    out = subprocess.run(
+    subprocess.run(
         [sys.executable, os.path.join(HERE, "bench.py")],
         capture_output=True, text=True, env=env, check=True,
     )
-    line = [ln for ln in out.stdout.strip().splitlines()
-            if ln.startswith("{")][-1]
-    run = json.loads(line)
+    # Round 12: bench.py's stdout line is BUDGETED for the driver's
+    # 2000-char capture (truncated `queries`, no `methodology`) — the
+    # full per-query maps live in BENCH_DETAIL.json written next to
+    # bench.py by the same run. Re-anchoring from the stdout line
+    # would silently drop the cheap tail's baselines.
+    with open(os.path.join(HERE, "BENCH_DETAIL.json")) as f:
+        run = json.load(f)
     path = os.path.join(HERE, "BENCH_BASELINE.json")
     old_total = None
     try:
