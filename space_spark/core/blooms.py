@@ -289,6 +289,34 @@ def probe_exprs(pks: Sequence[str], schema) -> Optional[list]:
     return out
 
 
+def probe_literal_exprs(cols: Sequence[str], values: Sequence,
+                        schema) -> Optional[list]:
+    """``probe_exprs`` over ``F.lit`` literals — the equality-conjunct
+    pruning path (round 12): same IN-SPARK canonicalization (naive
+    datetime literals resolve through the session timezone exactly
+    like the write path's column values, never through Python ``str``
+    — the v1 bug class), same unsupported-type -> None contract."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    out = []
+    for c, v in zip(cols, values):
+        dt = schema[c].dataType
+        base = F.lit(v)
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType, T.BooleanType)):
+            out.append(base.cast("long").alias(c))
+        elif isinstance(dt, T.DateType):
+            out.append(F.unix_date(base.cast("date")).alias(c))
+        elif isinstance(dt, T.TimestampType):
+            out.append(F.unix_micros(base.cast("timestamp")).alias(c))
+        elif isinstance(dt, (T.StringType, T.BinaryType)):
+            out.append(base.alias(c))
+        else:
+            return None
+    return out
+
+
 def might_contain(bitmap: bytes, value) -> bool:
     if value is None:
         # PKs are NOT NULL, so a NULL probe component can never be

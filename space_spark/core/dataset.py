@@ -91,7 +91,7 @@ class Dataset:
         primary_keys: Sequence[str],
         record_fields: Sequence[str] = (),
         serializers=None,
-        bloom_filters: bool = False,
+        bloom_filters: Union[bool, Sequence[str]] = False,
         check_constraints: Optional[Dict[str, Expr]] = None,
         generated_columns: Optional[Dict[str, Expr]] = None,
         identity_columns: Optional[Dict[str, dict]] = None,
@@ -110,6 +110,16 @@ class Dataset:
         range — the point-read index for tables not clustered on the
         probed key. Opt-in: each append pays one extra columnar read of
         the PK columns of the files it just wrote.
+
+        ``bloom_filters=[col, ...]`` (round 12): Bloom-index the NAMED
+        index columns instead — they need not be primary keys. Any
+        ``read``/``data_files`` whose filter carries a top-level
+        equality conjunct on an indexed column prunes files by
+        membership (``_bloom_equality_prune``) on top of min/max stats
+        — the point-lookup index for high-cardinality NON-key columns
+        (trace ids, content hashes, session ids) the table is not
+        clustered on, where range stats prune nothing. ``read_by_keys``
+        bloom-prunes only when every PK is in the indexed set.
 
         ``check_constraints``: {name: Expr} CHECK constraints
         (Delta/ANSI analog; beyond the reference) — every row-adding
@@ -185,12 +195,18 @@ class Dataset:
             list(record_fields),
             sc.field_id_map(schema),
             serializers=ser_registry,
-            # PK names at create time ARE the immutable physical names;
-            # blooms are built/probed under physical names so renames
-            # never desync the index. "v" pins the hash scheme: probes
-            # of any other version never prune (blooms.BLOOM_VERSION).
+            # Column names at create time ARE the immutable physical
+            # names; blooms are built/probed under physical names so
+            # renames never desync the index. "v" pins the hash scheme:
+            # probes of any other version never prune
+            # (blooms.BLOOM_VERSION). The key is "pks" for historical
+            # reasons — since round 12 it lists the bloom-INDEXED
+            # columns, which default to the primary keys but may be any
+            # index columns (bloom_filters=[...]).
             bloom=(
-                {"pks": list(primary_keys), "v": _bl.BLOOM_VERSION}
+                {"pks": cls._validate_bloom_columns(
+                    bloom_filters, primary_keys, schema, record_fields
+                ), "v": _bl.BLOOM_VERSION}
                 if bloom_filters else None
             ),
             constraints=con_json,
@@ -249,6 +265,39 @@ class Dataset:
 
         self.metadata = self.log.update_refs(mutate)
         return self
+
+    @staticmethod
+    def _validate_bloom_columns(bloom_filters, primary_keys, schema,
+                                record_fields) -> List[str]:
+        """Bloom-indexed column list: ``True`` -> the primary keys
+        (historical behavior); an explicit list may name any existing
+        INDEX columns. Unsupported types are allowed but inert (the
+        build writes no filter and probes never prune — same contract
+        as blooms.build_arrow), so schema evolution can't strand a
+        declared index in a crashing state."""
+        if bloom_filters is True:
+            return list(primary_keys)
+        cols = list(bloom_filters)
+        if not cols or not all(isinstance(c, str) for c in cols):
+            raise UserInputError(
+                "bloom_filters must be True or a non-empty list of "
+                "column names"
+            )
+        names = set(schema.fieldNames())
+        unknown = set(cols) - names
+        if unknown:
+            raise UserInputError(
+                f"bloom_filters names unknown column(s) {sorted(unknown)}"
+            )
+        rec = set(cols) & set(record_fields)
+        if rec:
+            raise UserInputError(
+                f"bloom_filters cannot index record (blob) field(s) "
+                f"{sorted(rec)}"
+            )
+        if len(set(cols)) != len(cols):
+            raise UserInputError("bloom_filters has duplicate columns")
+        return cols
 
     @staticmethod
     def _validate_not_null(not_null, schema, record_fields) -> List[str]:
@@ -469,15 +518,18 @@ class Dataset:
     def data_files(
         self, filter_: FilterType = None, version=None
     ) -> List[str]:
-        """Manifest-pruned relative data-file list (storage.py:369-403)."""
+        """Manifest-pruned relative data-file list (storage.py:369-403).
+        Bloom-indexed columns additionally prune by equality-conjunct
+        membership (``_bloom_equality_prune``)."""
         snap_id = self.metadata.resolve_version(version, self.branch)
         snapshot = self.metadata.snapshot(snap_id)
-        return mf.prune_files(
+        files = mf.prune_files(
             self.spark,
             self._manifest_abs_paths(snapshot),
             self._phys_expr(filter_),
             self._stats_fields(),
         )
+        return self._bloom_equality_prune(files, snapshot, filter_)
 
     def _read_files(
         self, rel_files: List[str], schema: Optional[T.StructType] = None
@@ -525,6 +577,12 @@ class Dataset:
             self._phys_expr(filter_),
             self._stats_fields(),
         )
+        # Equality-conjunct Bloom pruning BEFORE the routing decision: a
+        # point lookup on an indexed column typically lands under the
+        # DataSourceV2 threshold after membership pruning. (The V2
+        # route's own partition planning re-prunes by stats only — a
+        # superset, so semantics are unchanged when it does engage.)
+        files = self._bloom_equality_prune(files, snapshot, filter_)
         if len(files) >= self.DATASOURCE_READ_MIN_FILES:
             # Metadata-scale escape hatch (SCALE.md "100k-file step"):
             # spark.read.parquet(*paths) builds an InMemoryFileIndex —
@@ -3687,6 +3745,13 @@ class Dataset:
         manifests predate the index (None blooms never prune)."""
         if not self._bloom_pks() or not rel_files:
             return rel_files
+        # A custom bloom_filters=[...] index may not cover the PKs —
+        # key-membership pruning needs EVERY PK column's filter, so a
+        # partial cover degrades to the semi-join (equality pruning on
+        # the indexed columns still works through reads' filters).
+        if not {self._phys_name(pk) for pk in self.primary_keys} \
+                <= set(self._bloom_pks()):
+            return rel_files
         # Canonicalize IN SPARK (timestamps -> unix_micros, dates ->
         # unix_date) so the collected probe values are the exact int64
         # domain the arrow-side build hashed — never a naive datetime
@@ -3711,6 +3776,74 @@ class Dataset:
             f for f in rel_files
             if _bl.file_matches_any(by_file.get(f, {}), rows,
                                     list(phys.values()))
+        ]
+
+    @staticmethod
+    def _equality_conjuncts(expr) -> Dict[str, object]:
+        """``{column: literal}`` for every TOP-LEVEL AND conjunct of the
+        form ``col == lit`` (either orientation). Only the And-spine is
+        walked: a conjunct must hold for EVERY matching row, which an
+        OR/NOT subtree cannot guarantee — so those are never descended
+        and can never cause a wrong prune."""
+        from space_spark.core.expressions import (
+            And, Comparison, Field, Literal,
+        )
+
+        out: Dict[str, object] = {}
+
+        def walk(e):
+            if isinstance(e, And):
+                walk(e.left)
+                walk(e.right)
+            elif isinstance(e, Comparison) and e.op == "==":
+                if (isinstance(e.left, Field)
+                        and isinstance(e.right, Literal)):
+                    out.setdefault(e.left.name, e.right.value)
+                elif (isinstance(e.right, Field)
+                      and isinstance(e.left, Literal)):
+                    out.setdefault(e.right.name, e.left.value)
+
+        walk(expr)
+        return out
+
+    def _bloom_equality_prune(self, rel_files, snapshot, filter_):
+        """General-read Bloom pruning (round 12): when the filter pins a
+        bloom-indexed column to a literal at the top level, drop files
+        whose membership filter PROVES the value absent — min/max stats
+        can't prune a high-cardinality unclustered column, a Bloom
+        filter can. Sound because the conjunct must hold on every
+        matching row, and bloom false-negatives are impossible; a
+        ``col == NULL`` conjunct matches no row under SQL semantics, so
+        might_contain's False for None is also correct. One tiny
+        JVM-only job canonicalizes the literals (spark.range(1)), never
+        a Python-worker plan."""
+        if filter_ is None or not rel_files or not isinstance(
+                filter_, Expr):
+            return rel_files
+        bloom_cols = set(self._bloom_pks())
+        if not bloom_cols:
+            return rel_files
+        eq = self._equality_conjuncts(filter_)
+        cols = sorted(
+            c for c in eq if self._phys_name(c) in bloom_cols
+            and c in self.schema.fieldNames()
+        )
+        if not cols:
+            return rel_files
+        exprs = _bl.probe_literal_exprs(
+            cols, [eq[c] for c in cols], self.schema
+        )
+        if exprs is None:
+            return rel_files  # unsupported type: build wrote no filter
+        row = self.spark.range(1).select(*exprs).collect()[0]
+        phys = [self._phys_name(c) for c in cols]
+        probe = [{self._phys_name(c): row[c] for c in cols}]
+        by_file = mf.read_file_blooms(
+            self._manifest_abs_paths(snapshot), phys
+        )
+        return [
+            f for f in rel_files
+            if _bl.file_matches_any(by_file.get(f, {}), probe, phys)
         ]
 
     # -------------------------------------------------------- schema evolution

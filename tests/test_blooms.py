@@ -387,3 +387,93 @@ def test_tz_naive_degrade_warns():
         warnings.simplefilter("always")
         assert bl.build_arrow(naive) is None
     assert any("bloom filter degraded" in str(x.message) for x in w)
+
+
+# ---------------------------- non-PK bloom columns (round 12)
+WIDE = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("trace_id", T.StringType()),
+    T.StructField("payload", T.StringType()),
+])
+
+
+def _wide(spark, lo, hi):
+    # trace ids are high-cardinality and UNcorrelated with k, so k-range
+    # file layout gives min/max stats nothing to prune on trace_id.
+    return spark.sql(
+        f"SELECT id AS k, concat('t-', md5(cast(id AS string))) AS trace_id,"
+        f" repeat('x', 8) AS payload FROM range({lo}, {hi})"
+    ).coalesce(1)
+
+
+def test_bloom_on_non_pk_column_prunes_equality_reads(
+    spark, tmp_location
+):
+    """bloom_filters=[...]: a top-level equality conjunct on the
+    indexed non-PK column prunes files by MEMBERSHIP where min/max
+    stats prune nothing (every file spans the full md5 domain)."""
+    ds = Dataset.create(
+        spark, tmp_location, WIDE, ["k"],
+        bloom_filters=["trace_id"],
+    )
+    for lo in range(0, 400, 100):
+        ds.append(_wide(spark, lo, lo + 100))
+    assert len(ds.data_files()) == 4
+    probe = ds.read().where(F.col("k") == 250).select("trace_id") \
+        .collect()[0].trace_id
+    hit = ds.data_files(filter_=field("trace_id") == probe)
+    assert len(hit) == 1, hit  # membership pruning: 1 of 4 files
+    got = ds.read(filter_=field("trace_id") == probe).collect()
+    assert [r.k for r in got] == [250]
+    # A value present in NO file prunes everything (bloom has no
+    # false negatives, so zero survivors is PROOF of absence).
+    assert ds.data_files(filter_=field("trace_id") == "t-absent") == []
+    # Compound conjunct: equality rides along with a range term.
+    both = ds.data_files(
+        filter_=(field("trace_id") == probe) & (field("k") >= 0)
+    )
+    assert len(both) == 1
+
+
+def test_bloom_equality_never_descends_or_subtrees(spark, tmp_location):
+    """(trace==absent) OR (k==5) matches rows via the k arm — an OR
+    subtree cannot force equality on every row, so the bloom pruner
+    must not use it (only the top-level And-spine is walked)."""
+    ds = Dataset.create(
+        spark, tmp_location, WIDE, ["k"],
+        bloom_filters=["trace_id"],
+    )
+    ds.append(_wide(spark, 0, 100))
+    flt = (field("trace_id") == "t-absent") | (field("k") == 5)
+    assert len(ds.data_files(filter_=flt)) == 1
+    assert [r.k for r in ds.read(filter_=flt).collect()] == [5]
+
+
+def test_read_by_keys_degrades_when_pks_not_bloom_covered(
+    spark, tmp_location
+):
+    """A custom index that omits the PKs: read_by_keys falls back to
+    range + semi-join (no crash, correct rows); equality pruning on
+    the indexed column still engages."""
+    ds = Dataset.create(
+        spark, tmp_location, WIDE, ["k"],
+        bloom_filters=["trace_id"],
+    )
+    ds.append(_wide(spark, 0, 50))
+    got = ds.read_by_keys([7, 11]).select("k").collect()
+    assert sorted(r.k for r in got) == [7, 11]
+
+
+def test_bloom_filters_list_validation(spark, tmp_location):
+    from space_spark.errors import UserInputError
+
+    with pytest.raises(UserInputError, match="unknown column"):
+        Dataset.create(spark, tmp_location + "/a", WIDE, ["k"],
+                       bloom_filters=["ghost"])
+    # Empty list is falsy -> same as bloom_filters=False (no index).
+    ds = Dataset.create(spark, tmp_location + "/b", WIDE, ["k"],
+                        bloom_filters=[])
+    assert ds.metadata.bloom is None
+    with pytest.raises(UserInputError, match="duplicate"):
+        Dataset.create(spark, tmp_location + "/c", WIDE, ["k"],
+                       bloom_filters=["trace_id", "trace_id"])
