@@ -289,6 +289,32 @@ def probe_exprs(pks: Sequence[str], schema) -> Optional[list]:
     return out
 
 
+def canonicalize_literal(dt, v):
+    """Driver-side Python canonicalization of an equality literal to
+    the build-side hash domain — for planners with NO SparkSession
+    (the DataSourceV2 Python worker). Returns ``(ok, canonical)``;
+    ``ok=False`` means "cannot canonicalize safely here" (timestamps:
+    their unix_micros depend on the session timezone this process
+    cannot see; unsupported types: no filter was built anyway)."""
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    if v is None:
+        return True, None  # might_contain(None) -> False: col == NULL
+        # matches no row under SQL semantics, so full prune is correct.
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                       T.LongType, T.BooleanType)):
+        return True, int(v)
+    if isinstance(dt, T.DateType) and isinstance(v, _dt.date) \
+            and not isinstance(v, _dt.datetime):
+        return True, (v - _dt.date(1970, 1, 1)).days
+    if isinstance(dt, (T.StringType, T.BinaryType)) \
+            and isinstance(v, (str, bytes)):
+        return True, v
+    return False, None
+
+
 def probe_literal_exprs(cols: Sequence[str], values: Sequence,
                         schema) -> Optional[list]:
     """``probe_exprs`` over ``F.lit`` literals — the equality-conjunct

@@ -3780,31 +3780,9 @@ class Dataset:
 
     @staticmethod
     def _equality_conjuncts(expr) -> Dict[str, object]:
-        """``{column: literal}`` for every TOP-LEVEL AND conjunct of the
-        form ``col == lit`` (either orientation). Only the And-spine is
-        walked: a conjunct must hold for EVERY matching row, which an
-        OR/NOT subtree cannot guarantee — so those are never descended
-        and can never cause a wrong prune."""
-        from space_spark.core.expressions import (
-            And, Comparison, Field, Literal,
-        )
+        from space_spark.core.expressions import equality_conjuncts
 
-        out: Dict[str, object] = {}
-
-        def walk(e):
-            if isinstance(e, And):
-                walk(e.left)
-                walk(e.right)
-            elif isinstance(e, Comparison) and e.op == "==":
-                if (isinstance(e.left, Field)
-                        and isinstance(e.right, Literal)):
-                    out.setdefault(e.left.name, e.right.value)
-                elif (isinstance(e.right, Field)
-                      and isinstance(e.left, Literal)):
-                    out.setdefault(e.right.name, e.left.value)
-
-        walk(expr)
-        return out
+        return equality_conjuncts(expr)
 
     def _bloom_equality_prune(self, rel_files, snapshot, filter_):
         """General-read Bloom pruning (round 12): when the filter pins a

@@ -628,6 +628,29 @@ def rename_fields(expr: "Expr", mapping: dict) -> "Expr":
     return expr  # unknown node: pruning treats it as non-falsifiable
 
 
+def equality_conjuncts(expr: "Expr") -> dict:
+    """``{column: literal}`` for every TOP-LEVEL AND conjunct of the
+    form ``col == lit`` (either orientation). Only the And-spine is
+    walked: a conjunct must hold for EVERY matching row, which an
+    OR/NOT subtree cannot guarantee — so those are never descended and
+    can never cause a wrong prune. Consumers: Bloom membership pruning
+    (Dataset._bloom_equality_prune, datasource partition planning)."""
+    out: dict = {}
+
+    def walk(e):
+        if isinstance(e, And):
+            walk(e.left)
+            walk(e.right)
+        elif isinstance(e, Comparison) and e.op == "==":
+            if isinstance(e.left, Field) and isinstance(e.right, Literal):
+                out.setdefault(e.left.name, e.right.value)
+            elif isinstance(e.right, Field) and isinstance(e.left, Literal):
+                out.setdefault(e.right.name, e.left.value)
+
+    walk(expr)
+    return out
+
+
 def eval_arrow_rows(expr: "Expr", batch) -> "object":
     """Row-level evaluation of the closed algebra against a pyarrow
     RecordBatch/Table: returns a BooleanArray (Kleene semantics — null

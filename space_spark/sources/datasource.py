@@ -135,6 +135,60 @@ def _prune(log, meta, snapshot_id: int, expr: Optional[Expr],
                                      with_sizes=with_sizes)
 
 
+def _bloom_equality_prune_sized(log, meta, snapshot_id: int,
+                                sized: List[tuple],
+                                expr) -> List[tuple]:
+    """Bloom membership pruning for partition planning (round 12):
+    drop (rel, bytes) entries whose per-file filters prove a top-level
+    equality conjunct's literal absent. No SparkSession in this
+    planner, so literals canonicalize driver-side Python
+    (blooms.canonicalize_literal) — timestamp literals are skipped
+    (their unix_micros depend on the session timezone this process
+    cannot see). Never raises into planning: any failure degrades to
+    the stats-pruned list."""
+    from space_spark.core import blooms as _bl
+    from space_spark.core.expressions import equality_conjuncts
+
+    try:
+        bloom = getattr(meta, "bloom", None)
+        if (expr is None or not sized or not bloom
+                or bloom.get("v") != _bl.BLOOM_VERSION):
+            return sized
+        indexed = set(bloom.get("pks", ()))
+        if not indexed:
+            return sized
+        # The planner's exprs (pushFilters + prune_expr) already carry
+        # PHYSICAL field names; map back to logical for the schema
+        # dtype lookup.
+        ren = getattr(meta, "renames", {}) or {}
+        to_logical = {p: l for l, p in ren.items()}
+        schema_names = set(meta.schema.fieldNames())
+        probe = {}
+        for phys, v in equality_conjuncts(expr).items():
+            logical = to_logical.get(phys, phys)
+            if phys not in indexed or logical not in schema_names:
+                continue
+            ok, canon = _bl.canonicalize_literal(
+                meta.schema[logical].dataType, v
+            )
+            if ok:
+                probe[phys] = canon
+        if not probe:
+            return sized
+        snap = meta.snapshot(snapshot_id)
+        by_file = mf.read_file_blooms(
+            [log.abs_path(p) for p in snap.manifest_files],
+            sorted(probe),
+        )
+        return [
+            (rel, b) for rel, b in sized
+            if _bl.file_matches_any(by_file.get(rel, {}), [probe],
+                                    sorted(probe))
+        ]
+    except Exception:  # pragma: no cover — planning must never fail here
+        return sized
+
+
 def _split_row_groups(path: str, max_bytes: int) -> List[tuple]:
     """Split one over-sized file into row-group-aligned units
     ``(path, [row-group indices])`` of ~max_bytes each — the reference's
@@ -433,6 +487,8 @@ class SpaceBatchReader(DataSourceReader):
             expr = self._expr if expr is None else (expr & self._expr)
         sized = _prune(log, meta, self.snap_id, expr,
                        with_sizes=True)
+        sized = _bloom_equality_prune_sized(log, meta, self.snap_id,
+                                            sized, expr)
         groups = list(_group_sized(
             ((log.abs_path(p), b) for p, b in sized), self.max_bytes
         ))
