@@ -289,6 +289,22 @@ def probe_exprs(pks: Sequence[str], schema) -> Optional[list]:
     return out
 
 
+def file_matches_value_sets(blooms: Dict[str, Optional[bytes]],
+                            col_values: Dict[str, list]) -> bool:
+    """Per-column INDEPENDENT membership (equality/IN conjuncts): a
+    file survives iff, for EVERY constrained column, ANY listed value
+    might be present. Differs from ``file_matches_any``'s tuple
+    semantics (point-read key rows, where a whole row must co-occur).
+    A column with a missing/absent filter never prunes."""
+    for col, vals in col_values.items():
+        bm = blooms.get(col)
+        if bm in (None, b""):
+            continue
+        if not any(might_contain(bm, v) for v in vals):
+            return False
+    return True
+
+
 def canonicalize_literal(dt, v):
     """Driver-side Python canonicalization of an equality literal to
     the build-side hash domain — for planners with NO SparkSession

@@ -3789,12 +3789,14 @@ class Dataset:
         bloom-indexed column to a literal at the top level, drop files
         whose membership filter PROVES the value absent — min/max stats
         can't prune a high-cardinality unclustered column, a Bloom
-        filter can. Sound because the conjunct must hold on every
-        matching row, and bloom false-negatives are impossible; a
-        ``col == NULL`` conjunct matches no row under SQL semantics, so
-        might_contain's False for None is also correct. One tiny
-        JVM-only job canonicalizes the literals (spark.range(1)), never
-        a Python-worker plan."""
+        filter can. ``isin`` lists prune too (the Or-of-equals chain it
+        desugars to: a file survives when ANY member might be present).
+        Sound because the conjunct must hold on every matching row, and
+        bloom false-negatives are impossible; a ``col == NULL``
+        conjunct matches no row under SQL semantics, so might_contain's
+        False for None is also correct. One tiny JVM-only job
+        canonicalizes the literals (spark.range(1)), never a
+        Python-worker plan."""
         if filter_ is None or not rel_files or not isinstance(
                 filter_, Expr):
             return rel_files
@@ -3808,20 +3810,25 @@ class Dataset:
         )
         if not cols:
             return rel_files
+        # Flatten (col, value) pairs for one canonicalization job.
+        pairs = [(c, v) for c in cols for v in eq[c]]
         exprs = _bl.probe_literal_exprs(
-            cols, [eq[c] for c in cols], self.schema
+            [c for c, _ in pairs], [v for _, v in pairs], self.schema
         )
         if exprs is None:
             return rel_files  # unsupported type: build wrote no filter
-        row = self.spark.range(1).select(*exprs).collect()[0]
-        phys = [self._phys_name(c) for c in cols]
-        probe = [{self._phys_name(c): row[c] for c in cols}]
+        row = self.spark.range(1).select(
+            *[e.alias(f"p{i}") for i, e in enumerate(exprs)]
+        ).collect()[0]
+        vals: Dict[str, list] = {}
+        for i, (c, _) in enumerate(pairs):
+            vals.setdefault(self._phys_name(c), []).append(row[f"p{i}"])
         by_file = mf.read_file_blooms(
-            self._manifest_abs_paths(snapshot), phys
+            self._manifest_abs_paths(snapshot), sorted(vals)
         )
         return [
             f for f in rel_files
-            if _bl.file_matches_any(by_file.get(f, {}), probe, phys)
+            if _bl.file_matches_value_sets(by_file.get(f, {}), vals)
         ]
 
     # -------------------------------------------------------- schema evolution

@@ -629,23 +629,56 @@ def rename_fields(expr: "Expr", mapping: dict) -> "Expr":
 
 
 def equality_conjuncts(expr: "Expr") -> dict:
-    """``{column: literal}`` for every TOP-LEVEL AND conjunct of the
-    form ``col == lit`` (either orientation). Only the And-spine is
-    walked: a conjunct must hold for EVERY matching row, which an
-    OR/NOT subtree cannot guarantee — so those are never descended and
-    can never cause a wrong prune. Consumers: Bloom membership pruning
-    (Dataset._bloom_equality_prune, datasource partition planning)."""
+    """``{column: [literals]}`` for every TOP-LEVEL AND conjunct that
+    pins a single column to a literal set:
+
+    - ``col == lit`` (either orientation) -> ``{col: [lit]}``;
+    - a pure Or-of-equals chain over ONE column — what ``isin``
+      desugars to — -> ``{col: [lits...]}``.
+
+    Only the And-spine is walked; an OR subtree is used ONLY when every
+    leaf is an equality on the same column (then a matching row must
+    take one of the listed values), otherwise it is discarded — so the
+    extraction can never justify a wrong prune. Repeated conjuncts on
+    one column keep the FIRST set (intersecting would be tighter, but
+    pruning with a superset is still sound). Consumers: Bloom
+    membership pruning (Dataset._bloom_equality_prune, datasource
+    partition planning)."""
     out: dict = {}
+
+    def leaf(e):
+        """(col, lit) for ``col == lit`` in either orientation."""
+        if isinstance(e, Comparison) and e.op == "==":
+            if isinstance(e.left, Field) and isinstance(e.right, Literal):
+                return e.left.name, e.right.value
+            if isinstance(e.right, Field) and isinstance(e.left, Literal):
+                return e.right.name, e.left.value
+        return None
+
+    def or_chain(e):
+        """(col, [lits]) when the whole Or-subtree is equalities on one
+        column; None otherwise."""
+        if isinstance(e, Or):
+            a, b = or_chain(e.left), or_chain(e.right)
+            if a and b and a[0] == b[0]:
+                return a[0], a[1] + b[1]
+            return None
+        hit = leaf(e)
+        return (hit[0], [hit[1]]) if hit else None
 
     def walk(e):
         if isinstance(e, And):
             walk(e.left)
             walk(e.right)
-        elif isinstance(e, Comparison) and e.op == "==":
-            if isinstance(e.left, Field) and isinstance(e.right, Literal):
-                out.setdefault(e.left.name, e.right.value)
-            elif isinstance(e.right, Field) and isinstance(e.left, Literal):
-                out.setdefault(e.right.name, e.left.value)
+            return
+        hit = leaf(e)
+        if hit:
+            out.setdefault(hit[0], [hit[1]])
+            return
+        if isinstance(e, Or):
+            chain = or_chain(e)
+            if chain:
+                out.setdefault(chain[0], chain[1])
 
     walk(expr)
     return out

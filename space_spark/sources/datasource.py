@@ -163,16 +163,24 @@ def _bloom_equality_prune_sized(log, meta, snapshot_id: int,
         ren = getattr(meta, "renames", {}) or {}
         to_logical = {p: l for l, p in ren.items()}
         schema_names = set(meta.schema.fieldNames())
-        probe = {}
-        for phys, v in equality_conjuncts(expr).items():
+        probe: dict = {}
+        for phys, vs in equality_conjuncts(expr).items():
             logical = to_logical.get(phys, phys)
             if phys not in indexed or logical not in schema_names:
                 continue
-            ok, canon = _bl.canonicalize_literal(
-                meta.schema[logical].dataType, v
-            )
-            if ok:
-                probe[phys] = canon
+            dt = meta.schema[logical].dataType
+            canons = []
+            for v in vs:
+                ok, canon = _bl.canonicalize_literal(dt, v)
+                if not ok:
+                    canons = None  # one uncanonicalizable member kills
+                    break          # the whole column's prune (IN needs
+                if canon is not None:  # ANY-member semantics)
+                    canons.append(canon)
+            if canons is not None:
+                # All-None (col IN (NULL,...)) matches no row: empty
+                # list -> any() is False -> full prune, correct.
+                probe[phys] = canons
         if not probe:
             return sized
         snap = meta.snapshot(snapshot_id)
@@ -182,8 +190,7 @@ def _bloom_equality_prune_sized(log, meta, snapshot_id: int,
         )
         return [
             (rel, b) for rel, b in sized
-            if _bl.file_matches_any(by_file.get(rel, {}), [probe],
-                                    sorted(probe))
+            if _bl.file_matches_value_sets(by_file.get(rel, {}), probe)
         ]
     except Exception:  # pragma: no cover — planning must never fail here
         return sized

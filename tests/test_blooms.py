@@ -477,3 +477,27 @@ def test_bloom_filters_list_validation(spark, tmp_location):
     with pytest.raises(UserInputError, match="duplicate"):
         Dataset.create(spark, tmp_location + "/c", WIDE, ["k"],
                        bloom_filters=["trace_id", "trace_id"])
+
+
+def test_bloom_prunes_isin_lists(spark, tmp_location):
+    """isin desugars to a single-column Or-of-equals chain — the
+    extractor recognizes it and a file survives when ANY member might
+    be present (IN-list point reads: a batch of content hashes)."""
+    ds = Dataset.create(
+        spark, tmp_location, WIDE, ["k"],
+        bloom_filters=["trace_id"],
+    )
+    for lo in range(0, 400, 100):
+        ds.append(_wide(spark, lo, lo + 100))
+    probes = [r.trace_id for r in ds.read()
+              .where(F.col("k").isin([50, 250])).collect()]
+    hit = ds.data_files(filter_=field("trace_id").isin(probes))
+    assert len(hit) == 2, hit  # two files of four hold the members
+    got = ds.read(filter_=field("trace_id").isin(probes)).collect()
+    assert sorted(r.k for r in got) == [50, 250]
+    # All-absent IN prunes everything; mixed OR across columns doesn't
+    # engage the bloom (not a single-column chain) but stays correct.
+    assert ds.data_files(
+        filter_=field("trace_id").isin(["a", "b"])) == []
+    mixed = (field("trace_id") == "absent") | (field("k") == 7)
+    assert [r.k for r in ds.read(filter_=mixed).collect()] == [7]
