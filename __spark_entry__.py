@@ -5527,29 +5527,34 @@ _CHURNED_THIS_ROUND = [
     # Same sink machinery through the CDC round-trip (stream writer
     # write() now captures the live constraints_version per batch).
     "space_stream_cdc",
-    # CoW delete commits through _commit_rewrite (new pin parameter)
-    # and commit_snapshot's new critical-section version check runs in
-    # EVERY commit — delete is the registered CoW representative not
-    # already in the window.
-    "space_delete_read",
+    # The DataSourceV2 partition planner gained bloom membership
+    # pruning (_bloom_equality_prune_sized runs in every V2 partitions()
+    # call, early-returning for unindexed tables); space_sql_table is
+    # the registered SQL-catalog read that plans through it.
+    "space_sql_table",
 ]
 # Quota is 8; 8 used. churn_suggest flags ~25 more via the Dataset
 # CLASS diff; the displaced ones are either append-only consumers of
-# the same shared commit machinery the eight above exercise through
+# the same shared commit machinery the churn picks exercise through
 # every distinct changed loop (plain appends pin the version but have
-# no changed loop of their own), covered by the never-green leaders
-# (NOT NULL via space_not_null_read; cluster_spec via
-# space_clustered_read), pinned by named pytest (reverse-TOCTOU:
+# no changed loop of their own — and commit_snapshot's new critical-
+# section check runs identically in all of them), covered by the
+# never-green leaders (NOT NULL via space_not_null_read; cluster_spec
+# via space_clustered_read), pinned by named pytest (reverse-TOCTOU:
 # 4 new tests in tests/test_constraints.py + 1 in test_datasink.py;
-# float-% fmod exactness: test_expr_parity_properties.py; exact-GEMM
-# guard: test_dedup_robustness.py — embedding_neardup's registered
-# plan runs the LSH default, not the changed exact branch; webdataset
-# job-token sweep: test_export.py — not a registered query), or
-# touched only by code their plan never reaches. Bloom, BPE, zorder,
-# and the recall harness are UNCHANGED this round. Every registered
-# oracle also re-verifies at sf0.001 in tests/test_oracle.py on each
-# suite run; the two new queries were swept at sf0.001 AND sf0.01
-# before registration.
+# float-% fmod exactness + NULL-dividend: test_expr_parity_properties;
+# exact-GEMM guard: test_dedup_robustness.py — embedding_neardup's
+# registered plan runs the LSH default, not the changed exact branch;
+# webdataset job-token sweep: test_export.py — not a registered
+# query; non-PK bloom indexes + equality/IN membership pruning:
+# tests/test_blooms.py + test_datasource.py, and the read-side
+# _bloom_equality_prune early-returns for every unindexed registered
+# fixture; space_bloom_point_read, the indexed one, is already in the
+# window by r9 staleness). BPE, zorder, and the recall harness are
+# UNCHANGED this round. Every registered oracle also re-verifies at
+# sf0.001 in tests/test_oracle.py on each suite run; this round also
+# swept ALL 126 at sf0.01 explicitly, and the two new queries were
+# swept at sf0.001 AND sf0.01 before registration.
 
 
 def _is_green(row) -> bool:
