@@ -3536,6 +3536,46 @@ class Dataset:
         self.metadata = self.log.update_refs(mutate)
         return self
 
+    def explain_files(self, filter_: FilterType = None,
+                      version=None) -> dict:
+        """Pruning observability (the planning sibling of ``detail``):
+        per-stage survivor counts for a read's file planning — total
+        live files, after manifest min/max stats, after Bloom
+        membership — plus which indexed columns engaged (and with how
+        many probed literals) and how many MoR delete-vector sidecars
+        the snapshot carries. Counts only, never the file list (that is
+        ``data_files``; at 100 TB the list is the problem, not the
+        answer). The first question on a slow point read is "why does
+        it open 40k files" — this answers it in one metadata-cost
+        call."""
+        snap_id = self.metadata.resolve_version(version, self.branch)
+        snapshot = self.metadata.snapshot(snap_id)
+        man = self._manifest_abs_paths(snapshot)
+        total = mf.read_manifest_paths(man)
+        stats = mf.prune_files(
+            self.spark, man, self._phys_expr(filter_),
+            self._stats_fields(),
+        )
+        bloomed = self._bloom_equality_prune(stats, snapshot, filter_)
+        engaged: Dict[str, int] = {}
+        if isinstance(filter_, Expr):
+            bloom_cols = set(self._bloom_pks())
+            engaged = {
+                c: len(vs)
+                for c, vs in self._equality_conjuncts(filter_).items()
+                if self._phys_name(c) in bloom_cols
+            }
+        return {
+            "version": snap_id,
+            "files_total": len(total),
+            "files_after_stats": len(stats),
+            "files_after_bloom": len(bloomed),
+            "bloom_engaged": engaged,
+            "delete_vector_sidecars": len(
+                getattr(snapshot, "delete_vector_files", []) or []
+            ),
+        }
+
     def detail(self) -> dict:
         """One-call table summary (Delta ``DESCRIBE DETAIL`` analog) —
         metadata only, zero Spark jobs: location, current version, row/

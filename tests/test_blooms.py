@@ -501,3 +501,35 @@ def test_bloom_prunes_isin_lists(spark, tmp_location):
         filter_=field("trace_id").isin(["a", "b"])) == []
     mixed = (field("trace_id") == "absent") | (field("k") == 7)
     assert [r.k for r in ds.read(filter_=mixed).collect()] == [7]
+
+
+def test_explain_files_reports_pruning_stages(spark, tmp_location):
+    """explain_files: per-stage survivor counts — stats leave all 4
+    k-range files for an unclustered trace_id equality, bloom
+    membership drops to 1; the engaged-columns map names the index
+    and literal count; MoR sidecar count rides along."""
+    ds = Dataset.create(
+        spark, tmp_location, WIDE, ["k"],
+        bloom_filters=["trace_id"],
+    )
+    for lo in range(0, 400, 100):
+        ds.append(_wide(spark, lo, lo + 100))
+    probe = ds.read().where(F.col("k") == 250).collect()[0].trace_id
+    rep = ds.explain_files(field("trace_id") == probe)
+    assert rep["files_total"] == 4
+    assert rep["files_after_stats"] == 4   # min/max can't help here
+    assert rep["files_after_bloom"] == 1   # membership can
+    assert rep["bloom_engaged"] == {"trace_id": 1}
+    assert rep["delete_vector_sidecars"] == 0
+    # Range filter on the clustered key: stats do the work, bloom
+    # doesn't engage.
+    rep2 = ds.explain_files((field("k") >= 0) & (field("k") < 100))
+    assert rep2["files_after_stats"] == 1
+    assert rep2["files_after_bloom"] == 1
+    assert rep2["bloom_engaged"] == {}
+    # No filter: totals only.
+    rep3 = ds.explain_files()
+    assert rep3["files_total"] == rep3["files_after_bloom"] == 4
+    # MoR delete: the sidecar count surfaces.
+    ds.delete(field("k") == 1, rewrite=False)
+    assert ds.explain_files()["delete_vector_sidecars"] == 1
