@@ -33,6 +33,14 @@ HOSTILE_QUERIES = [
     "space_identity_read",
     "space_generated_cols",
     "space_blob_clone",
+    # round-12 surfaces: NOT NULL enforcement runs the Arrow-side
+    # batch check in sink paths and the pushed-down scan in Dataset
+    # paths (both independent of driver Arrow transfer); the
+    # clustered read derives its SF-relative bounds from a driver
+    # collect that must agree with DuckDB's integer floor division
+    # regardless of session timezone.
+    "space_not_null_read",
+    "space_clustered_read",
 ]
 
 
