@@ -92,6 +92,7 @@ class Dataset:
         record_fields: Sequence[str] = (),
         serializers=None,
         bloom_filters: Union[bool, Sequence[str]] = False,
+        bloom_bits_per_key: Optional[int] = None,
         check_constraints: Optional[Dict[str, Expr]] = None,
         generated_columns: Optional[Dict[str, Expr]] = None,
         identity_columns: Optional[Dict[str, dict]] = None,
@@ -204,9 +205,8 @@ class Dataset:
             # columns, which default to the primary keys but may be any
             # index columns (bloom_filters=[...]).
             bloom=(
-                {"pks": cls._validate_bloom_columns(
-                    bloom_filters, primary_keys, schema, record_fields
-                ), "v": _bl.BLOOM_VERSION}
+                cls._bloom_config(bloom_filters, bloom_bits_per_key,
+                                  primary_keys, schema, record_fields)
                 if bloom_filters else None
             ),
             constraints=con_json,
@@ -265,6 +265,28 @@ class Dataset:
 
         self.metadata = self.log.update_refs(mutate)
         return self
+
+    @classmethod
+    def _bloom_config(cls, bloom_filters, bits_per_key, primary_keys,
+                      schema, record_fields) -> dict:
+        """The persisted bloom dict: indexed columns (key "pks",
+        historical name), hash version pin, and the optional build-side
+        bits/key ("bpk", 5..20; absent = the module default 10 —
+        round 12). Larger bpk buys lower false-positive rate per file
+        at proportional manifest bytes: ~0.8% at 10, ~0.1% at 16 — on a
+        100k-file table a needle lookup opens ~800 vs ~100 files."""
+        out = {"pks": cls._validate_bloom_columns(
+            bloom_filters, primary_keys, schema, record_fields
+        ), "v": _bl.BLOOM_VERSION}
+        if bits_per_key is not None:
+            if not isinstance(bits_per_key, int) or not (
+                    5 <= bits_per_key <= 20):
+                raise UserInputError(
+                    "bloom_bits_per_key must be an int in [5, 20], got "
+                    f"{bits_per_key!r}"
+                )
+            out["bpk"] = bits_per_key
+        return out
 
     @staticmethod
     def _validate_bloom_columns(bloom_filters, primary_keys, schema,
@@ -905,6 +927,7 @@ class Dataset:
             [self.log.abs_path(f) for f in rel_files],
             stat_names,
             bloom_pks=bloom_pks,
+            bloom_bpk=self._bloom_bpk(),
         )
         # Primary keys are NOT NULL (reference schema contract): a null
         # key row can never be matched by upsert/delete-by-key/point
@@ -3766,6 +3789,15 @@ class Dataset:
     # keys the probe is skipped (the broadcast semi-join alone handles
     # large key sets, and a huge key set hits most files anyway).
     BLOOM_PROBE_MAX_KEYS = 10_000
+
+    def _bloom_bpk(self) -> Optional[int]:
+        """Per-table bits/key for bloom BUILDS (None = module default
+        10). Probe-agnostic — bitmaps carry their own length — so this
+        only changes files written after the setting."""
+        meta = self.metadata.bloom
+        if not meta:
+            return None
+        return meta.get("bpk")
 
     def _bloom_pks(self) -> tuple:
         """Physical PK columns to build filters for on writes: empty

@@ -85,7 +85,8 @@ def manifest_spark_schema(
 
 
 def _footer_stats(abs_path: str, stat_names: List[str],
-                  bloom_pks: Sequence[str] = ()) -> dict:
+                  bloom_pks: Sequence[str] = (),
+                  bloom_bpk: Optional[int] = None) -> dict:
     """Merge row-group footer stats of one Parquet file (index.py:145-179).
 
     ``bloom_pks``: additionally build a per-PK-column Bloom filter from
@@ -153,7 +154,8 @@ def _footer_stats(abs_path: str, stat_names: List[str],
         tbl = pq.read_table(abs_path, columns=list(bloom_pks))
         out["blooms"] = {
             pk: bl.build_arrow(tbl.column(pk), n_keys=meta.num_rows,
-                               naive_is_utc=pk in int96)
+                               naive_is_utc=pk in int96,
+                               bits_per_key=bloom_bpk)
             for pk in bloom_pks
         }
     return out
@@ -164,17 +166,20 @@ def collect_file_stats(
     abs_paths: List[str],
     stat_names: List[str],
     bloom_pks: Sequence[str] = (),
+    bloom_bpk: Optional[int] = None,
 ) -> List[dict]:
     """Footer stats for each file; distributed when the file list is large."""
     if len(abs_paths) <= _DRIVER_STATS_MAX_FILES:
-        return [_footer_stats(p, stat_names, bloom_pks) for p in abs_paths]
+        return [_footer_stats(p, stat_names, bloom_pks, bloom_bpk)
+                for p in abs_paths]
     sc_ = spark.sparkContext
     n_slices = max(1, len(abs_paths) // 16)
     names = list(stat_names)
     bpks = tuple(bloom_pks)
+    bpk = bloom_bpk
     return (
         sc_.parallelize(abs_paths, n_slices)
-        .map(lambda p: _footer_stats(p, names, bpks))
+        .map(lambda p: _footer_stats(p, names, bpks, bpk))
         .collect()
     )
 

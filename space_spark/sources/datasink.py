@@ -298,8 +298,10 @@ def _commit_append(location: str, branch: str, rel_files: List[str],
     )
     stat_names = [n for n, _ in stat_fields]
     bloom_pks = tuple((getattr(meta, "bloom", None) or {}).get("pks", ()))
+    bloom_bpk = (getattr(meta, "bloom", None) or {}).get("bpk")
     stats = [
-        mf._footer_stats(log.abs_path(f), stat_names, bloom_pks)
+        mf._footer_stats(log.abs_path(f), stat_names, bloom_pks,
+                         bloom_bpk)
         for f in rel_files
     ]
     rows = sum(s["num_rows"] for s in stats)

@@ -63,7 +63,8 @@ def append_parquet(dataset, pattern: str) -> None:
     stat_names = [n for n, _ in dataset._stats_fields()]
     bloom_pks = dataset._bloom_pks()
     stats = mf.collect_file_stats(dataset.spark, paths, stat_names,
-                                  bloom_pks=bloom_pks)
+                                  bloom_pks=bloom_pks,
+                                  bloom_bpk=dataset._bloom_bpk())
     # External files must honor the table's contract too: null primary
     # keys are unreachable by every key-matching operation. Internal
     # writes always carry footer statistics, but a FOREIGN writer may

@@ -533,3 +533,48 @@ def test_explain_files_reports_pruning_stages(spark, tmp_location):
     # MoR delete: the sidecar count surfaces.
     ds.delete(field("k") == 1, rewrite=False)
     assert ds.explain_files()["delete_vector_sidecars"] == 1
+
+
+def test_bloom_bits_per_key_sizes_filters_and_stays_probe_compatible(
+    spark, tmp_location
+):
+    """bloom_bits_per_key is a BUILD-side knob: a 16-b/k table writes
+    ~1.6x larger per-file filters (lower FPP) while probes — which
+    read the bitmap's own length — prune identically; validation
+    rejects out-of-range values."""
+    from space_spark.core import manifests as mf
+    from space_spark.errors import UserInputError
+
+    def mk(loc, bpk):
+        ds = Dataset.create(
+            spark, loc, WIDE, ["k"], bloom_filters=["trace_id"],
+            bloom_bits_per_key=bpk,
+        )
+        ds.append(_wide(spark, 0, 2000))
+        return ds
+
+    small = mk(tmp_location + "/s", None)   # default 10 b/k
+    big = mk(tmp_location + "/b", 16)
+    assert big.metadata.bloom["bpk"] == 16
+    assert "bpk" not in small.metadata.bloom
+
+    def filter_len(ds):
+        snap = ds.metadata.snapshot(ds.current_snapshot_id)
+        by_file = mf.read_file_blooms(
+            ds._manifest_abs_paths(snap), ["trace_id"]
+        )
+        (blooms,) = by_file.values()
+        return len(blooms["trace_id"])
+
+    assert filter_len(big) == filter_len(small) * 16 // 10  # 1.6x bytes
+    # Both prune a point read the same way (membership is exact for
+    # present values; the knob only moves the false-positive rate).
+    for ds in (small, big):
+        probe = ds.read().where(F.col("k") == 7).collect()[0].trace_id
+        assert len(ds.data_files(filter_=field("trace_id") == probe)) == 1
+        assert ds.read(
+            filter_=field("trace_id") == probe
+        ).collect()[0].k == 7
+    with pytest.raises(UserInputError, match=r"\[5, 20\]"):
+        Dataset.create(spark, tmp_location + "/x", WIDE, ["k"],
+                       bloom_filters=True, bloom_bits_per_key=40)
