@@ -3790,6 +3790,45 @@ class Dataset:
     # large key sets, and a huge key set hits most files anyway).
     BLOOM_PROBE_MAX_KEYS = 10_000
 
+    def set_bloom(
+        self,
+        bloom_filters: Union[bool, Sequence[str], None],
+        bits_per_key: Optional[int] = None,
+    ) -> "Dataset":
+        """ALTER the bloom index declaration (metadata-only, like
+        ``set_clustering``): ``True`` -> index the PKs, a list ->
+        index those columns, ``None``/``False`` -> drop the index.
+        Existing files keep whatever filters they have — a file
+        without a filter for a probed column is simply never pruned
+        (the absent-filter contract), so enabling on a grown table
+        starts paying off with the next append and ``compact()``
+        backfills filters for whatever it rewrites. Columns are named
+        by their CURRENT logical names; the stored config uses the
+        immutable physical names like create-time declarations."""
+        self.reload()
+        if not bloom_filters:
+            def mutate(meta):
+                meta.bloom = None
+
+            self.metadata = self.log.update_refs(mutate)
+            return self
+        cfg = self._bloom_config(
+            (True if bloom_filters is True
+             else [self._phys_name(c) for c in bloom_filters]),
+            bits_per_key,
+            [self._phys_name(pk) for pk in self.primary_keys],
+            sc.rename_struct(self.metadata.schema,
+                             self.metadata.renames or {}),
+            [(self.metadata.renames or {}).get(f, f)
+             for f in self.record_fields],
+        )
+
+        def mutate(meta):
+            meta.bloom = cfg
+
+        self.metadata = self.log.update_refs(mutate)
+        return self
+
     def _bloom_bpk(self) -> Optional[int]:
         """Per-table bits/key for bloom BUILDS (None = module default
         10). Probe-agnostic — bitmaps carry their own length — so this

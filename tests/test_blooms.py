@@ -578,3 +578,34 @@ def test_bloom_bits_per_key_sizes_filters_and_stays_probe_compatible(
     with pytest.raises(UserInputError, match=r"\[5, 20\]"):
         Dataset.create(spark, tmp_location + "/x", WIDE, ["k"],
                        bloom_filters=True, bloom_bits_per_key=40)
+
+
+def test_set_bloom_alters_index_on_existing_table(spark, tmp_location):
+    """ALTER surface: enable the index on a grown table (old files
+    have no filters and are never pruned — correct, just unhelped;
+    new appends build), re-size, re-target, and drop."""
+    ds = Dataset.create(spark, tmp_location, WIDE, ["k"])
+    ds.append(_wide(spark, 0, 100))          # pre-index file
+    assert ds.metadata.bloom is None
+    ds.set_bloom(["trace_id"], bits_per_key=12)
+    assert ds.metadata.bloom["pks"] == ["trace_id"]
+    assert ds.metadata.bloom["bpk"] == 12
+    for lo in range(100, 400, 100):          # indexed files
+        ds.append(_wide(spark, lo, lo + 100))
+    # A probe living in an INDEXED file: the un-filtered legacy file
+    # survives (absent filter never prunes), the other two indexed
+    # files drop -> 2 of 4.
+    probe = ds.read().where(F.col("k") == 250).collect()[0].trace_id
+    assert len(ds.data_files(filter_=field("trace_id") == probe)) == 2
+    got = ds.read(filter_=field("trace_id") == probe).collect()
+    assert [r.k for r in got] == [250]
+    # A probe living in the LEGACY file: still found (its file has no
+    # filter to prune it).
+    probe0 = ds.read().where(F.col("k") == 5).collect()[0].trace_id
+    got0 = ds.read(filter_=field("trace_id") == probe0).collect()
+    assert 5 in {r.k for r in got0}
+    # Survives reload; drop restores the unindexed plan.
+    assert Dataset.load(spark, ds.location).metadata.bloom["bpk"] == 12
+    ds.set_bloom(None)
+    assert ds.metadata.bloom is None
+    assert len(ds.data_files(filter_=field("trace_id") == probe)) == 4
