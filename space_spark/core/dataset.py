@@ -1220,8 +1220,13 @@ class Dataset:
         target_files: Optional[int] = None,
         commit_mutate=None,
         zorder_by: Optional[Sequence[str]] = None,
+        operation: str = "APPEND",
     ) -> "Dataset":
         """Blind append — no PK check (runners.py:239-244).
+
+        ``operation``: the history() label this commit records
+        (callers building higher-level ops — MV refresh, CDC apply —
+        pass their own).
 
         ``cluster_by``: range-partition + sort the input on these columns
         before writing, so each data file covers a DISJOINT value range and
@@ -1284,10 +1289,12 @@ class Dataset:
         # (MV refresh of a filtered-to-zero source snapshot).
         rec_rel = self._write_record_manifest_for(files)
         return self._commit_append(manifest_rel, files, rows, nbytes,
-                                   rec_rel, commit_mutate)
+                                   rec_rel, commit_mutate,
+                                   operation=operation)
 
     def _commit_append(self, manifest_rel, files, rows, nbytes, rec_rel,
-                       commit_mutate=None, retries=None) -> "Dataset":
+                       commit_mutate=None, retries=None,
+                       operation: str = "APPEND") -> "Dataset":
         """Append-commit retry loop over already-written data files (the
         files stay valid across a conflicting head advance — only the
         snapshot record rebuilds against the new parent). ``retries=0``
@@ -1319,6 +1326,7 @@ class Dataset:
                 added_files=files if rows > 0 else [],
                 record_manifest_files=rec_manifests,
                 delete_vector_files=list(parent.delete_vector_files),
+                operation=operation,
             )
             try:
                 self.metadata = self.log.commit_snapshot(
@@ -1446,7 +1454,8 @@ class Dataset:
                 )
             try:
                 return self._commit_append(manifest_rel, files, rows,
-                                           nbytes, rec_rel, retries=0)
+                                           nbytes, rec_rel, retries=0,
+                                           operation="INSERT")
             except TransactionConflictError as e:
                 last_err = e
                 self.reload()
@@ -1543,6 +1552,7 @@ class Dataset:
                 deleted_bitmap_file=bitmap_rel,
                 delete_vector_files=[],
                 record_manifest_files=[rec_rel] if rec_rel else [],
+                operation="OVERWRITE",
             )
             try:
                 self.metadata = self.log.commit_snapshot(
@@ -1697,9 +1707,10 @@ class Dataset:
             if c in names else F.col(c)
             for c in schema_names
         ]
-        return self.upsert(matched.select(*cols))
+        return self.upsert(matched.select(*cols), operation="UPDATE")
 
-    def upsert(self, df: DataFrame) -> "Dataset":
+    def upsert(self, df: DataFrame,
+               operation: str = "UPSERT") -> "Dataset":
         """Replace rows matching input PKs and append the input, as ONE
         snapshot commit (reference merges both patches into one commit,
         ops/insert.py:93-99 + merge_patches) — a reader never observes the
@@ -1745,6 +1756,7 @@ class Dataset:
                     append_rows=rows, append_bytes=nbytes,
                     append_record_manifest=rec_rel,
                     pinned_constraints_version=cv,
+                    operation=operation,
                 )
                 return self
             except TransactionConflictError as e:
@@ -2210,7 +2222,8 @@ class Dataset:
             else:
                 adds = source.limit(0)
             return self.apply_changes(adds, delete_keys,
-                                      _identity_preassigned=True)
+                                      _identity_preassigned=True,
+                                      operation="MERGE")
 
     def _keys_range_expr(self, bounds) -> FilterType:
         """Falsifiable manifest-prune expression from a key set's min/max
@@ -2362,6 +2375,7 @@ class Dataset:
                 deleted_bitmap_file=None,
                 delete_vector_files=[folded],
                 record_manifest_files=list(snapshot.record_manifest_files),
+                operation="COMPACT DELETE VECTORS",
             )
             try:
                 self.metadata = self.log.commit_snapshot(
@@ -2467,6 +2481,7 @@ class Dataset:
                 deleted_bitmap_file=bitmap_rel,
                 delete_vector_files=vec_list,
                 record_manifest_files=list(snapshot.record_manifest_files),
+                operation="DELETE",
             )
             try:
                 self.metadata = self.log.commit_snapshot(
@@ -2579,7 +2594,8 @@ class Dataset:
     def apply_changes(self, adds: DataFrame,
                       delete_keys: DataFrame,
                       commit_mutate=None,
-                      _identity_preassigned: bool = False) -> "Dataset":
+                      _identity_preassigned: bool = False,
+                      operation: str = "APPLY CHANGES") -> "Dataset":
         """CDC merge as ONE snapshot commit: rows whose primary keys
         appear in ``delete_keys`` or in ``adds`` are removed and ``adds``
         appends — the atomic form of ``delete_by_keys`` + ``upsert``
@@ -2631,11 +2647,13 @@ class Dataset:
             tagged = tagged.localCheckpoint(eager=True)
             return self._apply_changes_commit(
                 tagged, manifest_rel, files, rows, nbytes,
-                commit_mutate=commit_mutate,
+                commit_mutate=commit_mutate, operation=operation,
             )
 
     def _apply_changes_commit(self, tagged, manifest_rel, files, rows,
-                              nbytes, commit_mutate=None) -> "Dataset":
+                              nbytes, commit_mutate=None,
+                              operation: str = "APPLY CHANGES"
+                              ) -> "Dataset":
         pks = self.primary_keys
         row = (
             tagged.groupBy(*pks).agg(F.sum("__new").alias("__nn"))
@@ -2668,6 +2686,7 @@ class Dataset:
                     append_record_manifest=rec_rel,
                     pinned_constraints_version=cv,
                     mutate=commit_mutate,
+                    operation=operation,
                 )
                 return self
             except TransactionConflictError as e:
@@ -2702,7 +2721,8 @@ class Dataset:
                 return False
             try:
                 self._commit_rewrite(snap_id, affected, survivors,
-                                     deletes_rel, mutate=commit_mutate)
+                                     deletes_rel, mutate=commit_mutate,
+                                     operation="DELETE")
                 return True
             except TransactionConflictError as e:
                 last_err = e
@@ -2742,7 +2762,7 @@ class Dataset:
             ).where(~pred_true)
             try:
                 self._commit_rewrite(snap_id, affected, survivors,
-                                     deletes_rel)
+                                     deletes_rel, operation="DELETE")
                 return self
             except TransactionConflictError as e:
                 last_err = e
@@ -2815,6 +2835,7 @@ class Dataset:
         append_record_manifest: Optional[str] = None,
         mutate=None,
         pinned_constraints_version: Optional[int] = None,
+        operation: Optional[str] = None,
     ) -> None:
         """One snapshot combining a CoW rewrite of ``affected`` files (with
         ``survivors`` re-written and the pre-written ``deletes_rel`` PK log
@@ -2899,6 +2920,7 @@ class Dataset:
             # Blob files are untouched by CoW deletes; their manifests
             # carry over (counts become an upper bound on live refs).
             record_manifest_files=rec_manifests,
+            operation=operation,
         )
         self.metadata = self.log.commit_snapshot(
             pinned, self.branch, snap, mutate=mutate,
@@ -3049,6 +3071,7 @@ class Dataset:
             data_bytes=snapshot.data_bytes,
             delete_vector_files=new_vecs,
             record_manifest_files=new_rec_manifests,
+            operation="CLONE",
         )}
         meta.branches = {md.MAIN_BRANCH: 0}
         meta.tags = {}
@@ -3196,7 +3219,8 @@ class Dataset:
                 # deletes_rel=None + no append: the snapshot carries ZERO
                 # changelog entries — diff() across it is empty by
                 # construction.
-                self._commit_rewrite(snap_id, affected, rewritten, None)
+                self._commit_rewrite(snap_id, affected, rewritten, None,
+                                     operation="COMPACT")
                 return self
             except TransactionConflictError as e:
                 last_err = e
@@ -3377,6 +3401,7 @@ class Dataset:
                 self._commit_rewrite(
                     snap_id, affected, survivors, None,
                     append_record_manifest=rec_rel,
+                    operation="COMPACT RECORDS",
                 )
                 return self
             except TransactionConflictError as e:
@@ -3637,6 +3662,35 @@ class Dataset:
                 getattr(snap, "delete_vector_files", []) or []
             ),
         }
+
+    def history(self) -> DataFrame:
+        """Commit history (Delta ``DESCRIBE HISTORY`` analog, round 12):
+        one row per snapshot, newest first — version, timestamp, the
+        OPERATION that produced it (CREATE/APPEND/INSERT/UPSERT/UPDATE/
+        MERGE/DELETE/OVERWRITE/COMPACT/CLONE/MV REFRESH/STREAMING
+        APPEND/APPLY CHANGES; null for snapshots written by pre-round-12
+        clients — never guessed), parent pointer, row/byte totals, and
+        change-log shape (files added, whether rows were deleted).
+        Metadata-only: no data file is touched at any table size."""
+        rows = [
+            (
+                s.snapshot_id, s.created_at, s.operation,
+                s.parent_snapshot_id, s.num_rows, s.data_bytes,
+                len(s.added_files or []),
+                bool(s.deleted_pks_file or s.deleted_bitmap_file),
+            )
+            for s in self.metadata.snapshots.values()
+        ]
+        df = self.spark.createDataFrame(
+            rows,
+            "version long, ts string, operation string, "
+            "parent_version long, num_rows long, data_bytes long, "
+            "n_added_files long, has_deletes boolean",
+        ).withColumn("timestamp", F.to_timestamp("ts")).drop("ts")
+        return df.select(
+            "version", "timestamp", "operation", "parent_version",
+            "num_rows", "data_bytes", "n_added_files", "has_deletes",
+        ).orderBy(F.desc("version"))
 
     def versions(self) -> DataFrame:
         """(snapshot_id, create_time, tag_or_branch) — storage.py:410-443."""

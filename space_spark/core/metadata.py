@@ -115,6 +115,11 @@ class Snapshot:
     # Record-file manifests (reference record_manifest, manifests/record.py:
     # 27-32): one row per blob file added by this commit's appends.
     record_manifest_files: List[str] = dc_field(default_factory=list)
+    # What produced this version (Delta DESCRIBE HISTORY analog,
+    # round 12): "CREATE", "APPEND", "INSERT", "UPSERT", "MERGE",
+    # "DELETE", "OVERWRITE", "COMPACT", ... None on snapshots written
+    # by older clients — history() surfaces it as null, never guesses.
+    operation: Optional[str] = None
 
     def to_dict(self) -> dict:
         return {
@@ -129,6 +134,7 @@ class Snapshot:
             "deleted_bitmap_file": self.deleted_bitmap_file,
             "delete_vector_files": self.delete_vector_files,
             "record_manifest_files": self.record_manifest_files,
+            "operation": self.operation,
         }
 
     @staticmethod
@@ -145,6 +151,7 @@ class Snapshot:
             deleted_bitmap_file=d.get("deleted_bitmap_file"),
             delete_vector_files=list(d.get("delete_vector_files", [])),
             record_manifest_files=list(d.get("record_manifest_files", [])),
+            operation=d.get("operation"),
         )
 
 
@@ -577,7 +584,8 @@ def initial_metadata(
     constraints: Optional[Dict[str, str]] = None,
 ) -> StorageMetadata:
     snap = Snapshot(
-        snapshot_id=0, parent_snapshot_id=None, created_at=_now_iso()
+        snapshot_id=0, parent_snapshot_id=None, created_at=_now_iso(),
+        operation="CREATE",
     )
     return StorageMetadata(
         table_type=table_type,

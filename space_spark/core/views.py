@@ -548,7 +548,8 @@ class MaterializedView:
                         bases=source.record_search_bases,
                     )
                 out = self.view.process_source(add_df)
-                self.dataset.append(out, commit_mutate=sync_mut)
+                self.dataset.append(out, commit_mutate=sync_mut,
+                                    operation="MV REFRESH")
                 marked = True
             if not marked:
                 # Nothing committed (no-op snapshot): marker-only update is

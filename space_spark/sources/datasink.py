@@ -284,7 +284,8 @@ def _validate_files_live(location: str, rel_files: List[str], meta) -> None:
 
 def _commit_append(location: str, branch: str, rel_files: List[str],
                    mutate=None,
-                   pinned_constraints_version: Optional[int] = None
+                   pinned_constraints_version: Optional[int] = None,
+                   operation: str = "APPEND"
                    ) -> None:
     """Driver side: manifest from shard footers, then one optimistic
     snapshot commit with append's retry discipline (shard files stay
@@ -332,6 +333,7 @@ def _commit_append(location: str, branch: str, rel_files: List[str],
             added_files=rel_files if rows > 0 else [],
             record_manifest_files=list(parent.record_manifest_files),
             delete_vector_files=list(parent.delete_vector_files),
+            operation=operation,
         )
         try:
             log.commit_snapshot(
@@ -476,7 +478,8 @@ class SpaceStreamWriter(DataSourceStreamArrowWriter):
             m.stream_progress[_sid] = _bid
 
         _commit_append(self.location, self.branch, rel_files, mutate=mark,
-                       pinned_constraints_version=_pinned_cv(messages))
+                       pinned_constraints_version=_pinned_cv(messages),
+                       operation="STREAMING APPEND")
 
     def abort(self, messages, batchId: int) -> None:
         _drop_files(self.location, _files_from(messages))

@@ -195,3 +195,49 @@ def test_detail_reports_table_properties(spark, tmp_location):
     assert d["cluster_spec"] == {"cols": ["g"], "kind": "range"}
     assert d["current_version"] == ds.current_snapshot_id
     assert d["branches"]["main"] == ds.current_snapshot_id
+
+
+def test_history_labels_every_operation(spark, tmp_location):
+    """DESCRIBE HISTORY analog (round 12): one row per snapshot,
+    newest first, operation-labeled across the DML surface; pre-label
+    snapshots surface null (see from_dict default), never a guess."""
+    from space_spark import field
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    ds = Dataset.create(spark, tmp_location, schema, ["id"])
+
+    def rows(lo, hi):
+        return spark.sql(
+            f"SELECT id, id * 10 AS v FROM range({lo}, {hi})"
+        ).coalesce(1)
+
+    ds.append(rows(0, 20))
+    ds.insert(rows(20, 30))
+    ds.upsert(rows(5, 10))
+    ds.update(field("id") == 7, {"v": 777})
+    ds.merge(rows(25, 35))
+    ds.delete(field("id") >= 30)
+    ds.delete(field("id") == 0, rewrite=False)   # merge-on-read
+    ds.overwrite(rows(0, 50))
+    for lo in range(100, 130, 10):   # small files for compact to heal
+        ds.append(rows(lo, lo + 10))
+    ds.compact(target_bytes=1 << 30)
+    hist = {r.version: r for r in ds.history().collect()}
+    ops = [hist[v].operation for v in sorted(hist)]
+    assert ops == [
+        "CREATE", "APPEND", "INSERT", "UPSERT", "UPDATE", "MERGE",
+        "DELETE", "DELETE", "OVERWRITE", "APPEND", "APPEND", "APPEND",
+        "COMPACT",
+    ], ops
+    # Newest-first ordering, metadata sanity, change-log shape.
+    got = ds.history().collect()
+    assert [r.version for r in got] == sorted(hist, reverse=True)
+    assert hist[max(hist)].operation == "COMPACT"
+    assert hist[8].operation == "OVERWRITE" and hist[8].has_deletes
+    assert hist[1].n_added_files > 0 and not hist[1].has_deletes
+    # Clone origin labels CLONE on the new table.
+    clone = ds.clone(tmp_location + "_c")
+    assert clone.history().collect()[-1].operation == "CLONE"
