@@ -347,22 +347,41 @@ def probe_literal_exprs(cols: Sequence[str], values: Sequence,
     pruning path (round 12): same IN-SPARK canonicalization (naive
     datetime literals resolve through the session timezone exactly
     like the write path's column values, never through Python ``str``
-    — the v1 bug class), same unsupported-type -> None contract."""
+    — the v1 bug class), same unsupported-type -> None contract.
+
+    The LITERAL's python type is gated per branch (second round-12
+    review): a type-mismatched literal (``string_col == 5``) would
+    otherwise hash in the wrong domain — int splitmix64 vs the build's
+    md5-of-utf8 — and silently prune files whose rows Spark's own
+    coercing comparison WOULD match; None defers those filters to the
+    row-level plan instead, exactly like the driver-side twin
+    ``canonicalize_literal``."""
+    import datetime as _dt
+
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     out = []
     for c, v in zip(cols, values):
         dt = schema[c].dataType
+        if v is None:
+            # col == NULL matches no row under SQL semantics;
+            # might_contain(None) -> False gives the correct full prune.
+            out.append(F.lit(None).cast("long").alias(c))
+            continue
         base = F.lit(v)
         if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
-                           T.LongType, T.BooleanType)):
+                           T.LongType, T.BooleanType)) \
+                and isinstance(v, (int, bool)):
             out.append(base.cast("long").alias(c))
-        elif isinstance(dt, T.DateType):
+        elif isinstance(dt, T.DateType) and isinstance(v, _dt.date) \
+                and not isinstance(v, _dt.datetime):
             out.append(F.unix_date(base.cast("date")).alias(c))
-        elif isinstance(dt, T.TimestampType):
+        elif isinstance(dt, T.TimestampType) \
+                and isinstance(v, _dt.datetime):
             out.append(F.unix_micros(base.cast("timestamp")).alias(c))
-        elif isinstance(dt, (T.StringType, T.BinaryType)):
+        elif isinstance(dt, (T.StringType, T.BinaryType)) \
+                and isinstance(v, (str, bytes)):
             out.append(base.alias(c))
         else:
             return None

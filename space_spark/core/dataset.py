@@ -602,8 +602,10 @@ class Dataset:
         # Equality-conjunct Bloom pruning BEFORE the routing decision: a
         # point lookup on an indexed column typically lands under the
         # DataSourceV2 threshold after membership pruning. (The V2
-        # route's own partition planning re-prunes by stats only — a
-        # superset, so semantics are unchanged when it does engage.)
+        # route's own partition planning re-prunes stats + bloom from
+        # the manifests — with driver-side literal canonicalization
+        # that skips timestamps — so when it does engage the survivor
+        # set is the same or a superset; semantics unchanged.)
         files = self._bloom_equality_prune(files, snapshot, filter_)
         if len(files) >= self.DATASOURCE_READ_MIN_FILES:
             # Metadata-scale escape hatch (SCALE.md "100k-file step"):
@@ -3605,14 +3607,15 @@ class Dataset:
             self._stats_fields(),
         )
         bloomed = self._bloom_equality_prune(stats, snapshot, filter_)
-        engaged: Dict[str, int] = {}
-        if isinstance(filter_, Expr):
-            bloom_cols = set(self._bloom_pks())
-            engaged = {
-                c: len(vs)
-                for c, vs in self._equality_conjuncts(filter_).items()
-                if self._phys_name(c) in bloom_cols
-            }
+        # Engagement comes from the SAME gated derivation the pruner
+        # uses (type mismatches, unsupported types, over-cap IN lists
+        # all report as not-engaged — second round-12 review: the
+        # earlier conjunct-only view claimed engagements that never
+        # ran, misleading exactly the diagnosis this method exists for).
+        engaged = {
+            c: len(vs)
+            for c, vs in self._bloom_equality_values(filter_).items()
+        }
         return {
             "version": snap_id,
             "files_total": len(total),
@@ -3935,7 +3938,8 @@ class Dataset:
         rows = [{phys[pk]: r[pk] for pk in self.primary_keys}
                 for r in key_rows]
         by_file = mf.read_file_blooms(
-            self._manifest_abs_paths(snapshot), list(phys.values())
+            self._manifest_abs_paths(snapshot), list(phys.values()),
+            only_files=set(rel_files),
         )
         return [
             f for f in rel_files
@@ -3962,39 +3966,56 @@ class Dataset:
         False for None is also correct. One tiny JVM-only job
         canonicalizes the literals (spark.range(1)), never a
         Python-worker plan."""
-        if filter_ is None or not rel_files or not isinstance(
-                filter_, Expr):
+        vals = self._bloom_equality_values(filter_)
+        if not vals or not rel_files:
             return rel_files
+        by_file = mf.read_file_blooms(
+            self._manifest_abs_paths(snapshot), sorted(vals),
+            only_files=set(rel_files),
+        )
+        return [
+            f for f in rel_files
+            if _bl.file_matches_value_sets(by_file.get(f, {}), vals)
+        ]
+
+    def _bloom_equality_values(self, filter_) -> Dict[str, list]:
+        """{physical column: canonical probe values} that bloom pruning
+        will ACTUALLY use for this filter — every gate applied (Expr
+        only, indexed + in-schema columns, literal/column type match
+        via probe_literal_exprs, total value count under
+        BLOOM_PROBE_MAX_KEYS like the point-read path: a huge IN list
+        hits most files anyway and its one-row canonicalization plan
+        would be enormous). Shared by the pruner and explain_files so
+        observability can never claim an engagement that did not
+        happen (second round-12 review)."""
+        if filter_ is None or not isinstance(filter_, Expr):
+            return {}
         bloom_cols = set(self._bloom_pks())
         if not bloom_cols:
-            return rel_files
+            return {}
         eq = self._equality_conjuncts(filter_)
         cols = sorted(
             c for c in eq if self._phys_name(c) in bloom_cols
             and c in self.schema.fieldNames()
         )
         if not cols:
-            return rel_files
+            return {}
         # Flatten (col, value) pairs for one canonicalization job.
         pairs = [(c, v) for c in cols for v in eq[c]]
+        if len(pairs) > self.BLOOM_PROBE_MAX_KEYS:
+            return {}
         exprs = _bl.probe_literal_exprs(
             [c for c, _ in pairs], [v for _, v in pairs], self.schema
         )
         if exprs is None:
-            return rel_files  # unsupported type: build wrote no filter
+            return {}  # type mismatch/unsupported: defer to row filter
         row = self.spark.range(1).select(
             *[e.alias(f"p{i}") for i, e in enumerate(exprs)]
         ).collect()[0]
         vals: Dict[str, list] = {}
         for i, (c, _) in enumerate(pairs):
             vals.setdefault(self._phys_name(c), []).append(row[f"p{i}"])
-        by_file = mf.read_file_blooms(
-            self._manifest_abs_paths(snapshot), sorted(vals)
-        )
-        return [
-            f for f in rel_files
-            if _bl.file_matches_value_sets(by_file.get(f, {}), vals)
-        ]
+        return vals
 
     # -------------------------------------------------------- schema evolution
     def add_column(self, name: str, dtype: T.DataType) -> "Dataset":
@@ -4074,6 +4095,18 @@ class Dataset:
             meta.generated_columns.pop(name, None)
             meta.identity_columns.pop(name, None)
             meta.not_null = [c for c in meta.not_null if c != name]
+            if meta.bloom and meta.bloom.get("pks"):
+                # The bloom config stores PHYSICAL names; a dangling
+                # entry would make every later write's footer-stats
+                # pass crash reading the dropped column (second
+                # round-12 review). Drop it; empty index -> None.
+                phys = meta.renames.get(name, name)
+                remaining_bloom = [c for c in meta.bloom["pks"]
+                                   if c != phys]
+                meta.bloom = (
+                    {**meta.bloom, "pks": remaining_bloom}
+                    if remaining_bloom else None
+                )
             if meta.cluster_spec and name in meta.cluster_spec["cols"]:
                 remaining = [c for c in meta.cluster_spec["cols"]
                              if c != name]

@@ -286,18 +286,31 @@ def read_manifest_paths(manifest_abs_paths: List[str]) -> List[str]:
 def read_file_blooms(
     manifest_abs_paths: List[str],
     pks: Sequence[str],
+    only_files: Optional[set] = None,
 ) -> Dict[str, Dict[str, Optional[bytes]]]:
     """rel data-file path -> {pk: bloom bytes or None}. Manifests written
     before the table (or this version of the format) had Bloom filters
     simply lack the columns; their files map to None blooms, which the
     prober never prunes. Driver-side pyarrow read of just the path +
-    bloom columns — manifests are one row per data file."""
+    bloom columns — manifests are one row per data file.
+
+    ``only_files``: materialize bloom bytes for THESE rel paths only
+    (second round-12 review): a probe after stats pruning needs the
+    survivors' filters, not every file's — on a 100k-file table the
+    difference is ~1 MiB × survivors vs ~1 MiB × 100k of driver lists."""
     out: Dict[str, Dict[str, Optional[bytes]]] = {}
     want = [BLOOM_PREFIX + pk for pk in pks]
     for path in manifest_abs_paths:
         pf = pq.ParquetFile(path)
         have = [c for c in want if c in pf.schema_arrow.names]
         tbl = pf.read(columns=[FILE_PATH_COL] + have)
+        if only_files is not None:
+            import pyarrow.compute as _pc
+
+            tbl = tbl.filter(_pc.is_in(
+                tbl.column(FILE_PATH_COL),
+                value_set=pa.array(sorted(only_files), pa.string()),
+            ))
         files = tbl.column(FILE_PATH_COL).to_pylist()
         cols = {c: tbl.column(c).to_pylist() for c in have}
         for i, f in enumerate(files):

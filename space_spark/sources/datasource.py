@@ -183,10 +183,16 @@ def _bloom_equality_prune_sized(log, meta, snapshot_id: int,
                 probe[phys] = canons
         if not probe:
             return sized
+        # Same probe-size discipline as Dataset.BLOOM_PROBE_MAX_KEYS: a
+        # huge IN list hits most files anyway, and the per-file Python
+        # probe is O(values x files x hashes).
+        if sum(len(v) for v in probe.values()) > 10_000:
+            return sized
         snap = meta.snapshot(snapshot_id)
         by_file = mf.read_file_blooms(
             [log.abs_path(p) for p in snap.manifest_files],
             sorted(probe),
+            only_files={rel for rel, _ in sized},
         )
         return [
             (rel, b) for rel, b in sized

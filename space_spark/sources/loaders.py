@@ -123,6 +123,7 @@ def append_parquet(dataset, pattern: str) -> None:
         data_bytes=parent.data_bytes + nbytes,
         added_files=rel_paths,
         delete_vector_files=list(parent.delete_vector_files),
+        operation="ZERO-COPY LOAD",
     )
     dataset.metadata = dataset.log.commit_snapshot(pinned, dataset.branch,
                                                    snap)
@@ -223,6 +224,7 @@ def append_binary_files(
         added_files=files,
         record_manifest_files=rec_manifests,
         delete_vector_files=list(parent.delete_vector_files),
+        operation="ZERO-COPY LOAD",
     )
     dataset.metadata = dataset.log.commit_snapshot(pinned, dataset.branch,
                                                    snap)

@@ -609,3 +609,65 @@ def test_set_bloom_alters_index_on_existing_table(spark, tmp_location):
     ds.set_bloom(None)
     assert ds.metadata.bloom is None
     assert len(ds.data_files(filter_=field("trace_id") == probe)) == 4
+
+
+def test_type_mismatched_equality_literal_never_misprunes(
+    spark, tmp_location
+):
+    """Second round-12 review: a literal whose python type mismatches
+    the indexed column (string col == int) must NOT hash in the wrong
+    domain and silently prune matching files — pruning skips (engaged
+    stays empty) and Spark's own coercing row filter decides."""
+    ds = Dataset.create(spark, tmp_location, WIDE, ["k"],
+                        bloom_filters=["trace_id"])
+    # trace ids that LOOK numeric, so a coercing comparison can match.
+    ds.append(spark.sql(
+        "SELECT id AS k, cast(id AS string) AS trace_id,"
+        " 'x' AS payload FROM range(0, 50)"
+    ).coalesce(1))
+    rep = ds.explain_files(field("trace_id") == 7)   # int vs string col
+    assert rep["bloom_engaged"] == {}, rep
+    assert rep["files_after_bloom"] == rep["files_after_stats"]
+    got = ds.read(filter_=field("trace_id") == 7).collect()
+    assert [r.k for r in got] == [7]                  # Spark coerced
+    # Float literal on the string column: no crash, no prune, defer.
+    rep2 = ds.explain_files(field("trace_id") == 7.5)
+    assert rep2["bloom_engaged"] == {}
+    assert ds.read(filter_=field("trace_id") == 7.5).count() == 0
+
+
+def test_drop_column_cleans_bloom_index(spark, tmp_location):
+    """Second round-12 review: dropping a bloom-indexed non-PK column
+    must remove it from the index config, or every later write's
+    footer-stats pass crashes reading the dropped column."""
+    ds = Dataset.create(spark, tmp_location, WIDE, ["k"],
+                        bloom_filters=["trace_id", "payload"])
+    ds.append(_wide(spark, 0, 50))
+    ds.drop_column("payload")
+    assert ds.metadata.bloom["pks"] == ["trace_id"]
+    ds.append(_wide(spark, 50, 100).drop("payload"))  # must not crash
+    assert ds.read().count() == 100
+    ds.drop_column("trace_id")
+    assert ds.metadata.bloom is None                  # empty -> dropped
+    ds.append(spark.sql(
+        "SELECT id AS k FROM range(100, 110)").coalesce(1))
+    assert ds.read().count() == 110
+
+
+def test_oversized_in_list_skips_bloom_probe(spark, tmp_location):
+    """IN lists above BLOOM_PROBE_MAX_KEYS skip the probe (same
+    discipline as the point-read path) instead of building a giant
+    one-row canonicalization plan."""
+    ds = Dataset.create(spark, tmp_location, WIDE, ["k"],
+                        bloom_filters=["trace_id"])
+    ds.append(_wide(spark, 0, 50))
+    probe = ds.read().where(F.col("k") == 7).collect()[0].trace_id
+    big = [f"absent{i}" for i in range(30)] + [probe]
+    ds.BLOOM_PROBE_MAX_KEYS = 10   # shrink the cap for the test
+    try:
+        rep = ds.explain_files(field("trace_id").isin(big))
+        assert rep["bloom_engaged"] == {}              # over cap: off
+        got = ds.read(filter_=field("trace_id").isin(big)).collect()
+        assert [r.k for r in got] == [7]
+    finally:
+        del ds.BLOOM_PROBE_MAX_KEYS

@@ -304,3 +304,20 @@ def test_stream_dedup_keeps_first_arrival(spark, tmp_location):
     assert set(rows) == {1, 2, 3}
     assert rows[1] in ("a", "dup")  # exactly one arrival of k=1 kept
     assert spark.sql("SELECT * FROM sd_out WHERE k = 1").count() == 1
+
+
+def test_zero_copy_loads_labeled_in_history(spark, tmp_location):
+    """Zero-copy loads stamp their operation like every other commit
+    path (second round-12 review: they were the one unlabeled site,
+    indistinguishable from legacy-client commits in history())."""
+    import pyarrow.parquet as _pq
+
+    src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    ext = tmp_location + "_ext"
+    src.coalesce(1).write.parquet(ext)
+    from space_spark.sources.loaders import append_parquet
+
+    ds = Dataset.create(spark, tmp_location, src.schema, ["r_regionkey"])
+    append_parquet(ds, ext + "/*.parquet")
+    ops = {r.version: r.operation for r in ds.history().collect()}
+    assert ops[max(ops)] == "ZERO-COPY LOAD", ops
