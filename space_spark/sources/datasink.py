@@ -257,10 +257,18 @@ def _validate_files_live(location: str, rel_files: List[str], meta) -> None:
         for batch in tbl.to_batches():
             for nname in nn:
                 idx = batch.schema.get_field_index(nname)
-                if idx >= 0 and batch.column(idx).null_count:
+                # A NOT NULL column ABSENT from the shard (concurrent
+                # add_column + add_not_null racing this write) reads as
+                # all-NULL on the table's scan path, so it must reject
+                # here too — the Dataset-path revalidation does (ADVICE
+                # r13); only CHECK keeps the skip (NULL passes CHECK).
+                if idx < 0 or batch.column(idx).null_count:
                     raise ConstraintViolationError(
                         f"NOT NULL({nname}) committed concurrently is "
-                        "violated by this write's rows; commit aborted"
+                        "violated by this write's rows"
+                        + (" (column absent from shard reads as NULL)"
+                           if idx < 0 else "")
+                        + "; commit aborted"
                     )
             for cname, cexpr in checks:
                 if not cexpr.fields() <= cols:

@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from space_spark.core import manifests as mf
-from space_spark.core import metadata as md
 from space_spark.core.schema import ADDRESS_STRUCT, FILE_COL, ROW_ID_COL
 from space_spark.errors import SpaceError, UserInputError
 
@@ -40,8 +39,6 @@ def append_parquet(dataset, pattern: str) -> None:
     if not paths:
         raise UserInputError(f"No files match {pattern!r}")
     dataset.reload()
-    pinned = dataset.current_snapshot_id
-    parent = dataset.metadata.snapshot(pinned)
 
     # Validate schema compatibility cheaply (names + types via one footer).
     got = dataset.spark.read.parquet(paths[0]).schema
@@ -95,10 +92,13 @@ def append_parquet(dataset, pattern: str) -> None:
                     "null value(s) in statistics-free external file(s); "
                     "space primary keys are NOT NULL"
                 )
-    if getattr(dataset.metadata, "constraints", None):
-        # External files must honor CHECK constraints like any write —
-        # one pushed-down scan of the registered files (their own
-        # row-group stats prove compliance without reading clean data).
+    if dataset.metadata.constraints or dataset.metadata.not_null:
+        # External files must honor CHECK *and* NOT NULL constraints
+        # like any write — one pushed-down scan of the registered files
+        # (their own row-group stats prove compliance without reading
+        # clean data). Gating on CHECK alone let a NOT-NULL-only table
+        # admit external NULLs (ADVICE r12): the shared checker
+        # validates both kinds.
         violated = dataset._constraint_violation_names(
             dataset._read_files(rel_paths)
         )
@@ -106,7 +106,7 @@ def append_parquet(dataset, pattern: str) -> None:
             from space_spark.errors import ConstraintViolationError
 
             raise ConstraintViolationError(
-                f"CHECK constraint(s) {violated} violated by external "
+                f"Constraint(s) {violated} violated by external "
                 "file(s); zero-copy load rejected"
             )
     manifest_rel = dataset.log.new_manifest_relpath()
@@ -114,19 +114,13 @@ def append_parquet(dataset, pattern: str) -> None:
         dataset.spark, dataset.log.abs_path(manifest_rel), rel_paths, stats,
         dataset._stats_fields(), bloom_pks=bloom_pks,
     )
-    snap = md.Snapshot(
-        snapshot_id=-1,
-        parent_snapshot_id=pinned,
-        created_at="",
-        manifest_files=parent.manifest_files + [manifest_rel],
-        num_rows=parent.num_rows + rows,
-        data_bytes=parent.data_bytes + nbytes,
-        added_files=rel_paths,
-        delete_vector_files=list(parent.delete_vector_files),
-        operation="ZERO-COPY LOAD",
-    )
-    dataset.metadata = dataset.log.commit_snapshot(pinned, dataset.branch,
-                                                   snap)
+    # Commit through the shared append loop: it pins the
+    # constraints_version this load validated against and re-validates
+    # the external files on a version-moved conflict — zero-copy load
+    # is a row-adding commit like any other, so the reverse
+    # add_constraint TOCTOU must be closed here too (ADVICE r12).
+    dataset._commit_append(manifest_rel, rel_paths, rows, nbytes, None,
+                           operation="ZERO-COPY LOAD")
 
 
 def append_binary_files(
@@ -203,28 +197,31 @@ def append_binary_files(
     # The index rows (with addresses) are written as normal data files;
     # blobs stay where they are.
     dataset.reload()
-    pinned = dataset.current_snapshot_id
-    parent = dataset.metadata.snapshot(pinned)
     manifest_rel, files, rows, nbytes = dataset._write_data_files(
         physical_rows, physical=True
     )
     if rows == 0:
         raise UserInputError(f"No files match {pattern!r}")
-    rec_manifests = list(parent.record_manifest_files)
+    if dataset.metadata.constraints or dataset.metadata.not_null:
+        # physical=True skips the write-first check inside
+        # _write_data_files (its other caller re-writes SURVIVOR rows,
+        # already validated when first admitted) — but these index rows
+        # come from a user index_fn and were never checked, so run the
+        # same one pushed-down scan here (ADVICE r12 follow-through).
+        violated = dataset._constraint_violation_names(
+            dataset._read_files(files)
+        )
+        if violated:
+            from space_spark.errors import ConstraintViolationError
+
+            raise ConstraintViolationError(
+                f"Constraint(s) {violated} violated by index_fn rows; "
+                "zero-copy load rejected (the index files are "
+                "uncommitted orphans — vacuum reclaims them)"
+            )
     rec_rel = dataset._write_record_manifest_for(files)
-    if rec_rel:
-        rec_manifests.append(rec_rel)
-    snap = md.Snapshot(
-        snapshot_id=-1,
-        parent_snapshot_id=pinned,
-        created_at="",
-        manifest_files=parent.manifest_files + [manifest_rel],
-        num_rows=parent.num_rows + rows,
-        data_bytes=parent.data_bytes + nbytes,
-        added_files=files,
-        record_manifest_files=rec_manifests,
-        delete_vector_files=list(parent.delete_vector_files),
-        operation="ZERO-COPY LOAD",
-    )
-    dataset.metadata = dataset.log.commit_snapshot(pinned, dataset.branch,
-                                                   snap)
+    # Shared append loop: pins the constraints_version validated above
+    # and re-validates on a version-moved conflict (reverse
+    # add_constraint TOCTOU — ADVICE r12).
+    dataset._commit_append(manifest_rel, files, rows, nbytes, rec_rel,
+                           operation="ZERO-COPY LOAD")

@@ -447,3 +447,94 @@ def test_constraints_version_roundtrip_and_drop_no_bump(
     assert ds.metadata.constraints_version == 2
     reloaded = Dataset.load(spark, tmp_location)
     assert reloaded.metadata.constraints_version == 2
+
+
+def test_not_null_only_table_rejects_zero_copy_load(spark, tmp_location):
+    """A table with ONLY NOT NULL columns (empty CHECK set) must still
+    validate zero-copy external files — gating on metadata.constraints
+    alone let external NULLs through (ADVICE r12)."""
+    from space_spark.sources.loaders import append_parquet
+
+    ds = Dataset.create(
+        spark, tmp_location, SCHEMA, ["id"], not_null=["qty"]
+    )
+    ext = tmp_location + "_ext"
+    _rows(spark, [(1, 5, "a"), (2, None, "b")]).coalesce(1) \
+        .write.parquet(ext)
+    with pytest.raises(ConstraintViolationError, match=r"NOT NULL\(qty\)"):
+        append_parquet(ds, ext + "/*.parquet")
+    assert ds.reload().read().count() == 0
+    # Clean external files still load.
+    ext2 = tmp_location + "_ext2"
+    _rows(spark, [(1, 5, "a"), (2, 6, "b")]).coalesce(1) \
+        .write.parquet(ext2)
+    append_parquet(ds, ext2 + "/*.parquet")
+    assert ds.reload().read().count() == 2
+
+
+def test_zero_copy_load_revalidates_after_concurrent_add_not_null(
+    spark, tmp_location, monkeypatch
+):
+    """Reverse TOCTOU on the zero-copy path: a constraint that lands
+    between the load's validation and its commit must send the load
+    through re-validation (loaders now commit via _commit_append with
+    the constraints_version pin — ADVICE r12)."""
+    from space_spark.core import manifests as mf
+    from space_spark.sources.loaders import append_parquet
+
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["id"])
+    ext = tmp_location + "_ext"
+    _rows(spark, [(1, 5, "a"), (2, None, "b")]).coalesce(1) \
+        .write.parquet(ext)
+
+    real = mf.write_manifest
+    fired = []
+
+    def inject(*a, **k):
+        out = real(*a, **k)
+        if not fired:
+            fired.append(True)
+            # Lands AFTER the load validated (no constraints then),
+            # BEFORE its commit: bumps constraints_version only.
+            Dataset.load(spark, tmp_location).add_not_null("qty")
+        return out
+
+    monkeypatch.setattr(
+        "space_spark.sources.loaders.mf.write_manifest", inject
+    )
+    with pytest.raises(ConstraintViolationError, match=r"NOT NULL\(qty\)"):
+        append_parquet(ds, ext + "/*.parquet")
+    assert fired
+    assert ds.reload().read().count() == 0
+
+
+def test_sink_revalidation_rejects_absent_not_null_column(tmp_location):
+    """_validate_files_live: a NOT NULL column ABSENT from a shard file
+    (concurrent add_column + add_not_null racing the write) reads as
+    all-NULL on the scan path, so the sink's conflict re-validation
+    must reject it like the Dataset path does (ADVICE r12)."""
+    import os
+    from types import SimpleNamespace
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from space_spark.sources.datasink import _validate_files_live
+
+    os.makedirs(tmp_location, exist_ok=True)
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64())}),
+        os.path.join(tmp_location, "shard.parquet"),
+    )
+    meta = SimpleNamespace(constraints={}, not_null=["qty"], renames={})
+    with pytest.raises(ConstraintViolationError, match="absent"):
+        _validate_files_live(tmp_location, ["shard.parquet"], meta)
+    # CHECK constraints keep the skip: NULL (absent column) passes CHECK.
+    from space_spark import field
+    from space_spark.core.expressions import expr_to_json
+
+    meta2 = SimpleNamespace(
+        constraints={"qty_pos": expr_to_json(field("qty") > 0)},
+        not_null=[], renames={},
+    )
+    _validate_files_live(tmp_location, ["shard.parquet"], meta2)
