@@ -319,10 +319,31 @@ def canonicalize_literal(dt, v):
     """Driver-side Python canonicalization of an equality literal to
     the build-side hash domain — for planners with NO SparkSession
     (the DataSourceV2 Python worker). Returns ``(ok, canonical)``;
-    ``ok=False`` means "cannot canonicalize safely here" (timestamps:
-    their unix_micros depend on the session timezone this process
-    cannot see; unsupported types: no filter was built anyway)."""
+    ``ok=False`` means "cannot canonicalize safely here" (unsupported
+    types: no filter was built anyway).
+
+    Timestamps (round 13 — the r12 skip is gone). The anchor is what
+    Spark's ROW-LEVEL evaluation of the same literal does, measured
+    empirically on pyspark 4.1.2:
+
+    - An AWARE datetime is an unambiguous instant; its epoch micros
+      ARE the build side's ``unix_micros``. This is also exactly what
+      the variant decode hands ``pushFilters`` for every TIMESTAMP
+      literal (pyspark's variant_utils localizes micros-since-epoch
+      into an aware datetime), so the SQL-catalog route never needs
+      timezone knowledge at all.
+    - A NAIVE datetime (the ``prune_expr`` route: a space ``Expr``
+      literal whose row filter runs through ``F.lit``) converts via
+      ``TimestampType.toInternal`` = ``time.mktime`` — the SYSTEM
+      timezone, NOT ``spark.sql.session.timeZone`` (session tz governs
+      SQL text literals only; verified live: F.lit(naive) under a
+      LA session on a UTC host gives the UTC-wall micros). The planner
+      worker shares the host and TZ with the driver that will run the
+      row filter, so replicating toInternal's arithmetic here agrees
+      with the row anchor bit-for-bit, DST edges included."""
+    import calendar as _cal
     import datetime as _dt
+    import time as _time
 
     from pyspark.sql import types as T
 
@@ -335,6 +356,13 @@ def canonicalize_literal(dt, v):
     if isinstance(dt, T.DateType) and isinstance(v, _dt.date) \
             and not isinstance(v, _dt.datetime):
         return True, (v - _dt.date(1970, 1, 1)).days
+    if isinstance(dt, T.TimestampType) and isinstance(v, _dt.datetime):
+        try:  # TimestampType.toInternal, replicated exactly
+            seconds = (_cal.timegm(v.utctimetuple()) if v.tzinfo
+                       else _time.mktime(v.timetuple()))
+            return True, int(seconds) * 1_000_000 + v.microsecond
+        except (OverflowError, OSError, ValueError):
+            return False, None  # out of mktime's range: skip, don't guess
     if isinstance(dt, (T.StringType, T.BinaryType)) \
             and isinstance(v, (str, bytes)):
         return True, v

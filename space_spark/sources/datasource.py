@@ -142,10 +142,14 @@ def _bloom_equality_prune_sized(log, meta, snapshot_id: int,
     drop (rel, bytes) entries whose per-file filters prove a top-level
     equality conjunct's literal absent. No SparkSession in this
     planner, so literals canonicalize driver-side Python
-    (blooms.canonicalize_literal) — timestamp literals are skipped
-    (their unix_micros depend on the session timezone this process
-    cannot see). Never raises into planning: any failure degrades to
-    the stats-pruned list."""
+    (blooms.canonicalize_literal) — timestamps included since round 13:
+    tz-AWARE literals (what variant decode hands pushFilters) are
+    unambiguous instants; NAIVE ones (the prune_expr route) replicate
+    ``TimestampType.toInternal``'s system-tz arithmetic, the SAME
+    conversion their row-level ``F.lit`` anchor uses (NOT the session
+    timezone — see canonicalize_literal's refutation note). Never
+    raises into planning: any failure degrades to the stats-pruned
+    list."""
     from space_spark.core import blooms as _bl
     from space_spark.core.expressions import equality_conjuncts
 

@@ -331,8 +331,8 @@ def test_v2_planner_bloom_prunes_equality_on_indexed_column(
     """DataSourceV2 partition planning (round 12): an equality conjunct
     on a bloom-indexed NON-key column prunes partitions by membership
     — the planner has no SparkSession, so the literal canonicalizes
-    driver-side (blooms.canonicalize_literal). Timestamps are excluded
-    there (session-timezone dependent), strings/ints/dates covered."""
+    driver-side (blooms.canonicalize_literal). Strings/ints/dates here;
+    timestamps in test_v2_planner_bloom_prunes_timestamp_literals."""
     wide = T.StructType([
         T.StructField("k", T.LongType()),
         T.StructField("h", T.StringType()),
@@ -365,3 +365,84 @@ def test_v2_planner_bloom_prunes_equality_on_indexed_column(
               .where((F.col("h") == "absent") | (F.col("k") == 7))
               .collect())
     assert [r.k for r in got_or] == [7]
+
+
+def test_v2_planner_bloom_prunes_timestamp_literals(spark, tmp_location):
+    """Round 13: timestamp equality literals bloom-prune on the V2
+    route too. AWARE literals (what variant decode hands pushFilters)
+    are unambiguous instants; NAIVE literals replicate
+    TimestampType.toInternal's SYSTEM-timezone arithmetic — the same
+    conversion their row-level F.lit anchor uses. The round-12 verdict
+    suggested threading spark.sql.session.timeZone into the planner;
+    that was REFUTED live: F.lit(naive) under an America/Los_Angeles
+    session on a UTC host converts via time.mktime (system tz), so a
+    session-tz canonicalization would have pruned the WRONG file. The
+    hostile-session case below pins the consistent behavior."""
+    import datetime as dt
+
+    from space_spark.core import blooms as bl
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        ds = Dataset.create(spark, tmp_location, schema, ["k"],
+                            bloom_filters=["ts"])
+        base = dt.datetime(2024, 5, 1, 0, 0, 0, tzinfo=dt.timezone.utc)
+        rows = [Row(k=i, ts=base + dt.timedelta(minutes=i))
+                for i in range(40)]
+        # Interleaved files: min/max ts ranges overlap, only blooms prune.
+        ds.append(spark.createDataFrame(rows[0::2], schema).coalesce(1))
+        ds.append(spark.createDataFrame(rows[1::2], schema).coalesce(1))
+
+        # canonicalize_literal == TimestampType.toInternal, bit-for-bit.
+        probe_aware = rows[7].ts
+        naive_sys = dt.datetime.fromtimestamp(probe_aware.timestamp())
+        for v in (probe_aware, naive_sys,
+                  naive_sys.replace(microsecond=123456)):
+            ok, canon = bl.canonicalize_literal(T.TimestampType(), v)
+            assert ok and canon == T.TimestampType().toInternal(v), v
+
+        # 1. AWARE literal: prunes to the odd file.
+        r1 = SpaceBatchReader(ds.location, {}, schema)
+        r1._expr = field("ts") == probe_aware
+        files1 = [p for part in r1.partitions() for p in part.value]
+        assert len(files1) == 1, files1
+
+        # 2. NAIVE (system-tz wall clock of the same instant): same file.
+        r2 = SpaceBatchReader(ds.location, {}, schema)
+        r2._expr = field("ts") == naive_sys
+        files2 = [p for part in r2.partitions() for p in part.value]
+        assert files2 == files1, (files2, files1)
+
+        # 3. Absent instant: full prune (zero partitions planned).
+        r3 = SpaceBatchReader(ds.location, {}, schema)
+        r3._expr = field("ts") == (probe_aware + dt.timedelta(days=9))
+        files3 = [p for part in r3.partitions() for p in part.value]
+        assert files3 == []
+
+        # 4. Hostile-session end-to-end: the routed V2 read with the
+        # naive literal returns the right rows — prune and row filter
+        # agree on the system-tz interpretation even though the session
+        # timezone differs.
+        old_min = Dataset.DATASOURCE_READ_MIN_FILES
+        Dataset.DATASOURCE_READ_MIN_FILES = 1
+        try:
+            got = ds.read(field("ts") == naive_sys).collect()
+        finally:
+            Dataset.DATASOURCE_READ_MIN_FILES = old_min
+        assert [r.k for r in got] == [7], got
+        # Path-list route agrees (same Expr, same files).
+        got_path = ds.read(field("ts") == naive_sys).collect()
+        assert [r.k for r in got_path] == [7], got_path
+        # And through pushFilters (aware variant decode on the V2
+        # source) with an F.lit literal.
+        register_space_source(spark)
+        got2 = (spark.read.format("space").load(ds.location)
+                .where(F.col("ts") == F.lit(naive_sys)).collect())
+        assert [r.k for r in got2] == [7], got2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
