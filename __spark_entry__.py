@@ -580,23 +580,6 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
 """
 
 
-def q_intersect(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    a = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
-    b = orders.where(F.col("o_totalprice") > 200000).select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    return a.intersect(b)
-
-
-Q_INTERSECT_SQL = """
-SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-INTERSECT
-SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
-"""
-
-
 def q_except(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -3807,6 +3790,68 @@ SELECT query_id, neighbor_id, score, rnk FROM ranked WHERE rnk <= 5
 """
 
 
+def bitext_margin_topk(spark, sf_dir):
+    """Margin-based bitext mining (LASER/CCMatrix, Artetxe & Schwenk
+    2019) over two disjoint embedding corpora: per-source best target
+    by ratio margin, threshold 1.0 (operators/similarity.py
+    bitext_mine; registered round 13 per the r12 verdict — the last
+    major operator without a CORRECTNESS row). Every 10th vector plays
+    'source', the 5-offset decile plays 'target': disjoint id spaces
+    as the operator requires, both sides O(corpus/10) so the exact
+    top-k oracle path stays bounded at every SF."""
+    from space_spark.operators.similarity import bitext_mine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.where(F.col("vec_id") % 10 == 0)
+    tgt = emb.where(F.col("vec_id") % 10 == 5)
+    return bitext_mine(src, tgt, "vec_id", "embedding", k=4,
+                       margin_threshold=1.0)
+
+
+BITEXT_MARGIN_SQL = f"""
+WITH src AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+             WHERE vec_id % 10 = 0),
+     tgt AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+             WHERE vec_id % 10 = 5),
+fwd AS (
+  SELECT s.id AS src_id, t.id AS tgt_id,
+         ROUND({_cosine_sql('s.v', 't.v')}, 4) AS cosine
+  FROM src s, tgt t
+), fwd_k AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY src_id ORDER BY cosine DESC, tgt_id) AS r
+  FROM fwd
+), fwdk AS (SELECT src_id, tgt_id, cosine FROM fwd_k WHERE r <= 4),
+bwd AS (
+  SELECT t.id AS tgt_id, s.id AS bsrc_id,
+         ROUND({_cosine_sql('t.v', 's.v')}, 4) AS bscore
+  FROM tgt t, src s
+), bwd_k AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY tgt_id ORDER BY bscore DESC, bsrc_id) AS r
+  FROM bwd
+),
+avg_fwd AS (SELECT src_id, AVG(cosine) AS src_avg FROM fwdk
+            GROUP BY src_id),
+avg_bwd AS (SELECT tgt_id, AVG(bscore) AS tgt_avg FROM bwd_k
+            WHERE r <= 4 GROUP BY tgt_id),
+scored AS (
+  SELECT f.src_id, f.tgt_id, f.cosine,
+         ROUND(f.cosine / (af.src_avg / 2 + ab.tgt_avg / 2), 4)
+           AS margin
+  FROM fwdk f
+  JOIN avg_fwd af USING (src_id)
+  JOIN avg_bwd ab USING (tgt_id)
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rr
+  FROM scored
+)
+SELECT src_id, tgt_id, cosine, margin FROM best
+WHERE rr = 1 AND margin >= 1.0
+"""
+
+
 def _ann_lsh_sql() -> str:
     """LSH-bucketed top-k oracle SQL. The REGISTERED ann_lsh_topk query
     was retired round 12 (see _RETIRED: ann_ivf_topk covers bucketed
@@ -5471,14 +5516,13 @@ _CHURN_QUOTA = 8
 # named pytest). Historical green rows remain in old CORRECTNESS
 # files; test_registry_rotation exempts exactly the _RETIRED set.
 #
-# Registry decision, round 12 (verdict next-#7): bitext_mine stays
-# UNREGISTERED — the registry is at its 126 cap with no further clean
-# retirement (every remaining entry is either a distinct algorithm
-# family or the sole cover of its surface). Its evidence is
-# tests/test_bitext_mine.py: a numpy brute-force oracle of the full
-# margin formula (rounding + tie-breaks), threshold/shape cases, the
-# pluggable-top-k contract, and a round-12 plan assertion that the
-# operator forces no broadcast on its O(corpus) per-id averages.
+# Registry decision, round 13 (verdict r12 next-#5): bitext_mine is
+# now REGISTERED as bitext_margin_topk (its full margin formula
+# oracled in DuckDB), in the slot opened by retiring q_intersect.
+# tests/test_bitext_mine.py keeps the numpy brute-force oracle,
+# threshold/shape cases, the pluggable-top-k contract, and the plan
+# assertion that the operator forces no broadcast on its O(corpus)
+# per-id averages.
 _RETIRED = {"space_merge_multi", "ann_ivfpq_topk",
             # Round 12 (slots for space_not_null_read +
             # space_clustered_read, verdict r11 next-#4):
@@ -5491,7 +5535,15 @@ _RETIRED = {"space_merge_multi", "ann_ivfpq_topk",
             #     ann_ivf_topk (registered) and the LSH kernel itself
             #     by tests/test_ann_recall.py recall floors +
             #     tests/test_dedup_robustness.py.
-            "text_bpe_tokens", "ann_lsh_topk"}
+            "text_bpe_tokens", "ann_lsh_topk",
+            # Round 13 (slot for bitext_margin_topk, verdict r12
+            # next-#5):
+            #   q_intersect — single-set-op query: INTERSECT on one
+            #     column is the semi-join surface q_semi_anti keeps
+            #     registered (and q_except keeps EXCEPT registered);
+            #     set-op semantics are pinned by Spark itself (no
+            #     custom code ran in q_intersect's plan).
+            "q_intersect"}
 _CHURNED_THIS_ROUND = [
     # r12 churn, derived from the round's diff by tools/churn_suggest.py
     # against base 31b9c7e (function-level git-diff -> query mapping).
@@ -5643,7 +5695,6 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles": q_percentiles,
         "q_string_functions": q_string_functions,
         "q_semi_anti": q_semi_anti,
-        "q_intersect": q_intersect,
         "q_except": q_except,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_revenue": q5_local_supplier_revenue,
@@ -5754,6 +5805,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pretrain_filter": pipeline_pretrain_filter,
         "ann_recall_report": ann_recall_report,
         "ann_ivfpq_rerank": ann_ivfpq_rerank,
+        "bitext_margin_topk": bitext_margin_topk,
     }
 
 
@@ -5771,7 +5823,6 @@ def oracle_sql() -> dict[str, str]:
         "q_sessionize": Q_SESSIONIZE_SQL,
         "q_tumbling_window": Q_TUMBLING_SQL,
         "q_semi_anti": Q_SEMI_ANTI_SQL,
-        "q_intersect": Q_INTERSECT_SQL,
         "q_except": Q_EXCEPT_SQL,
         "q_brand_supplier_stats": Q_BRAND_SQL,
         "q_grouping_sets": Q_GROUPING_SETS_SQL,
@@ -5885,5 +5936,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _ann_pq_sql(),
         "pipeline_pretrain_filter": _pipeline_filter_sql(),
         "ann_recall_report": _ann_recall_sql(),
+        "bitext_margin_topk": BITEXT_MARGIN_SQL,
         "ann_ivfpq_rerank": _ann_ivfpq_rerank_sql(),
     }
