@@ -3684,7 +3684,15 @@ class Dataset:
         APPEND/APPLY CHANGES; null for snapshots written by pre-round-12
         clients — never guessed), parent pointer, row/byte totals, and
         change-log shape (files added, whether rows were deleted).
-        Metadata-only: no data file is touched at any table size."""
+        Metadata-only: no data file is touched at any table size.
+
+        Migration: unlabeled (null-operation) rows converge out of a
+        long-lived table by natural turnover — every new commit writes
+        its label (pinned across the whole writer surface by
+        test_history_labels_* in tests/test_dataset_basic.py) and
+        ``expire_snapshots`` retires the pre-label tail; history is
+        immutable, so old snapshot records are never rewritten to
+        backfill a guess."""
         rows = [
             (
                 s.snapshot_id, s.created_at, s.operation,
