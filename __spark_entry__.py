@@ -5545,47 +5545,45 @@ _RETIRED = {"space_merge_multi", "ann_ivfpq_topk",
             #     custom code ran in q_intersect's plan).
             "q_intersect"}
 _CHURNED_THIS_ROUND = [
-    # r12 churn, derived from the round's diff by tools/churn_suggest.py
-    # against base 31b9c7e (function-level git-diff -> query mapping).
-    # The tool flags every space_* query via the Dataset CLASS diff
-    # (same coarseness as r10/r11); these eight are the queries whose
-    # SPECIFICALLY-changed code runs in their plan — the round's core
-    # change is the reverse add_constraint TOCTOU fix (a
-    # constraints_version pin threaded through every row-adding commit
-    # loop + both sink paths), so the churn set is the registered
-    # representative of each distinct changed commit loop. Never-green
-    # r12 registrations (space_not_null_read, space_clustered_read)
-    # lead the window by staleness automatically and take no churn
-    # slot — they also re-exercise the NOT NULL + cluster_spec
-    # surfaces end-to-end.
+    # r13 churn, derived from the round's diff by tools/churn_suggest.py
+    # against base 96fe4f6. The tool over-flags every space_* query via
+    # the Dataset CLASS diff (same coarseness as r10-r12); these eight
+    # are the queries whose SPECIFICALLY-changed code runs in their
+    # plan. The round's core changes: zero-copy loads commit through
+    # the shared pinned loop with full constraint validation
+    # (loaders.py), the bloom probe is survivor-row-group-bounded on
+    # both sides of the manifest format (manifests.py), and timestamp
+    # equality literals canonicalize in the V2 planner
+    # (blooms.py/datasource.py). Never-green bitext_margin_topk (new
+    # r13 registration) leads the window by staleness automatically
+    # and takes no churn slot.
     #
-    # add_constraint/add_not_null now bump constraints_version inside
-    # their update_refs mutate; this is the registered CHECK surface.
-    "space_constraint_read",
-    # upsert's commit loop gained the cv pin + revalidate-on-conflict.
-    "space_upsert_read",
-    # insert commits through _commit_append(retries=0) whose conflict
-    # arm now reloads + revalidates before surfacing.
-    "space_insert_read",
-    # merge/CDC-apply commits through _apply_changes_commit, which
-    # gained its own pin + revalidate arm.
-    "space_merge_full",
-    # overwrite's commit loop gained the pin + revalidate arm.
-    "space_overwrite_read",
-    # The batch/streaming sink: _write_shard signature,
-    # FilesCommitMessage.constraints_version, driver _commit_append
-    # pin + Arrow re-validation; MV refresh representative.
-    "space_stream_mv",
-    # Same sink machinery through the CDC round-trip (stream writer
-    # write() now captures the live constraints_version per batch).
-    "space_stream_cdc",
-    # The DataSourceV2 partition planner gained bloom membership
-    # pruning (_bloom_equality_prune_sized runs in every V2 partitions()
-    # call, early-returning for unindexed tables); space_sql_table is
-    # the registered SQL-catalog read that plans through it.
+    # append_parquet: NOT NULL gate + shared _commit_append pin run in
+    # its plan (the round's loaders fix).
+    "space_zero_copy_load",
+    # write_manifest's bloom row-group split runs in its indexed build;
+    # the survivor-bounded read_file_blooms runs in its probe.
+    "space_bloom_point_read",
+    # V2 partitions() runs the changed _bloom_equality_prune_sized on
+    # every SQL-catalog plan (early-returning for unindexed tables).
     "space_sql_table",
+    # The registered NOT NULL surface: the round extends NOT NULL
+    # enforcement to zero-copy loads and absent sink columns through
+    # the same shared checker its plan exercises.
+    "space_not_null_read",
+    # The registered CHECK surface for the same constraint machinery.
+    "space_constraint_read",
+    # Batch/streaming sink: _validate_files_live's absent-column arm
+    # changed; MV refresh representative of the sink driver commit.
+    "space_stream_mv",
+    # Same sink machinery through the CDC round-trip.
+    "space_stream_cdc",
+    # write_manifest runs in every space write; this is the registered
+    # write whose plan asserts a strict manifest-pruned file subset —
+    # the most layout-sensitive consumer of the row-group split.
+    "space_clustered_read",
 ]
-# Quota is 8; 8 used. churn_suggest flags ~25 more via the Dataset
+# Quota is 8; 8 used. churn_suggest flags ~30 more via the Dataset
 # CLASS diff; the displaced ones are either append-only consumers of
 # the same shared commit machinery the churn picks exercise through
 # every distinct changed loop (plain appends pin the version but have
