@@ -447,6 +447,24 @@ def prune_files(
     if not manifest_abs_paths:
         return []
     total_bytes = sum(os.path.getsize(p) for p in manifest_abs_paths)
+    if total_bytes > _DRIVER_PRUNE_MAX_BYTES:
+        # Blooms dominate manifest bytes on indexed tables but the
+        # arrow prune below never reads them — size the decision on
+        # the STATS columns' actual chunk bytes (one footer read per
+        # manifest, paid only when raw size exceeds the gate) or an
+        # indexed table would lose driver-side pruning at a few
+        # hundred files (round 13; the r12 gate counted bloom bytes).
+        total_bytes = 0
+        for p in manifest_abs_paths:
+            md_ = pq.ParquetFile(p).metadata
+            for rg in range(md_.num_row_groups):
+                group = md_.row_group(rg)
+                for ci in range(group.num_columns):
+                    col = group.column(ci)
+                    if not col.path_in_schema.startswith("_BLOOM"):
+                        total_bytes += col.total_compressed_size
+            if total_bytes > _DRIVER_PRUNE_MAX_BYTES:
+                break  # already over: no need to finish the walk
     if total_bytes <= _DRIVER_PRUNE_MAX_BYTES:
         try:
             return _prune_files_arrow(

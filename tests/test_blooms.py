@@ -741,3 +741,55 @@ def test_explain_files_reports_bloom_probe_cost(spark, tmp_location):
     rep2 = ds.explain_files((field("k") >= 0) & (field("k") < 100))
     assert rep2["bloom_bytes_read"] == 0
     assert rep2["bloom_row_groups_read"] == 0
+
+
+def test_driver_prune_gate_ignores_bloom_bytes(tmp_location, monkeypatch):
+    """prune_files' driver-vs-Spark decision must size the manifests by
+    their STATS bytes, not raw file size: blooms dominate an indexed
+    manifest and the arrow prune never reads them, so counting them
+    would demote an indexed table to the distributed manifest scan at a
+    few hundred files (round 13)."""
+    import pyarrow.parquet as pq
+
+    from space_spark.core import manifests as mf
+
+    os.makedirs(tmp_location, exist_ok=True)
+    path = os.path.join(tmp_location, "manifest.parquet")
+    bloom = bytes(bl.build(list(range(50000))))  # ~62 KB per file
+    n = 80
+    rels = [f"data/f{i:03d}.parquet" for i in range(n)]
+    stats = [
+        {"num_rows": 10, "size_bytes": 100, "mins": {"k": i * 10},
+         "maxs": {"k": i * 10 + 9}, "blooms": {"k": bloom}}
+        for i in range(n)
+    ]
+    mf.write_manifest(None, path, rels, stats, [("k", T.LongType())],
+                      bloom_pks=["k"])
+    # Force the gate low enough that RAW size (with blooms) exceeds it
+    # but stats-only bytes do not.
+    raw = os.path.getsize(path)
+    md = pq.ParquetFile(path).metadata
+    stats_bytes = sum(
+        md.row_group(rg).column(ci).total_compressed_size
+        for rg in range(md.num_row_groups)
+        for ci in range(md.row_group(rg).num_columns)
+        if not md.row_group(rg).column(ci).path_in_schema
+        .startswith("_BLOOM")
+    )
+    assert stats_bytes < raw // 10, (stats_bytes, raw)
+    monkeypatch.setattr(mf, "_DRIVER_PRUNE_MAX_BYTES", raw // 2)
+
+    calls = []
+    real = mf._prune_files_arrow
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(mf, "_prune_files_arrow", spy)
+    from space_spark import field
+
+    got = mf.prune_files(None, [path], field("k") < 20,
+                         [("k", T.LongType())])
+    assert calls, "arrow (driver) prune should run despite raw size"
+    assert sorted(got) == [rels[0], rels[1]], got
