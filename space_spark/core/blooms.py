@@ -372,10 +372,13 @@ def canonicalize_literal(dt, v):
 def probe_literal_exprs(cols: Sequence[str], values: Sequence,
                         schema) -> Optional[list]:
     """``probe_exprs`` over ``F.lit`` literals — the equality-conjunct
-    pruning path (round 12): same IN-SPARK canonicalization (naive
-    datetime literals resolve through the session timezone exactly
-    like the write path's column values, never through Python ``str``
-    — the v1 bug class), same unsupported-type -> None contract.
+    pruning path (round 12): canonicalization BY ``F.lit`` itself, so
+    the probe uses the exact instant the row-level filter will compare
+    (for a naive datetime that is ``TimestampType.toInternal``'s
+    SYSTEM-timezone ``mktime`` — NOT the session timezone, which
+    governs SQL text literals only; see canonicalize_literal's round-13
+    refutation note — and never Python ``str``, the v1 bug class),
+    same unsupported-type -> None contract.
 
     The LITERAL's python type is gated per branch (second round-12
     review): a type-mismatched literal (``string_col == 5``) would

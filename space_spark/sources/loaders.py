@@ -109,6 +109,13 @@ def append_parquet(dataset, pattern: str) -> None:
                 f"Constraint(s) {violated} violated by external "
                 "file(s); zero-copy load rejected"
             )
+    if sum(s["num_rows"] for s in stats) == 0:
+        # All matched files are empty: registering them would only add
+        # dead entries to every future plan, and the shared commit loop
+        # links no manifest for rows == 0 — writing one first would
+        # orphan it (round-13 review). Documented no-op, like an empty
+        # append.
+        return
     manifest_rel = dataset.log.new_manifest_relpath()
     rows, nbytes = mf.write_manifest(
         dataset.spark, dataset.log.abs_path(manifest_rel), rel_paths, stats,

@@ -793,3 +793,46 @@ def test_driver_prune_gate_ignores_bloom_bytes(tmp_location, monkeypatch):
                          [("k", T.LongType())])
     assert calls, "arrow (driver) prune should run despite raw size"
     assert sorted(got) == [rels[0], rels[1]], got
+
+
+def test_bloom_row_group_split_bounds_skewed_filters(tmp_location):
+    """The row-group cut is running-byte, not average-based: a few
+    large filters among many tiny ones must not pack hundreds of MBs
+    into one group (round-13 review). Every group's bloom payload stays
+    under the cap (+ at most one row's filter, since a cut happens on
+    overflow)."""
+    import pyarrow.parquet as pq
+
+    from space_spark.core import manifests as mf
+
+    os.makedirs(tmp_location, exist_ok=True)
+    path = os.path.join(tmp_location, "manifest.parquet")
+    big = bytes(bl.build(list(range(400_000))))     # ~500 KB
+    tiny = bytes(bl.build(list(range(200))))        # ~256 B
+    n = 3000
+    blooms = [big if i % 300 == 0 else tiny for i in range(n)]
+    rels = [f"data/f{i:04d}.parquet" for i in range(n)]
+    stats = [
+        {"num_rows": 10, "size_bytes": 100, "mins": {"k": i},
+         "maxs": {"k": i}, "blooms": {"k": blooms[i]}}
+        for i in range(n)
+    ]
+    mf.write_manifest(None, path, rels, stats, [("k", T.LongType())],
+                      bloom_pks=["k"])
+    md = pq.ParquetFile(path).metadata
+    assert md.num_row_groups >= 2
+    cap = mf._BLOOM_RG_MAX_BYTES + len(big)
+    offset = 0
+    for rg in range(md.num_row_groups):
+        n_rows = md.row_group(rg).num_rows
+        assert n_rows <= 4096
+        group_bytes = sum(
+            len(b) for b in blooms[offset:offset + n_rows]
+        )
+        assert group_bytes <= cap, (rg, group_bytes)
+        offset += n_rows
+    # Round-trip intact: a survivor-bounded read still returns the
+    # right bytes for a big-filter row and a tiny-filter row.
+    got = mf.read_file_blooms([path], ["k"],
+                              only_files={rels[0], rels[1]})
+    assert got[rels[0]]["k"] == big and got[rels[1]]["k"] == tiny

@@ -321,3 +321,25 @@ def test_zero_copy_loads_labeled_in_history(spark, tmp_location):
     append_parquet(ds, ext + "/*.parquet")
     ops = {r.version: r.operation for r in ds.history().collect()}
     assert ops[max(ops)] == "ZERO-COPY LOAD", ops
+
+
+def test_append_parquet_all_empty_files_is_a_noop(spark, tmp_location):
+    """Zero-row external files register nothing — and leave no orphan
+    manifest behind (round-13 review: the shared commit loop links no
+    manifest for rows == 0, so writing one first would orphan it)."""
+    import glob
+
+    ext = tmp_location + "_ext"
+    spark.createDataFrame([], SIMPLE).coalesce(1).write.parquet(ext)
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["id"])
+    v0 = ds.current_snapshot_id
+    manifests_before = set(
+        glob.glob(os.path.join(ds.location, "metadata", "manifest_*"))
+    )
+    append_parquet(ds, ext + "/*.parquet")
+    assert ds.current_snapshot_id == v0
+    assert ds.read().count() == 0
+    manifests_after = set(
+        glob.glob(os.path.join(ds.location, "metadata", "manifest_*"))
+    )
+    assert manifests_after == manifests_before
