@@ -580,21 +580,6 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
 """
 
 
-def q_except(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    a = cust.select("c_custkey")
-    b = orders.select(F.col("o_custkey").alias("c_custkey"))
-    return a.exceptAll(b).distinct()
-
-
-Q_EXCEPT_SQL = """
-SELECT DISTINCT c_custkey FROM customer
-EXCEPT
-SELECT o_custkey AS c_custkey FROM orders
-"""
-
-
 def q_brand_supplier_stats(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
@@ -4187,6 +4172,76 @@ WHERE (doc_id % 3 = 0 OR doc_id % 3 = 1)
 """
 
 
+def space_agg_mv(spark, sf_dir):
+    """Incremental aggregate materialized view (round 13,
+    core/agg_views.py — north-star scope, no reference counterpart): a
+    (lang, source) rollup of count/sum/avg/min/max over n_chars is
+    materialized, then maintained through two appends, an upsert that
+    CHANGES values (delete+add in one snapshot), a CoW delete that
+    removes group extremes (the holistic min/max repair path), and a
+    MoR delete — each refresh folds the change feed into the stored
+    state (deleted values recovered via a pruned parent-version point
+    read; only damaged groups recompute). The oracle recomputes the
+    rollup over the net final state; the MV is RELOADED from disk so
+    the result proves committed storage, not driver state."""
+    from space_spark import Dataset, MaterializedView, field
+
+    docs = _t(spark, sf_dir, "documents")
+    base = _space_tmp()
+    ds = Dataset.create(spark, base + "/agg_src", docs.schema,
+                        ["doc_id"])
+    view = ds.aggregate_view(
+        ["lang", "source"],
+        {
+            "n_docs": ("count", "*"),
+            "sum_chars": ("sum", "n_chars"),
+            "avg_chars": ("avg", "n_chars"),
+            "min_chars": ("min", "n_chars"),
+            "max_chars": ("max", "n_chars"),
+        },
+    )
+    mv = view.materialize(spark, base + "/agg_mv")
+    ds.append(docs.where(F.col("doc_id") % 3 == 0))
+    mv.refresh()                       # fold the first snapshot alone
+    ds.append(docs.where(F.col("doc_id") % 3 != 0))
+    # Value change: doubled n_chars lands as delete+add in one snapshot.
+    ds.upsert(
+        docs.where(F.col("doc_id") % 11 == 0)
+        .withColumn("n_chars", F.col("n_chars") * 2)
+    )
+    # CoW delete: removes many per-group extremes -> repair path.
+    ds.delete(field("doc_id") % 7 == 0)
+    # MoR delete exercises the bitmap-masked parent read.
+    ds.delete(field("doc_id") == 1, rewrite=False)
+    mv.refresh()                       # fold the remaining four
+    out = MaterializedView.load(spark, base + "/agg_mv").read()
+    return out.select(
+        "lang", "source", "n_docs", "sum_chars",
+        F.round(F.col("avg_chars"), 6).alias("avg_chars_r"),
+        "min_chars", "max_chars",
+    )
+
+
+SPACE_AGG_MV_SQL = """
+WITH net AS (
+  SELECT lang, source,
+         CASE WHEN doc_id % 11 = 0 THEN n_chars * 2
+              ELSE n_chars END AS n_chars
+  FROM documents
+  WHERE doc_id % 7 != 0 AND doc_id != 1
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       ROUND(SUM(CAST(n_chars AS DOUBLE))
+             / COUNT(n_chars), 6) AS avg_chars_r,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM net
+GROUP BY lang, source
+"""
+
+
 def text_bpe_pack(spark, sf_dir):
     """Tokenizer-aware sequence packing (round 8): documents laid into
     512-token context bins by REAL BPE token counts (not whitespace
@@ -5543,7 +5598,12 @@ _RETIRED = {"space_merge_multi", "ann_ivfpq_topk",
             #     registered (and q_except keeps EXCEPT registered);
             #     set-op semantics are pinned by Spark itself (no
             #     custom code ran in q_intersect's plan).
-            "q_intersect"}
+            #   q_except — the other single-set-op query, same argument
+            #     (its slot went to space_agg_mv, the round's new
+            #     incremental-aggregate-MV surface): EXCEPT on one
+            #     column is the anti-join surface q_semi_anti keeps
+            #     registered, and no custom code ran in its plan.
+            "q_intersect", "q_except"}
 _CHURNED_THIS_ROUND = [
     # r13 churn, derived from the round's diff by tools/churn_suggest.py
     # against base 96fe4f6. The tool over-flags every space_* query via
@@ -5693,7 +5753,6 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles": q_percentiles,
         "q_string_functions": q_string_functions,
         "q_semi_anti": q_semi_anti,
-        "q_except": q_except,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_revenue": q5_local_supplier_revenue,
         "q6_revenue_change": q6_revenue_change,
@@ -5804,6 +5863,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": ann_recall_report,
         "ann_ivfpq_rerank": ann_ivfpq_rerank,
         "bitext_margin_topk": bitext_margin_topk,
+        "space_agg_mv": space_agg_mv,
     }
 
 
@@ -5821,7 +5881,6 @@ def oracle_sql() -> dict[str, str]:
         "q_sessionize": Q_SESSIONIZE_SQL,
         "q_tumbling_window": Q_TUMBLING_SQL,
         "q_semi_anti": Q_SEMI_ANTI_SQL,
-        "q_except": Q_EXCEPT_SQL,
         "q_brand_supplier_stats": Q_BRAND_SQL,
         "q_grouping_sets": Q_GROUPING_SETS_SQL,
         "q_percentiles": Q_PERCENTILES_SQL,
@@ -5935,5 +5994,6 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_pretrain_filter": _pipeline_filter_sql(),
         "ann_recall_report": _ann_recall_sql(),
         "bitext_margin_topk": BITEXT_MARGIN_SQL,
+        "space_agg_mv": SPACE_AGG_MV_SQL,
         "ann_ivfpq_rerank": _ann_ivfpq_rerank_sql(),
     }

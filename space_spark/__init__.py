@@ -20,6 +20,7 @@ Reference parity citations point into the google/space repo (read-only at
 
 from space_spark.core.dataset import Dataset
 from space_spark.core.expressions import field, lit
+from space_spark.core.agg_views import AggregateView, MaterializedAggregate
 from space_spark.core.views import MaterializedView, View
 from space_spark.catalogs.directory import DirCatalog
 from space_spark.errors import (
@@ -34,6 +35,8 @@ __all__ = [
     "Dataset",
     "View",
     "MaterializedView",
+    "AggregateView",
+    "MaterializedAggregate",
     "DirCatalog",
     "field",
     "lit",

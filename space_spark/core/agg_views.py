@@ -1,0 +1,427 @@
+"""Incremental aggregate materialized views: GROUP BY rollups whose
+storage is maintained from the source's change feed instead of being
+recomputed.
+
+The reference has no aggregate-view surface (its views are row-wise
+UDF/filter/join DAGs, core/views.py:42-244); this is north-star scope
+for the 100 TB target, where "recompute the rollup" is the single most
+expensive query a pipeline runs repeatedly. The refresh applies the
+classic incremental view-maintenance algebra (Gray et al., "Data Cube",
+and the distributive/algebraic/holistic taxonomy):
+
+- ``count``/``sum``/``avg`` are DISTRIBUTIVE/ALGEBRAIC: a per-snapshot
+  delta of signed rows (+1 adds, -1 deletes) folds into the stored
+  state exactly. Deleted rows are PK-only in the change log, so their
+  VALUES are recovered with one ``read_by_keys`` against the PARENT
+  version (range+bloom pruned: O(files containing those keys)).
+- ``min``/``max`` are distributive on INSERTS (fold with
+  least/greatest) but HOLISTIC on deletes: when a deleted value ties
+  the stored extreme, only the affected GROUPS are recomputed from the
+  source at that snapshot — never the whole table.
+
+Scale shape per refresh: O(changed rows) for the delta, one pruned
+point read of the old state rows for exactly the touched groups (group
+keys are the state table's PRIMARY KEYS), one ``apply_changes`` commit
+(upserts + emptied-group deletes, atomic with the source-synced
+marker). Groups whose keys never appear in a snapshot's delta are
+never read, shuffled, or rewritten.
+
+SQL semantics: ``count(col)``/``sum``/``avg``/``min``/``max`` ignore
+NULLs; ``count(*)`` counts rows; a group whose last non-null value is
+deleted returns to NULL (the hidden non-null counters make that exact,
+not approximate). Group keys must be NON-NULL — they become the state
+table's primary keys (space PKs are NOT NULL); a null key raises the
+standard null-PK error at refresh.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from space_spark.core import metadata as md
+from space_spark.core import schema as sc
+from space_spark.errors import SpaceError, UserInputError
+
+_AGG_FNS = ("count", "sum", "avg", "min", "max")
+_ROWS_COL = "__agg_rows"
+_SIGN = "__sign"
+
+
+def _validate_spec(schema: T.StructType, group_by: Sequence[str],
+                   aggs: Dict[str, Tuple[str, str]]) -> None:
+    names = set(schema.fieldNames())
+    if not group_by:
+        raise UserInputError("aggregate view needs at least one "
+                             "group-by column")
+    for g in group_by:
+        if g not in names:
+            raise UserInputError(f"Unknown group-by column {g!r}")
+    if not aggs:
+        raise UserInputError("aggregate view needs at least one "
+                             "aggregate")
+    for out, spec in aggs.items():
+        if not (isinstance(spec, (tuple, list)) and len(spec) == 2):
+            raise UserInputError(
+                f"Aggregate {out!r} must be (fn, column), got {spec!r}"
+            )
+        fn, col = spec
+        if fn not in _AGG_FNS:
+            raise UserInputError(
+                f"Unknown aggregate fn {fn!r} for {out!r}; supported: "
+                f"{_AGG_FNS}"
+            )
+        if col == "*":
+            if fn != "count":
+                raise UserInputError(f"{fn}(*) is not a thing; only "
+                                     "count(*)")
+        elif col not in names:
+            raise UserInputError(f"Unknown aggregate column {col!r}")
+        if out in group_by or out.startswith("__agg_"):
+            raise UserInputError(f"Output name {out!r} collides with a "
+                                 "group-by column or the reserved "
+                                 "__agg_ prefix")
+
+
+def _user_exprs(aggs: Dict[str, Tuple[str, str]]) -> List:
+    """The plain recompute expressions (AggregateView.read / oracles)."""
+    out = []
+    for name, (fn, col) in sorted(aggs.items()):
+        if fn == "count":
+            e = F.count(F.lit(1)) if col == "*" else F.count(F.col(col))
+        else:
+            e = getattr(F, fn)(F.col(col))
+        out.append(e.alias(name))
+    return out
+
+
+def _hidden_cols(aggs: Dict[str, Tuple[str, str]]) -> List[str]:
+    """Hidden state columns (beyond _ROWS_COL), in schema order."""
+    cols = []
+    for name, (fn, _col) in sorted(aggs.items()):
+        if fn in ("sum", "avg"):
+            cols.append(f"__agg_sum_{name}")
+            cols.append(f"__agg_nn_{name}")
+    return cols
+
+
+class AggregateView:
+    """Lazy GROUP BY rollup over a dataset; ``materialize`` gives it
+    incrementally-maintained storage."""
+
+    def __init__(self, dataset, group_by: Sequence[str],
+                 aggs: Dict[str, Tuple[str, str]]):
+        if dataset.record_fields:
+            raise UserInputError(
+                "aggregate views over record (blob) fields are not "
+                "supported; aggregate the index columns"
+            )
+        _validate_spec(dataset.schema, group_by, dict(aggs))
+        self.dataset = dataset
+        self.group_by = list(group_by)
+        self.aggs = {k: (fn, col) for k, (fn, col) in aggs.items()}
+
+    # -- full recompute (the slow path / semantics anchor) ---------------
+    def read(self) -> DataFrame:
+        return (self.dataset.read()
+                .groupBy(*self.group_by)
+                .agg(*_user_exprs(self.aggs)))
+
+    def _state_exprs(self) -> List:
+        """Recompute expressions for the FULL state row (user + hidden
+        columns) — used to derive the state schema and nowhere else
+        (refresh never recomputes whole groups except min/max repair)."""
+        exprs = list(_user_exprs(self.aggs))
+        exprs.append(F.count(F.lit(1)).alias(_ROWS_COL))
+        for name, (fn, col) in sorted(self.aggs.items()):
+            if fn in ("sum", "avg"):
+                exprs.append(F.coalesce(
+                    F.sum(F.col(col)).cast("double"), F.lit(0.0)
+                ).alias(f"__agg_sum_{name}"))
+                exprs.append(F.count(F.col(col))
+                             .alias(f"__agg_nn_{name}"))
+        return exprs
+
+    def materialize(self, spark: SparkSession,
+                    location: str) -> "MaterializedAggregate":
+        from space_spark.core.dataset import Dataset
+
+        log = md.MetadataLog(location)
+        if log.exists():
+            raise SpaceError(f"Table already exists at {location}")
+        log.init_location()
+        state_schema = (self.dataset.read().limit(0)
+                        .groupBy(*self.group_by)
+                        .agg(*self._state_exprs())).schema
+        schema = sc.assign_field_ids(state_schema)
+        meta = md.initial_metadata(
+            md.TYPE_MATERIALIZED_VIEW,
+            schema,
+            list(self.group_by),
+            [],
+            sc.field_id_map(schema),
+            logical_plan={
+                "plan": {
+                    "op": "aggregate",
+                    "group_by": list(self.group_by),
+                    "aggs": {k: list(v) for k, v in self.aggs.items()},
+                },
+                "source_location": self.dataset.location,
+                "source_snapshot_synced": 0,
+            },
+            udf_registry={},
+        )
+        log.write_metadata(meta, create=True)
+        mv_ds = Dataset(spark, log, meta)
+        return MaterializedAggregate(mv_ds, self)
+
+
+class MaterializedAggregate:
+    """An AggregateView with its own storage; ``refresh()`` folds the
+    source change feed into the stored per-group state."""
+
+    def __init__(self, dataset, view: AggregateView):
+        self.dataset = dataset
+        self.view = view
+
+    @staticmethod
+    def load(spark: SparkSession, location: str) -> "MaterializedAggregate":
+        from space_spark.core.dataset import Dataset
+
+        ds = Dataset.load(spark, location)
+        if ds.metadata.table_type != md.TYPE_MATERIALIZED_VIEW:
+            raise SpaceError(f"{location} is not a materialized view")
+        plan = ds.metadata.logical_plan["plan"]
+        if plan.get("op") != "aggregate":
+            raise SpaceError(
+                f"{location} is a row-wise materialized view; use "
+                "MaterializedView.load"
+            )
+        source = Dataset.load(
+            spark, ds.metadata.logical_plan["source_location"]
+        )
+        view = AggregateView(
+            source, plan["group_by"],
+            {k: tuple(v) for k, v in plan["aggs"].items()},
+        )
+        return MaterializedAggregate(ds, view)
+
+    @property
+    def spark(self):
+        return self.dataset.spark
+
+    def read(self, **kwargs) -> DataFrame:
+        """Materialized state, USER columns only (group keys + named
+        aggregates; the fold accumulators stay internal)."""
+        user = self.view.group_by + sorted(self.view.aggs)
+        return self.dataset.read(**kwargs).select(*user)
+
+    # ------------------------------------------------------------ refresh
+    def refresh(self, target_version=None) -> List[int]:
+        """One MV commit per source snapshot (same lineage discipline as
+        row-wise MV refresh: the source-synced marker lands atomically
+        with each state commit via apply_changes' commit_mutate, so a
+        crash never double-folds a delta). Returns applied source
+        snapshot ids."""
+        from space_spark.core.dataset import Dataset
+
+        info = self.dataset.metadata.logical_plan
+        source = Dataset.load(self.spark, info["source_location"])
+        start = int(info.get("source_snapshot_synced", 0))
+        if start not in source.metadata.snapshots:
+            raise SpaceError(
+                f"Source snapshot {start} (this view's last synced "
+                f"point) has been expired from {source.location}; "
+                "incremental refresh is impossible. Re-materialize, or "
+                "expire the source with enough history to cover its "
+                "slowest consumer."
+            )
+        end = source.metadata.resolve_version(target_version)
+        applied: List[int] = []
+        for snap in source._ancestors(start, end):
+            self._apply_snapshot(source, snap)
+            applied.append(snap.snapshot_id)
+        return applied
+
+    def _set_synced(self, source_snapshot_id: int) -> None:
+        def mutate(meta: md.StorageMetadata):
+            meta.logical_plan["source_snapshot_synced"] = \
+                source_snapshot_id
+
+        self.dataset.metadata = self.dataset.log.update_refs(mutate)
+
+    def _apply_snapshot(self, source, snap) -> None:
+        gb = self.view.group_by
+        aggs = self.view.aggs
+        in_cols = sorted({c for _fn, c in aggs.values() if c != "*"})
+        parts = []
+        if snap.deleted_pks_file:
+            # Deleted rows are PK-only in the log; their VALUES lived in
+            # the parent version — one range+bloom-pruned point read.
+            pks_df = source.read_deleted_pks(snap)
+            del_rows = source.read_by_keys(
+                pks_df, version=snap.parent_snapshot_id
+            )
+            parts.append(del_rows.select(*gb, *in_cols)
+                         .withColumn(_SIGN, F.lit(-1)))
+        if snap.added_files:
+            add_df = source._read_files(snap.added_files)
+            parts.append(add_df.select(*gb, *in_cols)
+                         .withColumn(_SIGN, F.lit(1)))
+        if not parts:
+            self._set_synced(snap.snapshot_id)  # metadata-only snapshot
+            return
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+
+        sign = F.col(_SIGN)
+        dexprs = [F.sum(sign).alias("__d_rows")]
+        for name, (fn, col) in sorted(aggs.items()):
+            c = F.col(col) if col != "*" else None
+            if fn == "count":
+                e = (F.sum(sign) if c is None
+                     else F.sum(F.when(c.isNotNull(), sign)
+                                .otherwise(F.lit(0))))
+                dexprs.append(e.alias(f"__d_{name}"))
+            elif fn in ("sum", "avg"):
+                dexprs.append(
+                    F.sum(F.when(c.isNotNull(),
+                                 sign.cast("double") * c.cast("double")))
+                    .alias(f"__d_sum_{name}"))
+                dexprs.append(
+                    F.sum(F.when(c.isNotNull(), sign)
+                          .otherwise(F.lit(0)))
+                    .alias(f"__d_nn_{name}"))
+            elif fn == "min":
+                dexprs.append(F.min(F.when(sign > 0, c))
+                              .alias(f"__d_add_{name}"))
+                dexprs.append(F.min(F.when(sign < 0, c))
+                              .alias(f"__d_del_{name}"))
+            else:  # max
+                dexprs.append(F.max(F.when(sign > 0, c))
+                              .alias(f"__d_add_{name}"))
+                dexprs.append(F.max(F.when(sign < 0, c))
+                              .alias(f"__d_del_{name}"))
+        dagg = delta.groupBy(*gb).agg(*dexprs)
+        has_deletes = bool(snap.deleted_pks_file)
+
+        # Old state rows for exactly the touched groups: group keys are
+        # the state PKs, so this is a pruned point read, O(touched).
+        old = self.dataset.read_by_keys(dagg.select(*gb))
+        old_pref = old.select(
+            *gb, *[F.col(c).alias(f"__o_{c}")
+                   for c in old.columns if c not in gb]
+        )
+        merged = dagg.join(old_pref, on=gb, how="left")
+
+        def o(cname):
+            return F.col(f"__o_{cname}")
+
+        new_rows = (F.coalesce(o(_ROWS_COL), F.lit(0))
+                    + F.col("__d_rows"))
+        out_cols = [F.col(g) for g in gb] + [new_rows.alias(_ROWS_COL)]
+        repair_flags = []
+        for name, (fn, col) in sorted(aggs.items()):
+            if fn == "count":
+                out_cols.append(
+                    (F.coalesce(o(name), F.lit(0))
+                     + F.col(f"__d_{name}")).alias(name))
+            elif fn in ("sum", "avg"):
+                acc = (F.coalesce(o(f"__agg_sum_{name}"), F.lit(0.0))
+                       + F.coalesce(F.col(f"__d_sum_{name}"),
+                                    F.lit(0.0)))
+                nn = (F.coalesce(o(f"__agg_nn_{name}"), F.lit(0))
+                      + F.col(f"__d_nn_{name}"))
+                out_cols.append(acc.alias(f"__agg_sum_{name}"))
+                out_cols.append(nn.alias(f"__agg_nn_{name}"))
+                if fn == "sum":
+                    # Preserve Spark's sum output type for the user col.
+                    dt = self.dataset.schema[name].dataType
+                    out_cols.append(
+                        F.when(nn > 0, acc).cast(dt).alias(name))
+                else:
+                    out_cols.append(
+                        F.when(nn > 0, acc / nn).alias(name))
+            else:  # min / max
+                fold = F.least if fn == "min" else F.greatest
+                candidate = fold(o(name), F.col(f"__d_add_{name}"))
+                if not has_deletes:
+                    # Insert-only snapshot: min/max are distributive,
+                    # no repair machinery (saves the flag scan + probe
+                    # job on the append-heavy common case).
+                    out_cols.append(candidate.alias(name))
+                    continue
+                # The stored extreme may have been deleted only when a
+                # deleted value TIES OR BEATS it — only those groups
+                # recompute (holistic repair, bounded to real damage).
+                dele = F.col(f"__d_del_{name}")
+                beats = (dele <= o(name)) if fn == "min" \
+                    else (dele >= o(name))
+                needs = (o(name).isNotNull() & dele.isNotNull() & beats)
+                repair_flags.append(needs.alias(f"__fix_{name}"))
+                out_cols.append(
+                    F.when(needs, F.lit(None).cast(
+                        self.dataset.schema[name].dataType
+                    )).otherwise(candidate).alias(name))
+
+        proj = merged.select(*out_cols, *repair_flags) \
+            if repair_flags else merged.select(*out_cols)
+
+        fix_cols = [n for n, (fn, _c) in sorted(aggs.items())
+                    if fn in ("min", "max")] if has_deletes else []
+
+        def _fold_and_commit():
+            self._fold_commit(source, snap, proj, fix_cols, gb, aggs)
+
+        # Pinned: proj feeds upserts, deletes, and the repair pass;
+        # blocks are released after the commit (the same leak guard as
+        # merge/apply_changes — a long multi-snapshot refresh would
+        # otherwise pin one checkpointed RDD per snapshot).
+        with self.dataset._release_new_blocks():
+            _fold_and_commit()
+
+    def _fold_commit(self, source, snap, proj, fix_cols, gb, aggs):
+        proj = proj.localCheckpoint(eager=True)
+        if fix_cols:
+            any_fix = None
+            for n in fix_cols:
+                flag = F.coalesce(F.col(f"__fix_{n}"), F.lit(False))
+                any_fix = flag if any_fix is None else (any_fix | flag)
+            fix_keys = proj.where(any_fix).select(*gb)
+            if fix_keys.limit(1).count():
+                src_now = source.read(
+                    version=snap.snapshot_id
+                ).join(fix_keys, on=gb, how="inner")
+                rec = src_now.groupBy(*gb).agg(*[
+                    (F.min(F.col(aggs[n][1])) if aggs[n][0] == "min"
+                     else F.max(F.col(aggs[n][1]))).alias(f"__r_{n}")
+                    for n in fix_cols
+                ])
+                proj = proj.join(rec, on=gb, how="left")
+                repl = [
+                    F.coalesce(
+                        F.col(n),
+                        F.col(f"__r_{n}").cast(
+                            self.dataset.schema[n].dataType)
+                    ).alias(n)
+                    if n in fix_cols else F.col(n)
+                    for n in self.dataset.schema.fieldNames()
+                    if n not in gb
+                ]
+                proj = proj.select(*gb, *repl)
+
+        state_cols = self.dataset.schema.fieldNames()
+        upserts = (proj.where(F.col(_ROWS_COL) > 0)
+                   .select(*state_cols))
+        deletes = proj.where(F.col(_ROWS_COL) <= 0).select(*gb)
+
+        def sync_mut(meta, _sid=snap.snapshot_id):
+            meta.logical_plan["source_snapshot_synced"] = _sid
+
+        self.dataset.apply_changes(upserts, deletes,
+                                   commit_mutate=sync_mut,
+                                   operation="MV REFRESH")

@@ -4668,6 +4668,14 @@ class Dataset:
 
         return View.source(self).filter(fn, input_fields)
 
+    def aggregate_view(self, group_by, aggs):
+        """GROUP BY rollup view with incremental materialized
+        maintenance (core/agg_views.py): ``aggs`` maps output name ->
+        ("count"|"sum"|"avg"|"min"|"max", column) — "*" with count."""
+        from space_spark.core.agg_views import AggregateView
+
+        return AggregateView(self, group_by, aggs)
+
     def join(self, right, keys, left_fields=None, right_fields=None,
              left_reference_read=False, right_reference_read=False):
         from space_spark.core.views import View

@@ -475,6 +475,12 @@ class MaterializedView:
         ds = Dataset.load(spark, location)
         if ds.metadata.table_type != md.TYPE_MATERIALIZED_VIEW:
             raise SpaceError(f"{location} is not a materialized view")
+        if ds.metadata.logical_plan["plan"].get("op") == "aggregate":
+            # Aggregate MVs share the table type but not the row-wise
+            # refresh algebra — dispatch (round 13, core/agg_views.py).
+            from space_spark.core.agg_views import MaterializedAggregate
+
+            return MaterializedAggregate.load(spark, location)
         node = _load_plan_node(spark, ds.metadata.logical_plan["plan"], ds.log)
         return MaterializedView(ds, View(node))
 

@@ -1,0 +1,201 @@
+"""Incremental aggregate materialized views (core/agg_views.py): the
+maintained state must equal a full GROUP BY recompute after every DML
+shape the change feed can emit — that equivalence IS the spec."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from space_spark import (
+    AggregateView,
+    Dataset,
+    MaterializedAggregate,
+    MaterializedView,
+    field,
+)
+from space_spark.errors import UserInputError
+
+SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("grp", T.StringType()),
+    T.StructField("x", T.LongType()),
+])
+
+AGGS = {
+    "n": ("count", "*"),
+    "n_x": ("count", "x"),
+    "sum_x": ("sum", "x"),
+    "avg_x": ("avg", "x"),
+    "min_x": ("min", "x"),
+    "max_x": ("max", "x"),
+}
+
+
+def _rows(spark, triples):
+    return spark.createDataFrame(
+        [Row(id=i, grp=g, x=x) for i, g, x in triples], SCHEMA
+    )
+
+
+def _state(df):
+    out = {}
+    for r in df.collect():
+        out[r.grp] = (r.n, r.n_x, r.sum_x,
+                      None if r.avg_x is None else round(r.avg_x, 9),
+                      r.min_x, r.max_x)
+    return out
+
+
+def _check(mv, view):
+    got = _state(mv.read())
+    want = _state(view.read())
+    assert got == want, (got, want)
+
+
+@pytest.fixture()
+def source(spark, tmp_location):
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["id"])
+    ds.append(_rows(spark, [
+        (1, "a", 10), (2, "a", 20), (3, "b", 5),
+        (4, "b", None), (5, "c", 7),
+    ]))
+    return ds
+
+
+def test_spec_validation(spark, source):
+    with pytest.raises(UserInputError, match="group-by"):
+        AggregateView(source, [], AGGS)
+    with pytest.raises(UserInputError, match="Unknown group-by"):
+        AggregateView(source, ["ghost"], AGGS)
+    with pytest.raises(UserInputError, match="Unknown aggregate fn"):
+        AggregateView(source, ["grp"], {"m": ("median", "x")})
+    with pytest.raises(UserInputError, match="count"):
+        AggregateView(source, ["grp"], {"s": ("sum", "*")})
+    with pytest.raises(UserInputError, match="collides"):
+        AggregateView(source, ["grp"], {"grp": ("count", "*")})
+    with pytest.raises(UserInputError, match="Unknown aggregate column"):
+        AggregateView(source, ["grp"], {"s": ("sum", "ghost")})
+
+
+def test_view_read_matches_plain_groupby(spark, source):
+    view = source.aggregate_view(["grp"], AGGS)
+    want = (source.read().groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count("x").alias("n_x"),
+                 F.sum("x").alias("sum_x"),
+                 F.avg("x").alias("avg_x"),
+                 F.min("x").alias("min_x"),
+                 F.max("x").alias("max_x")))
+    assert _state(view.read()) == _state(want)
+
+
+def test_incremental_refresh_tracks_every_dml_shape(
+    spark, source, tmp_location
+):
+    view = source.aggregate_view(["grp"], AGGS)
+    mv = view.materialize(spark, tmp_location + "_mv")
+    assert mv.refresh() == [1]
+    _check(mv, view)
+
+    # Plain append (new group + growth of existing).
+    source.append(_rows(spark, [(6, "c", 1), (7, "d", 4)]))
+    # CoW delete that removes a group's MIN (repair path).
+    source.delete(field("id") == 3)      # grp b loses x=5, keeps NULL
+    # MoR delete.
+    source.delete(field("id") == 5, rewrite=False)  # grp c loses 7
+    assert mv.refresh() == [2, 3, 4]
+    _check(mv, view)
+
+    # Upsert = delete+add within one snapshot (value change).
+    source.upsert(_rows(spark, [(1, "a", 100)]))
+    # apply_changes: atomic adds + deletes.
+    source.apply_changes(
+        _rows(spark, [(8, "d", -3)]),
+        _rows(spark, [(2, "a", 0)]).select("id"),
+    )
+    applied = mv.refresh()
+    assert len(applied) == 2
+    _check(mv, view)
+
+    # Empty a whole group -> its state row must disappear.
+    source.delete(field("grp") == "d")
+    mv.refresh()
+    _check(mv, view)
+    assert "d" not in _state(mv.read())
+
+    # Sum returns to NULL when the last non-null value dies.
+    source.delete(field("id") == 6)      # grp c now only... id 6 was c
+    mv.refresh()
+    _check(mv, view)
+
+    # Overwrite replaces everything.
+    source.overwrite(_rows(spark, [(1, "z", 3), (2, "z", None)]))
+    mv.refresh()
+    _check(mv, view)
+    st = _state(mv.read())
+    assert set(st) == {"z"} and st["z"] == (2, 1, 3, 3.0, 3, 3)
+
+
+def test_refresh_is_replay_safe_and_labeled(spark, source, tmp_location):
+    view = source.aggregate_view(["grp"], AGGS)
+    mv = view.materialize(spark, tmp_location + "_mv")
+    mv.refresh()
+    before = _state(mv.read())
+    assert mv.refresh() == []          # nothing new: no-op
+    assert _state(mv.read()) == before
+    ops = {r.operation for r in mv.dataset.history().collect()}
+    assert "MV REFRESH" in ops
+    # Per-snapshot markers: a second handle refreshes from disk state.
+    source.append(_rows(spark, [(9, "a", 1)]))
+    again = MaterializedAggregate.load(spark, tmp_location + "_mv")
+    assert again.refresh() == [2]
+    _check(again, view)
+
+
+def test_load_roundtrip_and_dispatch(spark, source, tmp_location):
+    view = source.aggregate_view(["grp"], {"n": ("count", "*"),
+                                           "sum_x": ("sum", "x")})
+    mv = view.materialize(spark, tmp_location + "_mv")
+    mv.refresh()
+    # MaterializedView.load dispatches to the aggregate loader.
+    loaded = MaterializedView.load(spark, tmp_location + "_mv")
+    assert isinstance(loaded, MaterializedAggregate)
+    assert sorted(loaded.read().columns) == ["grp", "n", "sum_x"]
+    got = {r.grp: (r.n, r.sum_x) for r in loaded.read().collect()}
+    want = {r.grp: (r.n, r.sum_x) for r in view.read().collect()}
+    assert got == want
+
+
+def test_min_repair_only_recomputes_damaged_groups(
+    spark, source, tmp_location
+):
+    """Deleting a NON-extreme value must not trigger the holistic
+    repair; deleting the stored min must repair exactly."""
+    view = source.aggregate_view(["grp"], {"min_x": ("min", "x"),
+                                           "max_x": ("max", "x")})
+    mv = view.materialize(spark, tmp_location + "_mv")
+    mv.refresh()
+    # id=2 (x=20) is grp a's MAX: repair path for max, not min.
+    source.delete(field("id") == 2)
+    mv.refresh()
+    _check_cols = {r.grp: (r.min_x, r.max_x) for r in mv.read().collect()}
+    assert _check_cols["a"] == (10, 10)
+    # Delete a's remaining row -> group gone.
+    source.delete(field("grp") == "a")
+    mv.refresh()
+    assert "a" not in {r.grp for r in mv.read().collect()}
+
+
+def test_null_group_key_rejected(spark, tmp_location):
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["id"])
+    ds.append(_rows(spark, [(1, None, 5)]))
+    view = ds.aggregate_view(["grp"], {"n": ("count", "*")})
+    mv = view.materialize(spark, tmp_location + "_mv")
+    with pytest.raises(UserInputError, match="[Nn]ull"):
+        mv.refresh()
