@@ -41,6 +41,14 @@ HOSTILE_QUERIES = [
     # regardless of session timezone.
     "space_not_null_read",
     "space_clustered_read",
+    # round-13 surfaces: the bitext margin fold averages rounded
+    # doubles across two top-k passes (float construction must agree
+    # without driver Arrow); the aggregate-MV refresh folds signed
+    # deltas through localCheckpoint + apply_changes and its avg is a
+    # stored double accumulator — both must match DuckDB bit-for-bit
+    # under a non-UTC, arrow-off session.
+    "bitext_margin_topk",
+    "space_agg_mv",
 ]
 
 
