@@ -5643,6 +5643,12 @@ _CHURNED_THIS_ROUND = [
     # the most layout-sensitive consumer of the row-group split.
     "space_clustered_read",
 ]
+# Late-round diff note: the aggregate-MV addition (core/agg_views.py +
+# the MaterializedView.load dispatch in views.py + Dataset.
+# aggregate_view/detail) is covered by its never-green registration
+# space_agg_mv (leads the window by staleness, like bitext) and by
+# space_stream_mv already in the churn head (its plan runs
+# MaterializedView.load through the dispatch).
 # Quota is 8; 8 used. churn_suggest flags ~30 more via the Dataset
 # CLASS diff; the displaced ones are either append-only consumers of
 # the same shared commit machinery the churn picks exercise through

@@ -3674,6 +3674,20 @@ class Dataset:
             "delete_vector_files": len(
                 getattr(snap, "delete_vector_files", []) or []
             ),
+            # Materialized views: where this table syncs from and how
+            # far it has caught up (round 13) — the first question on a
+            # stale MV, answered without opening the source.
+            "materialized_view": (
+                {
+                    "plan_op": (m.logical_plan.get("plan") or {})
+                    .get("op"),
+                    "source_location":
+                        m.logical_plan.get("source_location"),
+                    "source_snapshot_synced":
+                        m.logical_plan.get("source_snapshot_synced"),
+                }
+                if m.logical_plan else None
+            ),
         }
 
     def history(self) -> DataFrame:

@@ -195,6 +195,17 @@ def test_detail_reports_table_properties(spark, tmp_location):
     assert d["cluster_spec"] == {"cols": ["g"], "kind": "range"}
     assert d["current_version"] == ds.current_snapshot_id
     assert d["branches"]["main"] == ds.current_snapshot_id
+    assert d["materialized_view"] is None
+    # On an MV table, detail() surfaces the sync state (round 13).
+    view = ds.aggregate_view(["g"], {"n": ("count", "*")})
+    mv = view.materialize(spark, tmp_location + "_mv")
+    mv.refresh()
+    dmv = mv.dataset.detail()["materialized_view"]
+    assert dmv == {
+        "plan_op": "aggregate",
+        "source_location": ds.location,
+        "source_snapshot_synced": ds.current_snapshot_id,
+    }
 
 
 def test_history_labels_every_operation(spark, tmp_location):
