@@ -13,11 +13,15 @@ and the distributive/algebraic/holistic taxonomy):
   delta of signed rows (+1 adds, -1 deletes) folds into the stored
   state exactly. Deleted rows are PK-only in the change log, so their
   VALUES are recovered with one ``read_by_keys`` against the PARENT
-  version (range+bloom pruned: O(files containing those keys)).
+  version (range+bloom pruned: O(files containing those keys)). The
+  sum accumulator keeps Spark's OWN sum output type (long for integral
+  inputs — exact, never a double that loses integers past 2^53;
+  round-13 review).
 - ``min``/``max`` are distributive on INSERTS (fold with
   least/greatest) but HOLISTIC on deletes: when a deleted value ties
   the stored extreme, only the affected GROUPS are recomputed from the
-  source at that snapshot — never the whole table.
+  source at that snapshot — with the damaged keys pushed down as an
+  isin filter so manifest stats prune the repair scan too.
 
 Scale shape per refresh: O(changed rows) for the delta, one pruned
 point read of the old state rows for exactly the touched groups (group
@@ -32,11 +36,17 @@ deleted returns to NULL (the hidden non-null counters make that exact,
 not approximate). Group keys must be NON-NULL — they become the state
 table's primary keys (space PKs are NOT NULL); a null key raises the
 standard null-PK error at refresh.
+
+Concurrency: ``refresh`` reloads the marker first, and every state
+commit's ``commit_mutate`` verifies the stored marker still equals the
+snapshot's predecessor before advancing it — two handles refreshing
+the same MV cannot double-fold a delta (the loser fails fast with
+SpaceError; its uncommitted shards are vacuum-reclaimable).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,7 +58,14 @@ from space_spark.errors import SpaceError, UserInputError
 
 _AGG_FNS = ("count", "sum", "avg", "min", "max")
 _ROWS_COL = "__agg_rows"
-_SIGN = "__sign"
+_SIGN = "__agg_sign"
+# Above this many damaged groups, the min/max repair scan skips the
+# per-column isin pushdown and relies on the join alone: Expr.isin is
+# an Or-of-equals CHAIN, so the bound also caps expression depth (the
+# recursive falsifiable/compile walks would hit Python's recursion
+# limit near ~1000), and past a few hundred values most files match
+# anyway.
+_REPAIR_PUSHDOWN_MAX_KEYS = 200
 
 
 def _validate_spec(schema: T.StructType, group_by: Sequence[str],
@@ -80,10 +97,14 @@ def _validate_spec(schema: T.StructType, group_by: Sequence[str],
                                      "count(*)")
         elif col not in names:
             raise UserInputError(f"Unknown aggregate column {col!r}")
-        if out in group_by or out.startswith("__agg_"):
+        if out in group_by or out.startswith("__"):
+            # "__" wholesale: every internal state/delta column lives
+            # under a dunder prefix, so a user name can never alias-
+            # collide with the fold machinery (round-13 review: a
+            # count named 'rows' collided with the row-count delta).
             raise UserInputError(f"Output name {out!r} collides with a "
                                  "group-by column or the reserved "
-                                 "__agg_ prefix")
+                                 "'__' prefix")
 
 
 def _user_exprs(aggs: Dict[str, Tuple[str, str]]) -> List:
@@ -96,16 +117,6 @@ def _user_exprs(aggs: Dict[str, Tuple[str, str]]) -> List:
             e = getattr(F, fn)(F.col(col))
         out.append(e.alias(name))
     return out
-
-
-def _hidden_cols(aggs: Dict[str, Tuple[str, str]]) -> List[str]:
-    """Hidden state columns (beyond _ROWS_COL), in schema order."""
-    cols = []
-    for name, (fn, _col) in sorted(aggs.items()):
-        if fn in ("sum", "avg"):
-            cols.append(f"__agg_sum_{name}")
-            cols.append(f"__agg_nn_{name}")
-    return cols
 
 
 class AggregateView:
@@ -133,13 +144,15 @@ class AggregateView:
     def _state_exprs(self) -> List:
         """Recompute expressions for the FULL state row (user + hidden
         columns) — used to derive the state schema and nowhere else
-        (refresh never recomputes whole groups except min/max repair)."""
+        (refresh never recomputes whole groups except min/max repair).
+        The sum accumulator deliberately keeps Spark's sum output type
+        (coalesce's lit(0) coerces to it): integral sums stay exact."""
         exprs = list(_user_exprs(self.aggs))
         exprs.append(F.count(F.lit(1)).alias(_ROWS_COL))
         for name, (fn, col) in sorted(self.aggs.items()):
             if fn in ("sum", "avg"):
                 exprs.append(F.coalesce(
-                    F.sum(F.col(col)).cast("double"), F.lit(0.0)
+                    F.sum(F.col(col)), F.lit(0)
                 ).alias(f"__agg_sum_{name}"))
                 exprs.append(F.count(F.col(col))
                              .alias(f"__agg_nn_{name}"))
@@ -200,8 +213,18 @@ class MaterializedAggregate:
                 f"{location} is a row-wise materialized view; use "
                 "MaterializedView.load"
             )
+        return MaterializedAggregate._from_loaded(ds)
+
+    @staticmethod
+    def _from_loaded(ds) -> "MaterializedAggregate":
+        """Build from an already-loaded state Dataset (the
+        MaterializedView.load dispatch path — avoids re-reading the
+        metadata it just parsed; round-13 review)."""
+        from space_spark.core.dataset import Dataset
+
+        plan = ds.metadata.logical_plan["plan"]
         source = Dataset.load(
-            spark, ds.metadata.logical_plan["source_location"]
+            ds.spark, ds.metadata.logical_plan["source_location"]
         )
         view = AggregateView(
             source, plan["group_by"],
@@ -213,11 +236,20 @@ class MaterializedAggregate:
     def spark(self):
         return self.dataset.spark
 
-    def read(self, **kwargs) -> DataFrame:
+    def read(self, fields=None, **kwargs) -> DataFrame:
         """Materialized state, USER columns only (group keys + named
-        aggregates; the fold accumulators stay internal)."""
+        aggregates; the fold accumulators stay internal). ``fields``
+        projects within the user columns."""
         user = self.view.group_by + sorted(self.view.aggs)
-        return self.dataset.read(**kwargs).select(*user)
+        if fields is not None:
+            unknown = set(fields) - set(user)
+            if unknown:
+                raise UserInputError(
+                    f"Unknown fields: {sorted(unknown)}; this view "
+                    f"exposes {user}"
+                )
+        out = self.dataset.read(**kwargs).select(*user)
+        return out.select(*fields) if fields is not None else out
 
     # ------------------------------------------------------------ refresh
     def refresh(self, target_version=None) -> List[int]:
@@ -228,6 +260,9 @@ class MaterializedAggregate:
         snapshot ids."""
         from space_spark.core.dataset import Dataset
 
+        # Pick up the LIVE marker: a stale handle must not re-fold
+        # snapshots another process already applied (round-13 review).
+        self.dataset.reload()
         info = self.dataset.metadata.logical_plan
         source = Dataset.load(self.spark, info["source_location"])
         start = int(info.get("source_snapshot_synced", 0))
@@ -241,22 +276,45 @@ class MaterializedAggregate:
             )
         end = source.metadata.resolve_version(target_version)
         applied: List[int] = []
+        prev = start
         for snap in source._ancestors(start, end):
-            self._apply_snapshot(source, snap)
+            self._apply_snapshot(source, snap, expected_prev=prev)
+            prev = snap.snapshot_id
             applied.append(snap.snapshot_id)
         return applied
 
-    def _set_synced(self, source_snapshot_id: int) -> None:
-        def mutate(meta: md.StorageMetadata):
-            meta.logical_plan["source_snapshot_synced"] = \
-                source_snapshot_id
+    def _sync_mut(self, snapshot_id: int, expected_prev: int):
+        """Marker advance that REFUSES to run if another refresher got
+        there first — checked inside the commit critical section, so a
+        double-fold can never land (the commit aborts before any
+        metadata is written; the loser's shard files are uncommitted
+        orphans for vacuum)."""
 
-        self.dataset.metadata = self.dataset.log.update_refs(mutate)
+        def mutate(meta, _sid=snapshot_id, _prev=expected_prev):
+            cur = int(meta.logical_plan.get("source_snapshot_synced", 0))
+            if cur != _prev:
+                raise SpaceError(
+                    f"Concurrent refresh detected: expected this view "
+                    f"to be synced at source snapshot {_prev} but the "
+                    f"stored marker is {cur}; reload and refresh again"
+                )
+            meta.logical_plan["source_snapshot_synced"] = _sid
 
-    def _apply_snapshot(self, source, snap) -> None:
+        return mutate
+
+    def _set_synced(self, snapshot_id: int, expected_prev: int) -> None:
+        self.dataset.metadata = self.dataset.log.update_refs(
+            self._sync_mut(snapshot_id, expected_prev)
+        )
+
+    def _apply_snapshot(self, source, snap, expected_prev: int) -> None:
         gb = self.view.group_by
         aggs = self.view.aggs
-        in_cols = sorted({c for _fn, c in aggs.values() if c != "*"})
+        # Group-by columns ride along as keys; never re-select them as
+        # inputs (a min over a group key would otherwise duplicate the
+        # column in the delta select — round-13 review).
+        in_cols = sorted({c for _fn, c in aggs.values()
+                          if c != "*"} - set(gb))
         parts = []
         if snap.deleted_pks_file:
             # Deleted rows are PK-only in the log; their VALUES lived in
@@ -272,140 +330,163 @@ class MaterializedAggregate:
             parts.append(add_df.select(*gb, *in_cols)
                          .withColumn(_SIGN, F.lit(1)))
         if not parts:
-            self._set_synced(snap.snapshot_id)  # metadata-only snapshot
+            self._set_synced(snap.snapshot_id, expected_prev)
             return
         delta = parts[0]
         for p in parts[1:]:
             delta = delta.unionByName(p)
 
         sign = F.col(_SIGN)
-        dexprs = [F.sum(sign).alias("__d_rows")]
+        dexprs = [F.sum(sign).alias("__agg_delta_nrows")]
         for name, (fn, col) in sorted(aggs.items()):
             c = F.col(col) if col != "*" else None
             if fn == "count":
                 e = (F.sum(sign) if c is None
                      else F.sum(F.when(c.isNotNull(), sign)
                                 .otherwise(F.lit(0))))
-                dexprs.append(e.alias(f"__d_{name}"))
+                dexprs.append(e.alias(f"__agg_d_{name}"))
             elif fn in ("sum", "avg"):
+                # sign * value in the INPUT's arithmetic (long stays
+                # long — exact past 2^53; round-13 review).
                 dexprs.append(
-                    F.sum(F.when(c.isNotNull(),
-                                 sign.cast("double") * c.cast("double")))
-                    .alias(f"__d_sum_{name}"))
+                    F.sum(F.when(c.isNotNull(), sign * c))
+                    .alias(f"__agg_dsum_{name}"))
                 dexprs.append(
                     F.sum(F.when(c.isNotNull(), sign)
                           .otherwise(F.lit(0)))
-                    .alias(f"__d_nn_{name}"))
+                    .alias(f"__agg_dnn_{name}"))
             elif fn == "min":
                 dexprs.append(F.min(F.when(sign > 0, c))
-                              .alias(f"__d_add_{name}"))
+                              .alias(f"__agg_dadd_{name}"))
                 dexprs.append(F.min(F.when(sign < 0, c))
-                              .alias(f"__d_del_{name}"))
+                              .alias(f"__agg_ddel_{name}"))
             else:  # max
                 dexprs.append(F.max(F.when(sign > 0, c))
-                              .alias(f"__d_add_{name}"))
+                              .alias(f"__agg_dadd_{name}"))
                 dexprs.append(F.max(F.when(sign < 0, c))
-                              .alias(f"__d_del_{name}"))
-        dagg = delta.groupBy(*gb).agg(*dexprs)
+                              .alias(f"__agg_ddel_{name}"))
         has_deletes = bool(snap.deleted_pks_file)
 
-        # Old state rows for exactly the touched groups: group keys are
-        # the state PKs, so this is a pruned point read, O(touched).
-        old = self.dataset.read_by_keys(dagg.select(*gb))
-        old_pref = old.select(
-            *gb, *[F.col(c).alias(f"__o_{c}")
-                   for c in old.columns if c not in gb]
-        )
-        merged = dagg.join(old_pref, on=gb, how="left")
-
-        def o(cname):
-            return F.col(f"__o_{cname}")
-
-        new_rows = (F.coalesce(o(_ROWS_COL), F.lit(0))
-                    + F.col("__d_rows"))
-        out_cols = [F.col(g) for g in gb] + [new_rows.alias(_ROWS_COL)]
-        repair_flags = []
-        for name, (fn, col) in sorted(aggs.items()):
-            if fn == "count":
-                out_cols.append(
-                    (F.coalesce(o(name), F.lit(0))
-                     + F.col(f"__d_{name}")).alias(name))
-            elif fn in ("sum", "avg"):
-                acc = (F.coalesce(o(f"__agg_sum_{name}"), F.lit(0.0))
-                       + F.coalesce(F.col(f"__d_sum_{name}"),
-                                    F.lit(0.0)))
-                nn = (F.coalesce(o(f"__agg_nn_{name}"), F.lit(0))
-                      + F.col(f"__d_nn_{name}"))
-                out_cols.append(acc.alias(f"__agg_sum_{name}"))
-                out_cols.append(nn.alias(f"__agg_nn_{name}"))
-                if fn == "sum":
-                    # Preserve Spark's sum output type for the user col.
-                    dt = self.dataset.schema[name].dataType
-                    out_cols.append(
-                        F.when(nn > 0, acc).cast(dt).alias(name))
-                else:
-                    out_cols.append(
-                        F.when(nn > 0, acc / nn).alias(name))
-            else:  # min / max
-                fold = F.least if fn == "min" else F.greatest
-                candidate = fold(o(name), F.col(f"__d_add_{name}"))
-                if not has_deletes:
-                    # Insert-only snapshot: min/max are distributive,
-                    # no repair machinery (saves the flag scan + probe
-                    # job on the append-heavy common case).
-                    out_cols.append(candidate.alias(name))
-                    continue
-                # The stored extreme may have been deleted only when a
-                # deleted value TIES OR BEATS it — only those groups
-                # recompute (holistic repair, bounded to real damage).
-                dele = F.col(f"__d_del_{name}")
-                beats = (dele <= o(name)) if fn == "min" \
-                    else (dele >= o(name))
-                needs = (o(name).isNotNull() & dele.isNotNull() & beats)
-                repair_flags.append(needs.alias(f"__fix_{name}"))
-                out_cols.append(
-                    F.when(needs, F.lit(None).cast(
-                        self.dataset.schema[name].dataType
-                    )).otherwise(candidate).alias(name))
-
-        proj = merged.select(*out_cols, *repair_flags) \
-            if repair_flags else merged.select(*out_cols)
-
-        fix_cols = [n for n, (fn, _c) in sorted(aggs.items())
-                    if fn in ("min", "max")] if has_deletes else []
-
-        def _fold_and_commit():
-            self._fold_commit(source, snap, proj, fix_cols, gb, aggs)
-
-        # Pinned: proj feeds upserts, deletes, and the repair pass;
-        # blocks are released after the commit (the same leak guard as
+        # Blocks released after the commit (the same leak guard as
         # merge/apply_changes — a long multi-snapshot refresh would
         # otherwise pin one checkpointed RDD per snapshot).
         with self.dataset._release_new_blocks():
-            _fold_and_commit()
+            # Pin the delta aggregate ONCE: read_by_keys' bounds probe,
+            # the merge join, and the commit would otherwise each
+            # re-execute the whole delta plan — including the parent-
+            # version point read (round-13 review: 3x waste).
+            dagg = (delta.groupBy(*gb).agg(*dexprs)
+                    .localCheckpoint(eager=True))
 
-    def _fold_commit(self, source, snap, proj, fix_cols, gb, aggs):
+            # Old state rows for exactly the touched groups: group keys
+            # are the state PKs, so this is a pruned point read.
+            old = self.dataset.read_by_keys(dagg.select(*gb))
+            old_pref = old.select(
+                *gb, *[F.col(c).alias(f"__agg_o_{c}")
+                       for c in old.columns if c not in gb]
+            )
+            merged = dagg.join(old_pref, on=gb, how="left")
+
+            def o(cname):
+                return F.col(f"__agg_o_{cname}")
+
+            new_rows = (F.coalesce(o(_ROWS_COL), F.lit(0))
+                        + F.col("__agg_delta_nrows"))
+            out_cols = [F.col(g) for g in gb] + [
+                new_rows.alias(_ROWS_COL)
+            ]
+            repair_flags = []
+            for name, (fn, col) in sorted(aggs.items()):
+                if fn == "count":
+                    out_cols.append(
+                        (F.coalesce(o(name), F.lit(0))
+                         + F.col(f"__agg_d_{name}")).alias(name))
+                elif fn in ("sum", "avg"):
+                    acc = (F.coalesce(o(f"__agg_sum_{name}"), F.lit(0))
+                           + F.coalesce(F.col(f"__agg_dsum_{name}"),
+                                        F.lit(0)))
+                    nn = (F.coalesce(o(f"__agg_nn_{name}"), F.lit(0))
+                          + F.col(f"__agg_dnn_{name}"))
+                    acc_dt = self.dataset.schema[
+                        f"__agg_sum_{name}"].dataType
+                    out_cols.append(
+                        acc.cast(acc_dt).alias(f"__agg_sum_{name}"))
+                    out_cols.append(nn.alias(f"__agg_nn_{name}"))
+                    if fn == "sum":
+                        dt = self.dataset.schema[name].dataType
+                        out_cols.append(
+                            F.when(nn > 0, acc).cast(dt).alias(name))
+                    else:
+                        out_cols.append(
+                            F.when(nn > 0,
+                                   acc.cast("double") / nn).alias(name))
+                else:  # min / max
+                    fold = F.least if fn == "min" else F.greatest
+                    candidate = fold(o(name), F.col(f"__agg_dadd_{name}"))
+                    if not has_deletes:
+                        # Insert-only snapshot: min/max are
+                        # distributive, no repair machinery.
+                        out_cols.append(candidate.alias(name))
+                        continue
+                    # The stored extreme may have been deleted only
+                    # when a deleted value TIES OR BEATS it — only
+                    # those groups recompute.
+                    dele = F.col(f"__agg_ddel_{name}")
+                    beats = (dele <= o(name)) if fn == "min" \
+                        else (dele >= o(name))
+                    needs = (o(name).isNotNull() & dele.isNotNull()
+                             & beats)
+                    repair_flags.append(needs.alias(f"__agg_fix_{name}"))
+                    out_cols.append(
+                        F.when(needs, F.lit(None).cast(
+                            self.dataset.schema[name].dataType
+                        )).otherwise(candidate).alias(name))
+
+            proj = (merged.select(*out_cols, *repair_flags)
+                    if repair_flags else merged.select(*out_cols))
+            fix_cols = [n for n, (fn, _c) in sorted(aggs.items())
+                        if fn in ("min", "max")] if has_deletes else []
+            self._fold_commit(source, snap, proj, fix_cols, gb, aggs,
+                              expected_prev)
+
+    def _fold_commit(self, source, snap, proj, fix_cols, gb, aggs,
+                     expected_prev: int):
         proj = proj.localCheckpoint(eager=True)
         if fix_cols:
             any_fix = None
             for n in fix_cols:
-                flag = F.coalesce(F.col(f"__fix_{n}"), F.lit(False))
+                flag = F.coalesce(F.col(f"__agg_fix_{n}"), F.lit(False))
                 any_fix = flag if any_fix is None else (any_fix | flag)
             fix_keys = proj.where(any_fix).select(*gb)
-            if fix_keys.limit(1).count():
+            # Damaged groups are few by construction; collect them so
+            # the repair scan can PUSH an isin filter into the source
+            # read — manifest stats then prune the repair to files
+            # containing those groups instead of scanning the table
+            # (round-13 review). Past the cap, fall back to join-only.
+            key_rows = fix_keys.limit(
+                _REPAIR_PUSHDOWN_MAX_KEYS + 1).collect()
+            if key_rows:
+                flt = None
+                if len(key_rows) <= _REPAIR_PUSHDOWN_MAX_KEYS:
+                    from space_spark.core.expressions import field
+
+                    for g in gb:
+                        vals = list({r[g] for r in key_rows})
+                        e = field(g).isin(vals)
+                        flt = e if flt is None else (flt & e)
                 src_now = source.read(
-                    version=snap.snapshot_id
+                    flt, version=snap.snapshot_id
                 ).join(fix_keys, on=gb, how="inner")
                 rec = src_now.groupBy(*gb).agg(*[
                     (F.min(F.col(aggs[n][1])) if aggs[n][0] == "min"
-                     else F.max(F.col(aggs[n][1]))).alias(f"__r_{n}")
+                     else F.max(F.col(aggs[n][1]))).alias(f"__agg_r_{n}")
                     for n in fix_cols
                 ])
                 proj = proj.join(rec, on=gb, how="left")
                 repl = [
                     F.coalesce(
                         F.col(n),
-                        F.col(f"__r_{n}").cast(
+                        F.col(f"__agg_r_{n}").cast(
                             self.dataset.schema[n].dataType)
                     ).alias(n)
                     if n in fix_cols else F.col(n)
@@ -418,10 +499,9 @@ class MaterializedAggregate:
         upserts = (proj.where(F.col(_ROWS_COL) > 0)
                    .select(*state_cols))
         deletes = proj.where(F.col(_ROWS_COL) <= 0).select(*gb)
-
-        def sync_mut(meta, _sid=snap.snapshot_id):
-            meta.logical_plan["source_snapshot_synced"] = _sid
-
-        self.dataset.apply_changes(upserts, deletes,
-                                   commit_mutate=sync_mut,
-                                   operation="MV REFRESH")
+        self.dataset.apply_changes(
+            upserts, deletes,
+            commit_mutate=self._sync_mut(snap.snapshot_id,
+                                         expected_prev),
+            operation="MV REFRESH",
+        )

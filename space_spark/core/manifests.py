@@ -472,19 +472,21 @@ def prune_files(
     total_bytes = sum(os.path.getsize(p) for p in manifest_abs_paths)
     if total_bytes > _DRIVER_PRUNE_MAX_BYTES and any(
         c.startswith("_BLOOM")
-        for c in pq.ParquetFile(manifest_abs_paths[-1])
-        .schema_arrow.names
+        for p in {manifest_abs_paths[0], manifest_abs_paths[-1]}
+        for c in pq.ParquetFile(p).schema_arrow.names
     ):
         # Blooms dominate manifest bytes on indexed tables but the
         # arrow prune below never reads them — re-size the decision on
         # the STATS columns' actual chunk bytes (footer reads, early-
         # broken past the gate) or an indexed table would lose driver-
         # side pruning at a few hundred files (round 13; the r12 gate
-        # counted bloom bytes). UNindexed tables skip the walk: one
-        # schema read of the NEWEST manifest decides (stats bytes ~=
-        # raw bytes there, so the raw verdict already stands; a mixed
-        # table whose newest manifest predates set_bloom just takes the
-        # distributed path — never a wrong answer, round-13 review).
+        # counted bloom bytes). UNindexed tables skip the walk: two
+        # schema reads (OLDEST + NEWEST manifest) decide — newest
+        # catches an index enabled later, oldest catches legacy bloomed
+        # manifests after set_bloom(None) (second round-13 review: the
+        # newest-only check permanently demoted a dropped-index table);
+        # a mixed table neither endpoint reveals just takes the
+        # distributed path — never a wrong answer.
         total_bytes = 0
         for p in manifest_abs_paths:
             md_ = pq.ParquetFile(p).metadata

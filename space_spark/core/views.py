@@ -477,10 +477,11 @@ class MaterializedView:
             raise SpaceError(f"{location} is not a materialized view")
         if ds.metadata.logical_plan["plan"].get("op") == "aggregate":
             # Aggregate MVs share the table type but not the row-wise
-            # refresh algebra — dispatch (round 13, core/agg_views.py).
+            # refresh algebra — dispatch (round 13, core/agg_views.py),
+            # reusing the metadata load just performed.
             from space_spark.core.agg_views import MaterializedAggregate
 
-            return MaterializedAggregate.load(spark, location)
+            return MaterializedAggregate._from_loaded(ds)
         node = _load_plan_node(spark, ds.metadata.logical_plan["plan"], ds.log)
         return MaterializedView(ds, View(node))
 
@@ -506,6 +507,10 @@ class MaterializedView:
         list of source snapshot ids applied."""
         from space_spark.core.dataset import Dataset
 
+        # Pick up the LIVE marker: a stale handle must not re-apply
+        # snapshots another process already synced (round-13 review —
+        # a blind re-append would duplicate MV rows).
+        self.dataset.reload()
         info = self.dataset.metadata.logical_plan
         source = Dataset.load(self.spark, info["source_location"])
         start = int(info.get("source_snapshot_synced", 0))
@@ -523,14 +528,30 @@ class MaterializedView:
             )
         end = source.metadata.resolve_version(target_version)
         applied: List[int] = []
+        prev = start
         for snap in source._ancestors(start, end):
             # The synced marker must land ATOMICALLY with the final MV
             # commit for this source snapshot — a crash between an append
             # commit and a separate marker update would blind-re-append the
             # same source snapshot on restart, duplicating PK rows.
             # Replaying the steps BEFORE the marked commit is safe: a
-            # re-run delete matches nothing new.
-            def sync_mut(meta, _sid=snap.snapshot_id):
+            # re-run delete matches nothing new. The mutate also REFUSES
+            # to advance if another refresher moved the marker since
+            # this loop read it (round-13 review: a stale handle would
+            # otherwise re-append already-synced snapshots) — checked
+            # inside the commit critical section, so the commit aborts
+            # before any metadata is written.
+            def sync_mut(meta, _sid=snap.snapshot_id, _prev=prev):
+                cur = int(
+                    meta.logical_plan.get("source_snapshot_synced", 0)
+                )
+                if cur != _prev:
+                    raise SpaceError(
+                        "Concurrent refresh detected: expected this "
+                        f"view to be synced at source snapshot {_prev} "
+                        f"but the stored marker is {cur}; reload and "
+                        "refresh again"
+                    )
                 meta.logical_plan["source_snapshot_synced"] = _sid
 
             marked = False
@@ -560,12 +581,25 @@ class MaterializedView:
             if not marked:
                 # Nothing committed (no-op snapshot): marker-only update is
                 # safe — replaying a no-op is a no-op.
-                self._set_synced(snap.snapshot_id)
+                self._set_synced(snap.snapshot_id, expected_prev=prev)
+            prev = snap.snapshot_id
             applied.append(snap.snapshot_id)
         return applied
 
-    def _set_synced(self, source_snapshot_id: int) -> None:
+    def _set_synced(self, source_snapshot_id: int,
+                    expected_prev: Optional[int] = None) -> None:
         def mutate(meta: md.StorageMetadata):
+            if expected_prev is not None:
+                cur = int(
+                    meta.logical_plan.get("source_snapshot_synced", 0)
+                )
+                if cur != expected_prev:
+                    raise SpaceError(
+                        "Concurrent refresh detected: expected this "
+                        "view to be synced at source snapshot "
+                        f"{expected_prev} but the stored marker is "
+                        f"{cur}; reload and refresh again"
+                    )
             meta.logical_plan["source_snapshot_synced"] = source_snapshot_id
 
         self.dataset.metadata = self.dataset.log.update_refs(mutate)

@@ -199,3 +199,107 @@ def test_null_group_key_rejected(spark, tmp_location):
     mv = view.materialize(spark, tmp_location + "_mv")
     with pytest.raises(UserInputError, match="[Nn]ull"):
         mv.refresh()
+
+
+def test_internal_alias_namespace_cannot_collide(spark, source, tmp_location):
+    """A count output named 'rows' (or any name echoing the fold's
+    delta columns) must work — internal columns live under the
+    rejected-for-users '__' prefix (round-13 review)."""
+    view = source.aggregate_view(["grp"], {"rows": ("count", "*"),
+                                           "d_rows": ("count", "x"),
+                                           "sum_x": ("sum", "x")})
+    mv = view.materialize(spark, tmp_location + "_mv")
+    mv.refresh()
+    source.delete(field("id") == 1)
+    mv.refresh()
+    got = {r.grp: (r.rows, r.d_rows, r.sum_x)
+           for r in mv.read().collect()}
+    want = {r.grp: (r.rows, r.d_rows, r.sum_x)
+            for r in view.read().collect()}
+    assert got == want
+    with pytest.raises(UserInputError, match="collides"):
+        source.aggregate_view(["grp"], {"__agg_rows": ("count", "*")})
+
+
+def test_aggregate_over_group_by_column(spark, source, tmp_location):
+    """min/max over a column that IS a group key (constant per group)
+    used to duplicate the delta select (round-13 review)."""
+    view = source.aggregate_view(["grp"], {"g_min": ("min", "grp"),
+                                           "n": ("count", "*")})
+    mv = view.materialize(spark, tmp_location + "_mv")
+    mv.refresh()
+    source.delete(field("id") == 3)
+    mv.refresh()
+    got = {r.grp: (r.g_min, r.n) for r in mv.read().collect()}
+    want = {r.grp: (r.g_min, r.n) for r in view.read().collect()}
+    assert got == want
+
+
+def test_long_sums_stay_exact_past_double_precision(
+    spark, tmp_location
+):
+    """The sum accumulator keeps Spark's sum type (long for longs): a
+    double accumulator silently loses integers past 2^53 (round-13
+    review)."""
+    big = 1 << 53
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["id"])
+    ds.append(_rows(spark, [(1, "a", big), (2, "a", 1), (3, "a", 1)]))
+    view = ds.aggregate_view(["grp"], {"s": ("sum", "x")})
+    mv = view.materialize(spark, tmp_location + "_mv")
+    mv.refresh()
+    ds.delete(field("id") == 3)
+    mv.refresh()
+    got = mv.read().collect()[0]
+    assert got.s == big + 1  # a double accumulator would round to big
+    assert view.read().collect()[0].s == big + 1
+
+
+def test_concurrent_refresh_cannot_double_fold(
+    spark, source, tmp_location
+):
+    """The synced marker is verified INSIDE the commit critical
+    section: a refresher whose marker expectation is stale fails fast
+    instead of folding an already-applied delta twice (round-13
+    review)."""
+    from space_spark.errors import SpaceError
+
+    view = source.aggregate_view(["grp"], {"n": ("count", "*")})
+    mv = view.materialize(spark, tmp_location + "_mv")
+    mv.refresh()
+    source.append(_rows(spark, [(10, "a", 1)]))
+    snap = source.metadata.snapshot(source.current_snapshot_id)
+    # Simulate another process applying snapshot 2 between this
+    # handle's marker read and its commit.
+    mv._set_synced(2, expected_prev=1)
+    with pytest.raises(SpaceError, match="Concurrent refresh"):
+        mv._apply_snapshot(source, snap, expected_prev=1)
+    # State did not double-fold; a clean refresh picks up nothing new.
+    mv2 = MaterializedAggregate.load(spark, tmp_location + "_mv")
+    assert mv2.refresh() == []
+    # The marker-only guard fires too.
+    with pytest.raises(SpaceError, match="Concurrent refresh"):
+        mv2._set_synced(3, expected_prev=1)
+
+
+def test_read_fields_projection(spark, source, tmp_location):
+    view = source.aggregate_view(["grp"], {"n": ("count", "*"),
+                                           "s": ("sum", "x")})
+    mv = view.materialize(spark, tmp_location + "_mv")
+    mv.refresh()
+    assert sorted(mv.read(fields=["grp", "n"]).columns) == ["grp", "n"]
+    with pytest.raises(UserInputError, match="Unknown fields"):
+        mv.read(fields=["__agg_rows"])
+
+
+def test_rowwise_mv_guard_against_stale_marker(spark, tmp_location):
+    """The row-wise MV's marker advance carries the same stale-handle
+    guard (round-13 review: a blind re-append would duplicate rows)."""
+    from space_spark.errors import SpaceError
+
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["id"])
+    ds.append(_rows(spark, [(1, "a", 1)]))
+    view = ds.filter_view(lambda row: row["x"] >= 0)
+    mv = view.materialize(spark, tmp_location + "_mv")
+    mv.refresh()
+    with pytest.raises(SpaceError, match="Concurrent refresh"):
+        mv._set_synced(2, expected_prev=0)  # marker is actually 1
