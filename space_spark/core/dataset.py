@@ -1542,6 +1542,33 @@ class Dataset:
                       for k in self.primary_keys]
                 ).write.parquet(self.log.abs_path(deletes_rel))
                 bitmap_rel = self._write_all_rows_bitmaps(parent)
+                # A parent whose listed files hold ZERO live rows (all
+                # CoW-emptied or fully vector-masked) produces an EMPTY
+                # PK dump — drop it, or the snapshot would carry a
+                # deletes stream with no bitmap sidecar, breaking the
+                # "PK stream iff bitmap stream" invariant the DML model
+                # pins (and making CDC replay a spurious empty DELETE).
+                abs_del = self.log.abs_path(deletes_rel)
+                try:
+                    # Footer-only row count: O(part files), no data read
+                    # (the dump is O(old-table keys) — reading it back
+                    # would double the job's I/O).
+                    n_old = sum(
+                        pq.ParquetFile(
+                            os.path.join(abs_del, f)
+                        ).metadata.num_rows
+                        for f in os.listdir(abs_del)
+                        if f.endswith(".parquet")
+                    )
+                except OSError:
+                    n_old = 0  # zero-partition write: no part files
+                if not n_old:
+                    import shutil
+
+                    shutil.rmtree(self.log.abs_path(deletes_rel),
+                                  ignore_errors=True)
+                    deletes_rel = None
+                    bitmap_rel = None
             snap = md.Snapshot(
                 snapshot_id=-1,
                 parent_snapshot_id=pinned,

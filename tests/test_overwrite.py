@@ -191,3 +191,23 @@ def test_overwrite_bitmap_keeps_exact_encoding_for_masked_files(
     assert len(exact) == 1
     blob, nr, nd = exact[0]
     assert nd == nr - 1  # one hidden row excluded from the complement
+
+
+def test_overwrite_of_fully_deleted_table_logs_no_delete_stream(
+    spark, tmp_location
+):
+    """Parent manifests still LIST files after a CoW delete emptied the
+    table; an overwrite then must not log an empty PK-delete stream
+    (the DML model pins: deleted_pks_file set iff deleted_bitmap_file
+    set iff rows were actually visible to delete)."""
+    ds = Dataset.create(spark, tmp_location, SCHEMA, ["id"])
+    ds.append(_rows(spark, 0, 5))
+    ds.delete(field("id") < 100)  # CoW-empties the table
+    v = ds.current_snapshot_id
+    ds.overwrite(_rows(spark, 200, 203))
+    snap = ds.metadata.snapshot(ds.current_snapshot_id)
+    assert snap.deleted_pks_file is None
+    assert snap.deleted_bitmap_file is None
+    d = ds.diff(v, None)
+    assert d.where(F.col("_change_type") == "DELETE").count() == 0
+    assert d.where(F.col("_change_type") == "ADD").count() == 3
