@@ -982,27 +982,49 @@ def dedup_substrings(
         )
         .select(id_col, "s", "__h")
     )
-    winners = (
+    # Winner-per-fingerprint stays a partial-aggregable groupBy-min
+    # (skew-safe: a fingerprint occurring 10^9 times collapses to one
+    # row per task before the exchange). r13-opt restructure, two
+    # changes with identical semantics:
+    # - Only fingerprints with count > 1 can yield dup windows (a
+    #   count-1 fingerprint's sole window IS its winner), so the
+    #   join-back's build side shrinks from O(distinct fingerprints) —
+    #   corpus-sized — to O(duplicated fingerprints), typically a tiny
+    #   fraction (guide §2.3/§3.1: shuffle fewer bytes; the eager
+    #   checkpoint gives AQE the exact size so it broadcasts when
+    #   small, removing the corpus-side exchange outright).
+    # - The old "__first IS NULL" left-join filter becomes an inner
+    #   join + (id, s) != winner — same rows (id/s are non-null
+    #   posexplode outputs).
+    dup_fps = (
         win.groupBy("__h")
-        .agg(F.min(F.struct(F.col(id_col), F.col("s"))).alias("__w"))
+        .agg(F.min(F.struct(F.col(id_col), F.col("s"))).alias("__w"),
+             F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
         .select(
             "__h",
-            F.col(f"__w.{id_col}").alias(id_col),
-            F.col("__w.s").alias("s"),
-            F.lit(True).alias("__first"),
+            F.col(f"__w.{id_col}").alias("__wid"),
+            F.col("__w.s").alias("__ws"),
         )
+        .localCheckpoint(eager=True)
     )
     dup_windows = (
-        win.join(winners, on=["__h", id_col, "s"], how="left")
-        .where(F.col("__first").isNull())
+        win.join(dup_fps, on="__h", how="inner")
+        .where((F.col(id_col) != F.col("__wid"))
+               | (F.col("s") != F.col("__ws")))
         .select(id_col, "s")
     )
+    # Pinned: `covered` is consumed THREE times downstream (touched-id
+    # set, per-position anti-join, dropped counts) and embeds the whole
+    # fingerprint pipeline — unpinned, the window-hash computation ran
+    # ~6x per query (the r13-opt explain showed 24 parquet scans).
+    # Bounded by duplication volume, never corpus size.
     covered = dup_windows.select(
         id_col,
         F.explode(
             F.sequence(F.col("s"), F.col("s") + F.lit(window - 1))
         ).alias("pos"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     # Only documents that actually contain a duplicated span pay the
     # token-explode + rebuild shuffle; the (typically vast) untouched
     # majority passes through as a projection. The touched-id set is

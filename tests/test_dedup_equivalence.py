@@ -590,4 +590,9 @@ def test_unigram_and_cdc_leave_no_persistent_rdds(spark):
         e.queries()[name](spark, SF_DIR).write.mode(
             "overwrite").format("noop").save()
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after == before, f"{after - before} persisted RDDs leaked"
+    # <= not ==: the async ContextCleaner may reclaim OTHER tests'
+    # garbage-collected checkpoint blocks while this test runs (observed
+    # as a negative delta); the contract here is "these two queries must
+    # not ACCUMULATE pinned RDDs", and concurrent cleanup only shrinks
+    # the pool.
+    assert after <= before, f"{after - before} persisted RDDs leaked"
