@@ -375,8 +375,12 @@ class MaterializedAggregate:
             # the merge join, and the commit would otherwise each
             # re-execute the whole delta plan — including the parent-
             # version point read (round-13 review: 3x waste).
+            # Lazy (r13-opt): read_by_keys' bounds probe below is a
+            # full pass over dagg — it materializes the checkpoint in
+            # the same job instead of paying a dedicated
+            # pre-materialization job per snapshot.
             dagg = (delta.groupBy(*gb).agg(*dexprs)
-                    .localCheckpoint(eager=True))
+                    .localCheckpoint(eager=False))
 
             # Old state rows for exactly the touched groups: group keys
             # are the state PKs, so this is a pruned point read.
@@ -451,7 +455,11 @@ class MaterializedAggregate:
 
     def _fold_commit(self, source, snap, proj, fix_cols, gb, aggs,
                      expected_prev: int):
-        proj = proj.localCheckpoint(eager=True)
+        # Lazy (r13-opt): the next action (repair-key probe, or the
+        # upsert shard write) evaluates proj and materializes the
+        # checkpoint as it goes; the single evaluation still pins the
+        # merged state for all three consumers.
+        proj = proj.localCheckpoint(eager=False)
         if fix_cols:
             any_fix = None
             for n in fix_cols:

@@ -830,7 +830,13 @@ class Dataset:
 
         idents = self.metadata.identity_columns
         cols = sorted(idents)
-        pinned = df.localCheckpoint(eager=True)
+        # Lazy checkpoint (r13-opt): the very next statement is the
+        # per-partition null-count aggregate — a full scan that
+        # materializes every partition of the checkpoint in the SAME
+        # job, so an eager pre-materialization job would only duplicate
+        # it. Pinning semantics are identical: ids are assigned from
+        # the one evaluation that aggregate performs.
+        pinned = df.localCheckpoint(eager=False)
         marked = pinned.withColumn("__pid", F.spark_partition_id())
         rows = marked.groupBy("__pid").agg(
             *[F.sum(F.col(c).isNull().cast("long")).alias(c)
@@ -2157,7 +2163,14 @@ class Dataset:
                 f"table has {clash}"
             )
         with self._release_new_blocks():
-            source = self._align(source).localCheckpoint(eager=True)
+            # Lazy (r13-opt): read_by_keys' bounds probe on the next
+            # line is a full min/max/count pass over the source — it
+            # materializes every checkpoint partition in one job; an
+            # eager checkpoint would run that scan twice. The pin is
+            # established by that first evaluation, before any derived
+            # branch (adds/deletes) executes — the r9 divergent-matched-
+            # set hazard stays closed.
+            source = self._align(source).localCheckpoint(eager=False)
             # Target side of matched pairs, renamed so conditions and
             # set expressions can see both rows; __m tags existence
             # (left join below).
@@ -2673,7 +2686,12 @@ class Dataset:
         # nothing reads them afterward — without the release every CDC
         # micro-batch would leak one persisted RDD).
         with self._release_new_blocks():
-            tagged = tagged.localCheckpoint(eager=True)
+            # Lazy (r13-opt): the fused dup-check/bounds aggregate in
+            # _apply_changes_commit is the first action and scans every
+            # partition — it materializes the checkpoint in the same
+            # job. The key set is still pinned by that single
+            # evaluation; bounds and probe read the same blocks.
+            tagged = tagged.localCheckpoint(eager=False)
             return self._apply_changes_commit(
                 tagged, manifest_rel, files, rows, nbytes,
                 commit_mutate=commit_mutate, operation=operation,
