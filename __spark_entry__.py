@@ -4565,6 +4565,10 @@ def ann_recall_report(spark, sf_dir):
     exact = (
         cosine_topk(emb, q, "vec_id", "embedding", k=5, n_queries=5)
         .where(F.col("rank") <= 5).select("query_id", "neighbor_id")
+        # Pinned (r13-opt): consumed twice below (hit join + base
+        # grid); unpinned, the whole exact scoring pass — a full
+        # corpus x queries fold — executed twice per run. 25 rows.
+        .localCheckpoint(eager=True)
     )
     methods = [
         ("lsh", lsh_bucket_topk(emb, q, "vec_id", "embedding", k=5,

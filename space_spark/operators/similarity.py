@@ -34,6 +34,44 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+# Constructed-Column memo (r13-opt): building one dot() costs ~15-30
+# py4j round trips (zip_with + aggregate + the lambda bodies), and ANN
+# queries construct the same trees dozens of times per plan — cProfile
+# showed seconds of pure DRIVER latency per query (planning cost,
+# guide §7.3). Unresolved Columns are immutable descriptors, safe to
+# reuse across plans, but a cache must never key two DIFFERENT bound
+# columns together (df1["v"] and df2["v"] both stringify as "v"), so
+# the memo takes column NAMES and builds the unbound F.col itself —
+# interchangeable by construction. Public dot() stays uncached for
+# arbitrary (possibly bound) operands. Resets per SparkContext, like
+# _plane_lit.
+_DOT_CACHE: dict = {"ctx": None, "cols": {}}
+
+
+def _dotn(a: str, b) -> Column:
+    """Memoized dot over an unbound column name ``a`` and either an
+    unbound column name or a hyperplane tuple ``b`` (internal)."""
+    from pyspark import SparkContext
+
+    ctx = SparkContext._active_spark_context
+    if _DOT_CACHE["ctx"] is not ctx:
+        _DOT_CACHE["ctx"] = ctx
+        _DOT_CACHE["cols"] = {}
+    cols = _DOT_CACHE["cols"]
+    key = (a, b)
+    col = cols.get(key)
+    if col is None:
+        bcol = _plane_lit(b) if isinstance(b, tuple) else F.col(b)
+        col = dot(F.col(a), bcol)
+        cols[key] = col
+    return col
+
+
+def _normn(a: str) -> Column:
+    """Memoized norm over an unbound column name (internal)."""
+    return F.sqrt(_dotn(a, a))
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -100,12 +138,12 @@ def cosine_topk(
     queries = queries.where(F.col(vec_col).isNotNull())
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("qn", norm(F.col("qv"))).where(_usable_norm(F.col("qn")))
+    ).withColumn("qn", _normn("qv")).where(_usable_norm(F.col("qn")))
     from space_spark.operators.dedup import _fan_out
 
     c = _fan_out(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )).withColumn("cn", norm(F.col("cv"))).where(_usable_norm(F.col("cn")))
+    )).withColumn("cn", _normn("cv")).where(_usable_norm(F.col("cn")))
     if n_queries is None:
         n_queries = q.limit(broadcast_max + 1).count()
     q_side = F.broadcast(q) if n_queries <= broadcast_max else q
@@ -115,7 +153,7 @@ def cosine_topk(
         c.join(q_side, F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "score",
-            F.round(dot(F.col("qv"), F.col("cv"))
+            F.round(_dotn("qv", "cv")
                     / (F.col("qn") * F.col("cn")), round_digits),
         )
     )
@@ -169,14 +207,14 @@ def hard_negatives(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.col(label_col).alias("qlabel"),
-    ).withColumn("qn", norm(F.col("qv"))).where(_usable_norm(F.col("qn")))
+    ).withColumn("qn", _normn("qv")).where(_usable_norm(F.col("qn")))
     from space_spark.operators.dedup import _fan_out
 
     c = _fan_out(corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.col(label_col).alias("neighbor_label"),
-    )).withColumn("cn", norm(F.col("cv"))).where(_usable_norm(F.col("cn")))
+    )).withColumn("cn", _normn("cv")).where(_usable_norm(F.col("cn")))
     if n_queries is None:
         n_queries = q.limit(broadcast_max + 1).count()
     q_side = F.broadcast(q) if n_queries <= broadcast_max else q
@@ -188,7 +226,7 @@ def hard_negatives(
         )
         .withColumn(
             "score",
-            F.round(dot(F.col("qv"), F.col("cv"))
+            F.round(_dotn("qv", "cv")
                     / (F.col("qn") * F.col("cn")), round_digits),
         )
     )
@@ -235,13 +273,20 @@ def _plane_lit(plane: tuple) -> Column:
     cols = _PLANE_LIT_CACHE["cols"]
     col = cols.get(plane)
     if col is None:
-        col = F.array(*[F.lit(v) for v in plane])
+        # One py4j call for the whole array literal instead of one per
+        # element (r13-opt; value- and type-identical: ArrayType(double,
+        # containsNull=false) either way, checked live on 4.1).
+        col = F.lit(list(plane))
         cols[plane] = col
     return col
 
 
-def lsh_bucket(vec: Column, planes: List[List[float]]) -> Column:
-    """Sign-bit bucket id from fixed random hyperplanes."""
+def lsh_bucket(vec, planes: List[List[float]]) -> Column:
+    """Sign-bit bucket id from fixed random hyperplanes. ``vec`` is a
+    Column, or an unbound column NAME (r13-opt: the name form routes
+    each plane dot through the `_dotn` memo — the per-plane expression
+    trees are the module's most-rebuilt, and internal callers always
+    hash a plain projected column)."""
     if not planes or len(planes) > 30:
         # >30 bits overflows the int32 bucket id (CAST_OVERFLOW kills the
         # job under ANSI; silent wraparound merges unrelated buckets
@@ -250,9 +295,14 @@ def lsh_bucket(vec: Column, planes: List[List[float]]) -> Column:
         raise ValueError(
             f"lsh_bucket needs 1..30 planes, got {len(planes)}"
         )
+    pdot = (
+        (lambda plane: _dotn(vec, tuple(plane)))
+        if isinstance(vec, str)
+        else (lambda plane: dot(vec, _plane_lit(tuple(plane))))
+    )
     bits = [
         F.when(
-            dot(vec, _plane_lit(tuple(plane))) >= 0, F.lit(1 << i)
+            pdot(plane) >= 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
         for i, plane in enumerate(planes)
     ]
@@ -297,15 +347,15 @@ def lsh_bucket_topk(
     c = _fan_out(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ), min_bytes=8 << 20).withColumn(
-        "bucket", lsh_bucket(F.col("cv"), planes)
-    ).withColumn("cn", norm(F.col("cv"))).where(
+        "bucket", lsh_bucket("cv", planes)
+    ).withColumn("cn", _normn("cv")).where(
         _usable_norm(F.col("cn"))
     )
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("bucket0", lsh_bucket(F.col("qv"), planes)) \
-        .withColumn("qn", norm(F.col("qv"))) \
+    ).withColumn("bucket0", lsh_bucket("qv", planes)) \
+        .withColumn("qn", _normn("qv")) \
         .where(_usable_norm(F.col("qn")))
     # Multi-probe: enumerate buckets at hamming distance <= probes.
     probe_buckets = [F.col("bucket0")]
@@ -323,7 +373,7 @@ def lsh_bucket_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "score",
-            F.round(dot(F.col("qv"), F.col("cv"))
+            F.round(_dotn("qv", "cv")
                     / (F.col("qn") * F.col("cn")), round_digits),
         )
     )
@@ -391,13 +441,13 @@ def ivf_centroids(
     # tripling the sweep's dominant cost; the rounded quotient is built
     # from the same doubles either way.
     scored = (
-        corpus_v.withColumn("__nrm", norm(F.col("v")))
+        corpus_v.withColumn("__nrm", _normn("v"))
         .crossJoin(F.broadcast(
-            seeds.withColumn("__cnrm", norm(F.col("cent_v")))
+            seeds.withColumn("__cnrm", _normn("cent_v"))
         ))
         .withColumn(
             "csim",
-            F.round(dot(F.col("v"), F.col("cent_v"))
+            F.round(_dotn("v", "cent_v")
                     / (F.col("__nrm") * F.col("__cnrm")), 6),
         )
     )
@@ -458,9 +508,9 @@ def ivf_topk(
     from space_spark.operators.dedup import _fan_out
 
     corpus = corpus.where(F.col(vec_col).isNotNull()
-                          & _usable_norm(norm(F.col(vec_col))))
+                          & _usable_norm(_normn(vec_col)))
     queries = queries.where(F.col(vec_col).isNotNull()
-                            & _usable_norm(norm(F.col(vec_col))))
+                            & _usable_norm(_normn(vec_col)))
     v = _fan_out(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     )
@@ -473,15 +523,15 @@ def ivf_topk(
         # Norms cached per row / per centroid pre-join (bit-identical:
         # sqrt(dot(v,v)) is the same double either way), so assignment and
         # probe scoring each cost one array fold per candidate, not three.
-        cn_ = F.broadcast(cents.withColumn("cnrm", norm(F.col("cent_v"))))
+        cn_ = F.broadcast(cents.withColumn("cnrm", _normn("cent_v")))
 
         def assign(side: DataFrame, top_n: int) -> DataFrame:
-            scored_c = side.withColumn("nrm", norm(F.col("v"))).crossJoin(
+            scored_c = side.withColumn("nrm", _normn("v")).crossJoin(
                 cn_
             ).withColumn(
                 "csim",
                 F.round(
-                    dot(F.col("v"), F.col("cent_v"))
+                    _dotn("v", "cent_v")
                     / (F.col("nrm") * F.col("cnrm")),
                     6,
                 ),
@@ -509,7 +559,7 @@ def ivf_topk(
         score_expr = F.round(cosine(F.col("qv"), F.col("cv")), round_digits)
     else:
         score_expr = F.round(
-            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            _dotn("qv", "cv") / (F.col("qn") * F.col("cn")),
             round_digits,
         )
     scored = (
@@ -648,7 +698,7 @@ def neardup_pairs(
         df.where(F.col(id_col).isNotNull()
                  & F.col(vec_col).isNotNull()
                  & (F.size(F.col(vec_col)) == dim)
-                 & _usable_norm(norm(F.col(vec_col))))
+                 & _usable_norm(_normn(vec_col)))
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     )
     if exact:
@@ -656,8 +706,8 @@ def neardup_pairs(
     planes = _hyperplanes(dim, n_planes, seed)
     # Norm cached per row pre-join (bit-identical: the rounded cosine is
     # built from the same doubles), so each candidate pair costs one dot.
-    vb_ = v.withColumn("bucket", lsh_bucket(F.col("v"), planes)) \
-        .withColumn("nrm", norm(F.col("v")))
+    vb_ = v.withColumn("bucket", lsh_bucket("v", planes)) \
+        .withColumn("nrm", _normn("v"))
     a = vb_.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                    F.col("nrm").alias("na"), "bucket")
     b = vb_.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
@@ -666,7 +716,7 @@ def neardup_pairs(
     return (
         pairs.withColumn(
             "score",
-            F.round(dot(F.col("va"), F.col("vb"))
+            F.round(_dotn("va", "vb")
                     / (F.col("na") * F.col("nb")), 4),
         )
         .where(F.col("score") >= threshold)
@@ -780,7 +830,7 @@ def _semantic_assign(
     # in-cluster dot would then run on one core. Fan out first.
     v = _fan_out(
         corpus.where(F.col(vec_col).isNotNull()
-                     & _usable_norm(norm(F.col(vec_col))))
+                     & _usable_norm(_normn(vec_col)))
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     )
     cents = ivf_centroids(v, n_clusters, refine=refine)
@@ -789,12 +839,12 @@ def _semantic_assign(
     # three, with bit-identical results — sqrt(dot(v,v)) is the same
     # double whether computed inline per pair or once per row, so the
     # rounded cosine (and the SQL oracle) are unchanged.
-    vn = v.withColumn("nrm", norm(F.col("v")))
-    cn = F.broadcast(cents.withColumn("cnrm", norm(F.col("cent_v"))))
+    vn = v.withColumn("nrm", _normn("v"))
+    cn = F.broadcast(cents.withColumn("cnrm", _normn("cent_v")))
     scored_c = vn.crossJoin(cn).withColumn(
         "csim",
         F.round(
-            dot(F.col("v"), F.col("cent_v"))
+            _dotn("v", "cent_v")
             / (F.col("nrm") * F.col("cnrm")),
             6,
         ),
@@ -875,7 +925,7 @@ def semantic_dedup(
               & (F.col("a.id") < F.col("b.id")))
         .where(
             F.round(
-                dot(F.col("a.v"), F.col("b.v"))
+                _dotn("a.v", "b.v")
                 / (F.col("a.nrm") * F.col("b.nrm")),
                 6,
             )
@@ -990,7 +1040,7 @@ def random_projection(
         ),
     )
     comps = [
-        F.round(dot(v, _plane_lit(tuple(p))) * F.lit(inv), round_digits)
+        F.round(_dotn(vec_col, tuple(p)) * F.lit(inv), round_digits)
         for p in planes
     ]
     return _fan_out(
