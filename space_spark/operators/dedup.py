@@ -625,7 +625,14 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             labels.union(neigh)
             .groupBy("doc")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            # Lazy (r13-opt): the no-change count below is the sole
+            # next consumer and scans every partition, materializing
+            # the checkpoint in the same job — one job per iteration
+            # instead of two. (edges/labels above stay EAGER: they are
+            # consumed by parallel stages of a single action, where a
+            # lazy checkpoint can be double-computed by concurrently
+            # scheduled stages.)
+            .localCheckpoint(eager=False)
         )
         # Min-propagation labels only decrease; fixpoint == no decrease.
         changed = (
