@@ -914,6 +914,61 @@ def dedup_lines(
 
 
 # ---------------------------------------------------- substring dedup
+def _substr_tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __toks) tokenization shared by dedup_substrings' window and
+    rebuild branches. NULL text tokenizes to NULL; coalesce to an empty
+    array so such docs flow through the untouched branch as ('', 0, 0) —
+    matching the SQL oracle's COALESCE over an absent aggregate row.
+    Empty tokens filtered: trim strips spaces only, so a trailing \\n
+    would otherwise add a phantom "" token that shifts every window
+    fingerprint and inflates n_kept (same defect class as _norm_tokens;
+    the rebuild would also emit doubled spaces)."""
+    toks = F.filter(
+        F.coalesce(
+            F.split(F.trim(F.col(text_col)), r"\s+"),
+            F.array().cast("array<string>"),
+        ),
+        lambda t: t != "",
+    )
+    return df.select(F.col(id_col), toks.alias("__toks"))
+
+
+def _substr_window_fingerprints(
+    base: DataFrame, id_col: str, window: int, oracle_compat: bool
+) -> DataFrame:
+    """(id, s, __h): one fingerprint per length-``window`` token run.
+    Default xxhash64 (8-byte LONG on the corpus-sized winners exchange);
+    md5 hex only under oracle_compat. Split out so the plan-shape test
+    can audit the fingerprint width — the eager ``dup_fps``/``covered``
+    checkpoints hide this subtree from the public query's final plan."""
+    n = F.size(F.col("__toks"))
+    fingerprint = F.md5 if oracle_compat else F.xxhash64
+    empty_t = "array<string>" if oracle_compat else "array<bigint>"
+    return (
+        base.select(
+            id_col,
+            "__toks",
+            F.posexplode(
+                # Docs shorter than the window yield NO windows (Spark's
+                # sequence(0, -1) would descend, not stay empty).
+                F.when(
+                    n >= window,
+                    F.transform(
+                        F.sequence(F.lit(0), n - window),
+                        lambda s: fingerprint(
+                            F.concat_ws(
+                                " ",
+                                F.slice(F.col("__toks"), s + 1, window),
+                            )
+                        ),
+                    ),
+                ).otherwise(F.array().cast(empty_t))
+            ).alias("s", "__h"),
+        )
+        .select(id_col, "s", "__h")
+    )
+
+
 def dedup_substrings(
     df: DataFrame,
     id_col: str,
@@ -948,47 +1003,8 @@ def dedup_substrings(
     final anti-join and rebuild shuffle on uniform (id, pos) /
     (id) keys and run ONLY over documents that contain a duplicated
     span — the untouched majority passes through as a projection."""
-    # NULL text tokenizes to NULL; coalesce to an empty array so such
-    # docs flow through the untouched branch as ('', 0, 0) — matching
-    # the SQL oracle's COALESCE over an absent aggregate row. Empty
-    # tokens filtered: trim strips spaces only, so a trailing \n would
-    # otherwise add a phantom "" token that shifts every window
-    # fingerprint and inflates n_kept (same defect class as
-    # _norm_tokens; the rebuild would also emit doubled spaces).
-    toks = F.filter(
-        F.coalesce(
-            F.split(F.trim(F.col(text_col)), r"\s+"),
-            F.array().cast("array<string>"),
-        ),
-        lambda t: t != "",
-    )
-    base = df.select(F.col(id_col), toks.alias("__toks"))
-    n = F.size(F.col("__toks"))
-    fingerprint = F.md5 if oracle_compat else F.xxhash64
-    empty_t = "array<string>" if oracle_compat else "array<bigint>"
-    win = (
-        base.select(
-            id_col,
-            "__toks",
-            F.posexplode(
-                # Docs shorter than the window yield NO windows (Spark's
-                # sequence(0, -1) would descend, not stay empty).
-                F.when(
-                    n >= window,
-                    F.transform(
-                        F.sequence(F.lit(0), n - window),
-                        lambda s: fingerprint(
-                            F.concat_ws(
-                                " ",
-                                F.slice(F.col("__toks"), s + 1, window),
-                            )
-                        ),
-                    ),
-                ).otherwise(F.array().cast(empty_t))
-            ).alias("s", "__h"),
-        )
-        .select(id_col, "s", "__h")
-    )
+    base = _substr_tokenized(df, id_col, text_col)
+    win = _substr_window_fingerprints(base, id_col, window, oracle_compat)
     # Winner-per-fingerprint stays a partial-aggregable groupBy-min
     # (skew-safe: a fingerprint occurring 10^9 times collapses to one
     # row per task before the exchange). r13-opt restructure, two

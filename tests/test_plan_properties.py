@@ -224,17 +224,26 @@ def test_no_python_rdd_literals_in_plans(spark):
 def test_dedup_substrings_default_fingerprint_is_long(spark):
     """The corpus-sized winners exchange must carry 8-byte xxhash64
     longs by default — md5's 32-char hex strings (4x the shuffle bytes)
-    are reserved for oracle_compat cross-engine verification."""
-    from space_spark.operators.dedup import dedup_substrings
+    are reserved for oracle_compat cross-engine verification.
 
+    Audited on the fingerprint subplan (`_substr_window_fingerprints`):
+    the r13-opt eager `dup_fps`/`covered` checkpoints materialize this
+    subtree at construction time, so the public query's final plan no
+    longer embeds the fingerprint expressions — the subplan is exactly
+    what feeds the winners exchange."""
+    from space_spark.operators.dedup import (
+        _substr_tokenized,
+        _substr_window_fingerprints,
+    )
+
+    base = _substr_tokenized(_docs(spark), "doc_id", "text")
     default_plan = plan_of(
-        dedup_substrings(_docs(spark), "doc_id", "text", window=12)
+        _substr_window_fingerprints(base, "doc_id", 12, oracle_compat=False)
     )
     assert "xxhash64" in default_plan
     assert "md5" not in default_plan
     compat_plan = plan_of(
-        dedup_substrings(_docs(spark), "doc_id", "text", window=12,
-                         oracle_compat=True)
+        _substr_window_fingerprints(base, "doc_id", 12, oracle_compat=True)
     )
     assert "md5" in compat_plan
 
