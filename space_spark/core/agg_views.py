@@ -512,4 +512,10 @@ class MaterializedAggregate:
             commit_mutate=self._sync_mut(snap.snapshot_id,
                                          expected_prev),
             operation="MV REFRESH",
+            # upserts/deletes both project `proj` — one groupBy(gb)
+            # output, unique on the MV's primary keys (= gb) by
+            # construction — so the dup-check aggregate is skippable
+            # (r13-opt: one groupBy exchange + written-files re-scan
+            # saved per folded snapshot).
+            _adds_unique=True,
         )

@@ -2547,8 +2547,10 @@ class Dataset:
             return keys_df.hint("broadcast")
         return keys_df.hint("shuffle_hash")
 
+    _DERIVE_PRUNE = object()  # sentinel: build prune_expr from bounds
+
     def _matching_delete_parts(self, keys_df: DataFrame, n_keys=None,
-                               bounds=None):
+                               bounds=None, prune_expr=_DERIVE_PRUNE):
         """CoW-delete inputs for rows whose PKs appear in ``keys_df``:
         (affected rel files, survivors df, written deletes relpath) —
         ([], None, None) when nothing matches. Computes and writes the
@@ -2557,24 +2559,28 @@ class Dataset:
         The probe is manifest-pruned by the keys' min/max range (same
         derivation as ``read_by_keys``) — a 10-row upsert into a huge
         clustered table touches the few overlapping files, never the
-        whole table."""
+        whole table. ``prune_expr`` overrides the bounds-derived range
+        (apply_changes' unique-adds path passes a union-of-boxes
+        expression; an explicit None means no pruning)."""
         pks = self.primary_keys
-        if bounds is None or n_keys is None:
-            row = keys_df.agg(
-                F.count(F.lit(1)).alias("__n"),
-                *[F.min(k).alias(f"mn_{k}") for k in pks],
-                *[F.max(k).alias(f"mx_{k}") for k in pks],
-            ).collect()[0]
-            bounds = row
-            if n_keys is None:
-                n_keys = int(row["__n"] or 0)
+        if prune_expr is Dataset._DERIVE_PRUNE:
+            if bounds is None or n_keys is None:
+                row = keys_df.agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    *[F.min(k).alias(f"mn_{k}") for k in pks],
+                    *[F.max(k).alias(f"mx_{k}") for k in pks],
+                ).collect()[0]
+                bounds = row
+                if n_keys is None:
+                    n_keys = int(row["__n"] or 0)
+            prune_expr = self._keys_range_expr(bounds)
         if n_keys == 0:
             return [], None, None
         snapshot = self.metadata.snapshot(self.current_snapshot_id)
         files = mf.prune_files(
             self.spark,
             self._manifest_abs_paths(snapshot),
-            self._phys_expr(self._keys_range_expr(bounds)),
+            self._phys_expr(prune_expr),
             self._stats_fields(),
         )
         if not files:
@@ -2637,7 +2643,8 @@ class Dataset:
                       delete_keys: DataFrame,
                       commit_mutate=None,
                       _identity_preassigned: bool = False,
-                      operation: str = "APPLY CHANGES") -> "Dataset":
+                      operation: str = "APPLY CHANGES",
+                      _adds_unique: bool = False) -> "Dataset":
         """CDC merge as ONE snapshot commit: rows whose primary keys
         appear in ``delete_keys`` or in ``adds`` are removed and ``adds``
         appends — the atomic form of ``delete_by_keys`` + ``upsert``
@@ -2663,12 +2670,69 @@ class Dataset:
         source-assigned or target-carried ids — skipping the second
         pass avoids an extra full localCheckpoint + count job per
         merge. Generated columns still recompute here (a partial
-        UPDATE SET must refresh them from the updated inputs)."""
+        UPDATE SET must refresh them from the updated inputs).
+
+        ``_adds_unique`` (internal): the caller PROVES ``adds`` carries
+        no duplicate primary keys — e.g. the aggregate-MV refresh,
+        whose upserts/deletes both project one groupBy(PKs) output.
+        The fused dup-check aggregate (a full groupBy exchange over
+        the written keys unioned with the delete keys) is then pure
+        overhead: adds bounds come free from the just-written
+        manifest's footer stats (driver-side, the same derivation
+        ``upsert`` trusts) and one small aggregate over the delete
+        keys alone pins and bounds that side. Overlap between adds and
+        delete keys stays legal (net-ADD keys may ride the delete
+        set)."""
         adds = self._align(adds, skip_identity=_identity_preassigned)
         self.reload()
         pks = self.primary_keys
         manifest_rel, files, rows, nbytes = self._write_data_files(adds)
         dk = delete_keys.select(*pks)
+        if _adds_unique:
+            with self._release_new_blocks():
+                # Pin delete_keys (nondeterministic-source hazard, same
+                # argument as the fused path); its bounds aggregate is
+                # the first action and materializes the checkpoint.
+                dk = dk.localCheckpoint(eager=False)
+                dkrow = dk.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.min(k).alias(f"mn_{k}") for k in pks],
+                    *[F.max(k).alias(f"mx_{k}") for k in pks],
+                ).collect()[0]
+                n_dk = int(dkrow["n"] or 0)
+                # Upper bound on distinct keys (adds may overlap dk);
+                # exact for the ==0 emptiness test, conservative for
+                # the broadcast-vs-shuffle join decision.
+                n_keys = rows + n_dk
+                if n_keys == 0:
+                    return self
+                if rows > 0:
+                    keys_df = self._read_files(files).select(*pks)
+                    if n_dk > 0:
+                        keys_df = keys_df.unionByName(dk)
+                else:
+                    keys_df = dk
+                # Prune with the UNION of the two sides' bounding
+                # boxes: a file outside both boxes cannot match. If
+                # either occupied side is unbounded, fall back to no
+                # pruning (never-wrong discipline).
+                exprs = []
+                if rows > 0:
+                    exprs.append(self._keys_range_expr(
+                        self._bounds_from_manifest(manifest_rel)))
+                if n_dk > 0:
+                    exprs.append(self._keys_range_expr(dkrow))
+                if any(e is None for e in exprs):
+                    prune_expr = None
+                else:
+                    prune_expr = exprs[0]
+                    for e in exprs[1:]:
+                        prune_expr = prune_expr | e
+                return self._apply_changes_retry(
+                    keys_df, n_keys, prune_expr, manifest_rel, files,
+                    rows, nbytes, commit_mutate=commit_mutate,
+                    operation=operation,
+                )
         if rows > 0:
             new_keys = self._read_files(files).select(*pks)
             tagged = new_keys.withColumn("__new", F.lit(1)).unionByName(
@@ -2717,13 +2781,24 @@ class Dataset:
         n_keys = int(row["n"] or 0)
         if n_keys == 0:
             return self
+        return self._apply_changes_retry(
+            tagged.select(*pks), n_keys, self._keys_range_expr(row),
+            manifest_rel, files, rows, nbytes,
+            commit_mutate=commit_mutate, operation=operation,
+        )
+
+    def _apply_changes_retry(self, keys_df, n_keys, prune_expr,
+                             manifest_rel, files, rows, nbytes,
+                             commit_mutate=None,
+                             operation: str = "APPLY CHANGES"
+                             ) -> "Dataset":
         rec_rel = self._write_record_manifest_for(files)
         last_err = None
         cv = self.metadata.constraints_version
         for _attempt in range(self.APPEND_COMMIT_RETRIES + 1):
             pinned = self.current_snapshot_id
             affected, survivors, deletes_rel = self._matching_delete_parts(
-                tagged.select(*pks), n_keys=n_keys, bounds=row
+                keys_df, n_keys=n_keys, prune_expr=prune_expr
             )
             try:
                 self._commit_rewrite(

@@ -240,6 +240,54 @@ def test_apply_changes_single_commit(spark, tmp_location):
             [Row(id=1, v=0.0), Row(id=1, v=1.0)], schema), dels)
 
 
+def test_apply_changes_unique_adds_path_equivalent(spark, tmp_location):
+    """The `_adds_unique` fast path (aggregate-MV refresh: dup-check
+    aggregate skipped, adds bounds from the written manifest, delete
+    keys bounded alone) must produce snapshots IDENTICAL to the fused
+    path for every input shape it can receive: overlap between adds
+    and delete keys (net-ADD keys riding the delete set), deletes
+    only, adds only, and the both-empty no-op."""
+    from pyspark.sql import Row, types as T
+
+    from space_spark import Dataset
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType()),
+    ])
+
+    def run(flag: bool):
+        loc = tmp_location + f"_uniq{int(flag)}"
+        ds = Dataset.create(spark, loc, schema, ["id"])
+        ds.append(spark.createDataFrame(
+            [Row(id=i, v=float(i)) for i in range(10)], schema))
+        cases = [
+            # (adds, delete_keys): overlap — updated key 3 rides both
+            ([Row(id=3, v=-3.0), Row(id=20, v=20.0)], [3, 7]),
+            ([], [20]),                    # deletes only
+            ([Row(id=30, v=30.0)], []),    # adds only
+            ([], []),                      # both empty: no snapshot
+        ]
+        snaps = []
+        for adds, dels in cases:
+            ds.apply_changes(
+                spark.createDataFrame(adds, schema),
+                spark.createDataFrame([Row(id=i) for i in dels], "id long"),
+                _adds_unique=flag,
+            )
+            snaps.append(ds.current_snapshot_id)
+        rows = sorted((r["id"], r["v"]) for r in ds.read().collect())
+        return snaps, rows
+
+    (snaps_fused, rows_fused) = run(False)
+    (snaps_uniq, rows_uniq) = run(True)
+    assert rows_uniq == rows_fused
+    # same number of committed snapshots, and the both-empty case
+    # committed nothing on either path
+    assert [s - snaps_fused[0] for s in snaps_fused] == \
+        [s - snaps_uniq[0] for s in snaps_uniq]
+    assert snaps_fused[-1] == snaps_fused[-2]
+
+
 def test_concurrent_overwrite_and_append_serialize(spark, tmp_location):
     """overwrite racing an append: both must commit (optimistic retry),
     and the final state must be ONE of the two serializable orders —
