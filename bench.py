@@ -78,6 +78,35 @@ def warm_session(cpus: int) -> SparkSession:
     return s
 
 
+def _probe_cpu() -> float:
+    """Single-core host-burst detector: a FIXED pure-Python loop
+    (~0.1 s on a healthy core). This class of virtualized host has
+    shown 3-6x wall swings on identical work minutes apart with zero
+    guest-visible load/PSI; the ratio between probes within one run
+    exposes CPU-steal/frequency weather so a reader can separate host
+    bursts from code deltas without isolated-retiming archaeology.
+    Untimed: runs outside every timed window."""
+    start = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    assert acc  # keep the loop un-optimizable
+    return round(time.perf_counter() - start, 4)
+
+
+def _probe_parallel(spark: SparkSession, cpus: int) -> float:
+    """All-cores JVM probe: one codegen'd sum task per core (~0.2 s
+    healthy). Degrades when the hypervisor oversubscribes vCPUs even
+    while the single-core probe looks fine."""
+    start = time.perf_counter()
+    # bit_xor(xxhash64(...)) is CPU-bound per core and cannot overflow
+    # under ANSI (sum(id*id) at this cardinality would).
+    spark.range(cpus * 2_000_000, numPartitions=cpus).selectExpr(
+        "bit_xor(xxhash64(id))"
+    ).collect()
+    return round(time.perf_counter() - start, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -87,6 +116,16 @@ def main() -> None:
     warmup = os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0"
     timings: dict[str, float] = {}
     timings_cold: dict[str, float] = {}
+    host_probe: dict = {
+        "unit": "sec",
+        "note": ("untimed microbenchmarks; cpu1 = fixed single-core "
+                 "Python loop, par = one codegen'd sum task per core. "
+                 "Variation across probes within one run is host "
+                 "weather, not code"),
+        "start": {"cpu1": _probe_cpu(),
+                  "par": _probe_parallel(spark, cpus)},
+        "segments_cpu1": [],
+    }
     seg_queries = seg_work = 0
     for name, fn in entry_mod.queries().items():
         # Session retirement (v3.1): restart every 16 queries OR once a
@@ -98,6 +137,9 @@ def main() -> None:
         # cheap late-segment queries were fine. Restarts are untimed.
         if seg_queries >= 16 or seg_work > 20.0:
             spark.stop()
+            # One cheap single-core probe per retirement gives a host-
+            # weather time series across the run (untimed, ~0.1 s).
+            host_probe["segments_cpu1"].append(_probe_cpu())
             spark = warm_session(cpus)
             seg_queries = seg_work = 0
         runs = []
@@ -120,6 +162,8 @@ def main() -> None:
         seg_work += sum(runs)
 
     total = round(sum(timings.values()), 3)
+    host_probe["end"] = {"cpu1": _probe_cpu(),
+                         "par": _probe_parallel(spark, cpus)}
     spark.stop()
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Run-level degradation guard (round-7 verdict "What's wrong #1":
@@ -141,15 +185,18 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "methodology": (
-            "v3.3: per-query median-of-3, System.gc() before "
+            "v3.4: per-query median-of-3, System.gc() before "
             "EVERY run, session retired after 16 queries or "
             "20s of timed work; cold = first run; deltas "
             ">1.5x vs BENCH_BASELINE.json re-timed in "
             "isolated sessions (`isolated`, cap scaling with "
             "flagged count); run-level degradation verdict in "
-            "`run_degradation`; full per-query maps live HERE "
-            "(BENCH_DETAIL.json) — the stdout line carries only "
-            "what fits the driver's 2000-char capture window"
+            "`run_degradation`; untimed host-weather "
+            "microbenchmarks in `host_probe` (v3.4 — timing "
+            "methodology unchanged from v3.3); full per-query "
+            "maps live HERE (BENCH_DETAIL.json) — the stdout "
+            "line carries only what fits the driver's "
+            "2000-char capture window"
             if warmup else
             "v3.3: single-shot, GC before each run, session "
             "retired after 16 queries or 20s of timed work"
@@ -159,6 +206,7 @@ def main() -> None:
         "queries_cold": timings_cold,
         "run_degradation": degraded,
         "isolated": isolated,
+        "host_probe": host_probe,
         "sf": sf_val,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -181,6 +229,16 @@ def main() -> None:
         "degradation_ratio": degraded.get("ratio"),
         "n_queries": len(timings),
         "detail": "BENCH_DETAIL.json",
+        # Compact host-weather summary (full series in BENCH_DETAIL):
+        # cpu1 is a fixed single-core Python loop, ~0.1s healthy; a
+        # spread across start/end/segments marks a bursty host whose
+        # per-query walls must not be read as code deltas.
+        "cpu1": {
+            "start": host_probe["start"]["cpu1"],
+            "end": host_probe["end"]["cpu1"],
+            "seg_max": (max(host_probe["segments_cpu1"])
+                        if host_probe["segments_cpu1"] else None),
+        },
         "queries": {},
         "queries_omitted": len(timings),
     }
@@ -299,8 +357,12 @@ def confirm_deltas(timings: dict, cpus: int, sf_dir: str,
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(round(time.perf_counter() - start, 3))
         spark.stop()
+        # cpu1: host-weather probe taken right after this trio, so each
+        # isolated re-timing carries its own burst context (this host
+        # has read 5x on identical work minutes apart).
         out[name] = {"baseline": was, "bench": timings[name],
-                     "isolated_cold": runs[0], "isolated_warm": runs[1:]}
+                     "isolated_cold": runs[0], "isolated_warm": runs[1:],
+                     "cpu1": _probe_cpu()}
     return out
 
 
