@@ -21,6 +21,7 @@ literal-vs-literal, composed with ``& | ~``.
 from __future__ import annotations
 
 import datetime as _dt
+import operator as _op
 from typing import Any, Optional, Union
 
 from pyspark.sql import Column
@@ -234,16 +235,17 @@ class Comparison(Expr):
         self.left = left
         self.right = right
 
+    # Dispatch table of Column operators: build ONLY the requested
+    # comparison. The previous dict-literal form constructed all six
+    # Columns (one py4j round-trip each, ~1 ms) and discarded five —
+    # pure driver latency on every Spark-side filter/constraint/
+    # generated-column compile (r13-opt; thread-sample attribution).
+    _CMP = {"==": _op.eq, "!=": _op.ne, "<": _op.lt,
+            "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+
     def to_spark(self) -> Column:
-        l, r = self.left.to_spark(), self.right.to_spark()
-        return {
-            "==": l == r,
-            "!=": l != r,
-            "<": l < r,
-            "<=": l <= r,
-            ">": l > r,
-            ">=": l >= r,
-        }[self.op]
+        return self._CMP[self.op](self.left.to_spark(),
+                                  self.right.to_spark())
 
     def negate(self) -> "Expr":
         return Comparison(_NEGATED_OP[self.op], self.left, self.right)
@@ -271,15 +273,17 @@ class Comparison(Expr):
                 return None
             mn, mx = B.stat(left.name, "_MIN"), B.stat(left.name, "_MAX")
             v = B.lit(right.value)
-            # Rules mirror falsifiable_filters.py:221-289.
+            # Rules mirror falsifiable_filters.py:221-289. Lambdas so
+            # only the requested branch is constructed (the spark
+            # backend pays py4j per node — see Comparison._CMP).
             return {
-                "==": (mn > v) | (mx < v),
-                "!=": (mn == v) & (mx == v),
-                "<": mn >= v,
-                "<=": mn > v,
-                ">": mx <= v,
-                ">=": mx < v,
-            }[op]
+                "==": lambda: (mn > v) | (mx < v),
+                "!=": lambda: (mn == v) & (mx == v),
+                "<": lambda: mn >= v,
+                "<=": lambda: mn > v,
+                ">": lambda: mx <= v,
+                ">=": lambda: mx < v,
+            }[op]()
 
         if isinstance(left, Field) and isinstance(right, Field):
             if left.name not in stats_fields or right.name not in stats_fields:
@@ -287,13 +291,13 @@ class Comparison(Expr):
             lmn, lmx = B.stat(left.name, "_MIN"), B.stat(left.name, "_MAX")
             rmn, rmx = B.stat(right.name, "_MIN"), B.stat(right.name, "_MAX")
             return {
-                "==": (lmn > rmx) | (lmx < rmn),
-                "!=": (lmn == lmx) & (rmn == rmx) & (lmn == rmn),
-                "<": lmn >= rmx,
-                "<=": lmn > rmx,
-                ">": lmx <= rmn,
-                ">=": lmx < rmn,
-            }[op]
+                "==": lambda: (lmn > rmx) | (lmx < rmn),
+                "!=": lambda: (lmn == lmx) & (rmn == rmx) & (lmn == rmn),
+                "<": lambda: lmn >= rmx,
+                "<=": lambda: lmn > rmx,
+                ">": lambda: lmx <= rmn,
+                ">=": lambda: lmx < rmn,
+            }[op]()
 
         return None
 
@@ -395,7 +399,9 @@ class Arith(Expr):
             return F.concat(l.cast("string"), r.cast("string"))
         if self.op == "/":
             return l.cast("double") / r.cast("double")
-        return {"+": l + r, "-": l - r, "*": l * r, "%": l % r}[self.op]
+        # Build only the requested Column (see Comparison._CMP).
+        return {"+": _op.add, "-": _op.sub,
+                "*": _op.mul, "%": _op.mod}[self.op](l, r)
 
     def fields(self) -> set:
         return self.left.fields() | self.right.fields()
@@ -423,13 +429,13 @@ class Func(Expr):
         self.child = child
 
     def to_spark(self) -> Column:
-        c = self.child.to_spark()
+        # Build only the requested Column (see Comparison._CMP).
         return {
-            "upper": F.upper(c), "lower": F.lower(c),
-            "length": F.length(c), "abs": F.abs(c),
-            "year": F.year(c), "month": F.month(c), "day": F.day(c),
-            "to_date": F.to_date(c),
-        }[self.name]
+            "upper": F.upper, "lower": F.lower,
+            "length": F.length, "abs": F.abs,
+            "year": F.year, "month": F.month, "day": F.day,
+            "to_date": F.to_date,
+        }[self.name](self.child.to_spark())
 
     def fields(self) -> set:
         return self.child.fields()
