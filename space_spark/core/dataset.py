@@ -772,6 +772,35 @@ class Dataset:
         return self.read(**kwargs)
 
     # ---------------------------------------------------------------- writing
+    # Memoized schema-cast Column lists for _align (r13-opt): the
+    # final select rebuilt F.col(n).cast(dtype) per column on EVERY
+    # write call — 2 py4j round-trips each, a steady driver tax on
+    # all DML (thread-sample attributed ~3 s of space_agg_mv's ~20
+    # commits to this listcomp). Keyed by schema JSON so evolution
+    # (add/drop/rename/retype) yields a new key — a stale cast is
+    # impossible by construction — and reset whenever the active
+    # SparkContext changes (Columns die with their gateway; same
+    # discipline as similarity._dotn).
+    _ALIGN_CAST_CACHE: dict = {"ctx": None, "cols": {}}
+
+    def _schema_cast_columns(self) -> list:
+        from pyspark import SparkContext
+
+        ctx = SparkContext._active_spark_context
+        cache = Dataset._ALIGN_CAST_CACHE
+        if cache["ctx"] is not ctx:
+            cache["ctx"] = ctx
+            cache["cols"] = {}
+        elif len(cache["cols"]) > 512:  # bound a many-table process
+            cache["cols"] = {}
+        key = self.schema.json()
+        cols = cache["cols"].get(key)
+        if cols is None:
+            cols = [F.col(f.name).cast(f.dataType)
+                    for f in self.schema.fields]
+            cache["cols"][key] = cols
+        return cols
+
     def _align(self, df: DataFrame,
                skip_identity: bool = False) -> DataFrame:
         """Column alignment + generated/identity evaluation — the one
@@ -804,9 +833,7 @@ class Dataset:
                     expr_from_json(j).to_spark()
                     .cast(self.schema[col].dataType),
                 )
-        df = df.select(
-            *[F.col(n).cast(self.schema[n].dataType) for n in expected]
-        )
+        df = df.select(*self._schema_cast_columns())
         if idents and not skip_identity:
             df = self._assign_identity(df)
         return df

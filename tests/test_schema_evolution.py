@@ -70,3 +70,49 @@ def test_drop_column_and_retirement(spark, tmp_location):
     again = Dataset.load(spark, tmp_location)
     assert again.schema.fieldNames() == ["id"]
     assert again.metadata.retired_columns == ["val"]
+
+
+def test_align_cast_memo_tracks_schema_evolution(spark, tmp_location):
+    """The write funnel's memoized schema-cast list (Dataset.
+    _schema_cast_columns, r13-opt) must never serve a stale entry:
+    evolution changes the schema-JSON key, so post-evolution writes
+    cast the evolved shape; identical schemas hit the cache (same
+    list object); distinct tables with distinct schemas never share."""
+    from space_spark.core.dataset import Dataset as DS
+
+    ds = Dataset.create(spark, tmp_location + "/a", SIMPLE, ["id"])
+    ds.append(spark.createDataFrame(
+        [Row(id=i, val=float(i)) for i in range(3)], SIMPLE))
+    c1 = ds._schema_cast_columns()
+    assert len(c1) == 2
+    assert ds._schema_cast_columns() is c1  # cache hit: same object
+
+    ds.add_column("tag", T.StringType())
+    c2 = ds._schema_cast_columns()
+    assert len(c2) == 3 and c2 is not c1  # new key, no stale entry
+    # A real write through _align carries the evolved column + type.
+    ds.append(spark.createDataFrame(
+        [Row(id=100, val=1.0, tag="evolved")], ds.schema))
+    got = ds.read(filter_=field("id") == 100).collect()
+    assert got[0].tag == "evolved"
+    assert dict(ds.read().dtypes)["tag"] == "string"
+
+    # A second table with a different schema gets its own entry.
+    other = T.StructType([T.StructField("id", T.LongType()),
+                          T.StructField("name", T.StringType())])
+    ds2 = Dataset.create(spark, tmp_location + "/b", other, ["id"])
+    c3 = ds2._schema_cast_columns()
+    assert len(c3) == 2 and c3 is not c1
+    # Same-content schema from a fresh handle still hits the cache.
+    again = Dataset.load(spark, tmp_location + "/a")
+    assert again._schema_cast_columns() is c2
+
+    # The cache is context-scoped: a (simulated) new SparkContext
+    # identity drops every entry, so Columns never outlive their py4j
+    # gateway.
+    saved = dict(DS._ALIGN_CAST_CACHE)
+    try:
+        DS._ALIGN_CAST_CACHE["ctx"] = object()
+        assert ds._schema_cast_columns() is not c2
+    finally:
+        DS._ALIGN_CAST_CACHE.update(saved)
