@@ -280,10 +280,15 @@ def quality_mix_sample(
     tail bucket with a NULL mean.
 
     Returns kept rows only: (id, bucket, mean_lp_micro). Join back to
-    the corpus on the id to materialize surviving text. The scoring
-    subtree is embedded twice (once under the stats aggregate, once on
-    the labeling side) — at real scale persist/checkpoint the score
-    table first; the operator itself stays a pure lazy plan."""
+    the corpus on the id to materialize surviving text. The score
+    table (one narrow row per document) is materialized ONCE with an
+    eager localCheckpoint at construction: its two consumers — the
+    corpus-stats aggregate under the broadcast and the labeling scan —
+    are concurrently scheduled stages of the same downstream action,
+    exactly the double-compute hazard a lazy checkpoint cannot close
+    (see dedup's shingle checkpoint), and without a checkpoint the
+    whole ``unigram_logprob`` pipeline (two corpus tokenizations + the
+    corpus-wide token-count shuffle) would execute twice per run."""
     if len(rates) != 3:
         raise ValueError("rates must be (head, middle, tail)")
     if not all(0.0 <= r <= 1.0 for r in rates):
@@ -301,6 +306,12 @@ def quality_mix_sample(
             ),
         ).cast("long"),
     )
+    # EAGER by design: consumed by concurrently scheduled stages (the
+    # broadcast stats subquery + the labeling scan) of one action — a
+    # lazy checkpoint could be double-computed there. Values are
+    # unchanged by materialization; only the duplicate scoring pass is
+    # removed.
+    scored = scored.localCheckpoint(eager=True)
     stats = scored.where(F.col("mean_lp_micro").isNotNull()).agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.sum("mean_lp_micro").alias("__sum"),

@@ -391,3 +391,30 @@ def test_keep_best_winner_election_partial_agg_not_window(spark):
     assert "SortAggregate" in plan or "HashAggregate" in plan
     assert "partial" in plan
     assert "LeftSemi" in plan
+
+
+def test_quality_mix_scores_once_via_checkpoint(spark):
+    """The unigram-LM scoring pipeline (two corpus tokenizations + the
+    corpus-wide token-count shuffle) must execute ONCE per
+    quality_mix_sample call, not once per consumer: the per-document
+    score table is eagerly checkpointed at construction, so the
+    returned plan reads the materialized RDD for BOTH the broadcast
+    stats subquery and the labeling scan — no embedded corpus scan,
+    explode, or token-count aggregate survives in the public plan
+    (r13-opt; the pre-checkpoint scoring values stay pinned by
+    test_oracle's sample_quality_mix row and the quality-mix property
+    suite)."""
+    from space_spark.operators.sampling import quality_mix_sample
+
+    docs = _docs(spark).select("doc_id", "text")
+    out = quality_mix_sample(docs, "doc_id", "text")
+    plan = plan_of(out)
+    assert "explode" not in plan.lower(), plan
+    assert "Scan parquet" not in plan, plan
+    # Both consumers read the one checkpointed score table.
+    assert plan.lower().count("scan existingrdd") >= 2, plan
+    # Materialization does not perturb values: invocation-stable.
+    rows1 = sorted(map(tuple, out.collect()))
+    rows2 = sorted(map(tuple,
+                       quality_mix_sample(docs, "doc_id", "text").collect()))
+    assert rows1 == rows2 and rows1
