@@ -243,7 +243,23 @@ def main() -> None:
         "queries_omitted": len(timings),
     }
     budget = 1900
-    for name in sorted(timings, key=lambda k: -timings[k]):
+    # v3.5 (additions-only; r13 verdict "what's wrong #6"): the driver
+    # diffs the truncated stdout map round-over-round, so ordering by
+    # absolute time made cheap-but-churned queries fall out of the
+    # window and read as "dropped". Order instead by |log delta| vs the
+    # committed anchor — churned queries (including new ones, which
+    # have no anchor entry) lead, the flat tail is cut. The full map
+    # still lives in BENCH_DETAIL.json.
+    base_q = _load_baseline(sf=sf_val).get("queries", {})
+
+    def churn(name: str) -> float:
+        was = base_q.get(name)
+        if not was or not timings[name]:
+            return float("inf")  # new / unanchored: always publish
+        r = timings[name] / was
+        return max(r, 1 / r)
+
+    for name in sorted(timings, key=lambda k: (-churn(k), -timings[k])):
         line["queries"][name] = timings[name]
         line["queries_omitted"] = len(timings) - len(line["queries"])
         if len(json.dumps(line, separators=(",", ":"))) > budget:

@@ -37,11 +37,11 @@ not approximate). Group keys must be NON-NULL — they become the state
 table's primary keys (space PKs are NOT NULL); a null key raises the
 standard null-PK error at refresh.
 
-Concurrency: ``refresh`` reloads the marker first, and every state
+Concurrency: ``refresh`` reloads the marker first, and the state
 commit's ``commit_mutate`` verifies the stored marker still equals the
-snapshot's predecessor before advancing it — two handles refreshing
-the same MV cannot double-fold a delta (the loser fails fast with
-SpaceError; its uncommitted shards are vacuum-reclaimable).
+fold batch's start before advancing it to the batch end — two handles
+refreshing the same MV cannot double-fold a delta (the loser fails
+fast with SpaceError; its uncommitted shards are vacuum-reclaimable).
 """
 
 from __future__ import annotations
@@ -253,11 +253,16 @@ class MaterializedAggregate:
 
     # ------------------------------------------------------------ refresh
     def refresh(self, target_version=None) -> List[int]:
-        """One MV commit per source snapshot (same lineage discipline as
-        row-wise MV refresh: the source-synced marker lands atomically
-        with each state commit via apply_changes' commit_mutate, so a
-        crash never double-folds a delta). Returns applied source
-        snapshot ids."""
+        """ONE MV commit per refresh: every pending source snapshot's
+        delta is netted into a single signed aggregate and folded with a
+        single ``apply_changes`` commit (r14-opt — the per-snapshot fold
+        paid the full fixed cost of dagg checkpoint + state point read +
+        merge join + commit N times; CDC signs net across adjacent
+        snapshots exactly like within one). The source-synced marker
+        still lands atomically with the state commit (apply_changes'
+        commit_mutate), so a crash never double-folds — it just replays
+        the whole batch, which nets to the same state. Returns applied
+        source snapshot ids."""
         from space_spark.core.dataset import Dataset
 
         # Pick up the LIVE marker: a stale handle must not re-fold
@@ -275,13 +280,11 @@ class MaterializedAggregate:
                 "slowest consumer."
             )
         end = source.metadata.resolve_version(target_version)
-        applied: List[int] = []
-        prev = start
-        for snap in source._ancestors(start, end):
-            self._apply_snapshot(source, snap, expected_prev=prev)
-            prev = snap.snapshot_id
-            applied.append(snap.snapshot_id)
-        return applied
+        snaps = source._ancestors(start, end)
+        if not snaps:
+            return []
+        self._apply_snapshots(source, snaps, expected_prev=start)
+        return [s.snapshot_id for s in snaps]
 
     def _sync_mut(self, snapshot_id: int, expected_prev: int):
         """Marker advance that REFUSES to run if another refresher got
@@ -308,6 +311,12 @@ class MaterializedAggregate:
         )
 
     def _apply_snapshot(self, source, snap, expected_prev: int) -> None:
+        """Single-snapshot fold — the batched fold over a one-element
+        batch (kept for callers/tests that fold one snapshot at a
+        time)."""
+        self._apply_snapshots(source, [snap], expected_prev)
+
+    def _apply_snapshots(self, source, snaps, expected_prev: int) -> None:
         gb = self.view.group_by
         aggs = self.view.aggs
         # Group-by columns ride along as keys; never re-select them as
@@ -315,22 +324,34 @@ class MaterializedAggregate:
         # column in the delta select — round-13 review).
         in_cols = sorted({c for _fn, c in aggs.values()
                           if c != "*"} - set(gb))
+        # Signed multiset union over the WHOLE batch (r14-opt): adds and
+        # deletes from every pending snapshot net in one aggregate — a
+        # row added in snapshot i and deleted in snapshot j contributes
+        # +v and -v (the delete's values are read at j's parent, where
+        # the add is visible), so count/sum/avg fold exactly; min/max
+        # keep the holistic repair, evaluated once at the batch END
+        # version (recomputing a damaged group from the live rows at end
+        # IS the final answer — intermediate repairs would be folded
+        # over anyway).
         parts = []
-        if snap.deleted_pks_file:
-            # Deleted rows are PK-only in the log; their VALUES lived in
-            # the parent version — one range+bloom-pruned point read.
-            pks_df = source.read_deleted_pks(snap)
-            del_rows = source.read_by_keys(
-                pks_df, version=snap.parent_snapshot_id
-            )
-            parts.append(del_rows.select(*gb, *in_cols)
-                         .withColumn(_SIGN, F.lit(-1)))
-        if snap.added_files:
-            add_df = source._read_files(snap.added_files)
-            parts.append(add_df.select(*gb, *in_cols)
-                         .withColumn(_SIGN, F.lit(1)))
+        for snap in snaps:
+            if snap.deleted_pks_file:
+                # Deleted rows are PK-only in the log; their VALUES
+                # lived in the parent version — one range+bloom-pruned
+                # point read per snapshot (versioned: cannot batch).
+                pks_df = source.read_deleted_pks(snap)
+                del_rows = source.read_by_keys(
+                    pks_df, version=snap.parent_snapshot_id
+                )
+                parts.append(del_rows.select(*gb, *in_cols)
+                             .withColumn(_SIGN, F.lit(-1)))
+            if snap.added_files:
+                add_df = source._read_files(snap.added_files)
+                parts.append(add_df.select(*gb, *in_cols)
+                             .withColumn(_SIGN, F.lit(1)))
+        last = snaps[-1]
         if not parts:
-            self._set_synced(snap.snapshot_id, expected_prev)
+            self._set_synced(last.snapshot_id, expected_prev)
             return
         delta = parts[0]
         for p in parts[1:]:
@@ -365,7 +386,7 @@ class MaterializedAggregate:
                               .alias(f"__agg_dadd_{name}"))
                 dexprs.append(F.max(F.when(sign < 0, c))
                               .alias(f"__agg_ddel_{name}"))
-        has_deletes = bool(snap.deleted_pks_file)
+        has_deletes = any(s.deleted_pks_file for s in snaps)
 
         # Blocks released after the commit (the same leak guard as
         # merge/apply_changes — a long multi-snapshot refresh would
@@ -434,12 +455,20 @@ class MaterializedAggregate:
                         continue
                     # The stored extreme may have been deleted only
                     # when a deleted value TIES OR BEATS it — only
-                    # those groups recompute.
+                    # those groups recompute. A NULL stored extreme
+                    # with batch deletes also repairs (r14-opt batch
+                    # fold): a group CREATED within the batch has no
+                    # stored row, yet a delete inside the same batch
+                    # may have removed the batch-add extreme — in the
+                    # single-snapshot fold this case cannot arise (a
+                    # snapshot's deletes existed at its parent, so the
+                    # state row exists), so the extra disjunct never
+                    # fires there.
                     dele = F.col(f"__agg_ddel_{name}")
                     beats = (dele <= o(name)) if fn == "min" \
                         else (dele >= o(name))
-                    needs = (o(name).isNotNull() & dele.isNotNull()
-                             & beats)
+                    needs = (dele.isNotNull()
+                             & (o(name).isNull() | beats))
                     repair_flags.append(needs.alias(f"__agg_fix_{name}"))
                     out_cols.append(
                         F.when(needs, F.lit(None).cast(
@@ -450,16 +479,24 @@ class MaterializedAggregate:
                     if repair_flags else merged.select(*out_cols))
             fix_cols = [n for n, (fn, _c) in sorted(aggs.items())
                         if fn in ("min", "max")] if has_deletes else []
-            self._fold_commit(source, snap, proj, fix_cols, gb, aggs,
+            self._fold_commit(source, last, proj, fix_cols, gb, aggs,
                               expected_prev)
 
     def _fold_commit(self, source, snap, proj, fix_cols, gb, aggs,
                      expected_prev: int):
-        # Lazy (r13-opt): the next action (repair-key probe, or the
-        # upsert shard write) evaluates proj and materializes the
-        # checkpoint as it goes; the single evaluation still pins the
-        # merged state for all three consumers.
-        proj = proj.localCheckpoint(eager=False)
+        # ``snap`` is the LAST snapshot of the fold batch: the repair
+        # scan reads the source at its version (the live rows at batch
+        # end ARE the final answer) and the synced marker advances to
+        # its id.
+        # Lazy when there is no repair branch: the first action (the
+        # upsert shard write) scans every partition and materializes
+        # the checkpoint in the same job. EAGER when fix_cols is
+        # non-empty (ADVICE r13): the first action there is
+        # fix_keys.limit(N+1).collect(), and CollectLimit early-exits
+        # after enough partitions — a lazy checkpoint would be only
+        # PARTIALLY materialized, re-executing the merge join for the
+        # unmaterialized partitions in every later consumer.
+        proj = proj.localCheckpoint(eager=bool(fix_cols))
         if fix_cols:
             any_fix = None
             for n in fix_cols:
@@ -507,15 +544,15 @@ class MaterializedAggregate:
         upserts = (proj.where(F.col(_ROWS_COL) > 0)
                    .select(*state_cols))
         deletes = proj.where(F.col(_ROWS_COL) <= 0).select(*gb)
-        self.dataset.apply_changes(
+        # upserts/deletes both project `proj` — one groupBy(gb) output,
+        # unique on the MV's primary keys (= gb) by construction — so
+        # the dup-check aggregate is skippable (r13-opt: one groupBy
+        # exchange + written-files re-scan saved per fold; the unique
+        # path is private because that proof is this caller's burden,
+        # ADVICE r13).
+        self.dataset._apply_changes_unique(
             upserts, deletes,
             commit_mutate=self._sync_mut(snap.snapshot_id,
                                          expected_prev),
             operation="MV REFRESH",
-            # upserts/deletes both project `proj` — one groupBy(gb)
-            # output, unique on the MV's primary keys (= gb) by
-            # construction — so the dup-check aggregate is skippable
-            # (r13-opt: one groupBy exchange + written-files re-scan
-            # saved per folded snapshot).
-            _adds_unique=True,
         )

@@ -2670,8 +2670,7 @@ class Dataset:
                       delete_keys: DataFrame,
                       commit_mutate=None,
                       _identity_preassigned: bool = False,
-                      operation: str = "APPLY CHANGES",
-                      _adds_unique: bool = False) -> "Dataset":
+                      operation: str = "APPLY CHANGES") -> "Dataset":
         """CDC merge as ONE snapshot commit: rows whose primary keys
         appear in ``delete_keys`` or in ``adds`` are removed and ``adds``
         appends — the atomic form of ``delete_by_keys`` + ``upsert``
@@ -2699,67 +2698,14 @@ class Dataset:
         merge. Generated columns still recompute here (a partial
         UPDATE SET must refresh them from the updated inputs).
 
-        ``_adds_unique`` (internal): the caller PROVES ``adds`` carries
-        no duplicate primary keys — e.g. the aggregate-MV refresh,
-        whose upserts/deletes both project one groupBy(PKs) output.
-        The fused dup-check aggregate (a full groupBy exchange over
-        the written keys unioned with the delete keys) is then pure
-        overhead: adds bounds come free from the just-written
-        manifest's footer stats (driver-side, the same derivation
-        ``upsert`` trusts) and one small aggregate over the delete
-        keys alone pins and bounds that side. Overlap between adds and
-        delete keys stays legal (net-ADD keys may ride the delete
-        set)."""
+        Callers that can PROVE ``adds`` carries no duplicate primary
+        keys should use the private ``_apply_changes_unique`` instead —
+        it skips the dup-check aggregate entirely."""
         adds = self._align(adds, skip_identity=_identity_preassigned)
         self.reload()
         pks = self.primary_keys
         manifest_rel, files, rows, nbytes = self._write_data_files(adds)
         dk = delete_keys.select(*pks)
-        if _adds_unique:
-            with self._release_new_blocks():
-                # Pin delete_keys (nondeterministic-source hazard, same
-                # argument as the fused path); its bounds aggregate is
-                # the first action and materializes the checkpoint.
-                dk = dk.localCheckpoint(eager=False)
-                dkrow = dk.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[F.min(k).alias(f"mn_{k}") for k in pks],
-                    *[F.max(k).alias(f"mx_{k}") for k in pks],
-                ).collect()[0]
-                n_dk = int(dkrow["n"] or 0)
-                # Upper bound on distinct keys (adds may overlap dk);
-                # exact for the ==0 emptiness test, conservative for
-                # the broadcast-vs-shuffle join decision.
-                n_keys = rows + n_dk
-                if n_keys == 0:
-                    return self
-                if rows > 0:
-                    keys_df = self._read_files(files).select(*pks)
-                    if n_dk > 0:
-                        keys_df = keys_df.unionByName(dk)
-                else:
-                    keys_df = dk
-                # Prune with the UNION of the two sides' bounding
-                # boxes: a file outside both boxes cannot match. If
-                # either occupied side is unbounded, fall back to no
-                # pruning (never-wrong discipline).
-                exprs = []
-                if rows > 0:
-                    exprs.append(self._keys_range_expr(
-                        self._bounds_from_manifest(manifest_rel)))
-                if n_dk > 0:
-                    exprs.append(self._keys_range_expr(dkrow))
-                if any(e is None for e in exprs):
-                    prune_expr = None
-                else:
-                    prune_expr = exprs[0]
-                    for e in exprs[1:]:
-                        prune_expr = prune_expr | e
-                return self._apply_changes_retry(
-                    keys_df, n_keys, prune_expr, manifest_rel, files,
-                    rows, nbytes, commit_mutate=commit_mutate,
-                    operation=operation,
-                )
         if rows > 0:
             new_keys = self._read_files(files).select(*pks)
             tagged = new_keys.withColumn("__new", F.lit(1)).unionByName(
@@ -2786,6 +2732,78 @@ class Dataset:
             return self._apply_changes_commit(
                 tagged, manifest_rel, files, rows, nbytes,
                 commit_mutate=commit_mutate, operation=operation,
+            )
+
+    def _apply_changes_unique(self, adds: DataFrame,
+                              delete_keys: DataFrame,
+                              commit_mutate=None,
+                              operation: str = "APPLY CHANGES"
+                              ) -> "Dataset":
+        """``apply_changes`` for a caller that PROVES ``adds`` carries
+        no duplicate primary keys — e.g. the aggregate-MV refresh,
+        whose upserts/deletes both project one groupBy(PKs) output.
+        The fused dup-check aggregate (a full groupBy exchange over
+        the written keys unioned with the delete keys) is then pure
+        overhead: adds bounds come free from the just-written
+        manifest's footer stats (driver-side, the same derivation
+        ``upsert`` trusts) and one small aggregate over the delete
+        keys alone pins and bounds that side. Overlap between adds and
+        delete keys stays legal (net-ADD keys may ride the delete
+        set).
+
+        PRIVATE because the skipped dup-check is a validation the
+        public surface promises (duplicate adds raise UserInputError);
+        a caller that passes duplicated adds here commits a corrupt
+        snapshot with no signal (ADVICE r13 — the proof obligation
+        cannot be checked cheaply, that is the whole point)."""
+        adds = self._align(adds)
+        self.reload()
+        pks = self.primary_keys
+        manifest_rel, files, rows, nbytes = self._write_data_files(adds)
+        dk = delete_keys.select(*pks)
+        with self._release_new_blocks():
+            # Pin delete_keys (nondeterministic-source hazard, same
+            # argument as the fused path); its bounds aggregate is
+            # the first action and materializes the checkpoint.
+            dk = dk.localCheckpoint(eager=False)
+            dkrow = dk.agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.min(k).alias(f"mn_{k}") for k in pks],
+                *[F.max(k).alias(f"mx_{k}") for k in pks],
+            ).collect()[0]
+            n_dk = int(dkrow["n"] or 0)
+            # Upper bound on distinct keys (adds may overlap dk);
+            # exact for the ==0 emptiness test, conservative for
+            # the broadcast-vs-shuffle join decision.
+            n_keys = rows + n_dk
+            if n_keys == 0:
+                return self
+            if rows > 0:
+                keys_df = self._read_files(files).select(*pks)
+                if n_dk > 0:
+                    keys_df = keys_df.unionByName(dk)
+            else:
+                keys_df = dk
+            # Prune with the UNION of the two sides' bounding
+            # boxes: a file outside both boxes cannot match. If
+            # either occupied side is unbounded, fall back to no
+            # pruning (never-wrong discipline).
+            exprs = []
+            if rows > 0:
+                exprs.append(self._keys_range_expr(
+                    self._bounds_from_manifest(manifest_rel)))
+            if n_dk > 0:
+                exprs.append(self._keys_range_expr(dkrow))
+            if any(e is None for e in exprs):
+                prune_expr = None
+            else:
+                prune_expr = exprs[0]
+                for e in exprs[1:]:
+                    prune_expr = prune_expr | e
+            return self._apply_changes_retry(
+                keys_df, n_keys, prune_expr, manifest_rel, files,
+                rows, nbytes, commit_mutate=commit_mutate,
+                operation=operation,
             )
 
     def _apply_changes_commit(self, tagged, manifest_rel, files, rows,

@@ -930,7 +930,15 @@ def _substr_tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ),
         lambda t: t != "",
     )
-    return df.select(F.col(id_col), toks.alias("__toks"))
+    # NULL ids are poison here, excluded up front (ADVICE r13; the
+    # module's standard discipline, see ivf_centroids/neardup_pairs):
+    # min(struct(id, s)) sorts NULLs FIRST, so a NULL-id window would
+    # win every fingerprint it touches, and the downstream anti/semi
+    # joins on the id are null-unsafe — a NULL-id doc would land in
+    # the untouched branch AND ghost through the rebuild aggregate,
+    # emitting duplicate output rows.
+    return (df.where(F.col(id_col).isNotNull())
+            .select(F.col(id_col), toks.alias("__toks")))
 
 
 def _substr_window_fingerprints(
@@ -1031,10 +1039,15 @@ def dedup_substrings(
         )
         .localCheckpoint(eager=True)
     )
+    # NULL-SAFE exclusion (ADVICE r13): ids are non-null by the
+    # ingress filter above, so this is equivalent to the plain
+    # (id != wid) | (s != ws) — but stays correct (a window is
+    # excluded iff it IS the elected winner) even if a future caller
+    # path re-admits NULL ids.
     dup_windows = (
         win.join(dup_fps, on="__h", how="inner")
-        .where((F.col(id_col) != F.col("__wid"))
-               | (F.col("s") != F.col("__ws")))
+        .where(~(F.col(id_col).eqNullSafe(F.col("__wid"))
+                 & F.col("s").eqNullSafe(F.col("__ws"))))
         .select(id_col, "s")
     )
     # Pinned: `covered` is consumed THREE times downstream (touched-id

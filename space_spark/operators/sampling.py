@@ -288,7 +288,16 @@ def quality_mix_sample(
     exactly the double-compute hazard a lazy checkpoint cannot close
     (see dedup's shingle checkpoint), and without a checkpoint the
     whole ``unigram_logprob`` pipeline (two corpus tokenizations + the
-    corpus-wide token-count shuffle) would execute twice per run."""
+    corpus-wide token-count shuffle) would execute twice per run.
+
+    Caveats of that eager checkpoint (ADVICE r13, documented
+    tradeoff): CONSTRUCTING this plan launches the scoring jobs
+    immediately, the checkpointed blocks are released by driver GC +
+    ContextCleaner only after the returned plan is dropped, and a
+    checkpointed intermediate is unrecoverable on executor loss (the
+    job re-runs from the source). A long-lived session building many
+    of these plans without executing them pays scoring + block
+    retention for each."""
     if len(rates) != 3:
         raise ValueError("rates must be (head, middle, tail)")
     if not all(0.0 <= r <= 1.0 for r in rates):

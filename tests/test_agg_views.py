@@ -281,6 +281,45 @@ def test_concurrent_refresh_cannot_double_fold(
         mv2._set_synced(3, expected_prev=1)
 
 
+def test_batched_fold_repairs_group_created_within_batch(
+    spark, source, tmp_location
+):
+    """r14 batch fold: a group CREATED in snapshot i whose batch-add
+    extreme is DELETED in snapshot j of the SAME refresh has no stored
+    state row — the repair trigger must fire on a NULL stored extreme
+    with batch deletes, or the candidate would keep the deleted
+    value."""
+    view = source.aggregate_view(["grp"], AGGS)
+    mv = view.materialize(spark, tmp_location + "_mv")
+    mv.refresh()
+    # New group 'e' born in snapshot 2; its min (x=3) dies in 3 and its
+    # max (x=9) in 4 — one refresh folds all three.
+    source.append(_rows(spark, [(10, "e", 3), (11, "e", 5),
+                                (12, "e", 9)]))
+    source.delete(field("id") == 10)
+    source.delete(field("id") == 12, rewrite=False)
+    assert mv.refresh() == [2, 3, 4]
+    _check(mv, view)
+    st = _state(mv.read())
+    assert st["e"] == (1, 1, 5, 5.0, 5, 5)
+
+
+def test_refresh_commits_once_per_batch(spark, source, tmp_location):
+    """r14-opt structural contract: a refresh folding N pending source
+    snapshots lands as ONE MV commit (the per-snapshot fold paid the
+    full dagg/point-read/merge/commit fixed cost N times)."""
+    view = source.aggregate_view(["grp"], AGGS)
+    mv = view.materialize(spark, tmp_location + "_mv")
+    mv.refresh()
+    versions_before = mv.dataset.current_snapshot_id
+    source.append(_rows(spark, [(20, "a", 1)]))
+    source.delete(field("id") == 1)
+    source.upsert(_rows(spark, [(2, "a", 99)]))
+    assert len(mv.refresh()) == 3
+    assert mv.dataset.current_snapshot_id == versions_before + 1
+    _check(mv, view)
+
+
 def test_read_fields_projection(spark, source, tmp_location):
     view = source.aggregate_view(["grp"], {"n": ("count", "*"),
                                            "s": ("sum", "x")})

@@ -297,3 +297,29 @@ def test_neardup_exact_gemm_bounded_raises_clean_error(
     monkeypatch.setattr(sim, "EXACT_GEMM_MAX_ROWS", 1_000)
     assert neardup_pairs(emb, "vec_id", "embedding", threshold=-1.0,
                          dim=2, exact=True).count() > 0
+
+
+def test_dedup_substrings_excludes_null_ids(spark):
+    """NULL-id docs are poison for ExactSubstr (r14/ADVICE r13):
+    min(struct(id, s)) would elect a NULL-id winner (struct mins sort
+    NULLs first) and the null-unsafe anti/semi joins downstream would
+    both keep such a doc untouched AND ghost it through the rebuild,
+    emitting duplicate output rows. They are excluded at ingress —
+    every non-null doc still comes back exactly once."""
+    from pyspark.sql import Row, types as T
+
+    from space_spark.operators.dedup import dedup_substrings
+
+    text = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 " * 3
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=text), Row(doc_id=2, text=text),
+         Row(doc_id=None, text=text)],
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("text", T.StringType())]))
+    out = dedup_substrings(docs, "doc_id", "text", window=10).collect()
+    assert sorted(r.doc_id for r in out) == [1, 2]
+    # The repeated span dedups both within and across the surviving
+    # docs: doc 1 keeps one copy of the repeated window, doc 2 loses
+    # everything to doc 1's windows.
+    kept = {r.doc_id: r.n_kept for r in out}
+    assert kept[1] == 10 and kept[2] == 0

@@ -241,7 +241,7 @@ def test_apply_changes_single_commit(spark, tmp_location):
 
 
 def test_apply_changes_unique_adds_path_equivalent(spark, tmp_location):
-    """The `_adds_unique` fast path (aggregate-MV refresh: dup-check
+    """The `_apply_changes_unique` fast path (aggregate-MV refresh: dup-check
     aggregate skipped, adds bounds from the written manifest, delete
     keys bounded alone) must produce snapshots IDENTICAL to the fused
     path for every input shape it can receive: overlap between adds
@@ -269,10 +269,10 @@ def test_apply_changes_unique_adds_path_equivalent(spark, tmp_location):
         ]
         snaps = []
         for adds, dels in cases:
-            ds.apply_changes(
+            fn = ds._apply_changes_unique if flag else ds.apply_changes
+            fn(
                 spark.createDataFrame(adds, schema),
                 spark.createDataFrame([Row(id=i) for i in dels], "id long"),
-                _adds_unique=flag,
             )
             snaps.append(ds.current_snapshot_id)
         rows = sorted((r["id"], r["v"]) for r in ds.read().collect())
