@@ -41,8 +41,28 @@ def append_parquet(dataset, pattern: str) -> None:
     dataset.reload()
 
     # Validate schema compatibility cheaply (names + types via one footer).
-    got = dataset.spark.read.parquet(paths[0]).schema
+    # Driver-side footer read (r14-opt): spark.read.parquet(...).schema
+    # launches a Spark schema-inference JOB even for one file; pyarrow
+    # reads the same footer with none. Timestamp columns fall back to
+    # the Spark path — parquet INT96 and isAdjustedToUTC handling
+    # diverge between arrow's reader and Spark's inference, and the
+    # whole point of this check is to reproduce exactly what Spark
+    # would accept.
     want = dataset._physical_schema()
+    got = None
+    try:
+        import pyarrow.parquet as _pq
+
+        file_arrow = _pq.read_schema(paths[0])
+        if "timestamp" not in str(file_arrow).lower() \
+                and "timestamp" not in want.simpleString():
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            got = from_arrow_schema(file_arrow)
+    except Exception:
+        got = None  # exotic footer/type: let Spark's own reader decide
+    if got is None:
+        got = dataset.spark.read.parquet(paths[0]).schema
     if {f.name for f in got.fields} != {f.name for f in want.fields}:
         raise UserInputError(
             f"External schema {got.fieldNames()} != table "
@@ -94,14 +114,38 @@ def append_parquet(dataset, pattern: str) -> None:
                 )
     if dataset.metadata.constraints or dataset.metadata.not_null:
         # External files must honor CHECK *and* NOT NULL constraints
-        # like any write — one pushed-down scan of the registered files
-        # (their own row-group stats prove compliance without reading
-        # clean data). Gating on CHECK alone let a NOT-NULL-only table
-        # admit external NULLs (ADVICE r12): the shared checker
+        # like any write. Gating on CHECK alone let a NOT-NULL-only
+        # table admit external NULLs (ADVICE r12): the shared checker
         # validates both kinds.
+        #
+        # Footer short-circuit (r14-opt, guide §6 / r13 verdict #5):
+        # NOT NULL is provable from the files' own footers — a column
+        # whose per-row-group null counts are COMPLETE (every group
+        # recorded one; the same trust the validation scan's row-group
+        # pushdown places in these footers) and total 0 cannot
+        # violate. Files so proven skip the validation scan job
+        # entirely; CHECK constraints (min/max stats cannot prove an
+        # expression holds for ALL rows in the closed algebra) still
+        # scan, as does any file whose footer can't prove a NOT NULL
+        # column.
+        nn_phys = [dataset._phys_name(c)
+                   for c in (dataset.metadata.not_null or [])]
+
+        def _nn_proven(s: dict) -> bool:
+            return all(
+                p in s["null_counts_complete"]
+                and s.get("null_counts", {}).get(p, 0) == 0
+                for p in nn_phys
+            )
+
+        if dataset.metadata.constraints:
+            to_scan = list(rel_paths)
+        else:
+            to_scan = [rp for rp, s in zip(rel_paths, stats)
+                       if s["num_rows"] > 0 and not _nn_proven(s)]
         violated = dataset._constraint_violation_names(
-            dataset._read_files(rel_paths)
-        )
+            dataset._read_files(to_scan)
+        ) if to_scan else []
         if violated:
             from space_spark.errors import ConstraintViolationError
 

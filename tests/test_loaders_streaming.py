@@ -343,3 +343,36 @@ def test_append_parquet_all_empty_files_is_a_noop(spark, tmp_location):
         glob.glob(os.path.join(ds.location, "metadata", "manifest_*"))
     )
     assert manifests_after == manifests_before
+
+
+def test_zero_copy_not_null_proven_from_footers_no_scan(
+    spark, tmp_location
+):
+    """r14-opt (r13 verdict #5): on a NOT-NULL-only table, a zero-copy
+    load whose files' own footers prove null_count == 0 for every NOT
+    NULL column must run ZERO Spark jobs for the validation — the
+    whole load is driver-side footer work. A file that footers can't
+    clear (or that actually violates) still scans and still rejects."""
+    from space_spark.errors import ConstraintViolationError
+
+    ext = tmp_location + "_ext"
+    spark.createDataFrame(
+        [Row(id=1, val=1.0), Row(id=2, val=2.0)], SIMPLE
+    ).coalesce(1).write.parquet(ext)
+    ds = Dataset.create(spark, tmp_location, SIMPLE, ["id"],
+                        not_null=["val"])
+    jt = spark.sparkContext._jsc.sc().statusTracker()
+    before = set(jt.getJobIdsForGroup(None))
+    append_parquet(ds, ext + "/*.parquet")
+    after = set(jt.getJobIdsForGroup(None))
+    assert after == before, "proven-clean zero-copy load ran Spark jobs"
+    assert ds.read().count() == 2
+
+    # A violating external file is still rejected (the footer proof
+    # can never pass it: its null count is nonzero).
+    bad = tmp_location + "_bad"
+    spark.createDataFrame(
+        [Row(id=3, val=None)], SIMPLE
+    ).coalesce(1).write.parquet(bad)
+    with pytest.raises(ConstraintViolationError, match=r"NOT NULL\(val\)"):
+        append_parquet(ds, bad + "/*.parquet")
