@@ -21,9 +21,18 @@ SIMPLE = T.StructType(
 
 
 def _rows(spark, ids):
-    return spark.createDataFrame(
-        [Row(id=i, val=i / 2.0) for i in ids], SIMPLE
-    ).coalesce(1)
+    # JVM-side literal plan (r14 suite wall time): the list-of-Rows
+    # form is a Python-RDD plan paying worker round-trips on every one
+    # of this file's ~50 trickle appends. Same ids, same val = id/2.0
+    # doubles, same schema.
+    ids = list(ids)
+    lo, hi = (min(ids), max(ids) + 1) if ids else (0, 0)
+    df = spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") / F.lit(2.0)).alias("val")
+    )
+    if ids != list(range(lo, hi)):
+        df = df.where(F.col("id").isin(ids))
+    return df.coalesce(1)
 
 
 @pytest.fixture()

@@ -102,6 +102,26 @@ predicate = st.one_of(
 
 _RAISED = object()  # sentinel: engine raised (ANSI overflow etc.)
 
+# The 5-row eval frame, materialized ONCE per SparkContext (r14 suite
+# wall time): the per-example list-of-Rows createDataFrame is a
+# Python-RDD plan — worker round-trips per hypothesis example summed
+# to ~2 minutes across the two property sweeps. Built from the SAME
+# arrow batch the arrow engine evaluates, localCheckpoint'd so every
+# example's collect scans pinned rows. Values, types and assertions
+# unchanged.
+_EVAL_DF = {"ctx": None, "df": None}
+
+
+def _eval_df(spark):
+    ctx = spark.sparkContext
+    if _EVAL_DF["ctx"] is not ctx:
+        _EVAL_DF["ctx"] = ctx
+        _EVAL_DF["df"] = spark.createDataFrame(
+            pa.table(BATCH)
+        ).coalesce(1).localCheckpoint()
+        _EVAL_DF["df"].count()
+    return _EVAL_DF["df"]
+
 
 def _spark_eval(spark, expr):
     # The Arrow evaluator implements Spark's DEFAULT (ANSI) semantics
@@ -111,9 +131,7 @@ def _spark_eval(spark, expr):
     prev = spark.conf.get("spark.sql.ansi.enabled", None)
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
-        df = spark.createDataFrame(
-            [Row(**r) for r in ROWS], "a long, b long, s string"
-        ).coalesce(1)
+        df = _eval_df(spark)
         try:
             return [r.out for r in
                     df.select(expr.to_spark().alias("out")).collect()]
