@@ -138,6 +138,74 @@ def zorder_cuts(
     return out
 
 
+def _q(name: str) -> str:
+    """Backquote a column name for SQL rendering."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _dlit_sql(x: float) -> str:
+    """SQL fragment parsing to exactly the double ``x`` (string->double
+    cast is correctly rounded and accepts repr's shortest round-trip
+    decimals plus 'Infinity'/'-Infinity'/'NaN')."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _as_double_sql(df: DataFrame, col: str) -> str:
+    """SQL text of ``_as_double`` — same expression tree, one parser
+    call instead of per-node py4j chatter (r14-opt, see _bucket_sql)."""
+    dt = df.schema[col].dataType
+    q = _q(col)
+    if isinstance(dt, _NUMERIC):
+        return f"CAST({q} AS DOUBLE)"
+    if isinstance(dt, _TEMPORAL):
+        if isinstance(dt, T.DateType):
+            return f"CAST(unix_date({q}) AS DOUBLE)"
+        return (f"CAST(unix_micros(CAST({q} AS TIMESTAMP_LTZ)) "
+                "AS DOUBLE)")
+    if isinstance(dt, (T.StringType, T.BinaryType)):
+        raw = q if isinstance(dt, T.BinaryType) else f"encode({q}, 'UTF-8')"
+        hexed = (f"rpad(hex(substring({raw}, 1, {_STR_PREFIX_BYTES})), "
+                 f"{2 * _STR_PREFIX_BYTES}, '0')")
+        return f"CAST(conv({hexed}, 16, 10) AS DOUBLE)"
+    raise UserInputError(
+        f"zorder_by column {col!r} has unsupported type {dt.simpleString()}"
+        " (numeric/date/timestamp/string/binary only)"
+    )
+
+
+def _bucket_sql(col_sql: str, cuts: List[float]) -> str:
+    """SQL text of ``_bucket``'s balanced binary-search CASE tree.
+    Rendering the whole tree as ONE string parsed by F.expr replaces
+    ~4-5 py4j round trips PER CUT (a 255-cut string key cost ~1s of
+    pure driver latency per z-ordered write) with a single call; the
+    parsed tree is node-identical to the Column-built one, so bucket
+    values — and therefore file layout and every pruning result — are
+    unchanged (pinned by test_zorder_sql_render_matches_column_builders)."""
+    safe = f"coalesce({col_sql}, {_dlit_sql(float('-inf'))})"
+
+    def search(lo: int, hi: int) -> str:
+        if lo == hi:
+            return str(lo)
+        mid = (lo + hi) // 2
+        return (f"(CASE WHEN {_dlit_sql(float(cuts[mid]))} <= {safe} "
+                f"THEN {search(mid + 1, hi)} "
+                f"ELSE {search(lo, mid)} END)")
+
+    return search(0, len(cuts))
+
+
+def _interleave_sql(names: Sequence[str], bits: int) -> str:
+    """SQL text of ``_interleave`` over simple column references."""
+    k = len(names)
+    z = "CAST(0 AS BIGINT)"
+    for j, n in enumerate(names):
+        b = f"CAST({_q(n)} AS BIGINT)"
+        for i in range(bits):
+            z = (f"({z} | shiftleft(shiftright({b}, {i}) & 1, "
+                 f"{i * k + j}))")
+    return z
+
+
 def add_zorder_key(
     df: DataFrame,
     cols: Sequence[str],
@@ -146,17 +214,31 @@ def add_zorder_key(
 ) -> Tuple[DataFrame, str]:
     """Append the Morton key column ``ZKEY_COL``; returns (df, colname).
     Pass precomputed ``cuts`` to skip the quantile pass (compaction reuses
-    the cuts computed on the full table)."""
+    the cuts computed on the full table).
+
+    Construction (r14-opt): the bucket CASE trees and the Morton
+    interleave are rendered as SQL text and parsed in k+1 F.expr calls
+    — the Column-by-Column build paid py4j round trips per tree node
+    (~0.5-1 s driver latency per write at 255 cuts). Buckets land in
+    named temporary columns so the interleave references each tree
+    once; Catalyst's CollapseProject inlines them right back, giving
+    the same final plan the direct build produced. `_bucket` /
+    `_interleave` remain as the executable spec the render is tested
+    against."""
     cols = list(cols)
     if not cols:
         raise UserInputError("zorder_by requires at least one column")
     bits = bits_per_col or max(4, 16 // len(cols))
     if cuts is None:
         cuts = zorder_cuts(df, cols, bits)
-    buckets = [
-        _bucket(_as_double(df, c), cut) for c, cut in zip(cols, cuts)
-    ]
-    return df.withColumn(ZKEY_COL, _interleave(buckets, bits)), ZKEY_COL
+    tmp = {
+        f"__zb_{j}": F.expr(_bucket_sql(_as_double_sql(df, c), cut))
+        for j, (c, cut) in enumerate(zip(cols, cuts))
+    }
+    keyed = df.withColumns(tmp).withColumn(
+        ZKEY_COL, F.expr(_interleave_sql(list(tmp), bits))
+    ).drop(*tmp)
+    return keyed, ZKEY_COL
 
 
 def zorder_layout(

@@ -186,3 +186,57 @@ def test_compact_zorder_restores_layout(spark, tmp_location):
     assert total < before
     n_rows = ds.read().count()
     assert n_rows == li.count()
+
+
+def test_zorder_sql_render_matches_column_builders(spark):
+    """r14-opt: add_zorder_key renders the bucket CASE trees and the
+    Morton interleave as SQL text (k+1 F.expr calls instead of py4j
+    chatter per tree node). The rendered key must equal the
+    Column-built `_bucket`/`_interleave` spec bit-for-bit over every
+    supported key type, including NULLs (which sort to bucket 0)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from space_spark.operators.zorder import (
+        _as_double,
+        _bucket,
+        _interleave,
+        add_zorder_key,
+        zorder_cuts,
+    )
+
+    schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("f", T.DoubleType()),
+        T.StructField("d", T.DateType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("b", T.BinaryType()),
+    ])
+    rows = [
+        Row(n=i,
+            f=(None if i % 7 == 0 else i / 3.0),
+            d=dt.date(2026, 1, 1 + (i % 27)),
+            ts=dt.datetime(2026, 1, 1, i % 23, 5),
+            s=(None if i % 11 == 0 else f"host-{i % 13}.example"),
+            b=bytes([i % 251]) * 3)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    cols = ["n", "f", "d", "ts", "s", "b"]
+    bits = 3
+    cuts = zorder_cuts(df, cols, bits)
+    keyed, key = add_zorder_key(df, cols, bits_per_col=bits, cuts=cuts)
+    spec = _interleave(
+        [_bucket(_as_double(df, c), cut) for c, cut in zip(cols, cuts)],
+        bits,
+    )
+    diff = (keyed.withColumn("__spec", spec)
+            .where(~F.col(key).eqNullSafe(F.col("__spec")))
+            .count())
+    assert diff == 0
+    # The helper columns never leak into the keyed output.
+    assert [c for c in keyed.columns if c.startswith("__zb_")] == []
