@@ -4250,9 +4250,19 @@ def text_bpe_pack(spark, sf_dir):
     oracle's global window would single-partition at scale; the count
     itself is a map-only JVM expression)."""
     from space_spark.operators.bpe import bpe_token_count
+    from space_spark.operators.dedup import _fan_out
     from space_spark.operators.packing import pack_offsets
 
-    docs = _t(spark, sf_dir, "documents").select(
+    # Fan out before the 64-merge BPE replace chain (r14-opt, guide
+    # §2): the single-file scan is ONE partition and the count is a
+    # narrow projection BELOW pack_offsets' range exchange, so the
+    # heaviest per-row kernel ran on one core. The round-robin
+    # exchange moves (doc_id, text) once — projected first, guide
+    # §2.3 — and the range exchange then carries only
+    # (doc_id, n_tokens).
+    docs = _fan_out(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select(
         "doc_id",
         bpe_token_count(F.col("text")).alias("n_tokens"),
     )
@@ -4287,9 +4297,16 @@ def export_shards_manifest(spark, sf_dir):
     aggregated from the files JUST WRITTEN, so the oracle checking it
     also proves the sink executed correctly."""
     from space_spark.operators.bpe import bpe_token_count
+    from space_spark.operators.dedup import _fan_out
     from space_spark.operators.export import export_training_shards
 
-    docs = _t(spark, sf_dir, "documents").select(
+    # Fan out before the BPE chain (r14-opt, guide §2): same
+    # single-partition-scan serialization as text_bpe_pack — the count
+    # evaluated below the shard-id exchange on one core. Projected to
+    # (doc_id, text) before the exchange (guide §2.3).
+    docs = _fan_out(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select(
         "doc_id", bpe_token_count(F.col("text")).alias("n_tokens")
     )
     return export_training_shards(
@@ -4660,15 +4677,22 @@ def pipeline_pretrain_filter(spark, sf_dir):
     ~236 after C4 -> ~182 after Gopher -> minus contaminated -> BPE
     budget for the rest."""
     from space_spark.operators.bpe import bpe_token_count
-    from space_spark.operators.dedup import decontaminate
+    from space_spark.operators.dedup import _fan_out, decontaminate
     from space_spark.operators.text import c4_rules, gopher_quality_flags
 
-    docs = _t(spark, sf_dir, "documents").select(
+    # Fan out BEFORE the regex cascade (r14-opt, guide §2): the corpus
+    # is one parquet file -> ONE scan partition, and c4+gopher+BPE are
+    # narrow ops, so the whole cascade ran twice on a single core
+    # (measured: 2.3 s/evaluation single-task at sf0.1 vs 0.1 s for the
+    # scan itself). One round-robin exchange of the raw text
+    # parallelizes every downstream per-row kernel; decontaminate is
+    # told not to add its (now redundant) internal fan-out.
+    docs = _fan_out(_t(spark, sf_dir, "documents").select(
         "doc_id",
         # Same normalization as text_c4_rules: the word-soup corpus
         # gains sentence/line structure via ' table ' -> '.\n'.
         F.regexp_replace("text", " table ", ".\n").alias("text"),
-    )
+    ))
     bench = docs.where(F.col("doc_id") % 11 == 0)
     corpus = docs.where(F.col("doc_id") % 11 != 0)
     kept = (
@@ -4678,7 +4702,8 @@ def pipeline_pretrain_filter(spark, sf_dir):
         .where("gopher_pass")
         .select("doc_id", "text")
     )
-    contaminated = decontaminate(kept, bench, "doc_id", "text", n=8)
+    contaminated = decontaminate(kept, bench, "doc_id", "text", n=8,
+                                 fan_out=False)
     clean = kept.join(contaminated.select("doc_id"), "doc_id",
                       "left_anti")
     return clean.select(

@@ -781,6 +781,7 @@ def decontaminate(
     text_col: str,
     n: int = 8,
     bench_text_col: Optional[str] = None,
+    fan_out: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: per corpus document, the number of
     distinct token ``n``-grams it shares with a benchmark/eval set — the
@@ -799,9 +800,15 @@ def decontaminate(
     bounded by contamination volume, not corpus size. Grams join as raw
     strings (not hashes): equality on the broadcast side is exact, spares
     a hash pass, and keeps the operator bit-identical to the ANSI-SQL
-    oracle."""
+    oracle.
+
+    ``fan_out=False`` skips the internal under-split repartition —
+    for callers whose ``df`` is already explicitly fanned out upstream
+    (``_fan_out`` probes inputFiles(), so it cannot see a repartition
+    already in the plan and would add a second, redundant exchange)."""
     bench_text_col = bench_text_col or text_col
-    df = _fan_out(df)  # single-file corpora arrive as one partition
+    if fan_out:  # single-file corpora arrive as one partition
+        df = _fan_out(df)
     bgrams = (
         benchmark.select(
             F.explode(_token_ngrams(F.col(bench_text_col), n)).alias("gram")

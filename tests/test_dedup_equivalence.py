@@ -314,6 +314,13 @@ def test_decontaminate_clean_and_hit(spark):
            for r in decontaminate(corpus, bench, "doc_id", "text",
                                   n=8).collect()}
     assert out == {1: 2}
+    # fan_out=False (caller already repartitioned upstream) is a pure
+    # partitioning opt-out: identical rows, identical counts.
+    out_nf = {r["doc_id"]: r["n_shared_grams"]
+              for r in decontaminate(corpus.repartition(4), bench,
+                                     "doc_id", "text", n=8,
+                                     fan_out=False).collect()}
+    assert out_nf == out
 
 
 def test_semantic_dedup_marks_min_id_winner(spark):
