@@ -963,7 +963,29 @@ def semantic_dedup(
     # now pays exactly this one count job and skips the loop).
     n_dups = dups.count()
     if n_dups:
-        for _ in range(20):
+        # Scale-adaptive chase parallelism (r14-opt, guide §2.2): the
+        # chase tables are duplicate-volume-bounded (two longs per
+        # row), but they inherited the corpus shuffle width — at
+        # sf0.1 that was 32 partitions carrying 177 rows, and every
+        # pointer-doubling round paid 2 exchanges + ~96 near-empty
+        # tasks across 3 AQE jobs for a join over a few KB. Derive
+        # the width from the MEASURED row count (~50k rows ≈ 1 MB per
+        # task floor, capped at the cluster parallelism): tiny dup
+        # sets chase single-partition (equi-joins of single-partition
+        # children need NO exchange), corpus-scale dup sets keep full
+        # width. The count above is already paid, so the decision is
+        # free, and the convergence logic is untouched at any width.
+        sc_ = pairs.sparkSession.sparkContext
+        chase_parts = max(1, min(sc_.defaultParallelism,
+                                 (n_dups + 49_999) // 50_000))
+        base = dups
+        if chase_parts < sc_.defaultParallelism:
+            # coalesce, not repartition: a narrow merge of the already-
+            # persisted agg output, no shuffle. `base` (the wide
+            # persisted generation) is released after the first
+            # narrowed generation is materialized below.
+            dups = dups.coalesce(chase_parts)
+        for _round in range(20):
             x, y = dups.alias("x"), dups.alias("y")
             # The moved flag rides the jump join, so each round is ONE
             # small persisted join plus a count over already-
@@ -982,6 +1004,11 @@ def semantic_dedup(
             changed = jumped.where(F.col("__moved")).count()
             prev, dups = dups, jumped.drop("__moved")
             prev.unpersist()  # superseded generation freed immediately
+            if _round == 0 and prev is not base:
+                # round 1's prev is the unpersisted coalesce wrapper;
+                # the wide persisted base behind it is now superseded
+                # (jumped is materialized and self-contained).
+                base.unpersist()
             if changed == 0:
                 break
         else:
