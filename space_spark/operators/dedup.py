@@ -605,12 +605,29 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     # Materialize the edge list ONCE: pairs is typically the output of an
     # expensive candidate pipeline (shingling + inverted-index join), and
     # every iteration's join would otherwise recompute it end-to-end.
+    # Hash-partitioned on dst and PERSISTED rather than checkpointed
+    # (r14-opt, guide §2.4): an InMemoryTableScan reports the cached
+    # plan's outputPartitioning (a localCheckpoint's Scan ExistingRDD
+    # does not — measured), so every iteration's edges-side join
+    # exchange disappears: the loop joins on dst == doc and the edge
+    # list — the corpus-scale side — arrives pre-clustered from cache.
+    # One construction-time shuffle replaces one edge-wide shuffle PER
+    # ITERATION. persist is also strictly safer than localCheckpoint
+    # here (lineage survives executor loss); blocks are reclaimed by
+    # the ContextCleaner when the result is dropped, as before. The
+    # eager labels checkpoint below populates the cache in its own
+    # materialization job, preserving the evaluate-pairs-once
+    # guarantee.
+    from pyspark import StorageLevel
+
+    n_shuffle = int(pairs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(
         pairs.select(F.col("doc_b").alias("src"),
                      F.col("doc_a").alias("dst"))
-    ).localCheckpoint()
+    ).repartition(n_shuffle, "dst").persist(StorageLevel.MEMORY_AND_DISK)
     labels = (
         edges.select(F.col("src").alias("doc"))
         .distinct()
