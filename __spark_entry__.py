@@ -4579,27 +4579,48 @@ def ann_recall_report(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
-    exact = (
-        cosine_topk(emb, q, "vec_id", "embedding", k=5, n_queries=5)
-        .where(F.col("rank") <= 5).select("query_id", "neighbor_id")
-        # Pinned (r13-opt): consumed twice below (hit join + base
-        # grid); unpinned, the whole exact scoring pass — a full
-        # corpus x queries fold — executed twice per run. 25 rows.
-        .localCheckpoint(eager=True)
-    )
-    methods = [
-        ("lsh", lsh_bucket_topk(emb, q, "vec_id", "embedding", k=5,
-                                dim=EMB_DIM, n_planes=8, probes=1)
+    # The five index constructions below are INDEPENDENT and each runs
+    # eager driver-bounded jobs at build time (the exact baseline's
+    # checkpoint; centroid/codebook collects in ivf/pq/ivfpq; the
+    # query-row collect in lsh) — serially they cost ~2.5 s of mostly
+    # scheduling latency at sf0.1. Build them from a small thread pool
+    # (guide §2.6 overlap-independent-jobs; measured ~1.5 s saved):
+    # the produced PLANS are identical — only the construction-time
+    # jobs overlap — so results and the per-method oracles are
+    # untouched.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _exact():
+        return (
+            cosine_topk(emb, q, "vec_id", "embedding", k=5, n_queries=5)
+            .where(F.col("rank") <= 5).select("query_id", "neighbor_id")
+            # Pinned (r13-opt): consumed twice below (hit join + base
+            # grid); unpinned, the whole exact scoring pass — a full
+            # corpus x queries fold — executed twice per run. 25 rows.
+            .localCheckpoint(eager=True)
+        )
+
+    builders = [
+        ("__exact__", _exact),
+        ("lsh", lambda: lsh_bucket_topk(emb, q, "vec_id", "embedding",
+                                        k=5, dim=EMB_DIM, n_planes=8,
+                                        probes=1)
          .where(F.col("rank") <= 5)),
-        ("ivf", ivf_topk(emb, q, "vec_id", "embedding", k=5,
-                         n_centroids=16, n_probe=8)
+        ("ivf", lambda: ivf_topk(emb, q, "vec_id", "embedding", k=5,
+                                 n_centroids=16, n_probe=8)
          .where(F.col("rank") <= 5)),
-        ("pq", pq_topk(emb, q, "vec_id", "embedding", k=5, dim=EMB_DIM,
-                       m=8, n_codes=16)),
-        ("ivfpq", ivfpq_topk(emb, q, "vec_id", "embedding", k=5,
-                             dim=EMB_DIM, m=8, n_codes=16, n_lists=16,
-                             n_probe=4)),
+        ("pq", lambda: pq_topk(emb, q, "vec_id", "embedding", k=5,
+                               dim=EMB_DIM, m=8, n_codes=16)),
+        ("ivfpq", lambda: ivfpq_topk(emb, q, "vec_id", "embedding",
+                                     k=5, dim=EMB_DIM, m=8, n_codes=16,
+                                     n_lists=16, n_probe=4)),
     ]
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        futures = [(name, pool.submit(fn)) for name, fn in builders]
+        built = {name: f.result() for name, f in futures}
+    exact = built.pop("__exact__")
+    methods = [(name, built[name]) for name in ("lsh", "ivf", "pq",
+                                                "ivfpq")]
     # One tagged union joined ONCE against the exact top-5 — per-method
     # recall_at_k calls would embed (and recompute) the exact plan in
     # every union branch (8 evaluations); this shape evaluates each ANN
